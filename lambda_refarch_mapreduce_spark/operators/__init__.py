@@ -1,0 +1,7 @@
+from lambda_refarch_mapreduce_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)

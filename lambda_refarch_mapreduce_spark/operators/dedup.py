@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-bounded (no O(n^2) cross join at any point —
+the 100TB requirement from SURVEY.md §7.4.5):
+
+- exact:        hash-groupBy on content digest. One shuffle.
+- n-gram Jaccard: shingle-inverted-index self-join. Shuffle on shingle;
+                pairs only materialize for docs sharing a shingle.
+- MinHash-LSH:  salted-hash signatures → banding → equi-join on band
+                key. Candidate pairs bounded by band collisions.
+- SimHash:      64-bit fingerprint, near-dups by hamming distance over
+                band-partitioned candidates.
+
+Hashing is deliberately *portable*: every hash is built from md5 (same
+bytes in any engine), so the DuckDB oracle can reproduce signatures
+bit-for-bit — the operators are correctness-checked end to end, not
+just row-counted. (Spark: conv(substring(md5(x),1,15),16,10) == DuckDB:
+('0x'||substr(md5(x),1,15))::BIGINT — verified identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.functions.scalar import tokenize, word_ngrams
+
+# 60-bit portable hash: md5 → first 15 hex chars → bigint.
+def _h(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def salted_hash(col: Column, seed: int) -> Column:
+    """Family of independent portable hash functions h_seed(x)."""
+    return _h(F.concat(F.lit(f"s{seed}:"), col))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct content with the
+    canonical (min id) survivor and the duplicate count.
+
+    groupBy on the md5 digest, not the content, so the shuffle carries
+    32-byte keys instead of document bodies — at 100TB that is the
+    difference between shuffling hashes and shuffling the corpus.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, content_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) inverted-index rows: distinct word n-grams."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(tokenize(content_col), n))).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Document pairs with n-gram Jaccard similarity >= threshold.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (equi-join → hash shuffle on shingle, NOT a cross join),
+    count co-occurrences, then Jaccard = inter / (|A|+|B|-inter).
+    Only pairs sharing >=1 shingle are ever materialized; hot shingles
+    (stopword runs) are the skew risk — AQE skew-join handles the
+    residual, and raising ``n`` shrinks posting lists.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingles(df, id_col, content_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, content_col: str, n: int = 3, k: int = 16) -> DataFrame:
+    """(id, minhash[0..k-1]) — k salted-md5 min-hashes over the doc's
+    distinct word n-grams. One aggregation per doc; no shuffle beyond
+    the per-id groupBy of the exploded shingles.
+    """
+    sh = shingles(df, id_col, content_col, n)
+    aggs = [F.min(salted_hash(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH, verified by true Jaccard.
+
+    Plan: signature (k minhashes) → ``bands`` band-keys (md5 of the
+    band's concatenated minhashes) → explode band rows → equi-join on
+    (band_index, band_key) to get candidates → verify candidates with
+    exact n-gram Jaccard and keep >= threshold.
+
+    The candidate join is an equi-join on the band key, so the cost is
+    bounded by real collisions (tunable via bands/rows-per-band), never
+    O(n^2). Verification joins only the candidate ids back to the
+    shingle index. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    rows_per_band = k // bands
+    sig = minhash_signature(df, id_col, content_col, n, k)
+
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    banded = sig.select(
+        F.col("id"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # Verify candidates with exact Jaccard over the shingle index.
+    sh = shingles(df, id_col, content_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 60) -> DataFrame:
+    """(id, simhash) — per-token portable hashes, bitwise majority vote,
+    packed into a bigint. Pure Catalyst higher-order functions: the
+    per-doc work is O(tokens * bits) inside codegen, zero shuffle.
+    """
+    tokens = tokenize(content_col)
+    hashes = F.transform(tokens, lambda t: _h(t))
+    ntok = F.size(tokens)
+    # Per bit position j: count tokens with bit j set, majority-vote,
+    # and OR the literal mask back in. The loop is Python-side over a
+    # fixed ``bits``, so each term is a plain codegen expression with a
+    # *literal* mask (pyspark's shiftleft/shiftright only take Python
+    # ints for the shift amount).
+    def _bit_set(mask: int):
+        # single-arg closure: a 2-arg lambda would make pyspark pass
+        # the array *index* as the second argument
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    packed: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        mask = 1 << j
+        cnt_j = F.size(F.filter(hashes, _bit_set(mask)))
+        packed = packed + F.when(cnt_j * 2 >= ntok, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation by band equality (pigeonhole: any pair within
+    ``max_hamming`` <= bands-1 bit flips must agree on >=1 band), then
+    exact hamming via bit_count(xor). Equi-join on (band, band_bits) —
+    shuffle-bounded, never O(n^2).
+    """
+    sig = simhash(df, id_col, content_col, bits)
+    band_width = bits // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_width)
+            .bitwiseAND(F.lit((1 << band_width) - 1))
+            .alias("bbits"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bbits").alias("bbits"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bbits") == F.col("b.bbits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

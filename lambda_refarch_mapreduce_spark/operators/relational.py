@@ -1,0 +1,153 @@
+"""Relational operators the reference lacks (SURVEY.md §2.5-2.7).
+
+The reference has exactly one dataflow shape: scan → project → partial
+SUM → tree-merge SUM (operators O1-O11). Everything here is the operator
+library a user of a real engine needs, expressed so Catalyst picks the
+physical strategy. Wrappers exist only where the composition is
+non-obvious (top-k per group, as-of join, range bucketing); plain joins
+and windows should be written directly with the DataFrame API.
+
+Scale notes (100TB posture, SURVEY.md §7.4.5):
+- top-k per group uses rank-over-window; Spark plans a partial top-k
+  per map partition when the window is backed by ``row_number`` +
+  filter (WindowGroupLimit in Spark 3.5+/4.x), so the shuffle carries
+  at most k rows per group per partition.
+- as-of join shuffles both sides once on the key, then applies a
+  window over the union — one shuffle, no Python, no cross-join. Skew
+  on the key falls to AQE skew handling.
+- broadcast hints are the caller's statement that the small side is
+  bounded (dim tables); never hint the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """k best rows per group: row_number over window + filter.
+
+    Catalyst rewrites this to WindowGroupLimit — each map task keeps
+    only its local top-k per group before the shuffle, so the exchange
+    is O(groups * k), not O(rows). Always pass a deterministic
+    tiebreaker in ``order_by`` so oracle comparisons are stable.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def top_k_global(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k: orderBy + limit plans TakeOrderedAndProject —
+    per-partition heaps, only k rows ever reach the driver stage."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str,
+    on_right: str | None = None,
+    *,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` (direction='backward') on the same key.
+
+    Implementation: union-and-window, not a range cross join. Tag both
+    sides, union by key+time, sort within the key partition, and carry
+    the most recent right-side values forward with ``last(ignorenulls)``
+    over an unbounded-preceding window. One shuffle on ``on``; cost is
+    O((|L|+|R|) log p) — survives 100TB where a conditional join
+    (t1.ts <= t2.ts) would be a broadcast-nested-loop.
+
+    direction='forward' gives the earliest right row with
+    ``right_time >= left_time``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    if on_right is None:
+        on_right = on_left
+
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on_left).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+    )
+    r_tagged = right.select(
+        F.col(on_right).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal timestamps so an
+        # exactly-simultaneous right row is visible to the left row.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in right_values
+            ],
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in right_values
+            ],
+        )
+
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in right_values],
+    )
+
+
+def range_bucket_join(
+    df: DataFrame,
+    value_col: str,
+    buckets: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    label_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to a [lo, hi) bucket from a small bucket table.
+
+    The bucket table is broadcast (it's bounds, not data), so the
+    non-equi condition runs as BroadcastNestedLoopJoin over a handful
+    of bucket rows — O(rows * buckets) with no shuffle. For large
+    *both*-sides range joins, pre-bucket both sides to equi keys first.
+    """
+    b = F.broadcast(buckets)
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return df.join(b, cond, "left").drop(lo_col, hi_col)

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- brute-force top-k: exact baseline. Query set is broadcast (queries
+  are the small side by definition); per-row cosine stays JVM-side via
+  zip_with/aggregate; top-k per query via row_number window, which
+  Spark executes with per-partition group limits. Cost O(|corpus| *
+  |queries| * dim) FLOPs but only one broadcast and one shuffle of
+  k rows per query — the correct exact plan at any corpus size when
+  |queries| is bounded.
+- LSH-bucketed (random hyperplane signs): deterministic hyperplanes
+  derived from a seed via portable salted hashes, bucket = sign
+  bitstring; candidates only within matching buckets (+ optional
+  multi-probe by flipping one bit). Approximate; recall is tested
+  against the brute-force tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.functions.scalar import cosine_similarity
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank); self-matches
+    excluded; ties broken by neighbor id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup).
+
+    With ``block_col`` (e.g. an LSH bucket or a label) the self-join is
+    an equi-join on the block — shuffle-bounded. Without it this is an
+    explicit cross join: correct on correctness tiers, and intentionally
+    loud about it (the caller must opt into quadratic cost).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("va"),
+        *([F.col(block_col).alias("blk_a")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("vb"),
+        *([F.col(block_col).alias("blk_b")] if block_col else []),
+    )
+    if block_col:
+        joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from (seed, plane_idx).
+
+    Components derived from md5 — no RNG state, reproducible across
+    runs/engines. Values in [-1, 1)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"hp:{seed}:{plane_idx}:{d}".encode()).hexdigest()
+        out.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append a random-hyperplane LSH bucket id (string of sign bits).
+
+    Cosine-LSH: bucket collision probability rises with cosine
+    similarity, so bucketing before a pair join turns O(n^2) into
+    sum-over-buckets O(b_i^2) — the scale path for near-dup and ANN.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty dataframe and no dim given")
+        dim = first["d"]
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        d = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(bucket_col, F.concat(*bits))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    Equi-join on bucket replaces the cross join; recall measured in
+    tests against brute_force_topk. Multi-probe (bit flips) can raise
+    recall at ~n_planes× candidate cost; kept single-probe here.
+    """
+    cb = lsh_bucket(corpus, vec_col, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col("bucket"),
+    )
+    qb = F.broadcast(
+        lsh_bucket(queries, vec_col, n_planes, seed).select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            F.col("bucket"),
+        )
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

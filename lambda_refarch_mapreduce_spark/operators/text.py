@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (no Python UDFs): tokenization, token
+counting, quality scoring, n-gram language ID and fingerprinting run
+inside whole-stage codegen and are portable to the DuckDB oracle.
+Per-row cost is O(len(text)); no operator here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit language
+# heuristic. Deliberately small and hard-coded: the operator contract is
+# "deterministic heuristic", not a model.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist", "im", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "des", "un", "une", "du", "est"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: counts and length moments."""
+    toks = tokenize(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation runs, the
+    cheap deterministic proxy for a BPE tokenizer's token count."""
+    pieces = F.filter(
+        F.split(text, r"(?<=\W)|(?=\W)"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    return F.size(pieces)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    length score (saturating), stopword ratio, alpha ratio.
+
+    The score formula is fixed and portable (tested against the SQL
+    oracle); thresholds for filtering are the caller's policy.
+    """
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    stop_hits = F.size(F.array_intersect(toks, stop_arr))
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_ratio = stop_hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.col("lang") if "lang" in df.columns else F.lit(None).alias("lang"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(
+            (length_score + stop_ratio + alpha_ratio) / 3.0, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language distinct
+    stopword hits; 'und' (undetermined) when no list scores > 0.
+    Deterministic tie-break: higher hits wins, ties go to the
+    alphabetically-first language code (chained-CASE argmax — the same
+    shape the SQL oracle uses, so semantics match by construction).
+    """
+    toks = F.array_distinct(tokenize(text_col))
+    langs = sorted(STOPWORDS)
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        )
+        for lang in langs
+    }
+    pred: Column = F.lit("und")
+    best: Column = F.lit(0)
+    # build the chain back-to-front so earlier languages win ties
+    for lang in reversed(langs):
+        h = hit_cols[lang]
+        others = [hit_cols[o] for o in langs if o != lang]
+        cond = (h > 0) & (h >= F.greatest(*others))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, h).otherwise(best)
+    return df.select(F.col(id_col), pred.alias("pred_lang"), best.alias("hits"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: full-content md5 plus a 1-permutation
+    MinHash (min token md5) that survives token reordering."""
+    toks = tokenize(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_md5"),
+        F.array_max(F.transform(toks, lambda t: F.md5(t))).alias("max_token_md5"),
+    )

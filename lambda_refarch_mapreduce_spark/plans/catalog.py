@@ -1,0 +1,812 @@
+"""Query catalog: every operator surface as a (Spark, oracle-SQL) pair.
+
+This is the engine's conformance suite and the driver's correctness
+gate in one place: each entry couples a Spark DataFrame program with
+the ANSI-SQL statement DuckDB runs on the same parquet tables; results
+must match on row count, schema and order-insensitive value hash.
+
+Conventions that make the comparison stable:
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 decimals for money, 6 for ratios) —
+  double addition is order-sensitive and Spark/DuckDB reduce in
+  different orders;
+- timestamps are rendered to strings (engines canonicalize timezones
+  differently);
+- ties in any top-k/rank are broken by a unique key column.
+
+Reference-parity queries (the AMPLab shapes the reference actually
+runs/describes, README.md:139-148) are tagged 'reference'; the rest is
+the operator library of SURVEY.md §2.4-2.9 and the LLM-pipeline
+extensions (registered in catalog_llm.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators.relational import (
+    asof_join,
+    range_bucket_join,
+    top_k_per_group,
+)
+from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity — the query surface the reference ships/describes
+# (scan/filter/project 1a/1b, substr-groupby-sum 2a), re-expressed on
+# the driver-generated tables. SURVEY.md §2.1 O5-O10.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="SELECT event_id, value FROM events WHERE value > 150",
+    tags=("reference",),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMPLab 1a shape: SELECT pageURL, pageRank WHERE pageRank > 1000
+    (README.md:139-142). Filter+project push into the parquet scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 150)
+        .select("event_id", "value")
+    )
+
+
+@register(
+    "scan_filter_project_wide",
+    oracle="SELECT event_id, value FROM events WHERE value > 50",
+    tags=("reference",),
+)
+def scan_filter_project_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMPLab 1b shape: the low-selectivity variant (pageRank > 100)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 50)
+        .select("event_id", "value")
+    )
+
+
+@register(
+    "substr_groupby_sum",
+    oracle="""
+        SELECT substr(source, 1, 4) AS src,
+               round(sum(n_chars)::DOUBLE, 2) AS sum_rev
+        FROM documents GROUP BY 1
+    """,
+    tags=("reference", "flagship"),
+)
+def substr_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMPLab 2a, the reference's one real query (README.md:146):
+    SELECT SUBSTR(sourceIP,1,8), SUM(adRevenue) GROUP BY 1 — the
+    mapper's dict-accumulate (mapper.py:51-54) + the whole recursive
+    reducer tree (reducerCoordinator.py) collapse into one two-phase
+    hash aggregate. Python/SQL SUBSTR semantics per SURVEY.md §7.4
+    (the Node variant's off-by-one is not reproduced). Keyed on a
+    prefix of ``documents.source`` so prefix grouping actually merges
+    keys (src1 ← src1, src10..src19), like the IP-prefix original."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.substring("source", 1, 4).alias("src"))
+        .agg(F.round(F.sum("n_chars").cast("double"), 2).alias("sum_rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.6 absences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate grouped summary with an
+    arithmetic expression inside SUM. Partial agg happens map-side
+    exactly like the reference's mapper dict (mapper.py:52-54)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey)::BIGINT AS n_parts,
+               count(DISTINCT l_suppkey)::BIGINT AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) — expand+two-phase agg under AQE."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "rollup_order_stats",
+    oracle="""
+        SELECT c_mktsegment, o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (segment → priority → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping sets."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "having_big_customers",
+    oracle="""
+        SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        HAVING sum(o_totalprice) > 50000
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 50000)
+        .drop("_raw")
+    )
+
+
+@register(
+    "conditional_agg_orders",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_rev,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN inside aggregates (pivot-by-hand pattern)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias("finished_rev"),
+            F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
+        )
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS view
+        FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list avoids the
+    extra distinct-values job — required posture at scale)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "date_agg_daily_events",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def date_agg_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation + grouped agg (rendered to string for
+    engine-neutral comparison)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.5 absences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+        SELECT n_name, r_name,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(orders) × dims(customer, nation, region). Dims
+    are broadcast (nation/region always; customer below the threshold
+    at small SF, hinted since it is a true dimension) — zero shuffles
+    on the fact side until the final aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "broadcast_join_parts",
+    oracle="""
+        SELECT p_brand,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size >= 25
+        GROUP BY p_brand
+    """,
+)
+def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × filtered dim with an explicit broadcast hint: the filter
+    on the dim side is applied before broadcast, so the hash table
+    ships only surviving parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_size") >= 25))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 40000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no row multiplication, no payload from
+    the probe side crosses the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 40000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "left_join_order_counts",
+    oracle="""
+        SELECT c_custkey,
+               count(o_orderkey)::BIGINT AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "full_outer_supplier_customer_nations",
+    oracle="""
+        WITH cn AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS n_cust
+                    FROM customer GROUP BY 1),
+             sn AS (SELECT s_nationkey AS nk, count(*)::BIGINT AS n_supp
+                    FROM supplier GROUP BY 1)
+        SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+               coalesce(n_cust, 0)::BIGINT AS n_cust,
+               coalesce(n_supp, 0)::BIGINT AS n_supp
+        FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def full_outer_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides."""
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "range_bucket_lineitem",
+    oracle="""
+        SELECT b.bucket, count(*)::BIGINT AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem l
+        LEFT JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0),
+                          ('large', 25.0, 1e9)) b(bucket, lo, hi)
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.bucket
+    """,
+)
+def range_bucket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast bucket table."""
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        range_bucket_join(li, "l_quantity", buckets)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+        WITH o AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS price
+                   FROM orders GROUP BY 1, 2)
+        SELECT event_id, user_id,
+               round(coalesce(o.price, -1), 2) AS asof_price
+        FROM events
+        ASOF LEFT JOIN o
+          ON user_id = o.o_custkey AND o.o_orderdate <= events.ts
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order
+    price as of the event's timestamp.
+
+    Implemented union+window (operators.relational.asof_join) — one
+    shuffle on the key, no range cross join. Orders are pre-deduped to
+    one row per (custkey, orderdate) so tie-breaking is
+    engine-independent."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        on_left="user_id",
+        on_right="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["price"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("asof_price"), F.lit(-1.0)), 2).alias("asof_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k / set ops (SURVEY.md §2.7 absences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_cust",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS price,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders)
+        WHERE rnk <= 3
+    """,
+)
+def window_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number window + filter; Spark
+    plans WindowGroupLimit so each task pre-trims to k before the
+    shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"),
+        F.col("o_totalprice"),
+    )
+    out = top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+    return out.select("o_custkey", "o_orderkey", "price", "rnk")
+
+
+@register(
+    "topk_global_orders",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-partition heaps; only
+    k rows cross to the driver stage)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@register(
+    "window_running_user_value",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events
+    """,
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per user over event time — analytic window
+    with a rows frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 2) AS delta
+        FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG offset window: per-user delta between consecutive events."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics, dedup built in)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "except_customers",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "union_nation_region_names",
+    oracle="""
+        SELECT n_name AS name, 'nation' AS kind FROM nation
+        UNION ALL
+        SELECT r_name AS name, 'region' AS kind FROM region
+    """,
+)
+def union_nation_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with aligned schemas (unionByName)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("kind")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("kind")
+    )
+    return n.unionByName(r)
+
+
+@register(
+    "grouping_sets_nation_segment",
+    oracle="""
+        SELECT n_name, c_mktsegment, count(*)::BIGINT AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """,
+)
+def grouping_sets_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube) via the
+    SQL surface — the engine registers temp views and lets Catalyst
+    plan the expand."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, count(*) AS n_cust
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_projection",
+    oracle="""
+        SELECT doc_id,
+               upper(substr(text, 1, 12)) AS head,
+               length(text)::BIGINT AS n_chars,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               replace(source, 'src', 'source-') AS source_name,
+               concat(lang, ':', source) AS lang_source
+        FROM documents
+    """,
+)
+def string_funcs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function catalog: substr/upper/length/regexp_extract/
+    replace/concat — all whole-stage-codegen expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("source", "src", "source-").alias("source_name"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+    )
+
+
+@register(
+    "math_funcs_projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_extendedprice - 500), 2) AS abs_delta,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               floor(l_extendedprice / 100)::BIGINT AS price_bucket,
+               round(ln(l_extendedprice + 1), 6) AS log_price,
+               round(pow(l_discount, 2), 6) AS disc_sq
+        FROM lineitem
+    """,
+)
+def math_funcs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function catalog: abs/sqrt/floor/ln/pow."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 500), 2).alias("abs_delta"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("price_bucket"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.filter(k.isNotNull()).select(
+        "event_id", k.cast("long").alias("k_value")
+    )

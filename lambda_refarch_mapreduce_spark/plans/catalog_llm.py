@@ -1,0 +1,440 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text
+analysis, multimodal plumbing, streaming-equivalent windows.
+
+Every hash-based operator (MinHash-LSH, SimHash) uses the portable
+md5-derived hash family from operators.dedup, so the DuckDB oracle
+reproduces signatures *bit-for-bit* — these are exact correctness
+checks, not just row counts. The SQL here is long because it re-derives
+the same signatures arithmetically; the constants (n-gram n, k, bands)
+are shared with the Spark side via this module's parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators import dedup, multimodal, similarity, text
+from lambda_refarch_mapreduce_spark.plans.catalog import register, _t
+from lambda_refarch_mapreduce_spark.streaming.events import windowed_agg
+
+# Shared constants — referenced by both Spark programs and oracle SQL.
+NGRAM_N = 3
+MINHASH_K = 16
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.3
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 6
+SIMHASH_MAX_HAMMING = 5  # <= bands-1 → banding is exact (pigeonhole)
+NEARDUP_COSINE = 0.4
+TOPK_K = 5
+TOPK_QUERY_MAX_ID = 20
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+_SQL_TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - {nm1}, 0) + 1), "
+    "i -> {joined}))"
+).format(
+    nm1=NGRAM_N - 1,
+    joined=" || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(NGRAM_N)),
+)
+
+_SQL_TOK_CTE = f"tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents)"
+_SQL_SH_CTE = f"sh AS (SELECT id, unnest({_SQL_SHINGLES}) AS shingle FROM tok)"
+_SQL_SIZES_CTE = "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)"
+
+
+def _sql_salted_hash(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5('s{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS keep_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy content digest (shuffles 32-byte hashes,
+    not document bodies)."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(ninter * 1.0 / (sa.n + sb.n - ninter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over a shingle inverted
+    index (equi-join on shingle — no cross join)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rpb = k // bands
+    mh_cols = ", ".join(
+        f"min({_sql_salted_hash('shingle', i)}) AS mh{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, md5({cols}) AS bkey FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
+        sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+        banded AS ({banded}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS ninter
+            FROM cand c
+            JOIN sh a ON a.id = c.id_a
+            JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(ninter * 1.0 / (sa.n + sb.n - ninter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: salted-md5 signatures → bands → candidate
+    equi-join → exact-Jaccard verification. The oracle re-derives the
+    identical signatures, so the candidate set matches bit-for-bit."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _simhash_cte() -> str:
+    bits = SIMHASH_BITS
+    return f"""
+        tokx AS (SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS wtok FROM documents),
+        h AS (SELECT id, ('0x' || substr(md5(wtok), 1, 15))::BIGINT AS hv FROM tokx),
+        cnt AS (SELECT id, count(*) AS n FROM h GROUP BY id),
+        bitc AS (
+            SELECT id, j, sum((hv >> j) & 1) AS c
+            FROM h, range(0, {bits}) t(j)
+            GROUP BY id, j),
+        sim AS (
+            SELECT bitc.id,
+                   sum(CASE WHEN 2 * bitc.c >= cnt.n
+                            THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+            FROM bitc JOIN cnt ON cnt.id = bitc.id
+            GROUP BY bitc.id)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_simhash_cte()}
+        SELECT id AS doc_id, simhash FROM sim
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash (portable bit-for-bit vs oracle)."""
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", SIMHASH_BITS
+    ).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH {_simhash_cte()}
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sim a JOIN sim b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs. Spark generates candidates by band
+    equality (bands > max_hamming ⇒ exact by pigeonhole), so the
+    banded plan provably equals the oracle's brute-force pairing while
+    staying shuffle-bounded."""
+    out = dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round({_COSINE_SQL.format(a='q.v', b='e.v')}, 6) AS cosine
+            FROM q JOIN e ON e.vec_id <> q.vec_id),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rnk::BIGINT AS rank
+        FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (broadcast queries, JVM-side
+    arithmetic, per-group window limit)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.brute_force_topk(emb, q, "vec_id", "embedding", TOPK_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COSINE_SQL.format(a='a.v', b='b.v')}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL.format(a='a.v', b='b.v')} >= {NEARDUP_COSINE}
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (correctness tier: explicit
+    pair join; scale tier uses similarity.lsh_bucket blocking —
+    recall-tested in tests/, not oracle-checked)."""
+    return similarity.cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", NEARDUP_COSINE
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents)
+        SELECT doc_id,
+               len(w)::INT AS n_tokens,
+               len(list_distinct(w))::INT AS n_unique_tokens,
+               length(text)::INT AS n_chars,
+               round(list_sum(list_transform(w, t -> length(t))) * 1.0
+                     / greatest(len(w), 1), 6) AS avg_token_len
+        FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _langid_sql() -> str:
+    langs = sorted(text.STOPWORDS)
+    hits = {
+        lang: (
+            "len(list_filter(list_distinct(w), x -> list_contains(["
+            + ", ".join(f"'{wd}'" for wd in text.STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    pred_cases, hit_cases = [], []
+    for lang in langs:
+        others = ", ".join(hits[o] for o in langs if o != lang)
+        cond = f"{hits[lang]} > 0 AND {hits[lang]} >= greatest({others})"
+        pred_cases.append(f"WHEN {cond} THEN '{lang}'")
+        hit_cases.append(f"WHEN {cond} THEN {hits[lang]}")
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+        SELECT doc_id,
+               CASE {' '.join(pred_cases)} ELSE 'und' END AS pred_lang,
+               (CASE {' '.join(hit_cases)} ELSE 0 END)::INT AS hits
+        FROM t
+    """
+
+
+@register("text_language_id", oracle=_langid_sql(), tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic (chained-CASE argmax; same
+    tie-break on both engines by construction)."""
+    return text.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_sql() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+        WITH t AS (SELECT doc_id, lang, text, {_SQL_TOKENS} AS w FROM documents),
+        m AS (SELECT doc_id, lang,
+                     len(w) AS n_tokens,
+                     len(list_filter(list_distinct(w),
+                         x -> list_contains([{stop_list}], x))) * 1.0
+                       / greatest(len(list_distinct(w)), 1) AS stop_ratio,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     least(len(w) / 100.0, 1.0) AS length_score
+              FROM t)
+        SELECT doc_id, lang, n_tokens::INT AS n_tokens,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               round((length_score + stop_ratio + alpha_ratio) / 3.0, 6) AS quality
+        FROM m
+    """
+
+
+@register("text_quality", oracle=_quality_sql(), tags=("llm", "text"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents)
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               list_min(list_transform(w, t -> md5(t))) AS min_token_md5,
+               list_max(list_transform(w, t -> md5(t))) AS max_token_md5
+        FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'image' AS media_type,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               substr(sha256(text), 1, 16) AS content_sha16,
+               (('0x' || substr(sha256(text), 1, 4))::INT % 1920 + 1)::INT AS fake_width,
+               (('0x' || substr(sha256(text), 5, 4))::INT % 1080 + 1)::INT AS fake_height
+        FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (Arrow batches).
+    The decode kernel is a deterministic sha-based fake (container has
+    no PIL — multimodal.decode_image documents the stub); the schema,
+    batch iteration and 1→0..n row contract are the real test."""
+    media = multimodal.attach_media(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "image"
+    )
+    return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equivalent window (batch check of streaming semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               round(sum(value), 2) AS total,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window — the batch twin of
+    streaming.windowed_agg (same groupBy(window(...)) expression the
+    streaming job runs; Structured Streaming execution is covered in
+    tests/test_streaming.py with trigger(availableNow))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "total",
+            "n_events",
+        )
+    )
+
+
+_ = windowed_agg  # imported for API surface; exercised in tests

@@ -1,0 +1,126 @@
+"""Declarative JobSpec — the reference's user experience, made a plan.
+
+In the reference, "writing a query" means editing mapper.py/reducer.py
+and re-zipping the Lambdas (README.md:63-65, driverconfig.json:10-24);
+the driver config points at code. Here the same job is a declarative
+spec the engine lowers onto a DataFrame, so Catalyst sees the whole
+plan (pushdown/pruning work), and the custom-code seam survives as
+explicit UDF hooks (SURVEY.md §2.2) instead of a zip file:
+
+    JobSpec(
+        source={"format": "csv", "path": ..., "schema": schema},
+        filter="pageRank > 1000",              # queries 1a/1b
+        select={"src": "substring(sourceIP, 1, 8)",
+                "rev": "cast(adRevenue as double)"},
+        group_by=["src"], aggs={"sum_rev": "sum(rev)"},   # query 2a
+        sink={"format": "parquet", "path": ...},
+    )
+
+Expressions are SQL strings compiled with ``F.expr`` — one dialect for
+spec authors, full Catalyst underneath. ``map_udf`` / ``agg_udf`` are
+the escape hatches equivalent to the reference's mapper/reducer seams
+(///YOUR REDUCER LOGIC///, reducer.js:46): an Arrow-batched function
+applied with mapInPandas / applyInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from lambda_refarch_mapreduce_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+)
+
+
+@dataclass
+class JobSpec:
+    source: dict
+    filter: str | None = None
+    select: dict[str, str] | None = None  # alias -> SQL expression
+    group_by: list[str] = field(default_factory=list)
+    aggs: dict[str, str] | None = None  # alias -> SQL aggregate expression
+    having: str | None = None
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+    sink: dict | None = None
+    # UDF seams (reference §2.2): applied after select, before group_by.
+    map_udf: Callable | None = None  # (iter[pd.DataFrame]) -> iter[pd.DataFrame]
+    map_udf_schema: StructType | str | None = None
+    agg_udf: Callable | None = None  # (pd.DataFrame) -> pd.DataFrame per group
+    agg_udf_schema: StructType | str | None = None
+
+
+def _read(spark: SparkSession, source: dict) -> DataFrame:
+    fmt = source.get("format", "parquet")
+    if "df" in source:  # pre-built DataFrame passthrough
+        return source["df"]
+    path = source["path"]
+    if fmt == "parquet":
+        return read_parquet(spark, path)
+    if fmt == "csv":
+        return read_csv(
+            spark,
+            path,
+            source["schema"],
+            header=source.get("header", False),
+            drop_malformed=source.get("drop_malformed", True),
+        )
+    if fmt == "json":
+        return read_json(spark, path, source.get("schema"))
+    if fmt == "text":
+        return read_text(spark, path)
+    raise ValueError(f"unknown source format {fmt!r}")
+
+
+def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    """Lower a JobSpec to a DataFrame (no action triggered)."""
+    df = _read(spark, spec.source)
+    if spec.filter:
+        df = df.filter(F.expr(spec.filter))
+    if spec.select:
+        df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])
+    if spec.map_udf is not None:
+        if spec.map_udf_schema is None:
+            raise ValueError("map_udf requires map_udf_schema")
+        df = df.mapInPandas(spec.map_udf, schema=spec.map_udf_schema)
+    if spec.aggs:
+        aggs = [F.expr(e).alias(a) for a, e in spec.aggs.items()]
+        df = df.groupBy(*spec.group_by).agg(*aggs) if spec.group_by else df.agg(*aggs)
+    elif spec.agg_udf is not None:
+        if not spec.group_by or spec.agg_udf_schema is None:
+            raise ValueError("agg_udf requires group_by and agg_udf_schema")
+        df = df.groupBy(*spec.group_by).applyInPandas(
+            spec.agg_udf, schema=spec.agg_udf_schema
+        )
+    if spec.having:
+        df = df.filter(F.expr(spec.having))
+    if spec.order_by:
+        df = df.orderBy(*[F.expr(e) for e in spec.order_by])
+    if spec.limit is not None:
+        df = df.limit(spec.limit)
+    return df
+
+
+def run_jobspec(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    """Build and, if a sink is specified, execute the write.
+
+    Returns the result DataFrame either way (reference driver returns
+    the S3 result key; we return the plan, the caller picks the
+    action — no implicit collect, per the 100TB contract).
+    """
+    df = build(spark, spec)
+    if spec.sink:
+        fmt = spec.sink.get("format", "parquet")
+        writer = df.write.mode(spec.sink.get("mode", "overwrite"))
+        if "partition_by" in spec.sink:
+            writer = writer.partitionBy(*spec.sink["partition_by"])
+        getattr(writer, fmt)(spec.sink["path"])
+    return df

@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-safe defaults (SURVEY.md M0).
+
+The reference hand-tunes physical execution: batch size = 0.6 * lambda
+memory / avg object size (lambdautils.py:120-134), concurrency throttled
+to ``concurrentLambdas`` waves (driver.py:198-203), a recursive reducer
+tree to respect the 1536MB per-worker ceiling (reducerCoordinator.py).
+On Spark every one of those knobs maps to a config below and the rest is
+handled by AQE at runtime — this module is the complete replacement for
+the reference's physical planning.
+
+Design notes for the 100TB tier (tested on local[32]):
+- AQE on: runtime partition coalescing + skew-join splitting replaces
+  the reference's static 0.6*mem heuristic and its unhandled-skew TODO
+  (src/nodejs/utils.js:47-50).
+- ``maxPartitionBytes`` 128MB: the Spark analog of the reference's
+  batch planner; splittable formats also remove its whole-object
+  granularity limit (reference todo:5).
+- ``autoBroadcastJoinThreshold`` stays default (10MB) — dim tables
+  (region/nation/supplier/customer at most SFs) broadcast for free;
+  operators additionally hint ``broadcast()`` where the small side is
+  known a priori.
+- Arrow on for every Python<->JVM exchange (pandas UDFs are the only
+  sanctioned Python hot path).
+- Session timezone pinned UTC so timestamp semantics are stable across
+  engines (DuckDB oracle reads parquet timestamps as naive/UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the bench harness: local[$SPARK_GRAFT_CPUS] with
+# 32 shuffle partitions ≈ one partition per core at sf<=0.1. On a real
+# cluster AQE's coalescing makes the initial number a ceiling, not a
+# target, so a larger static value (e.g. 2000) is safe at 100TB.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet pushdown is on by default; pin it explicitly because the
+    # engine's scan contract (SURVEY.md §4) depends on it.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.csv.filterPushdown.enabled": "true",
+    # Keep driver results small by contract: no operator in this engine
+    # collects data-plane rows to the driver.
+    "spark.driver.maxResultSize": "1g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "lambda-refarch-mapreduce-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) when no cluster is configured — mirroring the reference's
+    ``concurrentLambdas`` concurrency cap (driverconfig.json:6-7) as
+    the local parallelism bound.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,129 @@
+"""Sources (SURVEY.md §2.3 — reference operators O1..O6).
+
+The reference's entire source stack is: list S3 objects under a prefix
+(driver.py:92-94), GET each whole object (mapper.py:43-45), gunzip by
+suffix (Node mapper.js:71-79), split lines (mapper.py:47), split commas
+positionally (mapper.py:50), silently drop malformed rows but count all
+lines (mapper.py:48-57).
+
+Spark subsumes O1-O5 in its DataSource scan (path globs, codec
+inference, line splitting, split planning); what this module adds is the
+schema'd reader surface plus a faithful *drop-and-count* malformed-row
+policy: the reference prints-and-drops bad rows while still counting
+every raw line (mapper.py:48 increments before the try). We reproduce
+that observably with PERMISSIVE + a corrupt-record column + an
+``observe`` metric, instead of silently losing the information.
+
+All readers return plain DataFrames — everything downstream is ordinary
+Catalyst territory (predicate pushdown, column pruning reach the scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+# The driver-generated test tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan. Filter/column pushdown verified in tests via
+    ``PushedFilters``/``ReadSchema`` in the formatted plan."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = False,
+    drop_malformed: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema'd CSV reader matching the reference's parse semantics.
+
+    - positional comma split (mapper.py:50) → explicit ``schema`` with
+      named, typed columns; no inference in the data path (inference
+      means an extra full scan at 100TB).
+    - malformed rows dropped-and-counted (mapper.py:48-57): we read
+      PERMISSIVE with a corrupt-record column, observe counts of total
+      and corrupt rows, then filter corrupt rows out. The observation
+      surfaces through ``df.observe`` listeners / ``collect`` metrics —
+      the Spark analog of the reference's S3-metadata ``linecount``
+      side channel (mapper.py:65-72).
+    - gzip/deflate handled transparently by codec inference (O4).
+    """
+    full_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    df = spark.read.csv(
+        path,
+        schema=full_schema,
+        header=header,
+        sep=sep,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+        enforceSchema=True,
+    )
+    if not drop_malformed:
+        return df
+    df = df.observe(
+        "source_stats",
+        F.count(F.lit(1)).alias("raw_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("malformed_rows"),
+    )
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line source (reference O5 without the CSV parse)."""
+    return spark.read.text(path)
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp type, so these are read as raw nanos (legacy.parquet.
+# nanosAsLong) and truncated to microseconds, matching how DuckDB (and
+# any microsecond-resolution engine) reads the same files.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated table from a scale-factor directory."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # runtime (non-static) SQL conf: safe to set even on a session the
+    # harness created for us
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # integer div (not float) — ns epoch values overflow the
+            # 53-bit double mantissa
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
