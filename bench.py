@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors BASELINE.md's shapes (scan 1a/1b, aggregate 2a) plus
+the heavier operator tiers (join/window/dedup/similarity) so the
+relative shape — scans ≪ aggregation ≪ pairwise ops — is visible and
+comparable across rounds. Each query is executed to completion with a
+noop sink (no driver-side materialization, same contract as the
+engine: the cost measured is scan+compute+shuffle, not collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: name -> catalog query name
+HEADLINE = {
+    "q1a_scan": "scan_filter_project",
+    "q1b_scan_wide": "scan_filter_project_wide",
+    "q2a_substr_agg": "substr_groupby_sum",
+    "q_pricing_summary": "agg_pricing_summary",
+    "q_star_join": "join_revenue_by_nation",
+    "q_window_topk": "window_topk_orders_per_cust",
+    "q_asof_join": "asof_join_events_orders",
+    "q_dedup_minhash": "dedup_minhash_lsh",
+    "q_dedup_simhash": "dedup_simhash",
+    "q_similarity_topk": "similarity_topk",
+    "q_text_quality": "text_quality",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+
+    from lambda_refarch_mapreduce_spark import get_spark
+    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches, excluded from timings
+    catalog.REGISTRY["substr_groupby_sum"].spark(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for label, qname in HEADLINE.items():
+        df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        timings[label] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -104,14 +104,45 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash family for MinHash: ONE md5 per shingle, k affine
+# combinations mod a Mersenne prime. 16x cheaper than k independent
+# md5s and still reproducible bit-for-bit in any SQL engine:
+#   h1 = hex[1..15] % P, h2 = hex[16..30] % P
+#   mh_i = (A_i * h1 + B_i * h2 + i) % P
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(i: int) -> tuple[int, int, int]:
+    return (2 * i + 1, 97 * i + 31, i)
+
+
 def minhash_signature(df: DataFrame, id_col: str, content_col: str, n: int = 3, k: int = 16) -> DataFrame:
-    """(id, minhash[0..k-1]) — k salted-md5 min-hashes over the doc's
-    distinct word n-grams. One aggregation per doc; no shuffle beyond
-    the per-id groupBy of the exploded shingles.
+    """(id, minhash[0..k-1]) — k universal-hash min-hashes over the
+    doc's distinct word n-grams. One md5 per shingle (affine family
+    above); one aggregation per doc; no shuffle beyond the per-id
+    groupBy of the exploded shingles.
     """
     sh = shingles(df, id_col, content_col, n)
-    aggs = [F.min(salted_hash(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)]
-    return sh.groupBy("id").agg(*aggs)
+    hexed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .__mod__(MINHASH_P)
+        .alias("__h1"),
+        F.conv(F.substring(F.md5("shingle"), 16, 15), 16, 10)
+        .cast("bigint")
+        .__mod__(MINHASH_P)
+        .alias("__h2"),
+    )
+    aggs = []
+    for i in range(k):
+        a, b, c = minhash_coeffs(i)
+        aggs.append(
+            F.min(
+                (F.col("__h1") * a + F.col("__h2") * b + c).__mod__(MINHASH_P)
+            ).alias(f"mh{i}")
+        )
+    return hexed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -194,26 +225,34 @@ def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 60) -> Dat
     per-doc work is O(tokens * bits) inside codegen, zero shuffle.
     """
     tokens = tokenize(content_col)
-    hashes = F.transform(tokens, lambda t: _h(t))
-    ntok = F.size(tokens)
-    # Per bit position j: count tokens with bit j set, majority-vote,
-    # and OR the literal mask back in. The loop is Python-side over a
-    # fixed ``bits``, so each term is a plain codegen expression with a
-    # *literal* mask (pyspark's shiftleft/shiftright only take Python
-    # ints for the shift amount).
+    # Materialize the per-token hash array in its own projection: all
+    # 60 bit-count expressions below reference the materialized column,
+    # so md5 runs once per token. Inlining the ``transform`` would
+    # re-evaluate it once per bit — Catalyst does no CSE across
+    # higher-order-function boundaries (measured 20x slower).
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, lambda t: _h(t)).alias("__h"),
+        F.size(tokens).alias("__n"),
+    )
+
     def _bit_set(mask: int):
         # single-arg closure: a 2-arg lambda would make pyspark pass
         # the array *index* as the second argument
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
+    # Per bit position j: count tokens with bit j set, majority-vote,
+    # OR the literal mask back in. Python-side loop over fixed ``bits``
+    # — each term a plain codegen expression with a *literal* mask
+    # (pyspark's shift functions only take Python ints).
     packed: Column = F.lit(0).cast("long")
     for j in range(bits):
         mask = 1 << j
-        cnt_j = F.size(F.filter(hashes, _bit_set(mask)))
-        packed = packed + F.when(cnt_j * 2 >= ntok, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+        cnt_j = F.size(F.filter(F.col("__h"), _bit_set(mask)))
+        packed = packed + F.when(
+            cnt_j * 2 >= F.col("__n"), F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return hashed.select("id", packed.alias("simhash"))
 
 
 def simhash_near_pairs(

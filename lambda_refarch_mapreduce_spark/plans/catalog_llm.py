@@ -98,10 +98,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from lambda_refarch_mapreduce_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     k, bands = MINHASH_K, MINHASH_BANDS
     rpb = k // bands
-    mh_cols = ", ".join(
-        f"min({_sql_salted_hash('shingle', i)}) AS mh{i}" for i in range(k)
+    mh_terms = []
+    for i in range(k):
+        a, b, c = minhash_coeffs(i)
+        mh_terms.append(f"min(({a} * h1 + {b} * h2 + {c}) % {MINHASH_P}) AS mh{i}")
+    mh_cols = ", ".join(mh_terms)
+    hsh_cte = (
+        "hsh AS (SELECT id, "
+        f"('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h1, "
+        f"('0x' || substr(md5(shingle), 16, 15))::BIGINT % {MINHASH_P} AS h2 "
+        "FROM sh)"
     )
     band_selects = []
     for b in range(bands):
@@ -113,8 +126,8 @@ def _minhash_oracle() -> str:
         )
     banded = " UNION ALL ".join(band_selects)
     return f"""
-        WITH {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
-        sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+        WITH {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE}, {hsh_cte},
+        sig AS (SELECT id, {mh_cols} FROM hsh GROUP BY id),
         banded AS ({banded}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b

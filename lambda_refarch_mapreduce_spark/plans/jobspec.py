@@ -72,6 +72,7 @@ def _read(spark: SparkSession, source: dict) -> DataFrame:
             source["schema"],
             header=source.get("header", False),
             drop_malformed=source.get("drop_malformed", True),
+            required=source.get("required"),
         )
     if fmt == "json":
         return read_json(spark, path, source.get("schema"))

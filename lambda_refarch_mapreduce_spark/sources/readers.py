@@ -56,6 +56,7 @@ def read_csv(
     *,
     header: bool = False,
     drop_malformed: bool = True,
+    required: list[str] | None = None,
     sep: str = ",",
 ) -> DataFrame:
     """Schema'd CSV reader matching the reference's parse semantics.
@@ -63,34 +64,54 @@ def read_csv(
     - positional comma split (mapper.py:50) → explicit ``schema`` with
       named, typed columns; no inference in the data path (inference
       means an extra full scan at 100TB).
-    - malformed rows dropped-and-counted (mapper.py:48-57): we read
-      PERMISSIVE with a corrupt-record column, observe counts of total
-      and corrupt rows, then filter corrupt rows out. The observation
-      surfaces through ``df.observe`` listeners / ``collect`` metrics —
-      the Spark analog of the reference's S3-metadata ``linecount``
-      side channel (mapper.py:65-72).
+    - malformed rows dropped (mapper.py:48-57): DROPMALFORMED discards
+      rows with parse failures AND rows with too few fields — the same
+      set the reference's ``data[3]``/``float()`` try/except would
+      drop (a short row raises IndexError, a bad number ValueError).
+      PERMISSIVE+corrupt-column would *keep* short rows null-padded,
+      which the reference does not. With ``drop_malformed=False`` the
+      PERMISSIVE view (corrupt column included) is returned for
+      inspection/counting — the Spark analog of the reference's
+      S3-metadata ``linecount`` side channel (mapper.py:65-72) is
+      ``raw_line_count`` + this view.
     - gzip/deflate handled transparently by codec inference (O4).
     """
-    full_schema = StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
-    )
+    if not drop_malformed:
+        full_schema = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+        )
+        return spark.read.csv(
+            path,
+            schema=full_schema,
+            header=header,
+            sep=sep,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=CORRUPT_COL,
+            enforceSchema=True,
+        )
     df = spark.read.csv(
         path,
-        schema=full_schema,
+        schema=schema,
         header=header,
         sep=sep,
-        mode="PERMISSIVE",
-        columnNameOfCorruptRecord=CORRUPT_COL,
+        mode="DROPMALFORMED",
         enforceSchema=True,
     )
-    if not drop_malformed:
-        return df
-    df = df.observe(
-        "source_stats",
-        F.count(F.lit(1)).alias("raw_rows"),
-        F.count(F.col(CORRUPT_COL)).alias("malformed_rows"),
-    )
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    # DROPMALFORMED drops type-parse failures but *pads* short rows
+    # with nulls; the reference's positional access (data[3],
+    # mapper.py:54) would IndexError-drop those instead. ``required``
+    # declares the columns the job consumes strictly — rows missing
+    # any of them are dropped, restoring the reference semantics.
+    if required:
+        for c in required:
+            df = df.filter(F.col(c).isNotNull())
+    return df
+
+
+def raw_line_count(spark: SparkSession, path: str) -> int:
+    """Total raw lines including malformed ones — the reference counts
+    every line before attempting the parse (mapper.py:48)."""
+    return spark.read.text(path).count()
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:

@@ -1,0 +1,95 @@
+"""Physical-plan assertions — the 100TB posture (SURVEY.md §4, §7.4.5).
+
+Correct results are necessary, not sufficient: these tests pin the
+*plan shapes* that survive a 1000-executor / 100TB scale-up —
+pushdown reaching the scan, broadcasts where a side is a dim, top-k
+executing as TakeOrderedAndProject / WindowGroupLimit, and no
+whole-row scans for narrow projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+from lambda_refarch_mapreduce_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """1a shape: the predicate must appear in PushedFilters, not as a
+    post-scan Filter only."""
+    df = catalog.REGISTRY["scan_filter_project"].spark(spark, SF_CORRECT)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(value,150" in plan.replace(" ", "")
+
+
+def test_column_pruning_narrow_readschema(spark):
+    """Projection pruning: a 2-column projection over lineitem must
+    read exactly those columns (reference got this implicitly by
+    indexing fields 0,3 — mapper.py:50-54)."""
+    df = load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs, plan
+    line = rs[0]
+    assert "l_orderkey" in line and "l_quantity" in line
+    assert "l_extendedprice" not in line  # untouched column not scanned
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = catalog.REGISTRY["join_revenue_by_nation"].spark(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact
+
+
+def test_global_topk_is_take_ordered(spark):
+    df = catalog.REGISTRY["topk_global_orders"].spark(spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_grouped_topk_has_window_group_limit(spark):
+    df = catalog.REGISTRY["window_topk_orders_per_cust"].spark(spark, SF_CORRECT)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_groupby_has_partial_aggregate(spark):
+    """Map-side combine (reference O9, mapper.py:52-54): the aggregate
+    must run partial+final, not shuffle raw rows."""
+    df = catalog.REGISTRY["substr_groupby_sum"].spark(spark, SF_CORRECT)
+    plan = _formatted(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_in_lsh_candidates(spark):
+    """MinHash-LSH candidate generation must be an equi-join on the
+    band key — never a cross join."""
+    df = catalog.REGISTRY["dedup_minhash_lsh"].spark(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = catalog.REGISTRY["agg_pricing_summary"].spark(spark, SF_CORRECT)
+    df.collect()  # finalize the AQE plan before inspecting codegen spans
+    plan = _plan(df)
+    # codegen stages print as "*(n) Operator" in the simple plan string
+    assert "*(" in plan, plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
