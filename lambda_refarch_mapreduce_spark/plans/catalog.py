@@ -810,3 +810,316 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(k.isNotNull()).select(
         "event_id", k.cast("long").alias("k_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic analytic shapes (TPC-H-like) — the perf-critical plans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_change",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly-selective conjunctive filter + global
+    sum. The whole query should compile to scan(pushed filters) →
+    partial/final agg — zero shuffles of data rows, one of exchange of
+    partial sums. The canonical pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped agg
+    → global top-k. Customer (filtered) broadcasts; lineitem never
+    shuffles until the aggregate; the final ORDER BY+LIMIT plans
+    TakeOrderedAndProject."""
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@register(
+    "percentile_order_price",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group. Exact
+    percentile sorts within groups — fine for bounded group count; the
+    streaming-friendly variant is approx_percentile (tested separately,
+    not oracle-comparable by construction)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function coverage: dates, nulls, arrays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_functions_projection",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)::INT AS yr,
+               month(o_orderdate)::INT AS mo,
+               quarter(o_orderdate)::INT AS qtr,
+               isodow(o_orderdate)::INT AS iso_dow,
+               date_diff('day', DATE '1995-01-01', o_orderdate)::INT AS days_since_epoch_start,
+               strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month
+        FROM orders
+    """,
+)
+def date_functions_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function catalog: extract fields, day arithmetic,
+    interval add — rendered to engine-neutral ints/strings."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "next_month"
+        ),
+    )
+
+
+@register(
+    "null_handling_projection",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'recovered') AS etype,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS clean_value,
+               (CASE WHEN event_type = 'error' THEN NULL ELSE value END IS NULL)::BOOLEAN AS was_error,
+               round(coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1), 2) AS filled
+        FROM events
+    """,
+)
+def null_handling_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif/coalesce/CASE + IS NULL predicate."""
+    e = _t(spark, sf_dir, "events")
+    clean = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias(
+            "etype"
+        ),
+        clean.alias("clean_value"),
+        clean.isNull().alias("was_error"),
+        F.round(F.coalesce(clean, F.lit(-1.0)), 2).alias("filled"),
+    )
+
+
+@register(
+    "array_functions_projection",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)::INT AS dim,
+               round(embedding[1]::DOUBLE, 6) AS first_component,
+               round(list_max(embedding)::DOUBLE, 6) AS max_component,
+               round(list_min(embedding)::DOUBLE, 6) AS min_component,
+               round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS component_sum
+        FROM embeddings
+    """,
+)
+def array_functions_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function catalog over the embedding column: size,
+    element_at, array_max/min, aggregate-sum — all JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1).cast("double"), 6).alias("first_component"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_component"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_component"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("component_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (via the SQL surface; same Catalyst plans)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a one-row broadcast)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM sq_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+@register(
+    "correlated_count_subquery",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)::BIGINT AS n_orders
+        FROM customer
+    """,
+)
+def correlated_count_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer aggregate join (no per-row re-execution)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders2")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM sq_orders2 WHERE o_custkey = c_custkey) AS n_orders
+        FROM sq_customer
+        """
+    )
+
+
+@register(
+    "in_subquery_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def in_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left semi join after decorrelation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders3")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer3")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM sq_orders3
+        WHERE o_custkey IN (SELECT c_custkey FROM sq_customer3
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        """
+    )
+
+
+@register(
+    "cross_join_region_priority",
+    oracle="""
+        SELECT r_name, p.o_orderpriority, count(o.o_orderkey)::BIGINT AS n_orders
+        FROM region
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        LEFT JOIN (SELECT o_orderkey, o_orderpriority, c_nationkey
+                   FROM orders JOIN customer ON o_custkey = c_custkey) o
+          ON o.o_orderpriority = p.o_orderpriority
+         AND o.c_nationkey // 5 = r_regionkey
+        GROUP BY r_name, p.o_orderpriority
+    """,
+)
+def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two tiny sides building a dense grid,
+    left-joined against facts (reporting-matrix pattern; nationkey//5
+    stands in for the nation→region mapping to exercise an expression
+    join key)."""
+    r = _t(spark, sf_dir, "region")
+    prio = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.col("o_orderpriority").alias("fact_prio"), "c_nationkey")
+    )
+    grid = r.crossJoin(prio)
+    return (
+        grid.join(
+            o,
+            (o.fact_prio == grid.o_orderpriority)
+            & ((F.col("c_nationkey") / 5).cast("int") == grid.r_regionkey),
+            "left",
+        )
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

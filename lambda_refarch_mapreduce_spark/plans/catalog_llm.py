@@ -451,3 +451,106 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ = windowed_agg  # imported for API surface; exercised in tests
+
+
+# ---------------------------------------------------------------------------
+# UDF-seam queries: Arrow-batched Python where SQL can't express the
+# kernel — but HERE the kernels are chosen SQL-expressible on purpose,
+# so even the Python paths get exact oracle checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "applyinpandas_zscore",
+    oracle="""
+        SELECT event_id,
+               round((value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+        FROM events
+    """,
+    tags=("llm", "udf"),
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF seam (reference reducer seam, reducer.js:46):
+    per-event-type z-score via applyInPandas. One shuffle on the group
+    key; pandas kernel runs per group over Arrow batches. The same
+    computation is a window in SQL — that equivalence is the check."""
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "zscore": ((pdf["value"] - mu) / sd).round(6),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id bigint, zscore double"
+    )
+
+
+@register(
+    "mapinpandas_token_count",
+    oracle=f"""
+        SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n_tokens
+        FROM documents
+    """,
+    tags=("llm", "udf"),
+)
+def mapinpandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch map UDF seam (reference mapper seam, mapper.py:36-57):
+    token counting in Python over Arrow batches. python str.split() ==
+    regex \\s+ split with empties dropped, so the SQL oracle is exact."""
+    import pandas as pd
+
+    def count_tokens(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].map(lambda t: len(t.split())),
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(count_tokens, schema="doc_id bigint, n_tokens bigint")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup: produce the surviving corpus, not just the pairs
+# ---------------------------------------------------------------------------
+
+
+def _survivors_oracle() -> str:
+    pairs = _minhash_oracle().rstrip()
+    return f"""
+        WITH pairs AS ({pairs})
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@register("dedup_survivors", oracle=_survivors_oracle(), tags=("llm", "dedup"))
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup: drop every doc that appears as the higher id
+    of a verified near-dup pair (MinHash-LSH + Jaccard >= threshold).
+    Greedy keep-lowest-id policy — the standard corpus-dedup heuristic
+    (transitive-closure clustering is the iterative variant, out of
+    SQL's reach and provided separately if needed). Anti-join keeps
+    the data path shuffle-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's coordinator keeps job state as S3 objects and
+re-derives progress from bucket listings on every event
+(reducerCoordinator.py:34-41,63-105 — "the listing IS the state").
+Structured Streaming's state store is the principled version: keyed
+state, exactly-once updates, watermark-driven eviction. This module
+provides the custom-stateful seam for operators the built-in
+aggregations can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total", DoubleType(), True),
+        StructField("running_max", DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def running_stats_per_key(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Running (count, sum, max) per key maintained in keyed state —
+    the reference's incremental merge-reduce generalized to a
+    non-commutative-friendly accumulator with custom logic.
+
+    Emits the updated accumulator row for every micro-batch in which
+    the key saw data. State is O(1) per key; no timeout (caller can
+    bound keys upstream or add a watermark variant).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals) == 0:
+                continue
+            n += int(len(vals))
+            total += float(vals.sum())
+            m = float(vals.max())
+            mx = m if mx is None else max(mx, m)
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_events": [n],
+                "total": [round(total, 6)],
+                "running_max": [mx],
+            }
+        )
+
+    return (
+        stream.selectExpr(f"cast({key_col} as string) as k", f"{value_col}")
+        .groupBy("k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,86 @@
+"""Source formats beyond plain CSV/parquet: gzip CSV (reference O4 —
+Node-only suffix-sniffed gunzip, mapper.js:71-79, here transparent),
+JSON lines, text; plus the metrics/cost report (O12-O14 analog)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lambda_refarch_mapreduce_spark.metrics import CostModel, MeasuredRun
+from lambda_refarch_mapreduce_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_text,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("rank", IntegerType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _write_rows(path, gz: bool):
+    rng = random.Random(7)
+    opener = gzip.open if gz else open
+    with opener(path, "wt") as f:
+        for i in range(1000):
+            f.write(f"item{i},{rng.randint(1, 100)},{rng.uniform(0, 1):.4f}\n")
+
+
+def test_gzip_csv_transparent(spark, tmp_path):
+    """Codec inference by suffix: .csv.gz reads identically to .csv
+    (the reference only had this in the Node mapper; Python lacked it,
+    SURVEY.md O4)."""
+    plain = str(tmp_path / "data.csv")
+    gzipped = str(tmp_path / "data.csv.gz")
+    _write_rows(plain, gz=False)
+    _write_rows(gzipped, gz=True)
+    a = read_csv(spark, plain, SCHEMA).collect()
+    b = read_csv(spark, gzipped, SCHEMA).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 1000
+
+
+def test_json_lines_source(spark, tmp_path):
+    path = str(tmp_path / "data.jsonl")
+    with open(path, "w") as f:
+        for i in range(100):
+            f.write(json.dumps({"name": f"n{i}", "rank": i, "score": i / 10}) + "\n")
+    df = read_json(spark, path, SCHEMA)
+    assert df.count() == 100
+    assert df.filter(F.col("rank") >= 50).count() == 50
+
+
+def test_text_source_line_splitting(spark, tmp_path):
+    """Raw line source (reference O5: split('\\n') with trailing-empty
+    drop, mapper.py:47 — Spark's text reader has the same contract for
+    newline-terminated files)."""
+    path = str(tmp_path / "lines.txt")
+    with open(path, "w") as f:
+        f.write("a\nb\nc\n")  # newline-terminated: 3 lines, not 4
+    assert read_text(spark, path).count() == 3
+
+
+def test_measured_run_cost_report(spark):
+    """Cost/stats report (reference driver.py:216-279): shape and
+    monotonicity — longer work costs more dollars."""
+    with MeasuredRun(spark, CostModel(usd_per_core_hour=0.05)) as m:
+        spark.range(1_000_000).agg(F.sum("id")).collect()
+    rep = m.stats.report()
+    assert rep["wall_secs"] > 0
+    assert rep["cost_usd"] > 0
+    assert rep["n_jobs"] >= 1

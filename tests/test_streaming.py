@@ -80,3 +80,99 @@ def test_windowed_agg_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """Custom keyed state (applyInPandasWithState): after draining all
+    files, per-key accumulators must equal the batch aggregation."""
+    from lambda_refarch_mapreduce_spark.streaming.stateful import (
+        running_stats_per_key,
+    )
+
+    d = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema, max_files_per_trigger=2)
+    out = running_stats_per_key(stream, "user_id", "value")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per micro-batch: take the
+    # final state = max n_events per key
+    rows = spark.sql(
+        f"""SELECT key, n_events, total, running_max FROM (
+            SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_events DESC) rn
+            FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {r.key: (r.n_events, round(r.total, 2), round(r.running_max, 2)) for r in rows}
+    want = {
+        str(r.user_id): (r.n, round(r.total, 2), round(r.mx, 2))
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_drop_duplicates(spark, tmp_path):
+    """Streaming dropDuplicates on event_id: feeding the same files
+    twice (union of two identical dirs) must yield each id once."""
+    d = _events_dir(spark, tmp_path, n_files=2)
+    schema = spark.read.parquet(d).schema
+    s1 = read_event_stream(spark, d, schema)
+    deduped = s1.unionByName(read_event_stream(spark, d, schema)).dropDuplicates(
+        ["event_id"]
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.groupBy().count().writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(f"SELECT * FROM {name}").collect()[0][0]
+    assert n == spark.read.parquet(d).count()
+
+
+def test_session_window_agg(spark, tmp_path):
+    """session_window grouping: single-user bursts separated by gaps
+    collapse into sessions; verified against a hand-computed split."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=m), 1.0)
+        for m in (0, 1, 2, 30, 31, 90)  # 3 sessions with 10-min gap
+    ]
+    src = str(tmp_path / "sess")
+    spark.createDataFrame(rows, "user_id int, ts timestamp, value double").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ns = sorted(r.n for r in spark.sql(f"SELECT n FROM {name}").collect())
+    assert ns == [1, 2, 3]
