@@ -41,8 +41,12 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     T tokens yields max(T-n+1, 0) shingles; used by the n-gram Jaccard
     and MinHash dedup operators. O(T) per row, no shuffle.
     """
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # empty when count == 0
+    count = F.size(tokens) - F.lit(n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
+    # (fewer than n tokens) to an explicit empty shingle list instead.
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.functions.scalar import tokenize, word_ngrams
+from lambda_refarch_mapreduce_spark.partitioning import ensure_parallelism
 
 # 60-bit portable hash: md5 → first 15 hex chars → bigint.
 def _h(col: Column) -> Column:
@@ -54,7 +55,12 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, content_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) inverted-index rows: distinct word n-grams."""
+    """(id, shingle) inverted-index rows: distinct word n-grams.
+
+    Shingling + hashing is the CPU-bound hot path of every dedup tier;
+    ``ensure_parallelism`` spreads a few-split scan across the cluster
+    (no-op when the input is already parallel)."""
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -163,8 +169,12 @@ def minhash_lsh_pairs(
 
     The candidate join is an equi-join on the band key, so the cost is
     bounded by real collisions (tunable via bands/rows-per-band), never
-    O(n^2). Verification joins only the candidate ids back to the
-    shingle index. Returns (id_a, id_b, jaccard), id_a < id_b.
+    O(n^2). Verification re-shingles ONLY docs that appear in some
+    candidate pair (semi-join prefilter): the corpus is scanned once
+    for signatures; the exact-Jaccard pass scans |candidate docs|,
+    which at production thresholds is orders of magnitude smaller than
+    the corpus — the property that makes this plan hold at 100TB.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
     """
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
@@ -197,8 +207,19 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Verify candidates with exact Jaccard over the shingle index.
-    sh = shingles(df, id_col, content_col, n)
+    # Verify candidates with exact Jaccard — but only over docs that
+    # survived LSH. Shingling is the expensive per-doc work; doing it
+    # for candidate docs only keeps verification cost proportional to
+    # collisions, not corpus size.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    cand_docs = df.join(
+        cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+    )
+    sh = shingles(cand_docs, id_col, content_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
@@ -224,6 +245,7 @@ def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 60) -> Dat
     packed into a bigint. Pure Catalyst higher-order functions: the
     per-doc work is O(tokens * bits) inside codegen, zero shuffle.
     """
+    df = ensure_parallelism(df)
     tokens = tokenize(content_col)
     # Materialize the per-token hash array in its own projection: all
     # 60 bit-count expressions below reference the materialized column,

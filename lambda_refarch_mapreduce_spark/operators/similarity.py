@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.functions.scalar import cosine_similarity
+from lambda_refarch_mapreduce_spark.partitioning import ensure_parallelism
 
 
 def _as_double(c: Column) -> Column:
@@ -44,7 +45,7 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -175,7 +176,7 @@ def lsh_topk(
     happens on the (small, broadcast) query side only, so corpus-side
     cost is unchanged. Recall measured in tests vs brute_force_topk.
     """
-    cb = lsh_bucket(corpus, vec_col, n_planes, seed).select(
+    cb = lsh_bucket(ensure_parallelism(corpus), vec_col, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.col("bucket"),

@@ -1,0 +1,80 @@
+"""Partitioning utilities: parallelism guards and skew salting.
+
+The reference plans partitions statically from object sizes
+(lambdautils.py:120-134) and explicitly punts on skew
+(src/nodejs/utils.js:47-50 "corner cases in your dataset ... skewed
+reduce"). On Spark, scan parallelism comes from file splits and
+shuffle parallelism from AQE — but two gaps remain, closed here:
+
+1. **CPU-bound operators over few splits.** A small/compacted input
+   (one parquet file) yields one task, so per-row-expensive work
+   (shingling, hashing, vector math) runs on one core no matter how
+   many the cluster has. ``ensure_parallelism`` repartitions only
+   when the scan's parallelism is below the session default — a no-op
+   at 100TB (thousands of splits) and the difference between 1 and
+   32 cores on a compacted extract.
+
+2. **Hot keys in aggregations.** AQE splits skewed *join* partitions
+   but a skewed groupBy key still lands on one reducer. Salting
+   splits each key into ``n_salts`` subkeys, aggregates partially per
+   subkey, then merges — two small shuffles instead of one hot one.
+   Works for any algebraic aggregate (sum/count/min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan's current parallelism is
+    below ``min_partitions`` (default: the session's default
+    parallelism). Returns ``df`` unchanged when the input is already
+    parallel enough, so large multi-split scans pay nothing.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Append a deterministic-per-row salt in [0, n_salts).
+
+    Uses a hash of the whole row (via monotonically increasing id is
+    NOT deterministic across retries; a content hash is), so retried
+    tasks salt identically — required for exactly-once sinks.
+    """
+    h = F.abs(F.hash(*[F.col(c) for c in df.columns]))
+    return df.withColumn(salt_col, h % n_salts)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (partial_agg_expr, merge_agg_expr),
+    e.g. ``{"total": (F.sum("v"), F.sum("total"))}``: phase 1 groups by
+    (keys + salt) and applies the partial; phase 2 groups by keys and
+    merges. For non-decomposable aggregates (exact percentile) use the
+    built-in path and let AQE handle what it can.
+
+    Note Spark's own hash aggregate already does partial aggregation
+    per *map task*; salting additionally bounds the per-reducer key
+    width in the merge shuffle, which matters when one key dominates
+    (the reference's unhandled "skewed reduce" case).
+    """
+    salted = with_salt(df, n_salts)
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[p.alias(out) for out, (p, _m) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[m.alias(out) for out, (_p, m) in aggs.items()]
+    )
