@@ -1123,3 +1123,223 @@ def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderpriority")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frames & analytic functions (SURVEY.md §2.7 absences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame_30d",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2
+               ) AS total_30d
+        FROM orders
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: per customer, rolling 30-day order
+    total. The frame is value-based (seconds), not row-based, so ties
+    and gaps behave per SQL semantics; one shuffle on the partition
+    key. This is the batch analog of a sliding stream window."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("total_30d"),
+    )
+
+
+@register(
+    "window_analytic_ranks",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per priority class: ntile/percent_rank/
+    cume_dist. o_orderkey tiebreak makes ntile deterministic (ntile
+    depends on physical order under ties; rank functions don't)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+        SELECT o_orderkey,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice) OVER w, 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit unbounded frame — the
+    default frame stops at CURRENT ROW, which silently turns last_value
+    into 'current value'; pinning the frame is the correct idiom."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDTF surface: generators / table functions (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_posexplode_part_words",
+    oracle="""
+        SELECT p_partkey, (ord - 1)::INT AS pos, word FROM (
+            SELECT p_partkey,
+                   unnest(string_split(p_name, ' ')) AS word,
+                   unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS ord
+            FROM part)
+    """,
+)
+def udtf_posexplode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function: one output row per word with its
+    position (reference has no UDTF seam; SURVEY.md §2.2 maps it to
+    explode/posexplode). Generators run inside the scan stage — no
+    shuffle, output cardinality = sum of array sizes."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "collect_sorted_orderkeys",
+    oracle="""
+        SELECT o_custkey,
+               string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def collect_sorted_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect per-group values, deterministic via
+    sort_array (collect_list order is partition-dependent — never
+    compare it unsorted). Rendered to a string for engine-neutral
+    comparison."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "regexp_extract_doc_capitals",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '([A-Z][a-z]+)'))::INT AS n_capitalized,
+               coalesce(array_to_string(
+                 regexp_extract_all(text, '([A-Z][a-z]+)')[1:3], ','), '') AS first3
+        FROM documents
+    """,
+)
+def regexp_extract_doc_capitals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions: extract-all + slice + join. The
+    capitalized-word pattern is engine-neutral (no dialect-specific
+    classes); per-row cost O(len), stays in codegen."""
+    caps = F.regexp_extract_all(F.col("text"), F.lit(r"([A-Z][a-z]+)"), 1)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(caps).alias("n_capitalized"),
+        F.array_join(F.slice(caps, 1, 3), ",").alias("first3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware aggregation & sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_event_totals",
+    oracle="""
+        SELECT event_type,
+               round(sum(value), 2) AS total,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (= every key
+    is hot) group key: phase 1 aggregates (key, salt) buckets, phase 2
+    merges per key. Same exact result as the direct groupBy — the plan
+    trades one skewed shuffle for two balanced ones. At 100TB this is
+    the difference between one straggler reducer per hot key and even
+    utilization (the reference's acknowledged-unhandled case,
+    utils.js:47-50)."""
+    from lambda_refarch_mapreduce_spark.partitioning import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select("event_type", "value"),
+        keys=["event_type"],
+        aggs={
+            "total": (F.sum("value"), F.sum("total")),
+            "n": (F.count(F.lit(1)), F.sum("n")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", F.round("total", 2).alias("total"), F.col("n")
+    )
+
+
+@register("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event type. No oracle:
+    approx answers differ across engines by construction; the rows-only
+    check pins cardinality and the companion exact query
+    (distinct_parts_per_flag) pins exact-distinct semantics. At scale
+    the sketch replaces a full shuffle of distinct keys with fixed-size
+    partial sketches — the only distinct-count that works at 100TB."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

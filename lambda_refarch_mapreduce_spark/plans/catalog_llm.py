@@ -554,3 +554,20 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+@register("similarity_ivf_topk", oracle=None, tags=("llm", "similarity"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the scale path for ANN: corpus bucketed
+    by nearest coarse centroid, queries probe n_probe lists, so per-
+    query scan cost is |corpus| * n_probe / n_centroids. Approximate by
+    construction → no SQL oracle; recall vs the exact tier is pinned in
+    tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=TOPK_K, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )

@@ -162,3 +162,28 @@ def test_multimodal_frame_sampling_fanout(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probe of 4/16 lists must retain solid recall@5 on the test
+    embeddings, and every returned neighbor's cosine must be exact."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(set(exact_scores) & approx_set) / len(exact_scores)
+    assert recall > 0.3, f"recall {recall}"
+    # scores for true positives are exact, not approximated
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = similarity.ivf_centroids(emb, n_centroids=8)
+    b = similarity.ivf_centroids(emb, n_centroids=8)
+    assert a == b and len(a) == 8
