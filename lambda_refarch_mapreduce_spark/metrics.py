@@ -105,10 +105,20 @@ class MeasuredRun:
         )
 
 
-def observed_metrics(df: DataFrame) -> dict:
-    """Collect ``df.observe(...)`` metrics registered by the sources
-    layer (the Spark analog of the reference's S3-metadata stats)."""
-    # Observations surface on the *executed* plan; callers trigger an
-    # action first. PySpark exposes them via DataFrame.observe +
-    # listener; for batch use we re-run a cheap agg when absent.
-    return {}
+def observe(df: DataFrame, name: str = "metrics", **aggs) -> tuple[DataFrame, "Observation"]:
+    """Attach named aggregate metrics computed inline with the next
+    action (the Spark analog of the reference's S3-metadata stats
+    side channel, mapper.py:65-72 — but exact and free: executors
+    accumulate during the scan, no second pass).
+
+    Returns (observed_df, observation); read ``observation.get`` after
+    an action ran. ``aggs`` maps metric name -> aggregate Column;
+    defaults to a row count.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if not aggs:
+        aggs = {"rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in aggs.items()]), obs

@@ -1,0 +1,80 @@
+"""Sinks with a run-stats manifest (reference operator O12).
+
+The reference's sink is an S3 PUT that carries stats as object
+user-metadata — linecount, processingtime, memoryUsage
+(mapper.py:22-23,63-72; reducer.py:73-79) — a side channel the driver
+later reads for its cost report (driver.py:216-255). The Spark-native
+version: ``df.observe`` accumulates exact row/value metrics during the
+write action itself (no second scan), and the manifest lands as a JSON
+file next to the data, where any downstream job can read it without
+S3-metadata APIs.
+
+``observe`` metrics are computed by the executors inline with the
+write — at 100TB this costs nothing extra; a post-hoc ``count()``
+would be a second full scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    extra_metrics: dict[str, "F.Column"] | None = None,
+) -> dict:
+    """Write ``df`` and a ``_manifest.json`` stats sidecar; return the
+    manifest dict.
+
+    Manifest contents: rows_written (exact, via observe — the
+    reference's ``linecount``), wall_secs (``processingtime``), schema,
+    format, bytes_written (local filesystems only), plus any
+    ``extra_metrics`` aggregate expressions (e.g. a sum to checksum
+    against downstream loads).
+    """
+    obs = Observation("sink_stats")
+    metrics = {"rows_written": F.count(F.lit(1))}
+    if extra_metrics:
+        metrics.update(extra_metrics)
+    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+
+    t0 = time.monotonic()
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+    wall = time.monotonic() - t0
+
+    manifest = {
+        "format": fmt,
+        "path": path,
+        "wall_secs": round(wall, 3),
+        "schema": df.schema.jsonValue(),
+        **obs.get,
+    }
+    if os.path.isdir(path):  # local fs: account bytes like the S3 PUT size
+        manifest["bytes_written"] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith("_")
+        )
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=2, default=str)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)

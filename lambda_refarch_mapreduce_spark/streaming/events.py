@@ -82,3 +82,30 @@ def windowed_agg(
             "n_events",
         )
     )
+
+
+def stream_to_parquet(
+    out: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """foreachBatch parquet sink: each micro-batch goes through the
+    batch writer, so the full batch-writer surface (partitioning,
+    manifests) applies — the idiomatic replacement for the reference
+    reducers' "PUT an object per reduction wave" (reducer.py:67-71).
+    Use with append-mode outputs (watermark-closed windows emit exactly
+    once); the checkpoint tracks committed batch ids across restarts.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    writer = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

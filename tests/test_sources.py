@@ -19,10 +19,12 @@ from pyspark.sql.types import (
 
 from lambda_refarch_mapreduce_spark.metrics import CostModel, MeasuredRun
 from lambda_refarch_mapreduce_spark.sources.readers import (
+    load_table,
     read_csv,
     read_json,
     read_text,
 )
+from tests.conftest import SF_SMOKE
 
 SCHEMA = StructType(
     [
@@ -84,3 +86,42 @@ def test_measured_run_cost_report(spark):
     assert rep["wall_secs"] > 0
     assert rep["cost_usd"] > 0
     assert rep["n_jobs"] >= 1
+
+
+def test_write_with_manifest_roundtrip(spark, tmp_path):
+    """O12 analog: sink writes data + _manifest.json with exact row
+    count and checksum metrics accumulated during the write."""
+    from lambda_refarch_mapreduce_spark.sources.sinks import (
+        read_manifest,
+        write_with_manifest,
+    )
+
+    df = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_out")
+    manifest = write_with_manifest(
+        df,
+        out,
+        extra_metrics={"total_price": F.round(F.sum("o_totalprice"), 2)},
+    )
+    n = df.count()
+    assert manifest["rows_written"] == n
+    assert manifest["bytes_written"] > 0
+    assert read_manifest(out)["rows_written"] == n
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert round(
+        back.agg(F.sum("o_totalprice")).collect()[0][0], 2
+    ) == manifest["total_price"]
+
+
+def test_observe_metrics_inline(spark):
+    from lambda_refarch_mapreduce_spark.metrics import observe
+
+    df = load_table(spark, SF_SMOKE, "events")
+    observed, obs = observe(
+        df, rows=F.count(F.lit(1)), max_value=F.max("value")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == df.count()
+    assert got["max_value"] == df.agg(F.max("value")).collect()[0][0]

@@ -176,3 +176,98 @@ def test_session_window_agg(spark, tmp_path):
     q.awaitTermination(120)
     ns = sorted(r.n for r in spark.sql(f"SELECT n FROM {name}").collect())
     assert ns == [1, 2, 3]
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Windowed agg → foreachBatch parquet: the on-disk result after
+    draining must equal the batch computation of closed windows."""
+    from lambda_refarch_mapreduce_spark.streaming.events import (
+        stream_to_parquet,
+        windowed_agg,
+    )
+
+    d = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema)
+    out = windowed_agg(stream, "ts", "value", window="1 hour", watermark="0 seconds")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_parquet(out, sink, ckpt).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_events"))
+    )
+    # append mode only emits windows closed by the final watermark —
+    # every emitted window must match the batch result exactly
+    batch_map = {
+        r["window"]["start"]: (round(r["total"], 2), r["n_events"])
+        for r in batch.collect()
+    }
+    rows = got.collect()
+    assert rows, "sink is empty"
+    for r in rows:
+        assert batch_map[r["window_start"]] == (round(r["total"], 2), r["n_events"])
+
+
+def test_watermark_drops_late_rows_after_eviction(spark, tmp_path):
+    """The watermark guarantee Spark actually makes (append mode):
+    a window is emitted exactly once when the watermark passes its
+    end, and late rows arriving AFTER that eviction are dropped
+    (numRowsDroppedByWatermark), never re-emitted. Note the lag: the
+    watermark operative in batch N is computed from batch N-1, so
+    eviction of window 9-10 happens in batch 2, and only a batch-3
+    arrival is truly late."""
+    import datetime as dt
+    import glob
+    import os
+
+    d = str(tmp_path / "late_src")
+
+    def t(h: int, m: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def put(rows: list, mtime: int) -> None:
+        before = set(glob.glob(os.path.join(d, "*.parquet")))
+        spark.createDataFrame(
+            rows, "user_id int, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+        # file source processes files in mtime order — pin it
+        for f in set(glob.glob(os.path.join(d, "*.parquet"))) - before:
+            os.utime(f, (mtime, mtime))
+
+    put([(1, t(9, 30), 1.0)], 100)   # creates window 9-10
+    put([(2, t(12, 5), 1.0)], 200)   # event time jumps ahead
+    put([(3, t(12, 10), 1.0)], 300)  # batch 2 runs with wm 11:55 -> 9-10 evicted+emitted
+    put([(4, t(9, 45), 99.0)], 400)  # batch 3: late arrival after eviction
+
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema, max_files_per_trigger=1)
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("total"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    rows = [
+        (r["window"]["start"].hour, r["total"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    ]
+    assert dropped == 1, q.recentProgress
+    # 9-10 emitted exactly once, WITHOUT the late 99.0
+    assert rows == [(9, 1.0)], rows
