@@ -1343,3 +1343,63 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "map_functions_projection",
+    oracle="""
+        SELECT o_orderkey,
+               m['status'][1] AS status,
+               array_to_string(map_keys(m), ',') AS keys,
+               array_to_string(map_values(m), ',') AS vals,
+               cardinality(m)::INT AS n_entries
+        FROM (SELECT o_orderkey,
+                     map(['status', 'prio'],
+                         [o_orderstatus, o_orderpriority]) AS m
+              FROM orders)
+    """,
+)
+def map_functions_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type surface: construct, element_at, keys/values, size.
+    Literal keys keep entry order deterministic in both engines; the
+    map is rendered back to scalars/strings for comparison."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "struct_json_roundtrip",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(to_json(struct_pack(etype := event_type,
+                                                       val := round(value, 2))),
+                                   '$.etype') AS etype,
+               round(value, 2) AS val
+        FROM events
+    """,
+)
+def struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction → JSON serialization → field extraction:
+    the nested-type surface the reference's flat K→V model lacks
+    entirely (SURVEY.md §1.2). Round-trips through engine-native JSON
+    so the comparison covers serialization, not just projection."""
+    e = _t(spark, sf_dir, "events")
+    st = F.struct(
+        F.col("event_type").alias("etype"),
+        F.round("value", 2).alias("val"),
+    )
+    return e.select(
+        "event_id",
+        F.get_json_object(F.to_json(st), "$.etype").alias("etype"),
+        F.round("value", 2).alias("val"),
+    )

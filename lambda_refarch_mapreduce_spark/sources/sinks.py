@@ -78,3 +78,27 @@ def write_with_manifest(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as fh:
         return json.load(fh)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Bucketing pre-partitions data by key at WRITE time, so every later
+    join/aggregation on the bucket key runs with ZERO exchange — the
+    single biggest shuffle eliminator for repeated joins on the same
+    key at 100TB (pay the shuffle once, reuse it forever). Spark only
+    supports bucketing through the table catalog (saveAsTable), not
+    path-based writes.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

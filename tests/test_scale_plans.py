@@ -93,3 +93,35 @@ def test_whole_stage_codegen_covers_agg(spark):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key → the
+    sort-merge join runs without any Exchange (the pay-the-shuffle-
+    once-at-write pattern). Broadcast is disabled to force the join
+    strategy that would otherwise shuffle."""
+    from lambda_refarch_mapreduce_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    customer = load_table(spark, SF_CORRECT, "customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(customer, "b_customer", ["c_custkey"], 8, ["c_custkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        j.collect()  # finalize AQE plan
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: same join on the raw (unbucketed) tables DOES exchange
+        raw = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        raw.collect()
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
