@@ -29,7 +29,13 @@ def substr_key(col: Column | str, length: int = 8) -> Column:
 
 
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string> of non-empty tokens."""
+    """Whitespace tokenization → array<string> of non-empty tokens.
+
+    Splits on ASCII whitespace (``\\s`` in both Java regex and DuckDB's
+    RE2 — the cross-engine-portable choice). Note this intentionally
+    diverges from Python ``str.split()``, which also splits on unicode
+    whitespace (U+00A0 etc.); property tests pin the ASCII semantics.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 

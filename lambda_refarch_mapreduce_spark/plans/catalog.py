@@ -1403,3 +1403,41 @@ def struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.to_json(st), "$.etype").alias("etype"),
         F.round("value", 2).alias("val"),
     )
+
+
+@register(
+    "jobspec_filter_groupby",
+    oracle="""
+        SELECT o_orderpriority AS prio,
+               count(*)::BIGINT AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice > 50000
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+        ORDER BY revenue DESC
+    """,
+)
+def jobspec_filter_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative JobSpec layer (the reference's config-driven UX,
+    driverconfig.json:10-24, minus the zip-editing) lowered onto
+    Catalyst and run through the same oracle gate as hand-built plans:
+    source → filter → select → groupBy/aggs → having → orderBy."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+        filter="o_totalprice > 50000",
+        select={
+            "prio": "o_orderpriority",
+            "price": "o_totalprice",
+        },
+        group_by=["prio"],
+        aggs={
+            "n": "count(1)",
+            "revenue": "round(sum(price), 2)",
+        },
+        having="n > 10",
+        order_by=["revenue DESC"],
+    )
+    return build(spark, spec)

@@ -571,3 +571,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+@register("multimodal_frame_sampling", oracle=None, tags=("llm", "multimodal"))
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1 media row → n frame rows) through
+    mapInPandas — the Arrow fan-out shape a real video demux uses. The
+    kernel slices fake payloads (no codecs in this runtime); rows-only
+    check pins the plumbing, tests pin the per-row frame counts."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs, "doc_id", "text", "video", "fake")
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_bytes").alias("n_frame_bytes")
+    )

@@ -1,0 +1,110 @@
+"""Property tests (SURVEY.md §5): the Catalyst scalar kernels must
+match their plain-Python reference semantics on arbitrary inputs, and
+the salted aggregation must be exactly equivalent to the direct one.
+
+Hypothesis drives small batches through one Spark job per example;
+max_examples is kept low because each example is a JVM round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.functions.scalar import (
+    substr_key,
+    tokenize,
+    word_ngrams,
+)
+from lambda_refarch_mapreduce_spark.partitioning import salted_agg
+
+# printable-ish text incl. whitespace runs and unicode
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    max_size=80,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    # ASCII-whitespace split: the portable semantics tokenize() pins
+    # (Java regex \s == RE2 \s == re.ASCII \s; Python str.split() would
+    # additionally split on unicode whitespace like U+00A0)
+    import re
+
+    return [t for t in re.split(r"\s+", s, flags=re.ASCII) if t]
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_tokenize_matches_python_split(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.toks for r in df.select("i", tokenize("t").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        # Spark's \s+ regex splits the same token boundaries as
+        # Python str.split() for ASCII whitespace; both drop empties
+        assert got[i] == _py_tokens(t), (t, got[i])
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab c", max_size=40), min_size=1, max_size=6),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_word_ngrams_matches_reference(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.g
+        for r in df.select("i", word_ngrams(tokenize("t"), n).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        want = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        assert got[i] == want, (t, n, got[i], want)
+
+
+@given(s=st.text(max_size=20), length=st.integers(min_value=1, max_value=12))
+@settings(**SETTINGS)
+def test_substr_key_matches_python_slice(spark, s, length):
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(substr_key("s", length).alias("k")).collect()[0].k
+    assert got == s[:length]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_direct_agg(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v double")
+    direct = {
+        r.k: (r.n, round(r.total, 6))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, round(r.total, 6))
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("v"), F.sum("total")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == direct
