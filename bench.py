@@ -32,7 +32,11 @@ HEADLINE = {
     "q_dedup_minhash": "dedup_minhash_lsh",
     "q_dedup_simhash": "dedup_simhash",
     "q_similarity_topk": "similarity_topk",
+    "q_similarity_ivf": "similarity_ivf_topk",
     "q_text_quality": "text_quality",
+    "q_salted_agg": "skew_salted_event_totals",
+    "q_global_rank": "global_sort_rank",
+    "q_jobspec": "jobspec_filter_groupby",
 }
 
 

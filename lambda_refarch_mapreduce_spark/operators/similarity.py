@@ -194,6 +194,9 @@ def lsh_topk(
             "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
         )
     qb = F.broadcast(qb)
+    # No dedup needed: each corpus row has exactly one bucket and the
+    # probe buckets are distinct strings, so a (query, neighbor) pair
+    # can match at most once — skipping dropDuplicates saves a shuffle.
     scored = (
         cb.join(qb, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -202,7 +205,6 @@ def lsh_topk(
             "neighbor_id",
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -288,6 +290,8 @@ def ivf_topk(
             F.explode(_assign_lists(queries, cv, cents, n_probe)).alias("list_id"),
         )
     )
+    # Each corpus row belongs to exactly one list and a query's probe
+    # lists are distinct, so pairs are already unique — no dedup shuffle.
     scored = (
         c.join(q, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -296,7 +300,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

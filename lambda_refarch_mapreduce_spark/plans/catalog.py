@@ -1441,3 +1441,87 @@ def jobspec_filter_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["revenue DESC"],
     )
     return build(spark, spec)
+
+
+@register(
+    "right_join_supplier_nation",
+    oracle="""
+        SELECT n_name,
+               count(s_suppkey)::BIGINT AS n_suppliers,
+               round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
+        FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def right_join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every nation survives, supplier-less nations
+    aggregate to 0/NULL-count. Catalyst plans it as the mirrored left
+    join with the small (broadcast) side preserved."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "global_sort_rank",
+    oracle="""
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)::BIGINT
+                 AS global_rank
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+)
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total ordering with dense ids. A single-partition window
+    would serialize the world; instead: range-partitioned sort (sample
+    + balanced exchange), per-partition local row_number, then add
+    per-partition offsets computed from partition counts — the offsets
+    are a tiny broadcast, the data never leaves its partition again.
+    zipWithIndex is the classic RDD shape; this stays in DataFrame land
+    via spark_partition_id + a window over partition ids."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ranked = (
+        o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # per-partition sizes -> cumulative offsets (tiny: one row per partition)
+    local = ranked.withColumn(
+        "__local_rn",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        ),
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            "o_orderkey",
+            (F.col("__local_rn") + F.col("__offset")).alias("global_rank"),
+        )
+    )
