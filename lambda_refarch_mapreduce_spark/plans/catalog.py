@@ -1525,3 +1525,28 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__local_rn") + F.col("__offset")).alias("global_rank"),
         )
     )
+
+
+@register(
+    "sql_interface_revenue_by_region",
+    oracle="""
+        SELECT r_name,
+               count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def sql_interface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry point: the SAME ANSI text the oracle runs is
+    executed by Spark via spark.sql over registered views — proving a
+    user can bring SQL, not just the DataFrame API. 4-way star join:
+    dims broadcast, fact shuffles once for the distinct-count."""
+    from lambda_refarch_mapreduce_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(REGISTRY["sql_interface_revenue_by_region"].oracle)

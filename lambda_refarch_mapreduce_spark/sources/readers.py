@@ -148,3 +148,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # 53-bit double mantissa
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every test table as a temp view so raw ``spark.sql``
+    works against the same data the DataFrame API sees — the SQL entry
+    point of the engine (the reference has none; queries are code,
+    README.md:63-65). Returns the view names."""
+    names = []
+    for t in TABLES:
+        name = f"{t}{suffix}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
