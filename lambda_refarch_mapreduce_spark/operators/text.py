@@ -43,14 +43,16 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# BPE-ish piece pattern: letter runs, digit runs, single punctuation
+# marks. Deliberately lookaround-free so the same pattern runs in Java
+# regex AND RE2 (DuckDB) — the portable proxy for a BPE token count.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: words + digits + punctuation runs, the
+    """Sub-word-ish token count: words + digit runs + punctuation, the
     cheap deterministic proxy for a BPE tokenizer's token count."""
-    pieces = F.filter(
-        F.split(text, r"(?<=\W)|(?=\W)"),
-        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
-    )
-    return F.size(pieces)
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), 0))
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

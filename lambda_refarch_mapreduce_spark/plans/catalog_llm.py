@@ -11,6 +11,7 @@ are shared with the Spark side via this module's parameters.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -584,4 +585,78 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
     return frames.select(
         "media_id", "frame_idx", F.length("frame_bytes").alias("n_frame_bytes")
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+                 AS n_bpe_pieces
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word piece count (letter runs / digit runs / single
+    punctuation) — the cheap pre-tokenizer cost estimate a training
+    pipeline runs corpus-wide. Lookaround-free pattern so Java regex
+    and RE2 agree piece-for-piece."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n_bpe_pieces")
+    )
+
+
+@register(
+    "pandas_udf_scalar_sigmoid",
+    oracle="""
+        SELECT event_id, round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS squashed
+        FROM events
+    """,
+    tags=("llm", "udf"),
+)
+def pandas_udf_scalar_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF seam (Series -> Series, Arrow-vectorized):
+    the numeric kernel runs in numpy across the whole batch — the
+    sanctioned shape for custom per-row math Spark lacks. Kernel chosen
+    SQL-expressible so even this path gets an exact oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-v / 100.0))).round(6)
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", sigmoid("value").alias("squashed")
+    )
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+                 AS weighted_avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("llm", "udf"),
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF seam — the reference's
+    custom-reducer hook, reducer.js:46): quantity-weighted mean price
+    per flag. One shuffle on the group key; the kernel sees each
+    group's Series. SQL-equivalent by construction for the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"))
     )
