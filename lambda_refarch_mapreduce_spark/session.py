@@ -78,3 +78,42 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    total_cores: int = 4000,
+    dataset_tb: float = 100.0,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """Config overlay for a real cluster at the target scale — the
+    quantified version of this module's local defaults (pass to
+    ``get_spark(extra_conf=...)`` on a 1000-executor deployment).
+
+    Sizing logic, stated so it can be audited:
+    - shuffle partitions ≈ dataset / target_partition_mb, floored at
+      2*cores so every core has work even after AQE coalescing; AQE
+      treats it as a ceiling, so over-provisioning is safe.
+    - maxPartitionBytes stays 128-256MB: smaller wastes scheduler
+      overhead, larger risks executor OOM on wide rows.
+    - skew thresholds: AQE splits any partition > 256MB or > 5x median,
+      which subsumes the reference's unhandled skewed-reduce case.
+    """
+    # cap: beyond ~200k initial partitions the O(mappers*reducers)
+    # shuffle-tracking overhead outweighs finer granularity; rely on
+    # AQE splitting for the residual skew instead
+    shuffle_parts = min(
+        max(int(dataset_tb * 1024 * 1024 / target_partition_mb), 2 * total_cores),
+        200_000,
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(total_cores // 4),
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }

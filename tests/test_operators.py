@@ -187,3 +187,29 @@ def test_ivf_centroids_deterministic(spark):
     a = similarity.ivf_centroids(emb, n_centroids=8)
     b = similarity.ivf_centroids(emb, n_centroids=8)
     assert a == b and len(a) == 8
+
+
+def test_dedup_operators_on_empty_and_short_docs(spark):
+    """Edge inputs: empty corpus and docs shorter than the shingle
+    width must flow through every dedup tier without errors."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_lsh_pairs(empty, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    assert dedup.exact_duplicates(empty, "doc_id", "text").count() == 0
+
+    short = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, ""), (4, "x y z w")],
+        "doc_id long, text string",
+    )
+    # docs with < n tokens produce no shingles -> no signature rows;
+    # must not crash (sequence(1,0) guard in word_ngrams)
+    assert dedup.minhash_lsh_pairs(short, "doc_id", "text", n=3).count() == 0
+    sim = dedup.simhash(short, "doc_id", "text").collect()
+    assert len(sim) == 4  # simhash defined for every doc, even empty
+
+
+def test_similarity_empty_queries(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0)
+    assert similarity.brute_force_topk(emb, none, k=3).count() == 0
+    assert similarity.ivf_topk(emb, none, k=3, n_centroids=4, n_probe=2).count() == 0
