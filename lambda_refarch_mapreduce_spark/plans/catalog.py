@@ -1550,3 +1550,102 @@ def sql_interface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFra
 
     register_views(spark, sf_dir)
     return spark.sql(REGISTRY["sql_interface_revenue_by_region"].oracle)
+
+
+@register(
+    "sessionize_events_batch",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+            FROM marked)
+        SELECT user_id,
+               count(DISTINCT session_id)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30min silence; session ids via cumulative sum of
+    session-start markers. Two windows over one shuffle on user_id —
+    the batch mirror of streaming session_window (tested in
+    tests/test_streaming.py::test_session_window_agg)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = _t(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against a heavy-hitter aggregate
+    subquery, then re-join + re-aggregate + global top-k. The HAVING
+    subquery aggregates lineitem once; its tiny survivor set semi-join
+    filters the fact BEFORE the wide 3-way join — the order that keeps
+    the big join's build side small at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
