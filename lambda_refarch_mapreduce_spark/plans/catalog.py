@@ -1649,3 +1649,29 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "decimal_exact_totals",
+    oracle="""
+        SELECT o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS exact_total,
+               count(*)::BIGINT AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation: money sums must not depend on float
+    reduction order (the reference's float-dict accumulate,
+    mapper.py:54, is order-nondeterministic — SURVEY.md §7.4.2). Casting
+    to DECIMAL(18,2) before the sum makes Spark and DuckDB agree to the
+    cent with NO rounding tolerance — this is the one aggregate query
+    whose oracle needs no round()."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("exact_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

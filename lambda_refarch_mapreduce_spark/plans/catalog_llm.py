@@ -660,3 +660,48 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price"))
     )
+
+
+def _prep_pipeline_oracle() -> str:
+    pairs = _minhash_oracle().rstrip()
+    quality = _quality_sql().rstrip()
+    return f"""
+        WITH pairs AS ({pairs}),
+        q AS ({quality})
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               round(avg(quality), 6) AS avg_quality,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM q
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+          AND quality >= 0.4
+        GROUP BY lang
+    """
+
+
+@register(
+    "training_data_prep_pipeline",
+    oracle=_prep_pipeline_oracle(),
+    tags=("llm", "pipeline"),
+)
+def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep — the composition a real training-data
+    job runs as ONE lazy plan: near-dup removal (MinHash-LSH keep-first)
+    ∘ quality gate ∘ per-language accounting. No stage materializes;
+    Catalyst sees the whole pipeline, so document bodies are scanned
+    once per branch and only ids/stats shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, k=MINHASH_K, bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    quality = text.quality_score(docs, "doc_id", "text")
+    kept = quality.join(losers, "doc_id", "left_anti").filter(
+        F.col("quality") >= 0.4
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -271,3 +271,65 @@ def test_watermark_drops_late_rows_after_eviction(spark, tmp_path):
     assert dropped == 1, q.recentProgress
     # 9-10 emitted exactly once, WITHOUT the late 99.0
     assert rows == [(9, 1.0)], rows
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with a time-interval condition: two
+    file streams (clicks, views) joined per user within a 15-minute
+    window. Both sides carry watermarks so join state is evictable —
+    the property that makes stream-stream joins runnable forever.
+    Result must equal the batch join of the same data."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks_dir = str(tmp_path / "clicks")
+    views_dir = str(tmp_path / "views")
+    clicks = [
+        (1, base + dt.timedelta(minutes=m), f"c{m}") for m in (0, 10, 40)
+    ]
+    views = [
+        (1, base + dt.timedelta(minutes=m), f"v{m}") for m in (5, 12, 90)
+    ]
+    spark.createDataFrame(clicks, "user_id int, cts timestamp, click_id string").write.parquet(clicks_dir)
+    spark.createDataFrame(views, "user_id int, vts timestamp, view_id string").write.parquet(views_dir)
+
+    cs = (
+        spark.readStream.schema(spark.read.parquet(clicks_dir).schema)
+        .parquet(clicks_dir)
+        .withWatermark("cts", "1 hour")
+        .withColumnRenamed("user_id", "c_user")
+    )
+    vs = (
+        spark.readStream.schema(spark.read.parquet(views_dir).schema)
+        .parquet(views_dir)
+        .withWatermark("vts", "1 hour")
+    )
+
+    joined = cs.join(
+        vs,
+        F.expr(
+            """c_user = user_id AND
+               vts >= cts AND vts <= cts + interval 15 minutes"""
+        ),
+    ).select("click_id", "view_id")
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (c[2], v[2])
+        for c in clicks
+        for v in views
+        if c[0] == v[0] and c[1] <= v[1] <= c[1] + dt.timedelta(minutes=15)
+    }
+    assert got == want and want, (got, want)
