@@ -20,4 +20,48 @@ collapses into Spark's DAG scheduler + hash shuffle; what we expose is:
 
 __version__ = "0.1.0"
 
-from lambda_refarch_mapreduce_spark.session import get_spark  # noqa: F401
+from lambda_refarch_mapreduce_spark.session import cluster_conf, get_spark  # noqa: F401
+from lambda_refarch_mapreduce_spark.partitioning import (  # noqa: F401
+    ensure_parallelism,
+    salted_agg,
+)
+from lambda_refarch_mapreduce_spark.plans.jobspec import (  # noqa: F401
+    JobSpec,
+    build,
+    run_jobspec,
+)
+from lambda_refarch_mapreduce_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from lambda_refarch_mapreduce_spark.functions.scalar import (  # noqa: F401
+    cosine_similarity,
+    dot,
+    l2_norm,
+    substr_key,
+    tokenize,
+    word_ngrams,
+)
+from lambda_refarch_mapreduce_spark.sources.readers import (  # noqa: F401
+    TABLES,
+    load_table,
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    register_views,
+)
+from lambda_refarch_mapreduce_spark.sources.sinks import (  # noqa: F401
+    read_manifest,
+    write_bucketed,
+    write_with_manifest,
+)
+from lambda_refarch_mapreduce_spark.streaming.events import (  # noqa: F401
+    incremental_sum,
+    read_event_stream,
+    stream_to_parquet,
+    windowed_agg,
+)

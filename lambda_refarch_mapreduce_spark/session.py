@@ -36,6 +36,10 @@ from pyspark.sql import SparkSession
 # cluster AQE's coalescing makes the initial number a ceiling, not a
 # target, so a larger static value (e.g. 2000) is safe at 100TB.
 _BASE_CONF: dict[str, str] = {
+    # local mode hosts all 32 task threads in the driver JVM: the 1g
+    # default heap GC-thrashes under any real load. Static conf — only
+    # takes effect for the process that starts the JVM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
