@@ -305,3 +305,60 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 3,
+    bands: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded cosine-LSH blocking
+    (OR-amplification) in front of the exact pair check.
+
+    Each band is an independent ``n_planes``-bit sign bucket; a pair is
+    a candidate if it collides in ANY band, then its exact cosine is
+    verified. Per-band collision prob for similarity s is
+    (1 - acos(s)/pi)^n_planes; any-band recall = 1-(1-p)^bands — at
+    s=0.95 with 3 planes x 6 bands that is >0.999, while the join stays
+    an equi-join on (band, bucket): sum over buckets of b_i^2, never
+    O(n^2). Tune n_planes up for bigger corpora (smaller buckets),
+    bands up for higher recall.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    banded = None
+    for b in range(bands):
+        bb = lsh_bucket(
+            base, "v", n_planes=n_planes, seed=seed * 1000 + b, bucket_col="bucket"
+        ).select("id", "v", F.lit(b).alias("band"), "bucket")
+        banded = bb if banded is None else banded.unionByName(bb)
+    a = banded.alias("a")
+    c = banded.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -705,3 +705,20 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register("embedding_neardup_lsh_blocked", oracle=None, tags=("llm", "similarity"))
+def embedding_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: banded cosine-LSH blocking
+    (OR-amplification over 6 bands of 3 sign bits) in front of the
+    exact cosine check — candidates form per-band equi-joins, never a
+    cross join. Candidate set is LSH-dependent → rows-only here;
+    recall vs the exact tier is pinned in tests/test_operators.py."""
+    return similarity.lsh_blocked_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=NEARDUP_COSINE,
+        n_planes=3,
+        bands=6,
+    )

@@ -213,3 +213,24 @@ def test_similarity_empty_queries(spark):
     none = emb.filter(F.col("vec_id") < 0)
     assert similarity.brute_force_topk(emb, none, k=3).count() == 0
     assert similarity.ivf_topk(emb, none, k=3, n_centroids=4, n_probe=2).count() == 0
+
+
+def test_blocked_cosine_pairs_recall_and_plan(spark):
+    """The scale path for embedding near-dup: LSH-bucket blocking turns
+    the pair join into an equi-join (no cartesian in the plan) while
+    keeping recall against the exact all-pairs tier."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    blocked_df = similarity.lsh_blocked_pairs(
+        emb, threshold=0.4, n_planes=3, bands=6
+    )
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    blocked = {(r.id_a, r.id_b) for r in blocked_df.collect()}
+    assert blocked <= exact  # blocking can only drop pairs, never invent
+    recall = len(blocked) / max(len(exact), 1)
+    assert recall > 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
