@@ -1675,3 +1675,119 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "except_all_multiset",
+    oracle="""
+        SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-row (not per-value) subtraction — a
+    customer with 5 orders of which 2 are 'F' keeps 3 rows. Spark plans
+    this as a counted anti-semantics aggregate, not a distinct."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+        SELECT o_orderkey, measure, round(val, 2) AS val
+        FROM (SELECT o_orderkey,
+                     o_totalprice AS price,
+                     -o_totalprice AS neg_price
+              FROM orders)
+        UNPIVOT (val FOR measure IN (price, neg_price))
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures → long (key, measure, value) rows —
+    the inverse of pivot_event_types, runs as a generator (no shuffle)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        (-F.col("o_totalprice")).alias("neg_price"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "neg_price"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select("o_orderkey", "measure", F.round("val", 2).alias("val"))
+
+
+@register(
+    "deterministic_sample_docs",
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample by content-hash bucket — unlike
+    rng-based sample(), identical across engines, runs, partitionings
+    and cluster sizes, which is what a training-data pipeline needs for
+    held-out splits. Portable md5-derived hash (same family as the
+    dedup signatures)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return d.filter(h % 10 == 0).select("doc_id", "lang")
+
+
+@register(
+    "gap_fill_daily_orders",
+    oracle="""
+        WITH bounds AS (
+            SELECT o_custkey,
+                   min(o_orderdate) AS lo,
+                   max(o_orderdate) AS hi
+            FROM orders WHERE o_custkey < 50 GROUP BY o_custkey),
+        calendar AS (
+            SELECT o_custkey,
+                   unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS day
+            FROM bounds),
+        daily AS (
+            SELECT o_custkey, o_orderdate AS day,
+                   sum(o_totalprice) AS spent
+            FROM orders WHERE o_custkey < 50 GROUP BY 1, 2)
+        SELECT c.o_custkey,
+               strftime(c.day, '%Y-%m-%d') AS day,
+               round(coalesce(d.spent, 0), 2) AS spent
+        FROM calendar c LEFT JOIN daily d
+          ON d.o_custkey = c.o_custkey AND d.day = c.day
+    """,
+)
+def gap_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-key calendar densification
+    (sequence + explode generates the grid, no shuffle) left-joined
+    against the sparse facts, absent periods zero-filled. The grid
+    generator runs inside the scan stage; only the join shuffles."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    bounds = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    calendar = bounds.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 7 days"))
+        ).alias("day"),
+    )
+    daily = o.groupBy(
+        "o_custkey", F.col("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("spent"))
+    return (
+        calendar.join(daily, ["o_custkey", "day"], "left")
+        .select(
+            "o_custkey",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.coalesce(F.col("spent"), F.lit(0.0)), 2).alias("spent"),
+        )
+    )
