@@ -722,3 +722,29 @@ def embedding_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
         n_planes=3,
         bands=6,
     )
+
+
+@register(
+    "python_udf_rowwise",
+    oracle="""
+        SELECT doc_id, reverse(lang) AS rlang
+        FROM documents
+    """,
+    tags=("llm", "udf"),
+)
+def python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the reference's per-line mapper seam
+    (mapper.py:49-57) at its most literal, and deliberately the LAST
+    resort: one Python call per row, no Arrow batching, 10-100x slower
+    than pandas_udf_scalar_sigmoid on the same work. Registered so the
+    seam is covered and its cost is measurable next to the vectorized
+    tiers; production kernels belong in the pandas_udf entries."""
+    from pyspark.sql.functions import udf
+
+    @udf("string")
+    def rev(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", rev("lang").alias("rlang")
+    )
