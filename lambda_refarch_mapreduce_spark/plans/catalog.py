@@ -1791,3 +1791,48 @@ def gap_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("spent"), F.lit(0.0)), 2).alias("spent"),
         )
     )
+
+
+@register(
+    "intersect_all_multiset",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: keeps min(multiplicity) copies per value
+    — completes the set-op family next to exceptAll/intersect/union."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .intersectAll(
+            o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+    )
+
+
+@register("approx_percentile_prices", oracle=None)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-friendly quantile sketch (approx_percentile):
+    fixed-size partials merge associatively, so the shuffle carries
+    sketches, not values — the 100TB path where exact percentiles
+    (percentile_order_price, the oracle-checked twin) would sort every
+    group. Approximate by construction → rows-only check."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+                "p50_p90_p99"
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p50_p90_p99")[0].alias("p50"),
+            F.col("p50_p90_p99")[1].alias("p90"),
+            F.col("p50_p90_p99")[2].alias("p99"),
+        )
+    )
