@@ -1836,3 +1836,62 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p50_p90_p99")[2].alias("p99"),
         )
     )
+
+
+@register(
+    "stats_aggregates_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics: stddev/variance/correlation/covariance
+    — single-pass decomposable aggregates (partial moments merge), so
+    they cost the same one shuffle as SUM at any scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+    )
+
+
+@register(
+    "argmax_bool_aggregates",
+    oracle="""
+        SELECT o_orderpriority,
+               arg_max(o_custkey, o_orderkey) AS cust_of_latest_key,
+               arg_min(o_custkey, o_orderkey) AS cust_of_first_key,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def argmax_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin (max_by/min_by) and boolean aggregates. Keyed on
+    the UNIQUE o_orderkey so the arg pick is deterministic — max_by on
+    a column with ties is engine-arbitrary and must never be
+    oracle-compared."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_custkey", "o_orderkey").alias("cust_of_latest_key"),
+            F.min_by("o_custkey", "o_orderkey").alias("cust_of_first_key"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        )
+    )
