@@ -149,3 +149,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         .count()
     )
     assert df.count() == want
+
+
+def test_cluster_conf_sizing():
+    from lambda_refarch_mapreduce_spark.session import cluster_conf
+
+    c = cluster_conf(total_cores=4000, dataset_tb=100.0, target_partition_mb=256)
+    parts = int(c["spark.sql.shuffle.partitions"])
+    assert 8000 <= parts <= 200_000
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    # small data (0.01TB -> 41 partitions by size): floor at 2*cores wins
+    c2 = cluster_conf(total_cores=64, dataset_tb=0.01)
+    assert int(c2["spark.sql.shuffle.partitions"]) == 128
