@@ -335,3 +335,64 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph: assign every
+    node the min node-id reachable from it (its cluster id).
+
+    Pairwise dedup is not enough for a training corpus: if A~B and B~C
+    but A!~C, keep-first-per-pair can keep both A and C even though
+    they transitively share content with B. Clustering the pair graph
+    and keeping one doc per component is the standard fix (the
+    reference has no equivalent — its reduce tree only merges
+    aggregates, driver.py:announces no graph step).
+
+    Algorithm: iterative min-label propagation (label = min id seen).
+    Each round is one shuffle (join edges->labels + groupBy-min), and
+    labels only ever decrease, so `sum(label)` is a strictly
+    decreasing convergence witness — equal sums mean fixpoint, no
+    expensive changed-row anti-join. Rounds needed = graph diameter;
+    near-dup components are small and dense (diameter 2-4 in
+    practice), so this beats the O(log^2 n) large-star/small-star
+    alternative on constant factors. `localCheckpoint` truncates the
+    growing lineage each round (on a real cluster, set a reliable
+    checkpoint dir and use `checkpoint()` instead so executor loss
+    can't lose the only copy).
+
+    Returns (node, comp): one row per node that appears in >=1 pair.
+    Docs with no near-dup edge are trivially their own cluster and are
+    deliberately not materialized (at 100TB the edge set is ~0.1% of
+    the corpus; carrying every singleton through the iteration would
+    shuffle the full doc-id set `diameter` times for no information).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["b"] == labels["node"]).select(
+            edges["a"].alias("node"), labels["comp"]
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()  # eager: cuts lineage, runs the round
+        )
+        s = labels.agg(F.sum("comp")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lambda_refarch_mapreduce_spark.operators import dedup, multimodal, similarity, text
 from lambda_refarch_mapreduce_spark.plans.catalog import register, _t
@@ -95,6 +96,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (equi-join on shingle — no cross join)."""
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: n-gram Jaccard pair graph →
+    connected components (iterative min-label propagation; the oracle
+    re-derives components with a recursive CTE). One row per clustered
+    doc with its component id and size — the input to keep-one-per-
+    cluster corpus pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     )
 
 

@@ -234,3 +234,23 @@ def test_blocked_cosine_pairs_recall_and_plan(spark):
     assert blocked <= exact  # blocking can only drop pairs, never invent
     recall = len(blocked) / max(len(exact), 1)
     assert recall > 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must cross a long chain (multiple
+    iterations: label 1 walks the diameter) and keep islands apart."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (12, 11)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.node, r.comp)
+        for r in dedup.connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)}
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup.connected_components(edges).count() == 0
