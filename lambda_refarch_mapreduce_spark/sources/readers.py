@@ -49,6 +49,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown properties as parquet (both
+    go through the vectorized reader with predicate pushdown); offered
+    because warehouse corpora are commonly ORC-resident."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -125,3 +125,20 @@ def test_observe_metrics_inline(spark):
     got = obs.get
     assert got["rows"] == df.count()
     assert got["max_value"] == df.agg(F.max("value")).collect()[0][0]
+
+
+def test_orc_roundtrip_with_manifest(spark, tmp_path):
+    """ORC sink+source: write via the manifest sink (fmt-generic O12
+    path), read back with read_orc — schema and values preserved."""
+    from lambda_refarch_mapreduce_spark.sources.readers import read_orc
+    from lambda_refarch_mapreduce_spark.sources.sinks import write_with_manifest
+
+    df = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "nation_orc")
+    manifest = write_with_manifest(df, out, fmt="orc")
+    back = read_orc(spark, out)
+    assert manifest["rows_written"] == df.count()
+    assert back.schema == df.schema
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in df.collect()
+    )
