@@ -569,6 +569,44 @@ def mapinpandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(count_tokens, schema="doc_id bigint, n_tokens bigint")
 
 
+@register(
+    "mapinarrow_doc_bytes",
+    oracle="""
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               strlen(text)::BIGINT AS n_bytes
+        FROM documents
+    """,
+    tags=("llm", "udf"),
+)
+def mapinarrow_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest Python seam: mapInArrow hands the UDF raw Arrow
+    RecordBatches (no pandas conversion, no copy for primitive
+    columns). Completes the UDF matrix alongside pandas/grouped/UDTF
+    seams — use this tier when the kernel is pyarrow.compute- or
+    numpy-expressible, e.g. byte-level corpus accounting before
+    tokenizer budgeting (chars != bytes on any non-ASCII corpus)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def doc_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        doc_stats, schema="doc_id bigint, n_chars bigint, n_bytes bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end dedup: produce the surviving corpus, not just the pairs
 # ---------------------------------------------------------------------------
