@@ -1345,6 +1345,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_sketch_rollup_users", oracle=None)
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch state: build one HLL sketch of distinct users
+    per day, then derive the grand total by UNIONING the daily
+    sketches (`hll_union_agg`) — no second scan of the events table.
+    This is the reference's merge-reduce contract (reducer.py merges
+    partial aggregates) applied to sketches: at 100TB you materialize
+    per-partition sketches once and re-aggregate to any coarser
+    granularity (day→month→all) at sketch cost, not scan cost. No
+    oracle: estimates are engine-specific; a unit test pins accuracy
+    against exact distinct counts. Rows = days + 1 'ALL' row."""
+    daily_sk = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()  # consumed by both branches; sketches are tiny
+    )
+    daily = daily_sk.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily_sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("day"), F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    return daily.unionByName(total)
+
+
 @register(
     "map_functions_projection",
     oracle="""

@@ -254,3 +254,30 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_empty(spark):
     edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Daily HLL sketches and their union must track exact distinct
+    counts within sketch tolerance, and the ALL row must come from
+    merging daily sketches (>= max daily, <= sum of dailies)."""
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+
+    rows = {
+        r.day: r.est_users
+        for r in REGISTRY["hll_sketch_rollup_users"].spark(spark, SF_CORRECT).collect()
+    }
+    ev = load_table(spark, SF_CORRECT, "events")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(rows) == set(exact)
+    for day, est in rows.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), (day, est, exact[day])
