@@ -121,3 +121,67 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_md5"),
         F.array_max(F.transform(toks, lambda t: F.md5(t))).alias("max_token_md5"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in
+    id order and assign each doc the context-window bin its first
+    token lands in (bin = start_offset // budget) — the standard
+    pretraining packing layout, as a deterministic assignment.
+
+    The global running token offset is a prefix sum over the whole
+    corpus. A naive `sum().over(Window.orderBy(id))` with no
+    partitionBy collapses to ONE task — a non-starter at 100TB. This
+    implements the classic two-phase distributed scan instead:
+
+    1. range-partition by id (so partitions hold contiguous id runs),
+    2. per-partition token totals -> cumulative partition offsets
+       (tiny: one row per partition, computed on the driver),
+    3. within-partition prefix sum (window partitioned by partition
+       id) + broadcast-joined partition offset.
+
+    Every step is parallel; the only serial state is the per-partition
+    totals list (|partitions| rows). Returns (id, n_tokens, bin_id).
+    """
+    n_tok = F.size(tokenize(F.col(text_col)))
+    base = (
+        df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+                              F.col(id_col))
+        .select(F.col(id_col), n_tok.alias("n_tokens"),
+                F.spark_partition_id().alias("pid"))
+        .persist()  # pin pid: both branches below must see identical partitioning
+    )
+    part_totals = (
+        base.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+        .sort("pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in part_totals:
+        offsets[r.pid] = acc
+        acc += r.ptot
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "pid int, poffset bigint",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy(id_col)
+    return (
+        base.withColumn("cum_in_part", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                (F.col("poffset") + F.col("cum_in_part") - F.col("n_tokens"))
+                / F.lit(budget)
+            ).cast("bigint").alias("bin_id"),
+        )
+    )

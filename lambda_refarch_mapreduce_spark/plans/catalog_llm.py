@@ -607,6 +607,36 @@ def mapinarrow_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences_token_budget",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+            FROM tok)
+        SELECT doc_id, n_tokens,
+               ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS bin_id
+        FROM c
+    """,
+    tags=("llm", "text"),
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-and-chunk): each doc gets
+    the context-window bin where its first token lands. The Spark side
+    computes the global token prefix sum with a two-phase distributed
+    scan (range partition → per-partition totals → broadcast offsets),
+    never a single-partition global window; the oracle is the plain
+    window-SQL definition."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", budget=PACK_BUDGET)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end dedup: produce the surviving corpus, not just the pairs
 # ---------------------------------------------------------------------------

@@ -281,3 +281,18 @@ def test_hll_sketch_rollup_accuracy(spark):
     assert set(rows) == set(exact)
     for day, est in rows.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), (day, est, exact[day])
+
+
+def test_pack_sequences_two_phase_scan(spark):
+    """Packing must equal the sequential concat-and-chunk definition
+    while never collapsing to a single-partition global window."""
+    from lambda_refarch_mapreduce_spark.operators import text as T
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([4, 3, 5, 2, 6, 1])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.pack_sequences(df, "doc_id", "text", budget=10)
+    got = {r.doc_id: (r.n_tokens, r.bin_id) for r in out.collect()}
+    # offsets: 0,4,7,12,14,20 -> bins 0,0,0,1,1,2
+    assert got == {0: (4, 0), 1: (3, 0), 2: (5, 0), 3: (2, 1), 4: (6, 1), 5: (1, 2)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
