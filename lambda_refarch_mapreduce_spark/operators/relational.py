@@ -151,3 +151,32 @@ def range_bucket_join(
     b = F.broadcast(buckets)
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return df.join(b, cond, "left").drop(lo_col, hi_col)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows, chosen by content-hash bucket of the id — the class
+    rebalancing step of a training-data pipeline (downsample the
+    over-represented language/source, keep the rest).
+
+    Hash-bucket membership (portable md5-derived hash % buckets) is a
+    pure row-local predicate: no shuffle, no RNG, identical output
+    across engines, runs, partitionings and cluster sizes, and samples
+    at different rates are NESTED (the 5% sample is a subset of the
+    50% one), so shrinking a stratum later never churns the held-out
+    split. Filter evaluates scan-side at 100TB; only survivors move.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % buckets
+    pct: Column = F.lit(default_pct)
+    for k, v in sorted(rates_pct.items()):
+        pct = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(pct)
+    return df.filter(h < pct)

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lambda_refarch_mapreduce_spark.operators import dedup, multimodal, similarity, text
+from lambda_refarch_mapreduce_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from lambda_refarch_mapreduce_spark.plans.catalog import register, _t
 from lambda_refarch_mapreduce_spark.streaming.events import windowed_agg
 
@@ -635,6 +641,26 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-SQL definition."""
     docs = _t(spark, sf_dir, "documents")
     return text.pack_sequences(docs, "doc_id", "text", budget=PACK_BUDGET)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+              CASE WHEN lang = 'en' THEN 25 ELSE 100 END
+    """,
+    tags=("llm", "text"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: deterministically downsample the dominant
+    language (en -> ~25%) while keeping all minority-language docs.
+    Row-local hash predicate — no shuffle, no RNG, nested samples (see
+    relational.stratified_hash_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return relational.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 25}
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

@@ -296,3 +296,23 @@ def test_pack_sequences_two_phase_scan(spark):
     assert got == {0: (4, 0), 1: (3, 0), 2: (5, 0), 3: (2, 1), 4: (6, 1), 5: (1, 2)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_stratified_sample_nested_and_shuffle_free(spark):
+    """Samples at increasing rates must nest (5% ⊂ 25% ⊂ 100%) and the
+    predicate must stay a row-local filter — no exchange in the plan."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    s5 = stratified_hash_sample(docs, "doc_id", "lang", {"en": 5})
+    s25 = stratified_hash_sample(docs, "doc_id", "lang", {"en": 25})
+    ids5 = {r.doc_id for r in s5.select("doc_id").collect()}
+    ids25 = {r.doc_id for r in s25.select("doc_id").collect()}
+    assert ids5 <= ids25
+    n_en = docs.filter("lang = 'en'").count()
+    n_en25 = s25.filter("lang = 'en'").count()
+    assert abs(n_en25 / n_en - 0.25) < 0.15  # hash buckets ≈ uniform
+    plan = s25._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
