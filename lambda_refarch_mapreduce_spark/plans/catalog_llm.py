@@ -105,9 +105,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Shared recursive-CTE prefix: n-gram Jaccard pairs -> undirected edges
+# -> transitive closure -> (doc_id, cluster_id) components.
+_SQL_COMP_CTES = f"""
         WITH RECURSIVE {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS ninter
@@ -129,6 +129,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp AS (
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             FROM reach GROUP BY a)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        {_SQL_COMP_CTES}
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
@@ -150,6 +157,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     )
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+        {_SQL_COMP_CTES}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN
+              (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitively-correct corpus pruning: keep exactly one doc (the
+    min id) per near-dup cluster. Strictly stronger than the pairwise
+    keep-first policy (dedup_survivors), which can retain two docs
+    that only share content through a third. Anti-join of the corpus
+    against non-canonical cluster members — the edge-set-sized side,
+    so the join is broadcastable at production dup rates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD)
+    cc = dedup.connected_components(pairs)
+    non_canonical = cc.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(
+        F.broadcast(non_canonical), "doc_id", "left_anti"
+    ).select("doc_id")
 
 
 def _minhash_oracle() -> str:
