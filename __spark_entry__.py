@@ -24,7 +24,10 @@ def _registry():
     # import here so a broken optional module never breaks the contract
     from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
 
-    return catalog.REGISTRY
+    # Priority-ordered: the driver's correctness gate samples a prefix of
+    # this dict, so entries without a round-1 driver row come first (see
+    # catalog.DRIVER_WINDOW_FIRST).
+    return catalog.ordered_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:

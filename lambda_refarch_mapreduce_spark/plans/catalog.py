@@ -46,6 +46,89 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# The driver's correctness gate checks only a finite prefix of queries()
+# (round 1 stopped at the first 50 of 95 dict entries, leaving the whole
+# LLM/dedup/similarity/UDF-seam suite without a hard-signal row — see
+# VERDICT.md "Next round" #1). Entries listed here are emitted FIRST by
+# __spark_entry__.queries(), in this order; everything else follows in
+# registration order. Round 1 already produced green driver rows for the
+# core-relational prefix, so the round-2 window is pointed at the
+# remainder: the union of CORRECTNESS_r01 + r02 then covers the full
+# catalog.
+DRIVER_WINDOW_FIRST: list[str] = [
+    # LLM training-data pipeline — dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_cluster_survivors",
+    "dedup_survivors",
+    # similarity search
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh_blocked",
+    # text analysis
+    "text_token_stats",
+    "text_language_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    # packing / sampling / pipeline composition
+    "pack_sequences_token_budget",
+    "stratified_sample_docs",
+    "deterministic_sample_docs",
+    "training_data_prep_pipeline",
+    # multimodal plumbing
+    "multimodal_features",
+    "multimodal_frame_sampling",
+    # UDF/UDAF/UDTF seams (SURVEY §2.2)
+    "applyinpandas_zscore",
+    "mapinpandas_token_count",
+    "mapinarrow_doc_bytes",
+    "pandas_udf_scalar_sigmoid",
+    "pandas_udaf_weighted_avg",
+    "python_udf_rowwise",
+    # declarative JobSpec + SQL entry points
+    "jobspec_filter_groupby",
+    "jobspec_star_join",
+    "sql_interface_revenue_by_region",
+    # batch/relational entries with no round-1 driver row
+    "struct_json_roundtrip",
+    "right_join_supplier_nation",
+    "global_sort_rank",
+    "sessionize_events_batch",
+    "q18_large_orders",
+    "decimal_exact_totals",
+    "except_all_multiset",
+    "intersect_all_multiset",
+    "unpivot_order_measures",
+    "gap_fill_daily_orders",
+    "approx_percentile_prices",
+    "stats_aggregates_lineitem",
+    "argmax_bool_aggregates",
+    # streaming-equivalent batch window
+    "events_hourly_window",
+]
+
+
+def ordered_registry() -> dict[str, QueryDef]:
+    """REGISTRY reordered so DRIVER_WINDOW_FIRST entries lead.
+
+    Names in the priority list that are not registered (e.g. an optional
+    module failed to import) are skipped rather than raising.
+    """
+    out: dict[str, QueryDef] = {}
+    for name in DRIVER_WINDOW_FIRST:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for name, qd in REGISTRY.items():
+        if name not in out:
+            out[name] = qd
+    return out
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
