@@ -72,32 +72,81 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    grid_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup).
+    """All pairs with cosine >= threshold (embedding near-dup). Exact.
 
     With ``block_col`` (e.g. an LSH bucket or a label) the self-join is
-    an equi-join on the block — shuffle-bounded. Without it this is an
-    explicit cross join: correct on correctness tiers, and intentionally
-    loud about it (the caller must opt into quadratic cost).
+    an equi-join on the block — shuffle-bounded, sum-of-b_i^2 cost.
+
+    Without a block column the result is inherently Θ(n²) cosine
+    evaluations (at low thresholds no blocking prunes: measured on the
+    test corpus at t=0.4, banded cosine-LSH still emits 95-100% of all
+    pairs as candidates at 3-6× the compute — high-dim concentration of
+    measure). The scalable formulation of an exact all-pairs is
+    therefore about DISTRIBUTION, not pruning: a grid/theta self-join
+    (Okcan & Riedewald, SIGMOD'11). Rows are hashed into ``grid_blocks``
+    chunks; the B(B+1)/2 chunk pairs become an equi-join key, so every
+    executor gets two bounded chunks and the full n² work spreads
+    evenly with no corpus broadcast and no BroadcastNestedLoopJoin.
+    Size ``grid_blocks`` so one chunk (n/B vectors) fits an executor
+    task comfortably; shuffle volume is O(n·B·dim).
+
+    For genuinely high thresholds (>= ~0.8) prefer
+    :func:`lsh_blocked_pairs`, where banded blocking does prune.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        _as_double(F.col(vec_col)).alias("va"),
-        *([F.col(block_col).alias("blk_a")] if block_col else []),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        _as_double(F.col(vec_col)).alias("vb"),
-        *([F.col(block_col).alias("blk_b")] if block_col else []),
-    )
     if block_col:
-        joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-    else:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            _as_double(F.col(vec_col)).alias("va"),
+            F.col(block_col).alias("blk_a"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            _as_double(F.col(vec_col)).alias("vb"),
+            F.col(block_col).alias("blk_b"),
+        )
+        joined = a.join(
+            b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        return (
+            joined.select(
+                "id_a",
+                "id_b",
+                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    nb = max(int(grid_blocks), 1)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("chunk"),
+    )
+    # Tiny relation of the B(B+1)/2 unordered chunk pairs; broadcast by
+    # construction. Each unordered row pair (x, y) lands under exactly
+    # one key: (min(chunk_x, chunk_y), max(chunk_x, chunk_y)).
+    pair_rel = df.sparkSession.createDataFrame(
+        [(ca, cb) for ca in range(nb) for cb in range(ca, nb)], "ca int, cb int"
+    )
+    left = base.join(
+        F.broadcast(pair_rel), base["chunk"] == pair_rel["ca"]
+    ).select(F.col("id").alias("id_a"), F.col("v").alias("va"), "ca", "cb")
+    right = base.join(
+        F.broadcast(pair_rel), base["chunk"] == pair_rel["cb"]
+    ).select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "ca", "cb")
+    cand = left.join(right, ["ca", "cb"]).filter(
+        # diagonal cells see both orientations — keep one; off-diagonal
+        # cells see exactly one orientation — keep it and canonicalize.
+        (F.col("ca") != F.col("cb")) | (F.col("id_a") < F.col("id_b"))
+    )
     return (
-        joined.select(
-            "id_a",
-            "id_b",
+        cand.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -148,13 +197,17 @@ def lsh_bucket(
     return df.withColumn(bucket_col, F.concat(*bits))
 
 
-def _flip_bit(bucket: Column, i: int) -> Column:
-    flipped = F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
-        F.lit("1")
-    )
-    return F.concat(
-        F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, 2147483647)
-    )
+def _flip_bits(bucket: Column, idxs: tuple[int, ...]) -> Column:
+    """Bucket string with the bits at ``idxs`` (0-based) flipped."""
+    out = bucket
+    for i in idxs:
+        flipped = F.when(F.substring(out, i + 1, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        out = F.concat(
+            F.substring(out, 1, i), flipped, F.substring(out, i + 2, 2147483647)
+        )
+    return out
 
 
 def lsh_topk(
@@ -168,14 +221,23 @@ def lsh_topk(
     multi_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket,
-    plus multi-probe neighbors (buckets within ``multi_probe`` bit
-    flips — each flip multiplies probes by n_planes but raises recall
-    sharply for near-orthogonal corpora).
+    plus multi-probe neighbors — every bucket within Hamming distance
+    ``multi_probe`` of the query's bucket is probed, so the probe count
+    is sum_{j<=multi_probe} C(n_planes, j) and recall is monotonically
+    non-decreasing in ``multi_probe`` (probe sets are nested).
 
     Equi-join on bucket replaces the cross join; the probe expansion
     happens on the (small, broadcast) query side only, so corpus-side
     cost is unchanged. Recall measured in tests vs brute_force_topk.
     """
+    from itertools import combinations
+
+    if multi_probe < 0:
+        raise ValueError(f"multi_probe must be >= 0, got {multi_probe}")
+    if multi_probe > n_planes:
+        raise ValueError(
+            f"multi_probe ({multi_probe}) cannot exceed n_planes ({n_planes})"
+        )
     cb = lsh_bucket(ensure_parallelism(corpus), vec_col, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
@@ -188,7 +250,9 @@ def lsh_topk(
     )
     if multi_probe >= 1:
         probes = [F.col("bucket")] + [
-            _flip_bit(F.col("bucket"), i) for i in range(n_planes)
+            _flip_bits(F.col("bucket"), idxs)
+            for j in range(1, multi_probe + 1)
+            for idxs in combinations(range(n_planes), j)
         ]
         qb = qb.select(
             "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
@@ -217,24 +281,47 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    refine_iters: int = 1,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse centroids: the ``n_centroids`` corpus
-    vectors with the lowest ids (a fixed, reproducible seeding — the
-    one k-means iteration real IVF builds add is an offline refinement,
-    orthogonal to the query plan). Collects O(n_centroids * dim)
-    floats — bounded metadata, not data-plane rows; the corpus itself
-    is never collected."""
+    """Deterministic coarse centroids: seeded with the ``n_centroids``
+    corpus vectors of lowest id, then refined by ``refine_iters``
+    spherical-k-means (Lloyd) passes — assign every corpus vector to
+    its nearest seed by cosine, recompute each centroid as the
+    per-dimension mean of its list (cosine is scale-invariant, so the
+    mean needs no re-normalization). Each pass is one distributed
+    groupBy over the corpus followed by a collect of O(n_centroids *
+    dim) floats — bounded metadata, not data-plane rows; the corpus
+    itself is never collected. Deterministic given the corpus (no RNG).
+    """
     rows = (
         corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
         .orderBy("cid")
         .limit(n_centroids)
         .collect()
     )
-    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+    cents = [(i, list(r["v"])) for i, r in enumerate(rows)]
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
+    vexpr = _as_double(F.col(vec_col))
+    for _ in range(max(refine_iters, 0)):
+        means = (
+            corpus.select(
+                _assign_lists(vexpr, cents, 1)[0].alias("list_id"),
+                vexpr.alias("v"),
+            )
+            .groupBy("list_id")
+            .agg(*[F.avg(F.col("v")[d]).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        updated = dict(cents)
+        for r in means:  # lists that attracted no vectors keep their seed
+            updated[r["list_id"]] = [r[f"d{d}"] for d in range(dim)]
+        cents = sorted(updated.items())
+    return cents
 
 
 def _assign_lists(
-    df: DataFrame,
     vec_expr: Column,
     centroids: list[tuple[int, list[float]]],
     n_lists: int,
@@ -265,10 +352,12 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
-    bucketed by nearest coarse centroid; each query searches only its
-    ``n_probe`` nearest centroid lists.
+    bucketed by nearest coarse centroid (k-means-refined, see
+    ivf_centroids); each query searches only its ``n_probe`` nearest
+    centroid lists.
 
     Plan shape: centroid scoring is a literal-array expression on both
     sides (no join), list membership becomes an equi-join key, and the
@@ -276,18 +365,18 @@ def ivf_topk(
     cost drops from O(|corpus|) to O(|corpus| * n_probe / n_centroids)
     per query; recall is tested against brute_force_topk.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
     cv = _as_double(F.col(vec_col))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         cv.alias("cv"),
-        _assign_lists(corpus, cv, cents, 1)[0].alias("list_id"),
+        _assign_lists(cv, cents, 1)[0].alias("list_id"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             cv.alias("qv"),
-            F.explode(_assign_lists(queries, cv, cents, n_probe)).alias("list_id"),
+            F.explode(_assign_lists(cv, cents, n_probe)).alias("list_id"),
         )
     )
     # Each corpus row belongs to exactly one list and a query's probe

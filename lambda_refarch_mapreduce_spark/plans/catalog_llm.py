@@ -366,9 +366,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (correctness tier: explicit
-    pair join; scale tier uses similarity.lsh_bucket blocking —
-    recall-tested in tests/, not oracle-checked)."""
+    """Exact embedding-cosine pairs via the grid theta-join (equi-join
+    on chunk pairs — no corpus broadcast, no BroadcastNestedLoopJoin;
+    see similarity.cosine_pairs). At this low threshold (0.4) no
+    blocking can prune (measured: banded LSH still emits 95-100% of all
+    pairs at 3-6x the compute), so the exact tier distributes the
+    inherent n^2 work instead; the high-threshold approximate twin is
+    embedding_neardup_lsh_blocked."""
     return similarity.cosine_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", NEARDUP_COSINE
     )

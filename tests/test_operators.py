@@ -89,6 +89,33 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall > 0.3, f"recall {recall}"
 
 
+def test_lsh_topk_multi_probe_monotone_recall(spark):
+    """Probe sets are nested in multi_probe (all buckets within j bit
+    flips), so recall must be monotonically non-decreasing — and 2-bit
+    probing must genuinely beat 1-bit on this corpus (measured 0.12 /
+    0.52 / 0.85 at multi_probe = 0/1/2; deterministic hyperplanes)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    recalls = []
+    for mp in (0, 1, 2):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(
+                emb, q, k=5, n_planes=4, multi_probe=mp
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[2] > recalls[1] > recalls[0], f"probing not additive: {recalls}"
+    assert recalls[2] >= 0.8, f"2-bit probe recall {recalls[2]}"
+    with pytest.raises(ValueError):
+        similarity.lsh_topk(emb, q, n_planes=4, multi_probe=5)
+
+
 def test_lsh_bucket_is_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = {r.vec_id: r.bucket for r in similarity.lsh_bucket(emb).collect()}
@@ -166,7 +193,10 @@ def test_decode_image_is_explicit_stub():
 
 def test_ivf_topk_recall_vs_brute_force(spark):
     """IVF probe of 4/16 lists must retain solid recall@5 on the test
-    embeddings, and every returned neighbor's cosine must be exact."""
+    embeddings, and every returned neighbor's cosine must be exact.
+    With the default one k-means refinement pass the measured recall is
+    0.74 (0.72 unrefined); everything is deterministic, so pin well
+    above the old 0.3 floor."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
     q = emb.filter(F.col("vec_id") < 30)
     exact = similarity.brute_force_topk(emb, q, k=5).collect()
@@ -174,7 +204,16 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(set(exact_scores) & approx_set) / len(exact_scores)
-    assert recall > 0.3, f"recall {recall}"
+    assert recall >= 0.7, f"recall {recall}"
+    # refinement must not hurt: refined recall >= unrefined recall
+    unrefined = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=16, n_probe=4, refine_iters=0
+        ).collect()
+    }
+    recall0 = len(set(exact_scores) & unrefined) / len(exact_scores)
+    assert recall >= recall0, f"refinement regressed recall: {recall0} -> {recall}"
     # scores for true positives are exact, not approximated
     for r in approx:
         key = (r.query_id, r.neighbor_id)
@@ -234,6 +273,39 @@ def test_blocked_cosine_pairs_recall_and_plan(spark):
     assert blocked <= exact  # blocking can only drop pairs, never invent
     recall = len(blocked) / max(len(exact), 1)
     assert recall > 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
+
+
+def test_grid_cosine_pairs_exact_no_bnlj(spark):
+    """The unblocked exact all-pairs must execute as a grid theta-join
+    (equi-join on chunk-pair), never a BroadcastNestedLoopJoin — the
+    corpus is never broadcast, task memory is bounded by 2 chunks."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    df = similarity.cosine_pairs(emb, threshold=0.4, grid_blocks=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    # independent exact reference via a tiny driver-side computation
+    import itertools
+    import math
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= 0.4
+    }
+    assert got == want
+    # each unordered pair lands under exactly one grid cell: no dupes
+    assert df.count() == df.dropDuplicates(["id_a", "id_b"]).count()
 
 
 def test_connected_components_chain_and_islands(spark):
