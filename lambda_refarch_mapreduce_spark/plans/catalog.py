@@ -1555,6 +1555,54 @@ def jobspec_filter_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jobspec_star_join",
+    oracle="""
+        SELECT n_name, r_name,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+)
+def jobspec_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JobSpec joins: clause — a declarative multi-source star join
+    (fact orders x dims customer/nation/region, each dim broadcast-
+    hinted) lowering to the same plan as the hand-built
+    join_revenue_by_nation and checked against the same oracle."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+        joins=[
+            {
+                "source": {"format": "parquet", "path": f"{sf_dir}/customer.parquet"},
+                "on": "o_custkey = c_custkey",
+                "broadcast": True,
+            },
+            {
+                "source": {"format": "parquet", "path": f"{sf_dir}/nation.parquet"},
+                "on": "c_nationkey = n_nationkey",
+                "broadcast": True,
+            },
+            {
+                "source": {"format": "parquet", "path": f"{sf_dir}/region.parquet"},
+                "on": "n_regionkey = r_regionkey",
+                "broadcast": True,
+            },
+        ],
+        group_by=["n_name", "r_name"],
+        aggs={
+            "n_orders": "count(1)",
+            "revenue": "round(sum(o_totalprice), 2)",
+        },
+    )
+    return build(spark, spec)
+
+
+@register(
     "right_join_supplier_nation",
     oracle="""
         SELECT n_name,

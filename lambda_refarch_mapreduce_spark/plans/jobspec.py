@@ -43,6 +43,15 @@ from lambda_refarch_mapreduce_spark.sources.readers import (
 @dataclass
 class JobSpec:
     source: dict
+    # Each join: {"source": <source dict>, "on": [cols] | "SQL condition",
+    #             "how": "inner", "broadcast": bool}. Applied in order
+    # before filter/select, so downstream clauses see joined columns.
+    # "on" as a list is a USING-style equi-join (join keys deduplicated);
+    # as a string it is any Catalyst boolean expression over unambiguous
+    # column names. broadcast=True hints the joined side — the right
+    # call for star-schema dimensions, which is what a declarative
+    # multi-source spec is for.
+    joins: list[dict] = field(default_factory=list)
     filter: str | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
     group_by: list[str] = field(default_factory=list)
@@ -83,7 +92,19 @@ def _read(spark: SparkSession, source: dict) -> DataFrame:
 
 def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
     """Lower a JobSpec to a DataFrame (no action triggered)."""
+    if spec.aggs and spec.agg_udf is not None:
+        raise ValueError(
+            "JobSpec is ambiguous: 'aggs' and 'agg_udf' are both set — "
+            "use SQL aggregates or the applyInPandas seam, not both"
+        )
     df = _read(spark, spec.source)
+    for j in spec.joins:
+        other = _read(spark, j["source"])
+        if j.get("broadcast"):
+            other = F.broadcast(other)
+        on = j["on"]
+        cond = F.expr(on) if isinstance(on, str) else on
+        df = df.join(other, cond, j.get("how", "inner"))
     if spec.filter:
         df = df.filter(F.expr(spec.filter))
     if spec.select:

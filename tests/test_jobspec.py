@@ -104,3 +104,67 @@ def test_sink_roundtrip(spark, tmp_path):
     assert {r.n_name for r in back.collect()} == {
         r.n_name for r in spark.read.parquet(f"{SF_CORRECT}/nation.parquet").collect()
     }
+
+
+def test_joins_clause_star_schema(spark, duck):
+    """joins: lowers to broadcast-hinted equi-joins; the spec'd star
+    join must match the SQL oracle and must plan BroadcastHashJoins
+    (dims are hinted — no shuffle on the fact side before the agg)."""
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{SF_CORRECT}/orders.parquet"},
+        joins=[
+            {
+                "source": {"format": "parquet", "path": f"{SF_CORRECT}/customer.parquet"},
+                "on": "o_custkey = c_custkey",
+                "broadcast": True,
+            },
+            {
+                "source": {"format": "parquet", "path": f"{SF_CORRECT}/nation.parquet"},
+                "on": "c_nationkey = n_nationkey",
+                "broadcast": True,
+            },
+        ],
+        group_by=["n_name"],
+        aggs={"n_orders": "count(1)", "revenue": "round(sum(o_totalprice), 2)"},
+        order_by=["n_name"],
+    )
+    df = run_jobspec(spark, spec)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    got = [(r.n_name, r.n_orders, r.revenue) for r in df.collect()]
+    want = duck.sql(
+        "SELECT n_name, count(*) n, round(sum(o_totalprice),2) rev "
+        "FROM orders JOIN customer ON o_custkey=c_custkey "
+        "JOIN nation ON c_nationkey=n_nationkey GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert got == want
+
+
+def test_joins_clause_using_columns_and_how(spark):
+    """List-form 'on' is a USING equi-join (key deduplicated); 'how'
+    passes through (left join keeps unmatched rows)."""
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, w double")
+    spec = JobSpec(
+        source={"df": left},
+        joins=[{"source": {"df": right}, "on": ["k"], "how": "left"}],
+        order_by=["k"],
+    )
+    rows = run_jobspec(spark, spec).collect()
+    assert [tuple(r) for r in rows] == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)]
+
+
+def test_ambiguous_aggs_and_agg_udf_raises(spark):
+    """'aggs' and 'agg_udf' together must error loudly, not silently
+    prefer one (the old elif dropped agg_udf)."""
+    import pytest
+
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{SF_CORRECT}/orders.parquet"},
+        group_by=["o_orderpriority"],
+        aggs={"n": "count(1)"},
+        agg_udf=lambda pdf: pdf,
+        agg_udf_schema="o_orderpriority string, n bigint",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        run_jobspec(spark, spec)
