@@ -45,19 +45,26 @@ class JobStats:
     shuffle_bytes: int = 0
     rows_read: int = 0
     cost_usd: float = 0.0
+    # True only when the byte counters were actually measured (stage
+    # metrics via the UI REST API). When False the report omits them
+    # and the cost model prices core-hours only — never emit a zero
+    # that reads as "measured zero bytes".
+    bytes_measured: bool = False
     extra: dict = field(default_factory=dict)
 
     def report(self) -> dict:
-        return {
+        out = {
             "wall_secs": round(self.wall_secs, 3),
             "executor_run_secs": round(self.executor_run_secs, 3),
-            "bytes_read": self.bytes_read,
-            "bytes_written": self.bytes_written,
-            "shuffle_bytes": self.shuffle_bytes,
             "rows_read": self.rows_read,
             "cost_usd": round(self.cost_usd, 6),
-            **self.extra,
         }
+        if self.bytes_measured:
+            out["bytes_read"] = self.bytes_read
+            out["bytes_written"] = self.bytes_written
+            out["shuffle_bytes"] = self.shuffle_bytes
+        out.update(self.extra)
+        return out
 
 
 class MeasuredRun:
@@ -76,14 +83,38 @@ class MeasuredRun:
         self.stats = JobStats()
         self._t0 = 0.0
         self._jobs_before: set[int] = set()
+        self._stages_before: set[int] = set()
 
     def _job_ids(self) -> set[int]:
         tracker = self.spark.sparkContext.statusTracker()
         return set(tracker.getJobIdsForGroup(None) or [])
 
+    def _rest_stages(self) -> list[dict] | None:
+        """Completed-stage metrics from the UI REST API, or None when
+        the UI is disabled/unreachable (local test sessions disable it;
+        cluster deployments have it on by default)."""
+        sc = self.spark.sparkContext
+        ui = sc.uiWebUrl
+        if not ui:
+            return None
+        try:
+            import json as _json
+            import urllib.request
+
+            url = f"{ui}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+            with urllib.request.urlopen(url, timeout=2) as resp:
+                return _json.load(resp)
+        except Exception:
+            return None
+
+    @staticmethod
+    def _stage_ids(stages: list[dict] | None) -> set[int]:
+        return {s["stageId"] for s in stages or []}
+
     def __enter__(self) -> "MeasuredRun":
         self._t0 = time.monotonic()
         self._jobs_before = self._job_ids()
+        self._stages_before = self._stage_ids(self._rest_stages())
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
@@ -92,17 +123,30 @@ class MeasuredRun:
             return
         sc = self.spark.sparkContext
         self.stats.extra["n_jobs"] = len(self._job_ids() - self._jobs_before)
-        # The PySpark status API exposes job/stage ids but not task
-        # time; cost uses the wall * reserved-cores upper bound (what a
-        # cluster actually bills), matching the reference's accounting
-        # of billed Lambda GB-seconds rather than useful work.
+        stages = self._rest_stages()
+        if stages is not None:
+            new = [s for s in stages if s["stageId"] not in self._stages_before]
+            self.stats.bytes_read = sum(s.get("inputBytes", 0) for s in new)
+            self.stats.bytes_written = sum(s.get("outputBytes", 0) for s in new)
+            self.stats.shuffle_bytes = sum(
+                s.get("shuffleWriteBytes", 0) for s in new
+            )
+            self.stats.executor_run_secs = (
+                sum(s.get("executorRunTime", 0) for s in new) / 1000.0
+            )
+            self.stats.rows_read = sum(s.get("inputRecords", 0) for s in new)
+            self.stats.bytes_measured = True
+        # Cost: wall * reserved-cores (what a cluster actually bills,
+        # matching the reference's billed-GB-seconds accounting), plus
+        # byte terms only when the byte counters were really measured.
         core_hours = self.stats.wall_secs * sc.defaultParallelism / 3600.0
-        self.stats.cost_usd = (
-            core_hours * self.cost.usd_per_core_hour
-            + self.stats.bytes_read / 1e12 * self.cost.usd_per_tb_scanned
-            + self.stats.shuffle_bytes / 1e12 * self.cost.usd_per_tb_shuffled
-            + self.stats.bytes_written / 1e12 * self.cost.usd_per_tb_written
-        )
+        self.stats.cost_usd = core_hours * self.cost.usd_per_core_hour
+        if self.stats.bytes_measured:
+            self.stats.cost_usd += (
+                self.stats.bytes_read / 1e12 * self.cost.usd_per_tb_scanned
+                + self.stats.shuffle_bytes / 1e12 * self.cost.usd_per_tb_shuffled
+                + self.stats.bytes_written / 1e12 * self.cost.usd_per_tb_written
+            )
 
 
 def observe(df: DataFrame, name: str = "metrics", **aggs) -> tuple[DataFrame, "Observation"]:

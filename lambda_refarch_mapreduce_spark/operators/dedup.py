@@ -291,8 +291,8 @@ def simhash_near_pairs(
     id_col: str,
     content_col: str,
     bits: int = 60,
-    bands: int = 4,
-    max_hamming: int = 8,
+    bands: int = 6,
+    max_hamming: int = 5,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -300,7 +300,18 @@ def simhash_near_pairs(
     ``max_hamming`` <= bands-1 bit flips must agree on >=1 band), then
     exact hamming via bit_count(xor). Equi-join on (band, band_bits) —
     shuffle-bounded, never O(n^2).
+
+    The pigeonhole guarantee REQUIRES max_hamming <= bands-1: with
+    fewer bands, a qualifying pair can differ in every band and be
+    silently missed, so that combination raises instead of returning
+    incomplete results. Defaults satisfy the condition.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding is only exact when max_hamming <= bands-1; got "
+            f"max_hamming={max_hamming}, bands={bands} — raise bands to "
+            f"at least {max_hamming + 1}"
+        )
     sig = simhash(df, id_col, content_col, bits)
     band_width = bits // bands
     band_structs = [

@@ -48,8 +48,10 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFram
     NOT deterministic across retries; a content hash is), so retried
     tasks salt identically — required for exactly-once sinks.
     """
-    h = F.abs(F.hash(*[F.col(c) for c in df.columns]))
-    return df.withColumn(salt_col, h % n_salts)
+    # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows negative
+    # (~1 row in 4e9), which would put the salt outside [0, n_salts).
+    h = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    return df.withColumn(salt_col, h)
 
 
 def salted_agg(

@@ -772,11 +772,13 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference)."""
+    """EXCEPT (set difference). subtract() is SQL EXCEPT for any input
+    multiplicities; exceptAll(b).distinct() would wrongly keep a value
+    present on both sides when its left multiplicity is higher."""
     c = _t(spark, sf_dir, "customer")
     a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
     b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @register(

@@ -388,3 +388,25 @@ def test_stratified_sample_nested_and_shuffle_free(spark):
     assert abs(n_en25 / n_en - 0.25) < 0.15  # hash buckets ≈ uniform
     plan = s25._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_simhash_near_pairs_rejects_unsound_banding(spark):
+    """max_hamming > bands-1 voids the pigeonhole guarantee — must
+    raise instead of silently missing pairs."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_near_pairs(docs, "doc_id", "text", bands=4, max_hamming=8)
+    # sound combination still works
+    dedup.simhash_near_pairs(docs, "doc_id", "text", bands=6, max_hamming=5).count()
+
+
+def test_with_salt_range(spark):
+    """Salt always lands in [0, n_salts) — pmod, not abs(hash)%n which
+    overflows negative at hash == Integer.MIN_VALUE."""
+    from lambda_refarch_mapreduce_spark.partitioning import with_salt
+
+    df = load_table(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderstatus")
+    mn, mx = with_salt(df, 16).agg(
+        F.min("__salt"), F.max("__salt")
+    ).first()
+    assert 0 <= mn and mx <= 15

@@ -8,6 +8,8 @@ import gzip
 import json
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -86,6 +88,13 @@ def test_measured_run_cost_report(spark):
     assert rep["wall_secs"] > 0
     assert rep["cost_usd"] > 0
     assert rep["n_jobs"] >= 1
+    # the test session runs with spark.ui.enabled=false → byte counters
+    # cannot be measured, so the report must OMIT them rather than emit
+    # zeros that read as "measured zero bytes"
+    if not m.stats.bytes_measured:
+        assert "bytes_read" not in rep
+        assert "shuffle_bytes" not in rep
+        assert "bytes_written" not in rep
 
 
 def test_write_with_manifest_roundtrip(spark, tmp_path):
@@ -142,3 +151,18 @@ def test_orc_roundtrip_with_manifest(spark, tmp_path):
     assert sorted(r.n_name for r in back.collect()) == sorted(
         r.n_name for r in df.collect()
     )
+
+
+@pytest.mark.skip(
+    reason="spark-avro jar unavailable offline — the Avro DataSource is "
+    "external to Spark core (org.apache.spark:spark-avro). If the jar "
+    "appears on the classpath, unskip: the roundtrip below is the test."
+)
+def test_avro_roundtrip(spark, tmp_path):
+    """Tracked gap (COVERAGE.md §2.3): Avro is the one mainstream
+    format absent. Write+read nation as Avro and compare contents."""
+    df = load_table(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "nation_avro")
+    df.write.format("avro").save(out)
+    back = spark.read.format("avro").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
