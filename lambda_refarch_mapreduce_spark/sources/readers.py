@@ -129,8 +129,37 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
-    """Raw line source (reference O5 without the CSV parse)."""
+    """Raw line source (reference O5 without the CSV parse).
+
+    Codec inference by suffix is Hadoop-side and transparent: .gz,
+    .deflate, .bz2 lines read identically to plain text (reference O4,
+    README.md:131's gzip/deflate encodings — the reference only ever
+    implemented gzip, and only in the Node mapper)."""
     return spark.read.text(path)
+
+
+def read_sequencefile(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hadoop SequenceFile of (Text, Text) records as a 2-column
+    DataFrame (reference README.md:131 lists SequenceFile among its
+    dataset encodings; the reference never implemented a reader).
+
+    The one sanctioned RDD seam in the engine: SequenceFile is an
+    RDD-era container with no DataSource V2 implementation in Spark
+    core, so the scan goes through ``sequenceFile`` and immediately
+    re-enters DataFrame land — split planning and codec handling are
+    Hadoop's, downstream pruning/pushdown are Catalyst's."""
+    rdd = spark.sparkContext.sequenceFile(
+        path, "org.apache.hadoop.io.Text", "org.apache.hadoop.io.Text"
+    )
+    schema = StructType(
+        [StructField(key_col, StringType()), StructField(value_col, StringType())]
+    )
+    return spark.createDataFrame(rdd, schema)
 
 
 # Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond

