@@ -49,12 +49,11 @@ REGISTRY: dict[str, QueryDef] = {}
 # The driver's correctness gate checks only a finite prefix of queries()
 # (round 1 stopped at the first 50 of 95 dict entries, leaving the whole
 # LLM/dedup/similarity/UDF-seam suite without a hard-signal row — see
-# VERDICT.md "Next round" #1). Entries listed here are emitted FIRST by
-# __spark_entry__.queries(), in this order; everything else follows in
-# registration order. Round 1 already produced green driver rows for the
-# core-relational prefix, so the round-2 window is pointed at the
-# remainder: the union of CORRECTNESS_r01 + r02 then covers the full
-# catalog.
+# VERDICT.md "Next round" #1). ordered_registry() emits entries that have
+# no green row in any CORRECTNESS_r*.json artifact FIRST, so each round the
+# driver's window lands on whatever is still unverified (including entries
+# added mid-round). This static list is the priority tiebreak among the
+# unverified entries; anything unlisted follows in registration order.
 DRIVER_WINDOW_FIRST: list[str] = [
     # LLM training-data pipeline — dedup family
     "dedup_exact",
@@ -114,16 +113,52 @@ DRIVER_WINDOW_FIRST: list[str] = [
 ]
 
 
-def ordered_registry() -> dict[str, QueryDef]:
-    """REGISTRY reordered so DRIVER_WINDOW_FIRST entries lead.
+def _driver_verified_names() -> set[str]:
+    """Entry names with a green row in any CORRECTNESS_r*.json artifact.
 
-    Names in the priority list that are not registered (e.g. an optional
-    module failed to import) are skipped rather than raising.
+    Green = the driver compared the query and it matched (hash_match true)
+    or recorded the by-construction rows-only result (err == "no_oracle").
+    A failed or errored row does NOT count — the entry re-enters the
+    priority window so the next driver run re-verifies the fix. Missing or
+    unreadable artifacts contribute nothing (fresh checkouts stay stable).
     """
+    import json
+    from pathlib import Path
+
+    verified: set[str] = set()
+    repo_root = Path(__file__).resolve().parents[2]
+    for artifact in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                verified.add(name)
+    return verified
+
+
+def ordered_registry() -> dict[str, QueryDef]:
+    """REGISTRY reordered so driver-unverified entries lead.
+
+    Order: (1) unverified entries named in DRIVER_WINDOW_FIRST, in that
+    order; (2) remaining unverified entries in registration order; (3)
+    verified entries in registration order. Names in the priority list
+    that are not registered (e.g. an optional module failed to import)
+    are skipped rather than raising.
+    """
+    verified = _driver_verified_names()
     out: dict[str, QueryDef] = {}
     for name in DRIVER_WINDOW_FIRST:
-        if name in REGISTRY:
+        if name in REGISTRY and name not in verified:
             out[name] = REGISTRY[name]
+    for name, qd in REGISTRY.items():
+        if name not in out and name not in verified:
+            out[name] = qd
     for name, qd in REGISTRY.items():
         if name not in out:
             out[name] = qd
