@@ -110,6 +110,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    content_col: str,
+    bench_id_col: str,
+    bench_content_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Eval-set decontamination: per-document n-gram overlap against a
+    benchmark corpus (the pretraining-hygiene check that a training doc
+    does not leak evaluation data).
+
+    Plan shape for 100 TB: the benchmark's distinct shingle set is tiny
+    relative to the corpus (eval sets are KBs-to-MBs), so it is
+    broadcast and the overlap is a broadcast LEFT join on the exploded
+    doc shingles — the corpus is never shuffled, and each doc's
+    shingles stay on their scan partition. One groupBy on doc id (the
+    same shuffle the shingle-size count already needs) finishes it.
+
+    Returns (id, n_shingles, n_overlap, contamination, is_contaminated)
+    for every doc with at least one shingle (docs shorter than ``n``
+    tokens have no n-grams and are omitted — nothing to leak).
+    """
+    doc_sh = shingles(docs, id_col, content_col, n)
+    bench_sh = (
+        shingles(benchmark, bench_id_col, bench_content_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6),
+        )
+        .withColumn("is_contaminated", F.col("contamination") >= threshold)
+    )
+
+
 # Universal-hash family for MinHash: ONE md5 per shingle, k affine
 # combinations mod a Mersenne prime. 16x cheaper than k independent
 # md5s and still reproducible bit-for-bit in any SQL engine:

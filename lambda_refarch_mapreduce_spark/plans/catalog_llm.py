@@ -187,6 +187,52 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+# Eval-set decontamination: the "benchmark" is a deterministic slice of
+# the documents table (doc_id % 53 == 0, ~2%) standing in for a held-out
+# eval corpus; every other doc is scored against it.
+DECONTAM_BENCH_MOD = 53
+DECONTAM_THRESHOLD = 0.05
+
+
+@register(
+    "decontaminate_vs_benchmark",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id AS id, {_SQL_TOKENS} AS w,
+                   doc_id % {DECONTAM_BENCH_MOD} = 0 AS is_bench
+            FROM documents),
+        allsh AS (
+            SELECT id, is_bench, unnest({_SQL_SHINGLES}) AS shingle FROM tok),
+        bsh AS (SELECT DISTINCT shingle FROM allsh WHERE is_bench)
+        SELECT s.id AS doc_id,
+               count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_overlap,
+               round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS contamination,
+               sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*) >= {DECONTAM_THRESHOLD}
+                   AS is_contaminated
+        FROM (SELECT * FROM allsh WHERE NOT is_bench) s
+        LEFT JOIN bsh b USING (shingle)
+        GROUP BY s.id
+    """,
+    tags=("llm", "dedup", "decontam"),
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per-doc n-gram overlap fraction against
+    a benchmark slice, flagging docs above the leak threshold. The
+    benchmark's distinct shingles broadcast (eval sets are tiny);
+    the corpus side never shuffles — see dedup.contamination_overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    rest = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return dedup.contamination_overlap(
+        rest, bench, "doc_id", "text", "doc_id", "text",
+        NGRAM_N, DECONTAM_THRESHOLD,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def _minhash_oracle() -> str:
     from lambda_refarch_mapreduce_spark.operators.dedup import (
         MINHASH_P,

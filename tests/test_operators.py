@@ -73,6 +73,46 @@ def test_simhash_stable_under_token_reorder(spark):
     assert a == b
 
 
+def test_contamination_overlap_planted_leak(spark):
+    """A training doc that contains a benchmark doc verbatim must be
+    flagged; docs sharing nothing with the benchmark must score 0."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["bid", "btext"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # full verbatim inclusion of the benchmark text
+            (10, "intro words alpha beta gamma delta epsilon zeta outro"),
+            # disjoint vocabulary — zero overlap
+            (11, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in dedup.contamination_overlap(
+            docs, bench, "doc_id", "text", "bid", "btext", n=3, threshold=0.05
+        ).collect()
+    }
+    assert out[10].n_overlap == 4  # the 4 trigrams inside the quoted span
+    assert out[10].is_contaminated
+    assert out[11].n_overlap == 0 and out[11].contamination == 0.0
+    assert not out[11].is_contaminated
+
+
+def test_contamination_overlap_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast: the corpus is never shuffled
+    for the overlap join (scale posture for 100 TB corpora)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = dedup.contamination_overlap(
+        docs, bench, "doc_id", "text", "doc_id", "text"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """Approximate ANN must keep reasonable recall@5 against the
     exact baseline on the test embeddings."""
