@@ -198,6 +198,112 @@ def minhash_signature(df: DataFrame, id_col: str, content_col: str, n: int = 3, 
     return hexed.groupBy("id").agg(*aggs)
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) LSH band rows: the k-minhash signature split
+    into ``bands`` groups, each hashed to one band key. Docs agreeing
+    on any band key are near-dup candidates."""
+    if k % bands != 0:
+        raise ValueError("k must be divisible by bands")
+    rows_per_band = k // bands
+    sig = minhash_signature(df, id_col, content_col, n, k)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    return sig.select(
+        F.col("id"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable incremental-dedup index over an existing corpus:
+    (digest set, LSH band-key table). In production both are written
+    once and appended after each batch is filtered — new data is
+    deduped against the index without ever rescanning corpus text.
+    """
+    digests = docs.select(F.md5(F.col(content_col)).alias("digest")).distinct()
+    band_rows = (
+        minhash_bands(docs, id_col, content_col, n, k, bands)
+        .select("band", "bkey")
+        .distinct()
+    )
+    return digests, band_rows
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    digest_index: DataFrame,
+    band_index: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental dedup: annotate a new batch against an existing
+    corpus index (from build_dedup_index) without touching corpus text.
+
+    Policy: an exact digest hit or ANY LSH band collision marks the
+    doc a duplicate — the standard at-scale choice (no exact-Jaccard
+    verification pass, over-drop bounded by the LSH false-positive
+    rate at the configured bands/rows-per-band).
+
+    Plan shape for a 100 TB index: the batch is the small side, so
+    both probes broadcast the batch and stream the index map-side —
+    the index is scanned once per probe and never shuffled; hit sets
+    (bounded by batch size) come back as broadcast left joins onto
+    the batch.
+
+    Returns (id, is_exact_dup, is_near_dup, keep).
+    """
+    batch_dig = batch.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("digest")
+    )
+    exact_ids = (
+        digest_index.join(F.broadcast(batch_dig), "digest")
+        .select("id")
+        .distinct()
+        .withColumn("__e", F.lit(True))
+    )
+    batch_bands = minhash_bands(batch, id_col, content_col, n, k, bands)
+    near_ids = (
+        band_index.join(F.broadcast(batch_bands), ["band", "bkey"])
+        .select("id")
+        .distinct()
+        .withColumn("__n", F.lit(True))
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(exact_ids), "id", "left")
+        .join(F.broadcast(near_ids), "id", "left")
+        .select(
+            "id",
+            F.coalesce("__e", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("__n", F.lit(False)).alias("is_near_dup"),
+        )
+        .withColumn("keep", ~(F.col("is_exact_dup") | F.col("is_near_dup")))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -223,23 +329,7 @@ def minhash_lsh_pairs(
     the corpus — the property that makes this plan hold at 100TB.
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    if k % bands != 0:
-        raise ValueError("k must be divisible by bands")
-    rows_per_band = k // bands
-    sig = minhash_signature(df, id_col, content_col, n, k)
-
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bkey"),
-            )
-        )
-    banded = sig.select(
-        F.col("id"), F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    banded = minhash_bands(df, id_col, content_col, n, k, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -300,6 +300,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental dedup: the "existing corpus" is doc_id % 5 != 0; the
+# "new batch" arriving is doc_id % 5 == 0 (~20%), scale-independent.
+INCREMENTAL_BATCH_MOD = 5
+
+
+def _incremental_oracle() -> str:
+    from lambda_refarch_mapreduce_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    k, bands = MINHASH_K, MINHASH_BANDS
+    rpb = k // bands
+    mh_terms = []
+    for i in range(k):
+        a, b, c = minhash_coeffs(i)
+        mh_terms.append(f"min(({a} * h1 + {b} * h2 + {c}) % {MINHASH_P}) AS mh{i}")
+    mh_cols = ", ".join(mh_terms)
+    band_selects = " UNION ALL ".join(
+        "SELECT id, is_batch, {b} AS band, md5({cols}) AS bkey FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS id, {_SQL_TOKENS} AS w,
+                   doc_id % {INCREMENTAL_BATCH_MOD} = 0 AS is_batch
+            FROM documents),
+        sh AS (SELECT id, is_batch, unnest({_SQL_SHINGLES}) AS shingle FROM tok),
+        hsh AS (SELECT id, is_batch,
+                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h1,
+                ('0x' || substr(md5(shingle), 16, 15))::BIGINT % {MINHASH_P} AS h2
+                FROM sh),
+        sig AS (SELECT id, is_batch, {mh_cols} FROM hsh GROUP BY id, is_batch),
+        banded AS ({band_selects}),
+        dig AS (SELECT doc_id AS id, doc_id % {INCREMENTAL_BATCH_MOD} = 0 AS is_batch,
+                       md5(text) AS digest
+                FROM documents),
+        exact_hits AS (
+            SELECT DISTINCT b.id, true AS hit
+            FROM dig b JOIN dig c ON b.digest = c.digest
+            WHERE b.is_batch AND NOT c.is_batch),
+        near_hits AS (
+            SELECT DISTINCT b.id, true AS hit
+            FROM banded b JOIN banded c ON b.band = c.band AND b.bkey = c.bkey
+            WHERE b.is_batch AND NOT c.is_batch)
+        SELECT d.id,
+               coalesce(e.hit, false) AS is_exact_dup,
+               coalesce(nh.hit, false) AS is_near_dup,
+               NOT (coalesce(e.hit, false) OR coalesce(nh.hit, false)) AS keep
+        FROM (SELECT id FROM dig WHERE is_batch) d
+        LEFT JOIN exact_hits e USING (id)
+        LEFT JOIN near_hits nh USING (id)
+    """
+
+
+@register(
+    "dedup_incremental_batch", oracle=_incremental_oracle(), tags=("llm", "dedup")
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch annotated against the existing
+    corpus's digest + LSH-band index (dedup.build_dedup_index /
+    dedup_against_index). The corpus index streams map-side against
+    the broadcast batch — corpus text is never rescanned, never
+    shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    digest_index, band_index = dedup.build_dedup_index(
+        corpus, "doc_id", "text", NGRAM_N, MINHASH_K, MINHASH_BANDS
+    )
+    return dedup.dedup_against_index(
+        batch, digest_index, band_index, "doc_id", "text",
+        NGRAM_N, MINHASH_K, MINHASH_BANDS,
+    )
+
+
 def _simhash_cte() -> str:
     bits = SIMHASH_BITS
     return f"""

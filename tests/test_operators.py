@@ -113,6 +113,45 @@ def test_contamination_overlap_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_against_index_planted(spark):
+    """A batch doc byte-identical to a corpus doc → exact dup; a
+    one-word mutation → near dup (band collision); a fresh doc →
+    keep."""
+    corpus = load_table(spark, SF_SMOKE, "documents").limit(20).select("doc_id", "text")
+    first = corpus.orderBy("doc_id").limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (100001, first.text),  # exact copy
+            (100002, first.text + " zzzmutation"),  # near dup
+            (100003, "totally disjoint vocabulary nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    dig, bandtab = dedup.build_dedup_index(corpus, "doc_id", "text")
+    out = {
+        r.id: r
+        for r in dedup.dedup_against_index(
+            batch, dig, bandtab, "doc_id", "text"
+        ).collect()
+    }
+    assert out[100001].is_exact_dup and not out[100001].keep
+    assert out[100002].is_near_dup and not out[100002].is_exact_dup
+    assert out[100003].keep and not out[100003].is_near_dup
+
+
+def test_dedup_against_index_streams_index_map_side(spark):
+    """Scale posture: every join in the incremental probe broadcasts
+    the (small) batch side — the corpus index must never be the
+    shuffled side of a SortMergeJoin."""
+    corpus = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = corpus.limit(5)
+    dig, bandtab = dedup.build_dedup_index(corpus, "doc_id", "text")
+    out = dedup.dedup_against_index(batch, dig, bandtab, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 2 probes + 2 flag joins
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """Approximate ANN must keep reasonable recall@5 against the
     exact baseline on the test embeddings."""
