@@ -84,6 +84,40 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_quantile_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: float = 0.1,
+    exact: bool = False,
+) -> DataFrame:
+    """Corpus-relative quality filtering: drop documents whose quality
+    score falls below the corpus's q-quantile (the standard "trim the
+    worst X%" pretraining pass, where the cutoff adapts to the corpus
+    instead of being a magic constant).
+
+    The threshold is a single-row aggregate broadcast back over the
+    scored corpus — one scan to score, one tiny broadcast, one filter;
+    the corpus is never shuffled. Default is ``approx_percentile``
+    (mergeable sketch, the only sound choice at 100 TB where an exact
+    percentile would buffer every value); ``exact=True`` switches to
+    the exact interpolated percentile for correctness-tier runs that
+    are compared against a SQL oracle.
+
+    Returns surviving rows: (id, quality, q_threshold).
+    """
+    scored = quality_score(df, id_col, text_col)
+    pct = "percentile" if exact else "approx_percentile"
+    thr = scored.agg(
+        F.round(F.expr(f"{pct}(quality, {q})"), 6).alias("q_threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q_threshold"))
+        .select(F.col(id_col), F.col("quality"), F.col("q_threshold"))
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-hit language ID: argmax over per-language distinct
     stopword hits; 'und' (undetermined) when no list scores > 0.

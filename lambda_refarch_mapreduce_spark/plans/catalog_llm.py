@@ -585,6 +585,33 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+QUALITY_FILTER_Q = 0.1
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+        WITH scored AS ({_quality_sql()}),
+        thr AS (SELECT round(quantile_cont(quality, {QUALITY_FILTER_Q}), 6)
+                       AS q_threshold
+                FROM scored)
+        SELECT s.doc_id, s.quality, thr.q_threshold
+        FROM scored s, thr
+        WHERE s.quality >= thr.q_threshold
+    """,
+    tags=("llm", "text"),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality trim: drop the worst q-fraction by
+    score. Exact percentile here so the oracle can reproduce the
+    cutoff; the operator's default is the approx_percentile sketch —
+    the scale path (see text.quality_quantile_filter)."""
+    return text.quality_quantile_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        q=QUALITY_FILTER_Q, exact=True,
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

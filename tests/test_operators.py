@@ -113,6 +113,28 @@ def test_contamination_overlap_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_quality_quantile_filter_modes_agree(spark):
+    """The approx sketch (scale default) must keep nearly the same set
+    as the exact percentile, and both trim ~q of the corpus."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n = docs.count()
+    exact = text_ops.quality_quantile_filter(
+        docs, "doc_id", "text", q=0.1, exact=True
+    )
+    approx = text_ops.quality_quantile_filter(
+        docs, "doc_id", "text", q=0.1, exact=False
+    )
+    ne, na = exact.count(), approx.count()
+    assert 0.85 * n <= ne <= 0.92 * n  # ~90% survive
+    # sketch cutoff within one band of the exact survivor count
+    assert abs(na - ne) <= 0.03 * n
+    # every row carries the corpus-wide threshold and respects it
+    bad = exact.filter(F.col("quality") < F.col("q_threshold")).count()
+    assert bad == 0
+
+
 def test_dedup_against_index_planted(spark):
     """A batch doc byte-identical to a corpus doc → exact dup; a
     one-word mutation → near dup (band collision); a fresh doc →
