@@ -157,6 +157,63 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def mixture_token_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    total_budget: int,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Mixture-weighted corpus sampling to a token budget: given target
+    per-domain token shares (e.g. {en: .5, de: .2, ...}) and a total
+    token budget, select documents so each domain contributes ~its
+    share. Domains not in ``weights`` are dropped.
+
+    Design for 100 TB: per-domain *rates*, not per-domain prefix sums.
+    A cumulative-tokens-until-budget cut needs a per-domain ordered
+    window — one reducer per domain, a non-starter when one domain is
+    most of the corpus. Instead: one tiny aggregate of per-domain
+    token totals T_d, rate_d = min(1, budget_d / T_d) broadcast back,
+    then a row-local deterministic hash predicate (portable md5 of the
+    id) keeps each doc with probability rate_d. Expected kept tokens
+    per domain = budget_d; no shuffle of the corpus, no RNG (identical
+    output across runs/partitionings), and samples at different
+    budgets are NESTED (a smaller budget's sample is a subset).
+
+    The hash-vs-rate comparison is integer (floor(rate*granularity)),
+    so engine float-boundary behavior cannot flip a row. Returns kept
+    rows (id, domain, n_tokens, rate).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    ).filter(F.col("domain").isin(list(weights)))
+    totals = base.groupBy("domain").agg(F.sum("n_tokens").alias("t_total"))
+    wmap = F.create_map(
+        *[x for d, w in weights.items() for x in (F.lit(d), F.lit(float(w)))]
+    )
+    rates = totals.select(
+        "domain",
+        F.least(
+            F.lit(1.0),
+            wmap[F.col("domain")] * F.lit(float(total_budget)) / F.col("t_total"),
+        ).alias("rate"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % granularity
+    )
+    return (
+        base.join(F.broadcast(rates), "domain")
+        .filter(h < F.floor(F.col("rate") * granularity).cast("bigint"))
+        .select("id", "domain", "n_tokens", F.round("rate", 6).alias("rate"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

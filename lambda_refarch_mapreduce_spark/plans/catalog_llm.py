@@ -587,6 +587,46 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_FILTER_Q = 0.1
 
+# Mixture sampling: target token shares per language and total budget.
+# zh is deliberately unlisted — unlisted domains are dropped.
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}
+MIXTURE_BUDGET = 8000
+MIXTURE_GRAN = 1_000_000
+
+
+def _mixture_oracle() -> str:
+    langs = ", ".join(f"'{d}'" for d in MIXTURE_WEIGHTS)
+    wcase = "CASE domain " + " ".join(
+        f"WHEN '{d}' THEN {w}" for d, w in MIXTURE_WEIGHTS.items()
+    ) + " END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS id, lang AS domain,
+                   len({_SQL_TOKENS})::INT AS n_tokens
+            FROM documents WHERE lang IN ({langs})),
+        tot AS (SELECT domain, sum(n_tokens) AS t_total FROM t GROUP BY domain),
+        r AS (SELECT domain,
+                     least(1.0, {wcase} * {MIXTURE_BUDGET} / t_total) AS rate
+              FROM tot)
+        SELECT t.id, t.domain, t.n_tokens, round(r.rate, 6) AS rate
+        FROM t JOIN r USING (domain)
+        WHERE ('0x' || substr(md5(t.id::VARCHAR), 1, 15))::BIGINT
+                  % {MIXTURE_GRAN}
+              < floor(r.rate * {MIXTURE_GRAN})::BIGINT
+    """
+
+
+@register("mixture_token_sample", oracle=_mixture_oracle(), tags=("llm", "text"))
+def mixture_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted sampling to a token budget: per-domain rates
+    from one tiny totals aggregate, then a row-local deterministic
+    hash predicate — no per-domain ordered window, no corpus shuffle
+    (see text.mixture_token_sample)."""
+    return text.mixture_token_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang",
+        MIXTURE_WEIGHTS, MIXTURE_BUDGET, MIXTURE_GRAN,
+    )
+
 
 @register(
     "quality_quantile_filter",

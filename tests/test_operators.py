@@ -135,6 +135,26 @@ def test_quality_quantile_filter_modes_agree(spark):
     assert bad == 0
 
 
+def test_mixture_token_sample_budget_and_nesting(spark):
+    """Kept tokens per domain approximate the target share; unlisted
+    domains vanish; a smaller budget's sample nests in a larger one."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    weights = {"en": 0.5, "de": 0.5}
+    big = text_ops.mixture_token_sample(docs, "doc_id", "text", "lang", weights, 6000)
+    small = text_ops.mixture_token_sample(docs, "doc_id", "text", "lang", weights, 3000)
+    got = {r.domain: r.tok for r in big.groupBy("domain").agg(F.sum("n_tokens").alias("tok")).collect()}
+    assert set(got) <= {"en", "de"}  # zh/es/fr dropped
+    for d in got:
+        # expected 3000 tokens per domain; hash sampling variance is
+        # real at ~70-200 docs per domain, so allow a wide band
+        assert 0.5 * 3000 <= got[d] <= 1.6 * 3000, (d, got[d])
+    big_ids = {r.id for r in big.select("id").collect()}
+    small_ids = {r.id for r in small.select("id").collect()}
+    assert small_ids <= big_ids  # nested samples
+
+
 def test_dedup_against_index_planted(spark):
     """A batch doc byte-identical to a corpus doc → exact dup; a
     one-word mutation → near dup (band collision); a fresh doc →
