@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+from lambda_refarch_mapreduce_spark.functions.scalar import tokenize, word_ngrams
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit language
 # heuristic. Deliberately small and hard-coded: the operator contract is
@@ -154,6 +154,110 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("content_md5"),
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_md5"),
         F.array_max(F.transform(toks, lambda t: F.md5(t))).alias("max_token_md5"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 "repetitious text"): the fraction of duplicate word n-grams
+    and the share taken by the single most-frequent n-gram.
+
+    Both stats are row-local Catalyst expressions — no explode, no
+    shuffle. Max n-gram multiplicity is computed by sorting the shingle
+    array and scanning runs with one ``F.aggregate`` fold (O(T log T)
+    per row), instead of the O(T^2) count-each-element transform or a
+    corpus-wide explode/groupBy that would shuffle 100 TB of shingles
+    for a per-document statistic.
+
+    Returns (id, n_ngrams, dup_ngram_frac, top_ngram_frac); both
+    fractions are 0.0 for documents with no n-grams.
+    """
+    grams = word_ngrams(tokenize(F.col(text_col)), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    # longest run in the sorted shingle array == max multiplicity
+    run_state = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        F.round(
+            (total - distinct) / F.greatest(total, F.lit(1)).cast("double"), 6
+        ).alias("dup_ngram_frac"),
+        F.round(
+            run_state["best"] / F.greatest(total, F.lit(1)).cast("double"), 6
+        ).alias("top_ngram_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_dup_frac: float = 0.75,
+) -> DataFrame:
+    """Drop documents whose duplicate-n-gram fraction exceeds the
+    threshold — the standard repetition gate in pretraining pipelines.
+    Row-local predicate; composes with any other filter at zero
+    shuffle cost."""
+    stats = repetition_stats(df, id_col, text_col, n)
+    return stats.filter(F.col("dup_ngram_frac") <= max_dup_frac)
+
+
+# PII patterns — deliberately lookaround-free so the identical pattern
+# compiles in Java regex (Spark) and RE2 (DuckDB oracle). Replacement
+# order matters: emails first (their local part can contain digits that
+# the phone pattern would otherwise eat), then IPv4, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Detect and redact PII spans (emails, IPv4 addresses,
+    international-format phone numbers) with portable regexes.
+
+    Pure Catalyst ``regexp_extract_all`` / chained ``regexp_replace``
+    — codegen'd, shuffle-free, O(len(text)) per row; the realistic
+    shape of a redaction pass over 100 TB of text. Returns
+    (id, n_emails, n_ips, n_phones, redacted).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
     )
 
 
