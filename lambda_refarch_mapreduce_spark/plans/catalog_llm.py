@@ -668,6 +668,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                    i -> w[i] || ' ' || w[i + 1]) AS grams
+              FROM t)
+        SELECT doc_id,
+               len(grams)::INT AS n_ngrams,
+               round((len(grams) - len(list_distinct(grams))) * 1.0
+                     / greatest(len(grams), 1), 6) AS dup_ngram_frac,
+               round(coalesce(list_max(list_transform(list_distinct(grams),
+                         d -> len(list_filter(grams, x -> x = d)))), 0) * 1.0
+                     / greatest(len(grams), 1), 6) AS top_ngram_frac
+        FROM g
+    """,
+    tags=("llm", "text"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-bigram fraction, top-bigram
+    share). Spark side is a row-local sorted-run fold — the oracle's
+    O(T^2) count-per-distinct-gram is affordable only at oracle scale."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", 2)
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{text.PII_EMAIL}'))::INT AS n_emails,
+               len(regexp_extract_all(text, '{text.PII_IPV4}'))::INT AS n_ips,
+               len(regexp_extract_all(text, '{text.PII_PHONE}'))::INT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{text.PII_IPV4}', '<IP>', 'g'),
+                   '{text.PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect+redact with lookaround-free regexes that compile
+    identically under Java regex (Spark) and RE2 (DuckDB)."""
+    return text.pii_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -531,3 +531,56 @@ def test_with_salt_range(spark):
         F.min("__salt"), F.max("__salt")
     ).first()
     assert 0 <= mn and mx <= 15
+
+
+def test_repetition_stats_planted(spark):
+    """dup/top fractions on hand-computed docs, incl. empty/short."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            # 4 bigrams: "a b","b a","a b","b c" -> dup=(4-3)/4, top=2/4
+            (1, "a b a b c"),
+            (2, "x y z"),  # 2 distinct bigrams -> 0.0, 0.5
+            (3, "w"),  # no bigrams
+            (4, ""),  # empty
+            (5, "q q q q"),  # 3 identical bigrams -> 2/3, 1.0
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.dup_ngram_frac, r.top_ngram_frac)
+        for r in text_ops.repetition_stats(df, "doc_id", "text", 2).collect()
+    }
+    assert got[1] == (4, 0.25, 0.5)
+    assert got[2] == (2, 0.0, 0.5)
+    assert got[3] == (0, 0.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0)
+    assert got[5] == (3, pytest.approx(0.666667), 1.0)
+
+    kept = {
+        r.doc_id
+        for r in text_ops.repetition_filter(
+            df, "doc_id", "text", 2, max_dup_frac=0.5
+        ).collect()
+    }
+    assert kept == {1, 2, 3, 4}
+
+
+def test_pii_stats_redaction(spark):
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "from 10.0.255.1 call +14155550123"),
+            (3, "clean text, no pii here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in text_ops.pii_stats(df, "doc_id", "text").collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[1].redacted == "mail <EMAIL> now"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 1)
+    assert got[2].redacted == "from <IP> call <PHONE>"
+    assert got[3].redacted == got[3].redacted == "clean text, no pii here"
