@@ -544,3 +544,62 @@ def connected_components(
             break
         prev_sum = s
     return labels
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4/Dolma pass the
+    reference's framework could never express — it has no second
+    shuffle): every distinct non-blank paragraph survives only at its
+    first occurrence, ordered by (id, position); documents are then
+    reassembled from their surviving paragraphs in original order.
+
+    ``sep`` is a Java regex (Spark ``split`` semantics).
+
+    Plan shape at 100 TB: one shuffle of paragraphs keyed by their
+    md5 (the keep-first window — paragraph text must ride along
+    because reassembly needs it; the *key* is the 32-byte digest, so
+    sort/exchange comparisons never touch bodies), then one shuffle
+    back on doc id to rebuild. No corpus-wide collect, no pair join.
+
+    Returns (id, n_paras, n_kept, text_deduped); fully-deduplicated
+    documents stay in the output with empty text.
+    """
+    from pyspark.sql.window import Window
+
+    paras = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.trim(F.col("para")) != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0).cast("bigint")).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -451,3 +451,91 @@ def lsh_blocked_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (explicit half-up — ``round`` has
+    engine-specific half-tie rules, floor(+0.5) does not). Returns
+    (id, scale, q, max_abs_err) where max_abs_err is the worst
+    dequantization error of the vector.
+
+    Pure row-local Catalyst projection — zero shuffle, codegen'd: the
+    4x storage/bandwidth cut this buys an ANN index at 100 TB costs
+    one scan. All-zero vectors quantize to zeros with scale 0.
+    """
+    v = _as_double(F.col(vec_col))
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    err = F.when(
+        max_abs > 0,
+        F.aggregate(
+            F.zip_with(v, q, lambda x, qi: F.abs(qi * scale - x)),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings with spherical k-means, then drop the higher-id member
+    of every within-cluster pair whose cosine exceeds ``threshold``.
+
+    The pair join is an equi-join on cluster id, so comparisons cost
+    sum over clusters of b_i^2 instead of n^2 — the same
+    blocked-join posture as lsh_blocked_pairs, with the blocks chosen
+    semantically. Survivor rule is keep-lowest-id (deterministic).
+    Returns the surviving (id, cluster_id) rows.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, refine_iters)
+    cv = _as_double(F.col(vec_col))
+    assigned = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"),
+        cv.alias("v"),
+        (
+            _assign_lists(cv, cents, 1)[0]
+            if cents
+            else F.lit(0)
+        ).alias("cluster_id"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(losers, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cluster_id"
+    )

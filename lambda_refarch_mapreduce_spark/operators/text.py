@@ -380,3 +380,63 @@ def pack_sequences(
             ).cast("bigint").alias("bin_id"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Corpus-relative unigram LM quality score — the cheap stand-in
+    for the KenLM perplexity gate in CCNet-style pipelines: score each
+    document by the mean log-probability of its tokens under the
+    corpus's own top-``vocab_size`` unigram distribution. Out-of-vocab
+    tokens get a half-count floor log(0.5 / n_total).
+
+    Plan shape: token frequencies are one map-side-combined groupBy of
+    tokens (small — vocab-sized after combine), the top-K cut is a
+    TakeOrderedAndProject (deterministic tie-break on token), and the
+    vocab rides back to the corpus as a broadcast join — the corpus
+    itself is scanned twice but never shuffled; the only data-plane
+    shuffle is the per-doc re-aggregation keyed by id.
+
+    Returns (id, n_tokens, oov_frac, avg_logprob); empty documents
+    score 0.0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(F.sum("c").alias("n_total"))
+    top = (
+        freq.orderBy(F.col("c").desc(), F.col("token"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select("token", (F.log(F.col("c") / F.col("n_total"))).alias("logp"))
+    )
+    floor = F.broadcast(totals).select(
+        F.log(F.lit(0.5) / F.col("n_total")).alias("floor_logp")
+    )
+    scored = (
+        toks.join(F.broadcast(top), "token", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.when(F.col("logp").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_frac"),
+            F.round(F.avg(F.coalesce("logp", "floor_logp")), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -1168,3 +1168,143 @@ def python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", rev("lang").alias("rlang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup, quantization, unigram LM scoring, SemDedup
+# ---------------------------------------------------------------------------
+
+PARA_CHUNK_W = 8  # tokens per pseudo-paragraph (fixture docs have no \n)
+UNIGRAM_VOCAB = 512
+
+
+def _para_oracle() -> str:
+    w = PARA_CHUNK_W
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        c AS (SELECT id,
+                     list_transform(range(1, cast(ceil(len(w) / {w}.0) AS INT) + 1),
+                                    i -> array_to_string(w[(i - 1) * {w} + 1 : i * {w}], ' ')) AS chunks
+              FROM t),
+        p AS (SELECT id, unnest(chunks) AS para,
+                     unnest(range(1, len(chunks) + 1)) AS pos
+              FROM c),
+        p2 AS (SELECT * FROM p WHERE trim(para) <> ''),
+        k AS (SELECT id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY id, pos) AS rn
+              FROM p2),
+        r AS (SELECT id, count(*) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY pos) AS text_deduped
+              FROM k WHERE rn = 1 GROUP BY id),
+        tot AS (SELECT id, count(*) AS n_paras FROM p2 GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(tot.n_paras, 0)::BIGINT AS n_paras,
+               coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(r.text_deduped, '') AS text_deduped
+        FROM documents d
+        LEFT JOIN tot ON tot.id = d.doc_id
+        LEFT JOIN r ON r.id = d.doc_id
+    """
+
+
+@register("dedup_paragraphs_corpus", oracle=_para_oracle(), tags=("llm", "dedup"))
+def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style corpus-wide exact paragraph dedup: the fixture
+    docs are flat word streams, so re-chunk tokens into PARA_CHUNK_W-
+    token pseudo-paragraphs first, then keep each distinct paragraph
+    only at its first (id, pos) occurrence and rebuild the documents
+    (operators.dedup.paragraph_dedup — one digest-keyed shuffle + one
+    rebuild shuffle)."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    w = PARA_CHUNK_W
+    nchunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    idx = F.when(nchunks >= 1, F.sequence(F.lit(1), nchunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = F.array_join(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " ")
+        ),
+        "\n",
+    )
+    return dedup.paragraph_dedup(
+        docs.select("doc_id", chunked.alias("text")), "doc_id", "text", "\n"
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH m AS (SELECT vec_id, embedding,
+                          list_max(list_transform(embedding,
+                              x -> abs(x::DOUBLE))) / 127.0 AS s
+                   FROM embeddings)
+        SELECT vec_id,
+               round(s, 6) AS scale,
+               CASE WHEN s > 0
+                    THEN list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)::INT)
+                    ELSE list_transform(embedding, x -> 0) END AS q,
+               round(CASE WHEN s > 0
+                          THEN list_max(list_transform(embedding,
+                                   x -> abs(floor(x::DOUBLE / s + 0.5) * s - x::DOUBLE)))
+                          ELSE 0.0 END, 6) AS max_abs_err
+        FROM m
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4x bandwidth cut for the
+    ANN tiers). Explicit floor(x/s + 0.5) half-up keeps Spark and
+    DuckDB bit-identical where round()'s tie rules would diverge."""
+    return similarity.quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        tok AS (SELECT id, unnest(w) AS token FROM t),
+        freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT sum(c) AS n FROM freq),
+        top AS (SELECT token, ln(c / (SELECT n FROM tot)) AS logp
+                FROM freq ORDER BY c DESC, token LIMIT {UNIGRAM_VOCAB}),
+        fl AS (SELECT ln(0.5 / n) AS floor_logp FROM tot),
+        sc AS (SELECT tok.id,
+                      count(*) AS n_tokens,
+                      round(avg(CASE WHEN top.token IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac,
+                      round(avg(coalesce(top.logp, fl.floor_logp)), 6) AS avg_logprob
+               FROM tok LEFT JOIN top ON top.token = tok.token CROSS JOIN fl
+               GROUP BY tok.id)
+        SELECT d.doc_id,
+               coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(sc.oov_frac, 0.0) AS oov_frac,
+               coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+        FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-relative unigram LM quality score: mean token
+    log-prob under the corpus's own top-K unigram distribution, OOV at
+    a half-count floor. Frequencies shrink to vocab size via map-side
+    combine; the vocab returns as a broadcast join — the corpus is
+    never shuffled, only the per-doc (id, partial-sum) rows are."""
+    return text.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", UNIGRAM_VOCAB
+    )
+
+
+@register("semdedup_embeddings", oracle=None, tags=("llm", "similarity"))
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: spherical-k-means clusters as semantic blocks, exact
+    cosine prune inside each block, keep-lowest-id survivors. Iterative
+    centroid refinement puts it out of SQL's reach (rows-only gate);
+    the planted-duplicate behavior is pinned in test_operators."""
+    return similarity.semdedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.95
+    )

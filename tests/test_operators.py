@@ -584,3 +584,58 @@ def test_pii_stats_redaction(spark):
     assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 1)
     assert got[2].redacted == "from <IP> call <PHONE>"
     assert got[3].redacted == got[3].redacted == "clean text, no pii here"
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from lambda_refarch_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon line\ngamma"),
+            (2, "common line\ndelta"),  # loses "common line" to doc 1
+            (3, "common line"),  # fully deduped
+            (4, "   \n  "),  # only blank paragraphs
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert got[1].text_deduped == "alpha beta\ncommon line\ngamma"
+    assert (got[1].n_paras, got[1].n_kept) == (3, 3)
+    assert got[2].text_deduped == "delta"
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    assert got[3].text_deduped == ""
+    assert (got[3].n_paras, got[3].n_kept) == (1, 0)
+    assert (got[4].n_paras, got[4].n_kept, got[4].text_deduped) == (0, 0, "")
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from lambda_refarch_mapreduce_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert got[1].q == [127, -63, 32]  # half-up: floor(-63.5 + 0.5) = -63
+    assert got[1].scale == pytest.approx(1.0 / 127, abs=1e-6)
+    # dequant error bounded by half a quantization step
+    assert got[1].max_abs_err <= got[1].scale / 2 + 1e-9
+    assert got[2].q == [0, 0, 0]
+    assert (got[2].scale, got[2].max_abs_err) == (0.0, 0.0)
+
+
+def test_semdedup_drops_planted_near_dups(spark):
+    from lambda_refarch_mapreduce_spark.operators.similarity import semdedup
+
+    base = load_table(spark, SF_SMOKE, "embeddings").limit(30)
+    # plant an exact duplicate of vec 0 with a high id
+    dup = base.filter(F.col("vec_id") == base.agg(F.min("vec_id")).first()[0]).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    df = base.unionByName(dup)
+    survivors = {r.vec_id for r in semdedup(df, "vec_id", "embedding", 0.99, 4).collect()}
+    planted = dup.first().vec_id
+    assert planted not in survivors  # higher-id twin dropped
+    assert len(survivors) <= df.count() - 1
+    # the low-id original survives
+    assert (planted - 100000) in survivors
