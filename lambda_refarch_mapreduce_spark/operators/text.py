@@ -407,7 +407,14 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
     )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # freq is vocab-sized after the map-side combine; localCheckpoint it
+    # so the three consumers below (totals, top-K, floor) share ONE
+    # corpus scan + token shuffle instead of re-deriving the subtree.
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = freq.agg(F.sum("c").alias("n_total"))
     top = (
         freq.orderBy(F.col("c").desc(), F.col("token"))
