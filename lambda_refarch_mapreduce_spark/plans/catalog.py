@@ -66,15 +66,18 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "dedup_survivors",
     # similarity search
     "similarity_topk",
-    "similarity_ivf_topk",
     "embedding_neardup_pairs",
-    "embedding_neardup_lsh_blocked",
     # text analysis
     "text_token_stats",
     "text_language_id",
     "text_quality",
     "text_fingerprint",
     "text_bpe_token_count",
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "text_unigram_logprob",
+    "dedup_paragraphs_corpus",
+    "embedding_quantize_int8",
     # packing / sampling / pipeline composition
     "pack_sequences_token_budget",
     "stratified_sample_docs",
@@ -82,7 +85,10 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "training_data_prep_pipeline",
     # multimodal plumbing
     "multimodal_features",
-    "multimodal_frame_sampling",
+    "decontaminate_vs_benchmark",
+    "dedup_incremental_batch",
+    "mixture_token_sample",
+    "quality_quantile_filter",
     # UDF/UDAF/UDTF seams (SURVEY §2.2)
     "applyinpandas_zscore",
     "mapinpandas_token_count",
@@ -105,10 +111,20 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "intersect_all_multiset",
     "unpivot_order_measures",
     "gap_fill_daily_orders",
-    "approx_percentile_prices",
     "stats_aggregates_lineitem",
     "argmax_bool_aggregates",
-    # streaming-equivalent batch window
+]
+
+# Unverified entries whose driver row is the WEAK rows-only check by
+# construction (approximate ops with no SQL oracle) plus the lowest-
+# marginal oracle entry — pushed behind every other unverified entry so
+# a capped driver window spends its slots where a row proves the most.
+DRIVER_WINDOW_LAST: list[str] = [
+    "similarity_ivf_topk",
+    "embedding_neardup_lsh_blocked",
+    "multimodal_frame_sampling",
+    "approx_percentile_prices",
+    "semdedup_embeddings",
     "events_hourly_window",
 ]
 
@@ -146,19 +162,24 @@ def ordered_registry() -> dict[str, QueryDef]:
     """REGISTRY reordered so driver-unverified entries lead.
 
     Order: (1) unverified entries named in DRIVER_WINDOW_FIRST, in that
-    order; (2) remaining unverified entries in registration order; (3)
-    verified entries in registration order. Names in the priority list
-    that are not registered (e.g. an optional module failed to import)
-    are skipped rather than raising.
+    order; (2) remaining unverified entries in registration order,
+    except (3) unverified DRIVER_WINDOW_LAST entries (weak rows-only
+    checks) behind them; (4) verified entries in registration order.
+    Names in the priority lists that are not registered (e.g. an
+    optional module failed to import) are skipped rather than raising.
     """
     verified = _driver_verified_names()
     out: dict[str, QueryDef] = {}
     for name in DRIVER_WINDOW_FIRST:
         if name in REGISTRY and name not in verified:
             out[name] = REGISTRY[name]
+    deferred = set(DRIVER_WINDOW_LAST)
     for name, qd in REGISTRY.items():
-        if name not in out and name not in verified:
+        if name not in out and name not in verified and name not in deferred:
             out[name] = qd
+    for name in DRIVER_WINDOW_LAST:
+        if name in REGISTRY and name not in out and name not in verified:
+            out[name] = REGISTRY[name]
     for name, qd in REGISTRY.items():
         if name not in out:
             out[name] = qd
