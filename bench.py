@@ -34,6 +34,8 @@ HEADLINE = {
     "q_similarity_topk": "similarity_topk",
     "q_similarity_ivf": "similarity_ivf_topk",
     "q_text_quality": "text_quality",
+    "q_dedup_paragraphs": "dedup_paragraphs_corpus",
+    "q_unigram_logprob": "text_unigram_logprob",
     "q_salted_agg": "skew_salted_event_totals",
     "q_global_rank": "global_sort_rank",
     "q_jobspec": "jobspec_filter_groupby",

@@ -603,3 +603,27 @@ def paragraph_dedup(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_chunk: int = 8,
+    out_col: str = "text",
+) -> DataFrame:
+    """Re-chunk a flat token stream into fixed-width pseudo-paragraphs
+    joined by newlines — the adapter that lets paragraph_dedup run on
+    corpora whose documents carry no layout (row-local projection,
+    zero shuffle)."""
+    toks = tokenize(F.col(text_col))
+    w = tokens_per_chunk
+    nchunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    idx = F.when(nchunks >= 1, F.sequence(F.lit(1), nchunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = F.array_join(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " ")),
+        "\n",
+    )
+    return df.select(F.col(id_col), chunked.alias(out_col))

@@ -1215,24 +1215,9 @@ def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at its first (id, pos) occurrence and rebuild the documents
     (operators.dedup.paragraph_dedup — one digest-keyed shuffle + one
     rebuild shuffle)."""
-    from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
-
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    w = PARA_CHUNK_W
-    nchunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
-    idx = F.when(nchunks >= 1, F.sequence(F.lit(1), nchunks)).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunked = F.array_join(
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " ")
-        ),
-        "\n",
-    )
-    return dedup.paragraph_dedup(
-        docs.select("doc_id", chunked.alias("text")), "doc_id", "text", "\n"
-    )
+    chunked = dedup.chunk_tokens(docs, "doc_id", "text", PARA_CHUNK_W)
+    return dedup.paragraph_dedup(chunked, "doc_id", "text", "\n")
 
 
 @register(

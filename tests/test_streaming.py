@@ -333,3 +333,63 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         if c[0] == v[0] and c[1] <= v[1] <= c[1] + dt.timedelta(minutes=15)
     }
     assert got == want and want, (got, want)
+
+
+def test_ingest_dedup_stream_drops_cross_batch_dups(spark, tmp_path):
+    """Continuous ingestion: a doc arriving in a later micro-batch
+    that duplicates an earlier batch's content (exactly or near) is
+    dropped; the corpus parquet ends up dup-free and the index grows
+    with survivors only."""
+    import os
+
+    from lambda_refarch_mapreduce_spark.streaming.corpus import ingest_dedup_stream
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different document about spark shuffles and joins"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            # exact dup of doc 1 -> digest hit
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # fresh content
+            (11, "completely novel text with no overlap whatsoever in shingles"),
+            # exact dup within this same batch -> within-batch keep-first
+            (12, "completely novel text with no overlap whatsoever in shingles"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = ingest_dedup_stream(
+        stream,
+        corpus_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(corpus_dir)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    texts = [r.text for r in got.select("text").collect()]
+    assert 1 in ids and 2 in ids  # first batch all kept
+    assert 10 not in ids  # cross-batch exact dup dropped
+    assert 11 in ids or 12 in ids  # one copy of the within-batch pair
+    assert not (11 in ids and 12 in ids)
+    assert len(texts) == len(set(texts))  # corpus is dup-free
+    # index grew by exactly the surviving distinct contents
+    digests = spark.read.parquet(str(tmp_path / "index" / "digests"))
+    assert digests.distinct().count() == len(set(texts))

@@ -78,8 +78,11 @@ def main() -> None:
         "minhash_lsh": lambda df: dedup.minhash_lsh_pairs(df, "doc_id", "text"),
         "simhash_pairs": lambda df: dedup.simhash_near_pairs(df, "doc_id", "text"),
         "jaccard_pairs": lambda df: dedup.ngram_jaccard_pairs(df, "doc_id", "text"),
+        "paragraph_dedup": lambda df: dedup.paragraph_dedup(
+            dedup.chunk_tokens(df, "doc_id", "text", 8), "doc_id", "text", "\n"
+        ),
     }
-    big_tiers = ("exact", "minhash_lsh", "connected_components")
+    big_tiers = ("exact", "minhash_lsh", "connected_components", "paragraph_dedup")
 
     # warm JIT/codegen on the small tier first; discard
     tiers["minhash_lsh"](frames["1x"]).write.format("noop").mode("overwrite").save()
