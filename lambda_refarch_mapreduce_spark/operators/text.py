@@ -55,6 +55,29 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), 0))
 
 
+def _quality_parts(text_col: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stop_ratio, alpha_ratio, quality) as row-local
+    Column expressions — shared by quality_score and the JobSpec
+    ``prep`` clause so both see the identical formula."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    stop_hits = F.size(F.array_intersect(toks, stop_arr))
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_ratio = stop_hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    quality = F.round((length_score + stop_ratio + alpha_ratio) / 3.0, 6)
+    return n_tokens, stop_ratio, alpha_ratio, quality
+
+
+def quality_expr(text_col: Column) -> Column:
+    """Row-local quality score in [0,1] (see quality_score)."""
+    return _quality_parts(text_col)[3]
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality in [0,1]:
     length score (saturating), stopword ratio, alpha ratio.
@@ -62,25 +85,14 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The score formula is fixed and portable (tested against the SQL
     oracle); thresholds for filtering are the caller's policy.
     """
-    toks = tokenize(text_col)
-    n_tokens = F.size(toks)
-    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    stop_arr = F.array(*[F.lit(w) for w in all_stop])
-    stop_hits = F.size(F.array_intersect(toks, stop_arr))
-    n_chars = F.length(F.col(text_col))
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    stop_ratio = stop_hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
-    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    n_tokens, stop_ratio, alpha_ratio, quality = _quality_parts(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.col("lang") if "lang" in df.columns else F.lit(None).alias("lang"),
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(
-            (length_score + stop_ratio + alpha_ratio) / 3.0, 6
-        ).alias("quality"),
+        quality.alias("quality"),
     )
 
 
@@ -179,7 +191,6 @@ def repetition_stats(
     """
     grams = word_ngrams(tokenize(F.col(text_col)), n)
     total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
     # longest run in the sorted shingle array == max multiplicity
     run_state = F.aggregate(
         F.array_sort(grams),
@@ -200,12 +211,22 @@ def repetition_stats(
     return df.select(
         F.col(id_col),
         total.alias("n_ngrams"),
-        F.round(
-            (total - distinct) / F.greatest(total, F.lit(1)).cast("double"), 6
-        ).alias("dup_ngram_frac"),
+        dup_ngram_frac_expr(F.col(text_col), n).alias("dup_ngram_frac"),
         F.round(
             run_state["best"] / F.greatest(total, F.lit(1)).cast("double"), 6
         ).alias("top_ngram_frac"),
+    )
+
+
+def dup_ngram_frac_expr(text_col: Column, n: int = 2) -> Column:
+    """Row-local duplicate-n-gram fraction (the Gopher repetition
+    gate) as a Column expression, for inline filtering without
+    projecting payload columns away."""
+    grams = word_ngrams(tokenize(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(
+        (total - distinct) / F.greatest(total, F.lit(1)).cast("double"), 6
     )
 
 
@@ -233,6 +254,21 @@ PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE = r"\+\d{7,15}"
 
 
+def pii_redact_expr(text_col: Column) -> Column:
+    """Chained email→IP→phone redaction as one row-local expression
+    (order matters: email local parts can contain digits the phone
+    pattern would otherwise eat)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+
 def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Detect and redact PII spans (emails, IPv4 addresses,
     international-format phone numbers) with portable regexes.
@@ -243,15 +279,7 @@ def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (id, n_emails, n_ips, n_phones, redacted).
     """
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    redacted = pii_redact_expr(t)
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),

@@ -99,6 +99,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     # declarative JobSpec + SQL entry points
     "jobspec_filter_groupby",
     "jobspec_star_join",
+    "jobspec_training_prep",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

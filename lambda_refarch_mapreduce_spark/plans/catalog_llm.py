@@ -1293,3 +1293,78 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.95
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative training-data prep (JobSpec prep clause, end to end)
+# ---------------------------------------------------------------------------
+
+PREP_MIN_QUALITY = 0.4
+PREP_MAX_DUP_FRAC = 0.05
+
+
+def _jobspec_prep_oracle() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents),
+        q AS (SELECT doc_id, text, w,
+                     round((least(len(w) / 100.0, 1.0)
+                        + len(list_filter(list_distinct(w),
+                              x -> list_contains([{stop_list}], x))) * 1.0
+                            / greatest(len(list_distinct(w)), 1)
+                        + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                            / greatest(length(text), 1)) / 3.0, 6) AS quality
+              FROM t),
+        g AS (SELECT doc_id, text, quality,
+                     list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                    i -> w[i] || ' ' || w[i + 1]) AS grams
+              FROM q WHERE quality >= {PREP_MIN_QUALITY}),
+        r AS (SELECT doc_id, text, quality
+              FROM g
+              WHERE round((len(grams) - len(list_distinct(grams))) * 1.0
+                          / greatest(len(grams), 1), 6) <= {PREP_MAX_DUP_FRAC}),
+        p AS (SELECT doc_id, quality,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                         '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+                         '{text.PII_IPV4}', '<IP>', 'g'),
+                         '{text.PII_PHONE}', '<PHONE>', 'g') AS text
+              FROM r),
+        d AS (SELECT doc_id, text, quality,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM p)
+        SELECT doc_id, text, quality FROM d WHERE rn = 1
+    """
+
+
+@register(
+    "jobspec_training_prep", oracle=_jobspec_prep_oracle(), tags=("llm", "jobspec")
+)
+def jobspec_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative training-data prep job: one JobSpec whose prep
+    clause chains quality gate → repetition gate → PII redaction →
+    corpus keep-first exact dedup, then projects (doc_id, text,
+    quality). Gates and redaction are row-local expressions (zero
+    shuffle); the only shuffle in the whole job is dedup's digest-
+    keyed window — the 100 TB plan a user gets from four dict lines."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.operators.text import quality_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = JobSpec(
+        source={"df": docs.withColumn("quality", quality_expr(F.col("text")))},
+        prep=[
+            {"op": "quality_filter", "text": "text", "min_quality": PREP_MIN_QUALITY},
+            {
+                "op": "repetition_filter",
+                "text": "text",
+                "n": 2,
+                "max_dup_frac": PREP_MAX_DUP_FRAC,
+            },
+            {"op": "pii_redact", "text": "text"},
+            {"op": "dedup_exact", "id": "doc_id", "text": "text"},
+        ],
+        select={"doc_id": "doc_id", "text": "text", "quality": "quality"},
+    )
+    return build(spark, spec)

@@ -52,6 +52,15 @@ class JobSpec:
     # call for star-schema dimensions, which is what a declarative
     # multi-source spec is for.
     joins: list[dict] = field(default_factory=list)
+    # Training-data prep steps, applied in order after joins and before
+    # filter. Each step is a dict with an "op" key:
+    #   {"op": "quality_filter", "text": col, "min_quality": 0.3}
+    #   {"op": "repetition_filter", "text": col, "n": 2, "max_dup_frac": 0.75}
+    #   {"op": "pii_redact", "text": col}            # rewrites col in place
+    #   {"op": "dedup_exact", "id": col, "text": col}  # corpus keep-first
+    # Filters and the redaction are row-local Catalyst expressions
+    # (zero shuffle); dedup_exact is one digest-keyed window shuffle.
+    prep: list[dict] = field(default_factory=list)
     filter: str | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
     group_by: list[str] = field(default_factory=list)
@@ -90,6 +99,35 @@ def _read(spark: SparkSession, source: dict) -> DataFrame:
     raise ValueError(f"unknown source format {fmt!r}")
 
 
+def _apply_prep(df: DataFrame, step: dict) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    op = step.get("op")
+    text_col = step.get("text", "text")
+    if op == "quality_filter":
+        return df.filter(
+            text_ops.quality_expr(F.col(text_col)) >= step.get("min_quality", 0.3)
+        )
+    if op == "repetition_filter":
+        return df.filter(
+            text_ops.dup_ngram_frac_expr(F.col(text_col), step.get("n", 2))
+            <= step.get("max_dup_frac", 0.75)
+        )
+    if op == "pii_redact":
+        return df.withColumn(text_col, text_ops.pii_redact_expr(F.col(text_col)))
+    if op == "dedup_exact":
+        id_col = step.get("id", "doc_id")
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown prep op {op!r}")
+
+
 def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
     """Lower a JobSpec to a DataFrame (no action triggered)."""
     if spec.aggs and spec.agg_udf is not None:
@@ -105,6 +143,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         on = j["on"]
         cond = F.expr(on) if isinstance(on, str) else on
         df = df.join(other, cond, j.get("how", "inner"))
+    for step in spec.prep:
+        df = _apply_prep(df, step)
     if spec.filter:
         df = df.filter(F.expr(spec.filter))
     if spec.select:

@@ -168,3 +168,38 @@ def test_ambiguous_aggs_and_agg_udf_raises(spark):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         run_jobspec(spark, spec)
+
+
+def test_prep_pipeline_steps(spark):
+    """prep clause: quality/repetition gates drop, pii_redact rewrites
+    in place, dedup_exact keeps the lowest id per distinct text."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog are friends forever now"),
+            (2, "spam spam spam spam spam spam spam spam"),  # repetition gate
+            (3, "??? !!! *** 123 %%% ((( ))) +++"),  # quality gate (no alpha)
+            (4, "write to alice@example.com and the others for more details"),
+            (5, "write to alice@example.com and the others for more details"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        prep=[
+            {"op": "quality_filter", "text": "text", "min_quality": 0.2},
+            {"op": "repetition_filter", "text": "text", "n": 2, "max_dup_frac": 0.5},
+            {"op": "pii_redact", "text": "text"},
+            {"op": "dedup_exact", "id": "doc_id", "text": "text"},
+        ],
+    )
+    rows = {r.doc_id: r.text for r in run_jobspec(spark, spec).collect()}
+    assert set(rows) == {1, 4}  # 2: repetitious, 3: low quality, 5: dup of 4
+    assert "<EMAIL>" in rows[4] and "alice" not in rows[4]
+
+
+def test_prep_unknown_op_raises(spark):
+    import pytest
+
+    spec = JobSpec(source={"df": spark.range(1)}, prep=[{"op": "nope"}])
+    with pytest.raises(ValueError, match="unknown prep op"):
+        run_jobspec(spark, spec)
