@@ -475,3 +475,102 @@ def unigram_logprob(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(document, term) TF-IDF weights: tf = in-doc count, idf =
+    ln((N + 1) / (df + 1)) + 1 (smooth), tfidf = tf * idf.
+
+    Plan shape: one (id, token) map-side-combined count (the only
+    corpus-sized shuffle), document frequency derived from those
+    already-distinct rows (vocab-sized), corpus size N rides along as
+    a broadcast single-row aggregate. At 100 TB the doc-frequency join
+    is an AQE choice between broadcast and shuffle on token — both
+    correct, neither touches document bodies.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a bag-of-words query
+    (Robertson idf: ln(1 + (N - df + 0.5) / (df + 0.5))).
+
+    Scale shape: tokens are filtered to the query vocabulary BEFORE
+    the (id, token) aggregation, so the corpus-sized shuffle carries
+    only query-matching tokens (a few per doc, zero for most docs at
+    realistic queries); document length is a row-local expression
+    (no second corpus aggregation); N/avgdl are one broadcast row;
+    per-term df is a broadcast join; the final top-k plans
+    TakeOrderedAndProject. Deterministic tie-break on id.
+    """
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.explode(F.array_intersect(F.array_distinct(toks), qset)).alias("qterm"),
+        toks.alias("_toks"),
+    ).select(
+        "id",
+        "dl",
+        "qterm",
+        F.size(F.filter(F.col("_toks"), lambda t: t == F.col("qterm"))).alias("tf"),
+    )
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("avgdl"),
+    )
+    docfreq = base.groupBy("qterm").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        base.join(F.broadcast(docfreq), "qterm")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(topk)
+        .select(F.col("id").alias(id_col), "bm25")
+    )

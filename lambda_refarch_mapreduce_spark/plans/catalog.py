@@ -76,6 +76,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_repetition_stats",
     "text_pii_redaction",
     "text_unigram_logprob",
+    "text_tfidf_terms",
+    "text_bm25_search",
     "dedup_paragraphs_corpus",
     "embedding_quantize_int8",
     # packing / sampling / pipeline composition

@@ -1368,3 +1368,77 @@ def jobspec_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         select={"doc_id": "doc_id", "text": "text", "quality": "quality"},
     )
     return build(spark, spec)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval primitives: TF-IDF weights, BM25 search
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ["spark", "query", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@register(
+    "text_tfidf_terms",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        tok AS (SELECT id, unnest(w) AS token FROM t),
+        tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.id AS doc_id, tf.token,
+               tf.tf::BIGINT AS tf, dfreq.df::BIGINT AS df,
+               round(tf.tf * (ln((nd.n_docs + 1) * 1.0 / (dfreq.df + 1)) + 1), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF — one map-side-combined (id, token)
+    count is the only corpus-sized shuffle; df/N ride back as joins
+    on vocab-sized sides."""
+    return text.tfidf_terms(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        base AS (SELECT id, len(w) AS dl,
+                        unnest(list_intersect(list_distinct(w),
+                            [{", ".join(repr(t) for t in BM25_QUERY)}])) AS qterm,
+                        w
+                 FROM t),
+        b2 AS (SELECT id, dl, qterm,
+                      len(list_filter(w, x -> x = qterm)) AS tf
+               FROM base),
+        dfreq AS (SELECT qterm, count(*) AS df FROM b2 GROUP BY 1),
+        st AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t),
+        sc AS (SELECT id,
+                      round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                * (tf * ({BM25_K1} + 1))
+                                / (tf + {BM25_K1} * (1 - {BM25_B}
+                                       + {BM25_B} * dl / avgdl))), 6) AS bm25
+               FROM b2 JOIN dfreq USING (qterm) CROSS JOIN st
+               GROUP BY id)
+        SELECT id AS doc_id, bm25 FROM sc
+        ORDER BY bm25 DESC, id LIMIT {BM25_TOPK}
+    """,
+    tags=("llm", "text"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 bag-of-words retrieval: tokens pruned to the query
+    vocabulary BEFORE the corpus shuffle, doc length row-local,
+    df/N broadcast, top-k as TakeOrderedAndProject."""
+    return text.bm25_search(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        BM25_QUERY,
+        BM25_K1,
+        BM25_B,
+        BM25_TOPK,
+    )

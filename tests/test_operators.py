@@ -639,3 +639,28 @@ def test_semdedup_drops_planted_near_dups(spark):
     assert len(survivors) <= df.count() - 1
     # the low-id original survives
     assert (planted - 100000) in survivors
+
+
+def test_bm25_ranks_planted_doc_first(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import bm25_search, tfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query spark query spark window join"),  # dense in query terms
+            (2, "spark appears once among many many other other words words here"),
+            (3, "nothing relevant at all in this document body"),
+            (4, "window window"),  # short doc, one query term
+        ],
+        "doc_id bigint, text string",
+    )
+    top = bm25_search(df, "doc_id", "text", ["spark", "query", "window"], topk=3)
+    rows = top.collect()
+    assert rows[0].doc_id == 1  # densest match wins
+    assert {r.doc_id for r in rows} <= {1, 2, 4}  # doc 3 never scores
+
+    tw = tfidf_terms(df, "doc_id", "text")
+    got = {(r.doc_id, r.token): r for r in tw.collect()}
+    assert got[(1, "spark")].tf == 3
+    assert got[(1, "spark")].df == 2  # docs 1 and 2
+    # a corpus-unique term outweighs a common one at equal tf
+    assert got[(3, "nothing")].tfidf > got[(2, "spark")].tfidf
