@@ -1442,3 +1442,38 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_B,
         BM25_TOPK,
     )
+
+
+N_SHUFFLE_SHARDS = 32
+SHUFFLE_SEED = 42
+
+
+@register(
+    "shuffle_shard_assignment",
+    oracle=f"""
+        SELECT doc_id,
+               md5('shuf{SHUFFLE_SEED}:' || doc_id::VARCHAR) AS sort_key,
+               (('0x' || substr(md5('shuf{SHUFFLE_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                % {N_SHUFFLE_SHARDS})::INT AS shard
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard assignment (the terminal
+    pretraining pipeline step, sinks.write_shuffled_shards): portable
+    md5 sort key + pmod shard — row-local, the only shuffle in the
+    full op is the one that IS the product."""
+    from lambda_refarch_mapreduce_spark.sources.sinks import shuffle_key
+
+    key = shuffle_key(F.col("doc_id"), SHUFFLE_SEED)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        key.alias("sort_key"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+            F.lit(N_SHUFFLE_SHARDS),
+        )
+        .cast("int")
+        .alias("shard"),
+    )

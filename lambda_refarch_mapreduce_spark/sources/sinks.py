@@ -102,3 +102,45 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def shuffle_key(col, seed: int = 42):
+    """Deterministic pseudo-random sort key: md5 over a seeded id
+    rendering. Portable (same bytes in any engine) and stable across
+    runs — re-running the job reproduces the exact shuffle order."""
+    return F.md5(F.concat(F.lit(f"shuf{seed}:"), col.cast("string")))
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 32,
+    seed: int = 42,
+):
+    """The terminal step of a pretraining data pipeline: deterministic
+    global shuffle + fixed shard count, written so each shard is one
+    file internally ordered by the shuffle key.
+
+    Plan shape: shard assignment is a row-local pmod over a portable
+    hash; ``repartition(n, shard)`` is ONE hash exchange of the corpus
+    (unavoidable — a shuffle is the product); ``sortWithinPartitions
+    (shard, sort_key)`` orders each shard with no global range
+    exchange AND already satisfies the partitioned writer's required
+    ordering, so the write inserts no second (order-destroying) sort.
+    The sort key stays in the output for downstream order audits.
+    Rerunning with the same seed reproduces identical shards.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
+    (
+        df.withColumn("sort_key", key)
+        .withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

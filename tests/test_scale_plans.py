@@ -161,3 +161,49 @@ def test_cluster_conf_sizing():
     # small data (0.01TB -> 41 partitions by size): floor at 2*cores wins
     c2 = cluster_conf(total_cores=64, dataset_tb=0.01)
     assert int(c2["spark.sql.shuffle.partitions"]) == 128
+
+
+def test_bm25_topk_is_take_ordered_and_query_pruned(spark):
+    """BM25: global top-k must be TakeOrderedAndProject (per-partition
+    heaps), and df/stats sides must broadcast — the corpus shuffle
+    carries only query-matching tokens."""
+    df = catalog.REGISTRY["text_bm25_search"].spark(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # per-term df joins broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_prunes_before_shuffle(spark):
+    """Corpus paragraph dedup: the keep-first rn=1 must compile to
+    partial+final WindowGroupLimit so losers are dropped map-side
+    before the digest-keyed exchange."""
+    df = catalog.REGISTRY["dedup_paragraphs_corpus"].spark(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_reuses_frequency_scan(spark):
+    """The vocab-sized frequency table is localCheckpointed: its three
+    consumers (totals, top-K, OOV floor) must read the materialized
+    RDD, not re-derive three corpus scans."""
+    df = catalog.REGISTRY["text_unigram_logprob"].spark(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert plan.count("Scan ExistingRDD") >= 3  # all consumers share it
+    # exactly two parquet scans of documents: checkpoint build + id join
+    n_parquet = plan.count("Scan parquet")
+    assert n_parquet <= 2, f"expected <=2 corpus scans, saw {n_parquet}"
+
+
+def test_semdedup_pairs_are_cluster_blocked(spark):
+    """SemDedup's pair join must be an equi-join on cluster_id — no
+    cartesian / nested-loop over corpus x corpus."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(200)
+    df = semdedup(emb, "vec_id", "embedding", 0.95, 4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
