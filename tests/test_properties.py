@@ -108,3 +108,67 @@ def test_salted_agg_equals_direct_agg(spark, rows):
         ).collect()
     }
     assert salted == direct
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    """int8 quantization invariants on arbitrary vectors: |q_i| <= 127,
+    dequantization error <= scale/2 (+ float eps), zero vectors map to
+    scale 0 / all-zero q."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    for r in quantize_embeddings(df, "vec_id", "embedding").collect():
+        src = vecs[r.vec_id]
+        if max(abs(x) for x in src) == 0.0:
+            assert r.scale == 0.0 and all(q == 0 for q in r.q)
+            continue
+        assert all(abs(q) <= 127 for q in r.q)
+        # rounded outputs: compare against the unrounded bound + rounding slack
+        assert r.max_abs_err <= r.scale / 2 + r.scale * 1e-9 + 1e-6
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_paragraph_dedup_conservation(spark, texts):
+    """Corpus-wide invariants on arbitrary text: every distinct
+    non-blank paragraph survives exactly once across the corpus, and
+    per-doc kept <= total."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = paragraph_dedup(df, "doc_id", "text").collect()
+    assert all(r.n_kept <= r.n_paras for r in out)
+    kept_paras = [
+        p for r in out if r.text_deduped for p in r.text_deduped.split("\n")
+    ]
+    assert len(kept_paras) == len(set(kept_paras))  # no survivor twice
+    # blankness = Spark trim semantics (ASCII space 0x20 ONLY — \t,
+    # \r, \x1f all survive trim), not Python str.strip()
+    distinct_input = {
+        p for t in texts for p in t.split("\n") if p.strip(" ") != ""
+    }
+    assert set(kept_paras) == distinct_input
