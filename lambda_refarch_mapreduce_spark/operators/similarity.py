@@ -539,3 +539,33 @@ def semdedup(
     return assigned.join(losers, "id", "left_anti").select(
         F.col("id").alias(id_col), "cluster_id"
     )
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    truncate_dim: int | None = None,
+) -> DataFrame:
+    """L2-normalize embeddings, optionally after truncating to the
+    first ``truncate_dim`` dimensions (Matryoshka-style: MRL-trained
+    models keep most of their quality in a prefix of the vector, and
+    a 4x dim cut is a 4x cut in every downstream join/shuffle/ANN
+    byte count). Row-local projection, zero shuffle; zero vectors
+    pass through unnormalized (norm 0 guard).
+
+    Returns (id, unit, norm) where unit is the (truncated) unit
+    vector rounded to 6dp and norm is the pre-normalization L2 norm.
+    """
+    v = _as_double(F.col(vec_col))
+    if truncate_dim is not None:
+        v = F.slice(v, 1, truncate_dim)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(
+        norm > 0, F.transform(v, lambda x: F.round(x / norm, 6))
+    ).otherwise(F.transform(v, lambda x: x * 0.0))
+    return df.select(
+        F.col(id_col),
+        unit.alias("unit"),
+        F.round(norm, 6).alias("norm"),
+    )

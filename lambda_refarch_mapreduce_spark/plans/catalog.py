@@ -80,6 +80,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_bm25_search",
     "dedup_paragraphs_corpus",
     "embedding_quantize_int8",
+    "embedding_normalize_truncate",
     "shuffle_shard_assignment",
     # packing / sampling / pipeline composition
     "pack_sequences_token_budget",

@@ -1477,3 +1477,34 @@ def shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+MRL_TRUNCATE_DIM = 16
+
+
+@register(
+    "embedding_normalize_truncate",
+    oracle=f"""
+        WITH t AS (SELECT vec_id,
+                          list_transform(embedding[1:{MRL_TRUNCATE_DIM}],
+                                         x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+              FROM t)
+        SELECT vec_id,
+               CASE WHEN norm > 0
+                    THEN list_transform(v, x -> round(x / norm, 6))
+                    ELSE list_transform(v, x -> x * 0.0) END AS unit,
+               round(norm, 6) AS norm
+        FROM n
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (64 -> 16 dims) + L2 re-normalization:
+    the 4x byte cut for every downstream shuffle/ANN stage, as one
+    row-local codegen projection."""
+    return similarity.normalize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", MRL_TRUNCATE_DIM
+    )

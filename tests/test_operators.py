@@ -664,3 +664,21 @@ def test_bm25_ranks_planted_doc_first(spark):
     assert got[(1, "spark")].df == 2  # docs 1 and 2
     # a corpus-unique term outweighs a common one at equal tf
     assert got[(3, "nothing")].tfidf > got[(2, "spark")].tfidf
+
+
+def test_normalize_truncate_unit_norm(spark):
+    from lambda_refarch_mapreduce_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r
+        for r in normalize_embeddings(df, "vec_id", "embedding", 2).collect()
+    }
+    assert got[1].norm == pytest.approx(5.0)  # truncation BEFORE norm
+    assert got[1].unit == [pytest.approx(0.6), pytest.approx(0.8)]
+    assert got[2].norm == 0.0 and got[2].unit == [0.0, 0.0]
