@@ -393,3 +393,37 @@ def test_ingest_dedup_stream_drops_cross_batch_dups(spark, tmp_path):
     # index grew by exactly the surviving distinct contents
     digests = spark.read.parquet(str(tmp_path / "index" / "digests"))
     assert digests.distinct().count() == len(set(texts))
+
+
+def test_ingest_dedup_stream_restart_no_reappend(spark, tmp_path):
+    """Restarting the ingest query on the same checkpoint with no new
+    arrivals must not re-append committed batches (foreachBatch
+    exactly-once via checkpointed batch ids)."""
+    import os
+
+    from lambda_refarch_mapreduce_spark.streaming.corpus import ingest_dedup_stream
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "some perfectly unique document text for the restart test")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    corpus_dir = str(tmp_path / "corpus")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(src + "/f*")
+        )
+        q = ingest_dedup_stream(
+            stream, corpus_dir, str(tmp_path / "index"), str(tmp_path / "ckpt")
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    n1 = spark.read.parquet(corpus_dir).count()
+    run()  # restart, nothing new
+    n2 = spark.read.parquet(corpus_dir).count()
+    assert n1 == n2 == 1
