@@ -36,6 +36,8 @@ HEADLINE = {
     "q_text_quality": "text_quality",
     "q_dedup_paragraphs": "dedup_paragraphs_corpus",
     "q_unigram_logprob": "text_unigram_logprob",
+    "q_bm25_search": "text_bm25_search",
+    "q_training_prep": "jobspec_training_prep",
     "q_salted_agg": "skew_salted_event_totals",
     "q_global_rank": "global_sort_rank",
     "q_jobspec": "jobspec_filter_groupby",

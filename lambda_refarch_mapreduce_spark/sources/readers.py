@@ -183,6 +183,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div (not float) — ns epoch values overflow the
             # 53-bit double mantissa
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtypes.get(col) == "timestamp_ntz":
+            # fixture variant with TIMESTAMP(MICROS, adjusted=false):
+            # normalize to a UTC instant (session tz is pinned UTC, so
+            # wall-clock values are unchanged). Streaming watermarks
+            # require TIMESTAMP, not TIMESTAMP_NTZ.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
