@@ -41,13 +41,29 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(min_partitions)
 
 
-def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Append a deterministic-per-row salt in [0, n_salts).
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_col: str = "__salt",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Append a per-row salt in [0, n_salts).
 
-    Uses a hash of the whole row (via monotonically increasing id is
+    Default mode hashes the whole row (monotonically_increasing_id is
     NOT deterministic across retries; a content hash is), so retried
     tasks salt identically — required for exactly-once sinks.
+
+    LIMITATION of the deterministic mode: byte-identical rows get the
+    same salt, so a hot key whose rows are exact duplicates (the
+    nastiest skew case) still lands on one reducer. For at-least-once
+    paths where that skew pattern is real, pass
+    ``deterministic=False`` to use a uniform random salt instead —
+    spreads every row, but retried tasks may salt differently.
     """
+    if not deterministic:
+        return df.withColumn(
+            salt_col, F.floor(F.rand() * n_salts).cast("int")
+        )
     # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows negative
     # (~1 row in 4e9), which would put the salt outside [0, n_salts).
     h = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))

@@ -682,3 +682,19 @@ def test_normalize_truncate_unit_norm(spark):
     assert got[1].norm == pytest.approx(5.0)  # truncation BEFORE norm
     assert got[1].unit == [pytest.approx(0.6), pytest.approx(0.8)]
     assert got[2].norm == 0.0 and got[2].unit == [0.0, 0.0]
+
+
+def test_with_salt_random_mode_spreads_identical_rows(spark):
+    """deterministic=False must spread byte-identical rows across
+    salts (the documented limitation of the content-hash mode)."""
+    from lambda_refarch_mapreduce_spark.partitioning import with_salt
+
+    df = spark.range(1).select(F.lit("samekey").alias("k")).crossJoin(
+        spark.range(2000).drop("id")
+    )
+    det = with_salt(df, 16).select("__salt").distinct().count()
+    rnd = with_salt(df, 16, deterministic=False).select("__salt").distinct().count()
+    assert det == 1  # all identical rows -> one salt (the limitation)
+    assert rnd >= 12  # random mode spreads them
+    vals = with_salt(df, 16, deterministic=False).select("__salt").collect()
+    assert all(0 <= r["__salt"] < 16 for r in vals)
