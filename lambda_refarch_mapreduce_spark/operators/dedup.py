@@ -615,8 +615,14 @@ def chunk_tokens(
     """Re-chunk a flat token stream into fixed-width pseudo-paragraphs
     joined by newlines — the adapter that lets paragraph_dedup run on
     corpora whose documents carry no layout (row-local projection,
-    zero shuffle)."""
-    toks = tokenize(F.col(text_col))
+    zero shuffle).
+
+    The token array is materialized in its own projection first so the
+    per-chunk ``slice`` references a column, not the tokenize
+    expression — Catalyst does no CSE into higher-order-function
+    lambdas (see functions.scalar.word_ngrams)."""
+    staged = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     w = tokens_per_chunk
     nchunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
     idx = F.when(nchunks >= 1, F.sequence(F.lit(1), nchunks)).otherwise(
@@ -626,4 +632,4 @@ def chunk_tokens(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " ")),
         "\n",
     )
-    return df.select(F.col(id_col), chunked.alias(out_col))
+    return staged.select(F.col(id_col), chunked.alias(out_col))
