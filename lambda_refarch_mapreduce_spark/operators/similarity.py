@@ -468,24 +468,33 @@ def quantize_embeddings(
     4x storage/bandwidth cut this buys an ANN index at 100 TB costs
     one scan. All-zero vectors quantize to zeros with scale 0.
     """
-    v = _as_double(F.col(vec_col))
-    max_abs = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    # Stage the vector and its scale as columns: referencing the
+    # aggregate-derived ``scale`` inside a transform lambda would
+    # re-run the max|x| fold once per ELEMENT (O(dim^2) per row) —
+    # Catalyst does no CSE into higher-order-function lambdas.
+    vexpr = _as_double(F.col(vec_col))
+    staged = df.select(
+        F.col(id_col),
+        vexpr.alias("__v"),
+        (
+            F.aggregate(vexpr, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+            / F.lit(127.0)
+        ).alias("__scale"),
     )
-    scale = max_abs / F.lit(127.0)
+    v, scale = F.col("__v"), F.col("__scale")
     q = F.when(
-        max_abs > 0,
+        scale > 0,
         F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     err = F.when(
-        max_abs > 0,
+        scale > 0,
         F.aggregate(
             F.zip_with(v, q, lambda x, qi: F.abs(qi * scale - x)),
             F.lit(0.0),
             lambda acc, e: F.greatest(acc, e),
         ),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.round(scale, 6).alias("scale"),
         q.alias("q"),
@@ -557,14 +566,23 @@ def normalize_embeddings(
     Returns (id, unit, norm) where unit is the (truncated) unit
     vector rounded to 6dp and norm is the pre-normalization L2 norm.
     """
-    v = _as_double(F.col(vec_col))
+    vexpr = _as_double(F.col(vec_col))
     if truncate_dim is not None:
-        v = F.slice(v, 1, truncate_dim)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        vexpr = F.slice(vexpr, 1, truncate_dim)
+    # stage v + norm as columns — a norm reference inside the
+    # transform lambda would re-run the fold per element (O(dim^2))
+    staged = df.select(
+        F.col(id_col),
+        vexpr.alias("__v"),
+        F.sqrt(F.aggregate(vexpr, F.lit(0.0), lambda a, x: a + x * x)).alias(
+            "__norm"
+        ),
+    )
+    v, norm = F.col("__v"), F.col("__norm")
     unit = F.when(
         norm > 0, F.transform(v, lambda x: F.round(x / norm, 6))
     ).otherwise(F.transform(v, lambda x: x * 0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         unit.alias("unit"),
         F.round(norm, 6).alias("norm"),
