@@ -698,3 +698,42 @@ def test_with_salt_random_mode_spreads_identical_rows(spark):
     assert rnd >= 12  # random mode spreads them
     vals = with_salt(df, 16, deterministic=False).select("__salt").collect()
     assert all(0 <= r["__salt"] < 16 for r in vals)
+
+
+def test_new_ops_on_empty_input(spark):
+    """Empty-corpus behavior of the round-2 operators: no crashes, no
+    phantom rows (driver edge case when a filter upstream drops
+    everything)."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+    from lambda_refarch_mapreduce_spark.operators.dedup import (
+        chunk_tokens,
+        paragraph_dedup,
+    )
+    from lambda_refarch_mapreduce_spark.operators.similarity import (
+        normalize_embeddings,
+        quantize_embeddings,
+        semdedup,
+    )
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    vecs = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert paragraph_dedup(docs, "doc_id", "text").count() == 0
+    assert chunk_tokens(docs, "doc_id", "text").count() == 0
+    assert text_ops.repetition_stats(docs, "doc_id", "text").count() == 0
+    assert text_ops.pii_stats(docs, "doc_id", "text").count() == 0
+    assert text_ops.unigram_logprob(docs, "doc_id", "text").count() == 0
+    assert text_ops.tfidf_terms(docs, "doc_id", "text").count() == 0
+    assert text_ops.bm25_search(docs, "doc_id", "text", ["x"]).count() == 0
+    assert quantize_embeddings(vecs, "vec_id", "embedding").count() == 0
+    assert normalize_embeddings(vecs, "vec_id", "embedding", 4).count() == 0
+    assert semdedup(vecs, "vec_id", "embedding").count() == 0
+
+
+def test_bm25_no_matching_terms(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    assert bm25_search(df, "doc_id", "text", ["zzz", "qqq"]).count() == 0
