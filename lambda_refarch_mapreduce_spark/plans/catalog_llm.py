@@ -1229,9 +1229,11 @@ def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM embeddings)
         SELECT vec_id,
                round(s, 6) AS scale,
-               CASE WHEN s > 0
-                    THEN list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)::INT)
-                    ELSE list_transform(embedding, x -> 0) END AS q,
+               array_to_string(
+                   CASE WHEN s > 0
+                        THEN list_transform(embedding, x -> floor(x::DOUBLE / s + 0.5)::INT)
+                        ELSE list_transform(embedding, x -> 0) END,
+                   ',') AS q_csv,
                round(CASE WHEN s > 0
                           THEN list_max(list_transform(embedding,
                                    x -> abs(floor(x::DOUBLE / s + 0.5) * s - x::DOUBLE)))
@@ -1243,9 +1245,23 @@ def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (4x bandwidth cut for the
     ANN tiers). Explicit floor(x/s + 0.5) half-up keeps Spark and
-    DuckDB bit-identical where round()'s tie rules would diverge."""
-    return similarity.quantize_embeddings(
+    DuckDB bit-identical where round()'s tie rules would diverge.
+
+    The ``q`` int8 array is projected to a CSV string here (the
+    operator itself returns the real array): the driver's
+    canonicalizer sorts pandas frames, and raw list cells are
+    unhashable — same portability trick as the dedup tier's md5
+    digests."""
+    out = similarity.quantize_embeddings(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("q"), lambda x: x.cast("string"))
+        ).alias("q_csv"),
+        "max_abs_err",
     )
 
 
@@ -1491,20 +1507,43 @@ MRL_TRUNCATE_DIM = 16
                    FROM embeddings),
         n AS (SELECT vec_id, v,
                      sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
-              FROM t)
+              FROM t),
+        u AS (SELECT vec_id, norm,
+                     CASE WHEN norm > 0
+                          THEN list_transform(v, x -> round(x / norm, 6))
+                          ELSE list_transform(v, x -> x * 0.0) END AS unit
+              FROM n)
         SELECT vec_id,
-               CASE WHEN norm > 0
-                    THEN list_transform(v, x -> round(x / norm, 6))
-                    ELSE list_transform(v, x -> x * 0.0) END AS unit,
+               array_to_string(list_transform(unit,
+                   x -> round(x * 1000000)::BIGINT), ',') AS unit_micro_csv,
                round(norm, 6) AS norm
-        FROM n
+        FROM u
     """,
     tags=("llm", "similarity"),
 )
 def embedding_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation (64 -> 16 dims) + L2 re-normalization:
     the 4x byte cut for every downstream shuffle/ANN stage, as one
-    row-local codegen projection."""
-    return similarity.normalize_embeddings(
+    row-local codegen projection.
+
+    The ``unit`` array is projected to a CSV of micro-units
+    (round(x * 1e6) as int — the components are already rounded to
+    6dp, so this is lossless): the driver's canonicalizer cannot sort
+    raw list cells, and integer CSV sidesteps any float-to-string
+    divergence between Spark's and DuckDB's formatters. The operator
+    itself (``similarity.normalize_embeddings``) still returns the
+    real array for API users."""
+    out = similarity.normalize_embeddings(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", MRL_TRUNCATE_DIM
+    )
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("unit"),
+                lambda x: F.round(x * F.lit(1000000.0)).cast("bigint").cast("string"),
+            ),
+        ).alias("unit_micro_csv"),
+        "norm",
     )
