@@ -87,8 +87,9 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "stratified_sample_docs",
     "deterministic_sample_docs",
     "training_data_prep_pipeline",
-    # multimodal plumbing
+    # multimodal plumbing + real decode
     "multimodal_features",
+    "multimodal_decode_image_stats",
     "decontaminate_vs_benchmark",
     "dedup_incremental_batch",
     "mixture_token_sample",

@@ -735,13 +735,59 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (Arrow batches).
-    The decode kernel is a deterministic sha-based fake (container has
-    no PIL — multimodal.decode_image documents the stub); the schema,
-    batch iteration and 1→0..n row contract are the real test."""
+    The decode kernel is a deterministic sha-based fake (compressed
+    formats need PIL, absent here); the schema, batch iteration and
+    1→0..n row contract are the real test. See
+    multimodal_decode_image_stats for the REAL decode path (PPM)."""
     media = multimodal.attach_media(
         _t(spark, sf_dir, "documents"), "doc_id", "text", "image"
     )
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_decode_image_stats",
+    oracle="""
+        WITH b AS (SELECT doc_id,
+                          md5(doc_id::VARCHAR || ':0')
+                          || md5(doc_id::VARCHAR || ':1')
+                          || md5(doc_id::VARCHAR || ':2') AS hx
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     list_transform(range(1, 49),
+                         i -> ('0x' || substr(hx, 2*i - 1, 2))::INT) AS px
+              FROM b)
+        SELECT doc_id AS media_id,
+               4 AS width, 4 AS height, 3 AS channels,
+               round(list_sum(px) / 48.0, 6) AS mean_pixel,
+               list_min(px) AS min_pixel,
+               list_max(px) AS max_pixel
+        FROM p
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: build one binary 4x4 P6 PPM per
+    document (raster = 48 md5-derived bytes, so the oracle can compute
+    the identical pixel stats from hex without a decoder), push it
+    through the numpy PPM parser in multimodal.extract_image_features,
+    and emit width/height/channels plus mean/min/max pixel values. The
+    payload is genuinely parsed — header tokenization, maxval check,
+    raster reshape — not fingerprinted. Arrow-batched mapInPandas,
+    zero shuffle; binary stays out of every shuffle key."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raster = F.concat(
+        *[F.unhex(F.md5(F.concat(sid, F.lit(f":{k}")))) for k in range(3)]
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit(b"P6\n4 4\n255\n"), raster).alias("content"),
+        F.lit("ppm").alias("format"),
+        (F.length(raster) + F.lit(11)).cast("long").alias("n_bytes"),
+    )
+    return multimodal.extract_image_features(media)
 
 
 # ---------------------------------------------------------------------------

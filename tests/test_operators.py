@@ -308,8 +308,59 @@ def test_multimodal_frame_sampling_fanout(spark):
 
 
 def test_decode_image_is_explicit_stub():
+    # compressed formats still need PIL → explicit NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_decode_image_ppm_pgm_real_pixels():
+    img = multimodal.decode_image(b"P6\n# c\n4 2\n255\n" + bytes(range(24)))
+    assert img.shape == (2, 4, 3)
+    assert img.flatten().tolist() == list(range(24))
+    gray = multimodal.decode_image(b"P5 3 2 255 " + bytes([10, 20, 30, 40, 50, 60]))
+    assert gray.shape == (2, 3)
+    assert gray.flatten().tolist() == [10, 20, 30, 40, 50, 60]
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit
+
+
+def test_decode_image_bmp_bottom_up_bgr():
+    import struct
+
+    # 2x2 24bpp bottom-up: stride padded 6→8; storage is BGR
+    pixdata = (
+        bytes([255, 0, 0, 0, 255, 0, 0, 0])  # bottom row: blue, green + pad
+        + bytes([0, 0, 255, 255, 255, 255, 0, 0])  # top row: red, white + pad
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixdata), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixdata), 2835, 2835, 0, 0
+    )
+    img = multimodal.decode_image(header + dib + pixdata)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]  # top-left red (flipped, RGB)
+    assert img[0, 1].tolist() == [255, 255, 255]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [0, 255, 0]
+
+
+def test_extract_image_features_real_decode(spark):
+    import numpy as np
+
+    raster = bytes(range(48))
+    rows = [
+        (1, "image", b"P6\n4 4\n255\n" + raster, "ppm", 59),
+        (2, "image", b"\x89PNG not decodable", "png", 18),  # dropped
+        (3, "image", None, "ppm", None),  # dropped
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    arr = np.arange(48, dtype=np.uint8)
+    assert (r.width, r.height, r.channels) == (4, 4, 3)
+    assert r.mean_pixel == round(float(arr.mean()), 6)
+    assert (r.min_pixel, r.max_pixel) == (0, 47)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
