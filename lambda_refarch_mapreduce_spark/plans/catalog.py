@@ -90,6 +90,9 @@ DRIVER_WINDOW_FIRST: list[str] = [
     # multimodal plumbing + real decode
     "multimodal_features",
     "multimodal_decode_image_stats",
+    # ANN tiers whose deterministic centroid pipeline is now oracled
+    "similarity_ivf_topk",
+    "semdedup_embeddings",
     "decontaminate_vs_benchmark",
     "dedup_incremental_batch",
     "mixture_token_sample",
@@ -126,12 +129,9 @@ DRIVER_WINDOW_FIRST: list[str] = [
 # marginal oracle entry — pushed behind every other unverified entry so
 # a capped driver window spends its slots where a row proves the most.
 DRIVER_WINDOW_LAST: list[str] = [
-    "similarity_ivf_topk",
     "embedding_neardup_lsh_blocked",
     "multimodal_frame_sampling",
     "approx_percentile_prices",
-    "semdedup_embeddings",
-    "events_hourly_window",
 ]
 
 

@@ -1023,12 +1023,68 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
-@register("similarity_ivf_topk", oracle=None, tags=("llm", "similarity"))
+def _ivf_assign_sql(n_centroids: int = 16) -> str:
+    """Shared WITH-clause body replicating ivf_centroids + assignment
+    in DuckDB: seeds = the ``n_centroids`` lowest-id vectors (cid in id
+    order), one spherical-k-means refinement pass (nearest seed by
+    cosine, ties to the higher cid — matching _assign_lists' reversed
+    struct sort — then per-dimension mean; empty lists keep their
+    seed), then every vector ranked against the refined centroids."""
+    cos_es = _COSINE_SQL.format(a="e.v", b="s.v")
+    cos_ec = _COSINE_SQL.format(a="e.v", b="c.v")
+    return f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                  FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+                        LIMIT {n_centroids})),
+        a0 AS (SELECT e.vec_id, e.v, s.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY {cos_es} DESC, s.cid DESC) AS rn
+               FROM e CROSS JOIN seeds s),
+        m0 AS (SELECT vec_id, v, cid FROM a0 WHERE rn = 1),
+        dims AS (SELECT cid, unnest(v) AS val,
+                        unnest(range(1, len(v) + 1)) AS pos
+                 FROM m0),
+        dimavg AS (SELECT cid, pos, avg(val) AS val
+                   FROM dims GROUP BY cid, pos),
+        means AS (SELECT cid, list(val ORDER BY pos) AS v
+                  FROM dimavg GROUP BY cid),
+        cents AS (SELECT s.cid, coalesce(m.v, s.v) AS v
+                  FROM seeds s LEFT JOIN means m ON m.cid = s.cid),
+        assigned AS (SELECT e.vec_id, e.v, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_ec} DESC, c.cid DESC) AS rn
+                     FROM e CROSS JOIN cents c)
+    """
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+        WITH {_ivf_assign_sql()},
+        corpus AS (SELECT vec_id, v, cid AS list_id FROM assigned WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
+                   FROM assigned WHERE rn <= 4 AND vec_id < {TOPK_QUERY_MAX_ID}),
+        scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                          round({_COSINE_SQL.format(a="p.qv", b="c.v")}, 6)
+                              AS cosine
+                   FROM probes p JOIN corpus c ON c.list_id = p.list_id
+                                              AND c.vec_id <> p.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+        SELECT query_id, neighbor_id, cosine, rnk::BIGINT AS rank
+        FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — the scale path for ANN: corpus bucketed
     by nearest coarse centroid, queries probe n_probe lists, so per-
-    query scan cost is |corpus| * n_probe / n_centroids. Approximate by
-    construction → no SQL oracle; recall vs the exact tier is pinned in
+    query scan cost is |corpus| * n_probe / n_centroids. The whole
+    pipeline is deterministic (lowest-id seeds, one Lloyd pass, cid
+    tie-breaks), so the oracle replays centroid refinement + probing
+    in SQL — approximate vs brute force, but exactly reproducible.
+    Recall vs the exact tier is additionally pinned in
     tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
@@ -1346,12 +1402,29 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semdedup_embeddings", oracle=None, tags=("llm", "similarity"))
+@register(
+    "semdedup_embeddings",
+    oracle=f"""
+        WITH {_ivf_assign_sql()},
+        corpus AS (SELECT vec_id, v, cid AS cluster_id
+                   FROM assigned WHERE rn = 1),
+        losers AS (SELECT DISTINCT b.vec_id
+                   FROM corpus a JOIN corpus b
+                     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                   WHERE {_COSINE_SQL.format(a="a.v", b="b.v")} >= 0.95)
+        SELECT c.vec_id, c.cluster_id
+        FROM corpus c LEFT JOIN losers l ON l.vec_id = c.vec_id
+        WHERE l.vec_id IS NULL
+    """,
+    tags=("llm", "similarity"),
+)
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup: spherical-k-means clusters as semantic blocks, exact
-    cosine prune inside each block, keep-lowest-id survivors. Iterative
-    centroid refinement puts it out of SQL's reach (rows-only gate);
-    the planted-duplicate behavior is pinned in test_operators."""
+    cosine prune inside each block, keep-lowest-id survivors. The
+    centroid refinement is deterministic (lowest-id seeds, one Lloyd
+    pass, cid tie-breaks), so the oracle replays it in SQL — see
+    _ivf_assign_sql; the planted-duplicate behavior stays pinned in
+    test_operators."""
     return similarity.semdedup(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.95
     )
