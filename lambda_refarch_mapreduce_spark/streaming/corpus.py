@@ -7,18 +7,40 @@ foreachBatch is the idiomatic Spark version of that pattern, and this
 module applies it to the north-star workload: documents stream in,
 every micro-batch is deduped against the ever-growing corpus WITHOUT
 rescanning corpus text, survivors and their index rows are appended
-transactionally (checkpoint tracks committed batch ids).
+idempotently.
+
+foreachBatch is at-least-once, so a naive multi-sink append breaks the
+dup-free invariant under replay (a crash between the corpus append and
+the index append re-runs the batch against an index missing those
+digests — the same survivors land twice). The scheme here makes every
+batch a deterministic, idempotent unit instead of pretending the three
+writes are atomic:
+
+- each sink is laid out as ``<sink>/_batch_id=N/`` and written with
+  ``mode("overwrite")`` — a replayed attempt overwrites its own
+  partial output, never doubles it;
+- a tiny commit log (``<index_dir>/commits``) gains one row per fully
+  written batch, appended LAST; a replay of an already-committed batch
+  is skipped outright;
+- while processing, the digest/band indexes are semi-joined to the
+  commit log, so a crashed attempt's partial index rows are invisible
+  and the replay computes the same verdicts as the original run.
+
+Readers get the same guarantee via ``read_committed`` (semi-join on
+the commit log — broadcast, the log has one row per batch).
 
 Scale posture per micro-batch at a 100 TB corpus: the batch is the
 small side, so the digest/band indexes stream map-side against the
 broadcast batch (see dedup.dedup_against_index); appends touch only
-batch-sized data. Nothing ever shuffles the corpus.
+batch-sized data; the commit-log filter rides the same index scan the
+dedup probe already pays. Nothing ever shuffles the corpus.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -27,9 +49,34 @@ from lambda_refarch_mapreduce_spark.operators import dedup
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.exists(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    """Read a parquet sink, or an empty frame if it doesn't exist yet.
+
+    The missing-path probe is the read itself (AnalysisException), not
+    ``os.path.exists`` — the sink may live on any Hadoop filesystem
+    (s3a/hdfs/abfs), where a local stat would silently report missing
+    and disable dedup.
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def _committed(spark: SparkSession, commits_path: str) -> DataFrame:
+    return _read_or_empty(spark, commits_path, "batch_id bigint")
+
+
+def read_committed(spark: SparkSession, sink_dir: str, index_dir: str,
+                   schema: str) -> DataFrame:
+    """Read a sink, restricted to fully committed batches: rows from a
+    replayed-but-uncommitted attempt (possible under at-least-once
+    foreachBatch) are filtered by a broadcast semi-join on the commit
+    log (one row per batch — KBs, not data-plane)."""
+    commits = _committed(spark, os.path.join(index_dir, "commits")).select(
+        F.col("batch_id").alias("_batch_id")
+    )
+    df = _read_or_empty(spark, sink_dir, schema + ", _batch_id bigint")
+    return df.join(F.broadcast(commits), "_batch_id", "left_semi")
 
 
 def ingest_dedup_stream(
@@ -46,17 +93,23 @@ def ingest_dedup_stream(
 ):
     """foreachBatch pipeline: within-batch exact dedup (keep lowest id)
     → annotate against the persisted corpus index (exact digest + LSH
-    band collision) → append survivors to ``corpus_dir`` and their
-    digest/band rows to ``index_dir``. Returns the DataStreamWriter
-    (caller starts it; awaitTermination with availableNow drains all
-    pending files)."""
+    band collision, committed batches only) → write survivors to
+    ``corpus_dir/_batch_id=N`` and their digest/band rows to the index
+    sinks, each as an idempotent per-batch overwrite, then append the
+    batch id to the commit log. Returns the DataStreamWriter (caller
+    starts it; awaitTermination with availableNow drains all pending
+    files)."""
     digest_path = os.path.join(index_dir, "digests")
     band_path = os.path.join(index_dir, "bands")
+    commits_path = os.path.join(index_dir, "commits")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        commits = _committed(spark, commits_path)
+        if commits.filter(F.col("batch_id") == batch_id).limit(1).count():
+            return  # already fully committed; replay is a no-op
         # within-batch exact dedup, keep-first by id
         w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
         batch = (
@@ -64,8 +117,22 @@ def ingest_dedup_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        digests = _read_or_empty(spark, digest_path, "digest string")
-        band_idx = _read_or_empty(spark, band_path, "band int, bkey string")
+        # index reads see committed batches only — a crashed attempt's
+        # partial rows are invisible, so the replay recomputes the
+        # exact verdicts of the original run before overwriting it
+        ckey = F.broadcast(commits.select(F.col("batch_id").alias("_batch_id")))
+        digests = (
+            _read_or_empty(spark, digest_path, "digest string, _batch_id bigint")
+            .join(ckey, "_batch_id", "left_semi")
+            .select("digest")
+        )
+        band_idx = (
+            _read_or_empty(
+                spark, band_path, "band int, bkey string, _batch_id bigint"
+            )
+            .join(ckey, "_batch_id", "left_semi")
+            .select("band", "bkey")
+        )
         verdicts = dedup.dedup_against_index(
             batch, digests, band_idx, id_col, text_col, n, k, bands
         )
@@ -73,15 +140,27 @@ def ingest_dedup_stream(
             F.col("id").alias(id_col)
         )
         survivors = batch.join(F.broadcast(keep_ids), id_col)
-        # localCheckpoint: materialize survivors BEFORE the appends so
-        # the index append doesn't re-read corpus_dir mid-write
+        # localCheckpoint: materialize survivors BEFORE the writes so
+        # the index write doesn't re-read corpus_dir mid-write
         survivors = survivors.localCheckpoint()
-        survivors.write.mode("append").parquet(corpus_dir)
+        part = f"_batch_id={batch_id}"
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, part)
+        )
         new_digests, new_bands = dedup.build_dedup_index(
             survivors, id_col, text_col, n, k, bands
         )
-        new_digests.write.mode("append").parquet(digest_path)
-        new_bands.write.mode("append").parquet(band_path)
+        new_digests.write.mode("overwrite").parquet(
+            os.path.join(digest_path, part)
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(band_path, part)
+        )
+        # commit marker LAST: anything before a crash here gets
+        # deterministically overwritten by the replay
+        spark.createDataFrame([(batch_id,)], "batch_id bigint").coalesce(
+            1
+        ).write.mode("append").parquet(commits_path)
 
     writer = (
         stream_docs.writeStream.foreachBatch(process_batch)

@@ -427,3 +427,108 @@ def test_ingest_dedup_stream_restart_no_reappend(spark, tmp_path):
     run()  # restart, nothing new
     n2 = spark.read.parquet(corpus_dir).count()
     assert n1 == n2 == 1
+
+
+def test_ingest_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint replays batch 0 from scratch (foreachBatch is
+    at-least-once). The commit log must turn the replay into a no-op:
+    no duplicate corpus rows, no duplicate index rows."""
+    import os
+
+    from lambda_refarch_mapreduce_spark.streaming.corpus import ingest_dedup_stream
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a perfectly unique document for the replay idempotence test")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(src + "/f*")
+        )
+        q = ingest_dedup_stream(stream, corpus_dir, index_dir, ckpt).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    run(str(tmp_path / "ckpt2"))  # replays batch 0 against the same sinks
+    assert spark.read.parquet(corpus_dir).count() == 1
+    digests = spark.read.parquet(str(tmp_path / "index" / "digests"))
+    assert digests.count() == 1
+
+
+def test_ingest_dedup_stream_partial_attempt_overwritten(spark, tmp_path):
+    """Crash simulation for the at-least-once hole: a previous attempt
+    of batch 0 wrote its digest index rows but died before the commit
+    row. The replay must NOT see those uncommitted digests (else the
+    batch's own docs look like exact dups and are lost) — it recomputes
+    the original verdicts, overwrites the partial partition, and the
+    document lands in the corpus exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.streaming.corpus import (
+        ingest_dedup_stream,
+        read_committed,
+    )
+
+    text = "the one document whose digest a crashed attempt already indexed"
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, text)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    # plant the crashed attempt: digest rows for batch 0, no commit row
+    spark.createDataFrame([(text,)], "t string").select(
+        F.md5("t").alias("digest")
+    ).write.parquet(os.path.join(index_dir, "digests", "_batch_id=0"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src + "/f*")
+    )
+    q = ingest_dedup_stream(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(corpus_dir)
+    assert [r.doc_id for r in got.collect()] == [1]  # not lost, not doubled
+    committed = read_committed(
+        spark, corpus_dir, index_dir, "doc_id bigint, text string"
+    )
+    assert committed.count() == 1
+
+
+def test_read_committed_hides_uncommitted_partition(spark, tmp_path):
+    """read_committed must filter rows whose batch never committed."""
+    import os
+
+    from lambda_refarch_mapreduce_spark.streaming.corpus import read_committed
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    spark.createDataFrame(
+        [(1, "committed doc")], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(corpus_dir, "_batch_id=0"))
+    spark.createDataFrame(
+        [(2, "uncommitted doc")], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(corpus_dir, "_batch_id=7"))
+    spark.createDataFrame([(0,)], "batch_id bigint").write.parquet(
+        os.path.join(index_dir, "commits")
+    )
+
+    assert spark.read.parquet(corpus_dir).count() == 2  # raw read sees both
+    got = read_committed(
+        spark, corpus_dir, index_dir, "doc_id bigint, text string"
+    )
+    assert [r.doc_id for r in got.collect()] == [1]
