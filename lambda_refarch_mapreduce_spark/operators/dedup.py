@@ -490,6 +490,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Transitive closure of a near-duplicate pair graph: assign every
     node the min node-id reachable from it (its cluster id).
@@ -508,10 +509,15 @@ def connected_components(
     expensive changed-row anti-join. Rounds needed = graph diameter;
     near-dup components are small and dense (diameter 2-4 in
     practice), so this beats the O(log^2 n) large-star/small-star
-    alternative on constant factors. `localCheckpoint` truncates the
-    growing lineage each round (on a real cluster, set a reliable
-    checkpoint dir and use `checkpoint()` instead so executor loss
-    can't lose the only copy).
+    alternative on constant factors. Each round's result is
+    checkpointed to truncate the growing lineage: by default with
+    `localCheckpoint` (executor-local blocks — fast, but lost if an
+    executor dies mid-job; harmless in local mode, where the single
+    process dying ends the job anyway). On a real cluster pass
+    ``reliable_checkpoint=True`` AND set
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` first:
+    rounds then persist via `checkpoint()` to the reliable store and
+    survive executor loss / dynamic-allocation deallocation.
 
     Returns (node, comp): one row per node that appears in >=1 pair.
     Docs with no near-dup edge are trivially their own cluster and are
@@ -519,11 +525,14 @@ def connected_components(
     the corpus; carrying every singleton through the iteration would
     shuffle the full doc-id set `diameter` times for no information).
     """
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # eager either way: cuts lineage and runs the round
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
+    edges = _ckpt(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
@@ -533,11 +542,10 @@ def connected_components(
         msgs = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), labels["comp"]
         )
-        labels = (
+        labels = _ckpt(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()  # eager: cuts lineage, runs the round
         )
         s = labels.agg(F.sum("comp")).first()[0]
         if s == prev_sum:
@@ -551,6 +559,7 @@ def paragraph_dedup(
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    split_pattern: str | None = None,
 ) -> DataFrame:
     """Corpus-wide exact paragraph dedup (the C4/Dolma pass the
     reference's framework could never express — it has no second
@@ -558,7 +567,13 @@ def paragraph_dedup(
     first occurrence, ordered by (id, position); documents are then
     reassembled from their surviving paragraphs in original order.
 
-    ``sep`` is a Java regex (Spark ``split`` semantics).
+    ``sep`` is the LITERAL separator used to rejoin surviving
+    paragraphs; by default it is also regex-escaped into the split
+    pattern, so regex metacharacters in ``sep`` are safe. Pass
+    ``split_pattern`` (a Java regex, e.g. ``r"\\n+"``) to split on a
+    pattern while rejoining with the literal ``sep`` — the two roles
+    are distinct parameters because a regex can't be used as a rejoin
+    string without corrupting the rebuilt text.
 
     Plan shape at 100 TB: one shuffle of paragraphs keyed by their
     md5 (the keep-first window — paragraph text must ride along
@@ -569,13 +584,19 @@ def paragraph_dedup(
     Returns (id, n_paras, n_kept, text_deduped); fully-deduplicated
     documents stay in the output with empty text.
     """
+    import re as _re
+
     from pyspark.sql.window import Window
 
+    if split_pattern is None:
+        split_pattern = _re.escape(sep)
     paras = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+                "pos", "para"
+            ),
         )
         .filter(F.trim(F.col("para")) != "")
     )

@@ -328,7 +328,16 @@ def _assign_lists(
 ) -> Column:
     """Ranked array of (centroid_id) by cosine to ``vec_expr`` —
     element 0 is the nearest centroid. Pure Catalyst: the centroid set
-    is a literal array baked into the plan (broadcast by value)."""
+    is a literal array baked into the plan (broadcast by value).
+
+    Cutover bound: plan size (and codegen cost) grows
+    O(n_centroids * dim), so plan-literal centroids are the right call
+    only for coarse quantizers up to ~100 lists at dim<=1024 — a few
+    hundred KB of plan. Production IVF with thousands of lists must
+    instead materialize the centroids as a DataFrame, broadcast-join
+    it against the corpus/query side, and take the per-row
+    min-distance via a window or groupBy-min — same shuffle shape,
+    plan stays O(1) in n_centroids."""
     scored = F.array(
         *[
             F.struct(

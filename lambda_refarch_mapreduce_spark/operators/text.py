@@ -438,6 +438,13 @@ def unigram_logprob(
     # freq is vocab-sized after the map-side combine; localCheckpoint it
     # so the three consumers below (totals, top-K, floor) share ONE
     # corpus scan + token shuffle instead of re-deriving the subtree.
+    # Caveat (same as connected_components): localCheckpoint blocks
+    # live on executors, so executor loss or dynamic-allocation
+    # deallocation fails downstream stages with lost-block errors. At
+    # cluster scale either disable dynamic allocation for this job,
+    # swap in reliable checkpoint()+setCheckpointDir, or replace with
+    # freq.cache() + a count() action (recomputable lineage, one extra
+    # no-op pass on loss).
     freq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -500,6 +500,29 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(edges).count() == 0
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True routes every round through
+    checkpoint() into the configured reliable store (the cluster
+    profile where executor loss must not drop the only copy of the
+    labels) and still converges to the same components."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r.node, r.comp)
+        for r in dedup.connected_components(
+            edges, reliable_checkpoint=True
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    import os
+
+    # the reliable store was actually written (RDD checkpoint files)
+    assert any(os.scandir(ckpt_dir))
+
+
 def test_hll_sketch_rollup_accuracy(spark):
     """Daily HLL sketches and their union must track exact distinct
     counts within sketch tolerance, and the ALL row must come from
@@ -657,6 +680,31 @@ def test_paragraph_dedup_keep_first(spark):
     assert got[3].text_deduped == ""
     assert (got[3].n_paras, got[3].n_kept) == (1, 0)
     assert (got[4].n_paras, got[4].n_kept, got[4].text_deduped) == (0, 0, "")
+
+
+def test_paragraph_dedup_sep_literal_vs_split_pattern(spark):
+    """sep is a literal (regex metachars must not explode the split)
+    and split_pattern lets a regex split coexist with a literal
+    rejoin — a regex sep reused as the rejoin string would corrupt
+    rebuilt text."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a.b\n\nc\nb"), (2, "a.b\nz")], "doc_id int, text string"
+    )
+    # '.' as literal separator: doc 1 has exactly 2 paragraphs
+    lit = {r.doc_id: r for r in paragraph_dedup(df, "doc_id", "text", sep=".").collect()}
+    assert lit[1].n_paras == 2
+    assert lit[1].text_deduped == "a.b\n\nc\nb"
+    # regex split on '\n+', literal rejoin with single '\n'
+    rx = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            df, "doc_id", "text", sep="\n", split_pattern=r"\n+"
+        ).collect()
+    }
+    assert rx[1].text_deduped == "a.b\nc\nb"  # blank run collapsed by split
+    assert (rx[2].n_paras, rx[2].n_kept, rx[2].text_deduped) == (2, 1, "z")
 
 
 def test_quantize_embeddings_roundtrip_bound(spark):
