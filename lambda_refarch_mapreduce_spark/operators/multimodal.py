@@ -213,6 +213,93 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_kernel, schema=IMAGE_STATS_SCHEMA)
 
 
+def decode_audio(content: bytes) -> "tuple":
+    """Real audio decode — numpy-only WAV (RIFF) parser for
+    uncompressed PCM16: walks the chunk list (fmt / data; unknown
+    chunks skipped, odd sizes padded per RIFF), validates
+    audio_format=1 and 16-bit samples, and returns
+    (samples[n_frames, n_channels] int16, sample_rate). Compressed
+    audio needs a codec library, absent here → NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    content = bytes(content)
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes natively; other audio formats "
+            "need a codec library, not present in this runtime"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    n = len(data) // (2 * n_channels) * n_channels
+    samples = np.frombuffer(data, dtype="<i2", count=n).reshape(-1, n_channels)
+    return samples, sample_rate
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction: each payload is parsed
+    by ``decode_audio`` (RIFF PCM16) and reduced to duration and
+    amplitude statistics (RMS / peak over all channels). Same Arrow
+    mapInPandas contract as the image tier; undecodable payloads drop
+    like DROPMALFORMED."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.content is None:
+                    continue
+                try:
+                    samples, rate = decode_audio(row.content)
+                except (ValueError, NotImplementedError):
+                    continue
+                x = samples.astype(np.float64)
+                n_frames = samples.shape[0]
+                out.append(
+                    (
+                        row.media_id,
+                        int(rate),
+                        int(samples.shape[1]),
+                        n_frames,
+                        round(n_frames / rate, 6),
+                        round(float(np.sqrt((x * x).mean())), 6) if n_frames else 0.0,
+                        int(np.abs(samples).max()) if n_frames else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_kernel, schema=AUDIO_STATS_SCHEMA)
+
+
 def _fake_dims(digest: str) -> tuple[int, int]:
     """Deterministic fake width/height from the content digest."""
     return (int(digest[:4], 16) % 1920 + 1, int(digest[4:8], 16) % 1080 + 1)

@@ -90,6 +90,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     # multimodal plumbing + real decode
     "multimodal_features",
     "multimodal_decode_image_stats",
+    "multimodal_decode_audio_stats",
     # ANN tiers whose deterministic centroid pipeline is now oracled
     "similarity_ivf_topk",
     "semdedup_embeddings",

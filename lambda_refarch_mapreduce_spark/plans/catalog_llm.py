@@ -790,6 +790,64 @@ def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.extract_image_features(media)
 
 
+# 44-byte canonical WAV header: PCM16 mono, 8000 Hz, 64-byte data chunk
+# (32 samples). Precomputed with struct.pack — constant for every row.
+_WAV_HEADER = bytes.fromhex(
+    "524946466400000057415645666d7420100000000100010040"
+    "1f0000803e0000020010006461746140000000"
+)
+
+
+@register(
+    "multimodal_decode_audio_stats",
+    oracle="""
+        WITH b AS (SELECT doc_id,
+                          md5(doc_id::VARCHAR || ':a0') || md5(doc_id::VARCHAR || ':a1')
+                          || md5(doc_id::VARCHAR || ':a2') || md5(doc_id::VARCHAR || ':a3')
+                              AS hx
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     list_transform(
+                         list_transform(range(1, 33), i ->
+                             ('0x' || substr(hx, 4*i - 3, 2))::INT
+                             + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT),
+                         u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                         AS v
+              FROM b)
+        SELECT doc_id AS media_id,
+               8000 AS sample_rate, 1 AS n_channels, 32::BIGINT AS n_frames,
+               round(32.0 / 8000, 6) AS duration_s,
+               round(sqrt(list_sum(list_transform(v, x -> x::BIGINT * x)) / 32.0), 6)
+                   AS rms,
+               list_max(list_transform(v, x -> abs(x))) AS peak
+        FROM s
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: build one PCM16 mono WAV per
+    document (32 samples = 64 md5-derived bytes, little-endian, so the
+    oracle reconstructs the identical int16 stream from hex), walk the
+    RIFF chunk list in multimodal.decode_audio, and emit sample-rate/
+    channel/duration plus RMS and peak amplitude. Sums of squares stay
+    below 2^53, so numpy's pairwise and SQL's sequential summation are
+    both exact — the stats match bit-for-bit. Arrow-batched
+    mapInPandas, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raster = F.concat(
+        *[F.unhex(F.md5(F.concat(sid, F.lit(f":a{k}")))) for k in range(4)]
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(F.lit(_WAV_HEADER), raster).alias("content"),
+        F.lit("wav").alias("format"),
+        (F.length(raster) + F.lit(44)).cast("long").alias("n_bytes"),
+    )
+    return multimodal.extract_audio_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Streaming-equivalent window (batch check of streaming semantics)
 # ---------------------------------------------------------------------------

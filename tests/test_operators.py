@@ -344,6 +344,73 @@ def test_decode_image_bmp_bottom_up_bgr():
     assert img[1, 1].tolist() == [0, 255, 0]
 
 
+def test_decode_audio_wav_pcm16():
+    import struct
+
+    import numpy as np
+
+    samples = np.arange(-16, 16, dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    s, rate = multimodal.decode_audio(wav)
+    assert rate == 8000 and s.shape == (32, 1)
+    assert s.flatten().tolist() == samples.tolist()
+    # stereo, with an odd-sized LIST chunk that must be skipped + padded
+    d2 = np.array([1, -1, 100, -100], dtype="<i2").tobytes()
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(d2)) + d2
+    )
+    s2, r2 = multimodal.decode_audio(wav2)
+    assert r2 == 44100 and s2.tolist() == [[1, -1], [100, -100]]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3 compressed mp3")
+    with pytest.raises(ValueError):
+        # float32 WAV (format 3) is not PCM16
+        multimodal.decode_audio(
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 0)
+        )
+
+
+def test_extract_audio_features_real_decode(spark):
+    import struct
+
+    import numpy as np
+
+    samples = np.array([0, 100, -100, 32767], dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rows = [
+        (1, "audio", wav, "wav", len(wav)),
+        (2, "audio", b"OggS not decodable", "ogg", 18),  # dropped
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_audio_features(media).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    x = samples.astype(np.float64)
+    assert (r.sample_rate, r.n_channels, r.n_frames) == (16000, 1, 4)
+    assert r.duration_s == round(4 / 16000, 6)
+    assert r.rms == round(float(np.sqrt((x * x).mean())), 6)
+    assert r.peak == 32767
+
+
 def test_extract_image_features_real_decode(spark):
     import numpy as np
 
