@@ -91,6 +91,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "multimodal_features",
     "multimodal_decode_image_stats",
     "multimodal_decode_audio_stats",
+    "multimodal_frame_sampling",
+    "embedding_neardup_lsh_blocked",
     # ANN tiers whose deterministic centroid pipeline is now oracled
     "similarity_ivf_topk",
     "semdedup_embeddings",
@@ -130,8 +132,6 @@ DRIVER_WINDOW_FIRST: list[str] = [
 # marginal oracle entry — pushed behind every other unverified entry so
 # a capped driver window spends its slots where a row proves the most.
 DRIVER_WINDOW_LAST: list[str] = [
-    "embedding_neardup_lsh_blocked",
-    "multimodal_frame_sampling",
     "approx_percentile_prices",
 ]
 

@@ -1154,12 +1154,31 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sampling", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "multimodal_frame_sampling",
+    # The fake demux kernel is pure byte arithmetic (slice every 64
+    # UTF-8 bytes, cap 4 frames, min 1), so the Arrow fan-out is fully
+    # replayable in SQL: n_frames = min(4, max(1, bytes // 64)) and
+    # frame i carries min(64, bytes - 64*i) bytes.
+    oracle="""
+        WITH m AS (SELECT doc_id::BIGINT AS media_id,
+                          octet_length(encode(text)) AS nb
+                   FROM documents),
+        f AS (SELECT media_id, nb,
+                     unnest(range(least(4, greatest(1, nb // 64)))) AS fi
+              FROM m)
+        SELECT media_id, fi::INT AS frame_idx,
+               least(64, nb - fi * 64)::INT AS n_frame_bytes
+        FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
 def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (1 media row → n frame rows) through
     mapInPandas — the Arrow fan-out shape a real video demux uses. The
-    kernel slices fake payloads (no codecs in this runtime); rows-only
-    check pins the plumbing, tests pin the per-row frame counts."""
+    kernel slices fake payloads (no codecs in this runtime); the fan-out
+    cardinality and per-frame byte counts are deterministic, so the
+    oracle replays them arithmetically; tests pin per-row frame counts."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs, "doc_id", "text", "video", "fake")
     frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
@@ -1287,20 +1306,77 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_neardup_lsh_blocked", oracle=None, tags=("llm", "similarity"))
+LSH_BLOCK_PLANES = 3
+LSH_BLOCK_BANDS = 6
+LSH_BLOCK_SEED = 42
+LSH_BLOCK_DIM = 64  # embeddings.parquet dim at every sf tier
+
+
+def _lsh_blocked_oracle() -> str:
+    """Replay the banded sign-hyperplane blocking in DuckDB.
+
+    The hyperplanes are deterministic md5-derived literals
+    (similarity._hyperplane), so the oracle embeds the SAME plane
+    vectors this entry's Spark plan bakes in (band b uses seed
+    42*1000+b, matching lsh_blocked_pairs) and recomputes each
+    3-bit band bucket as sign(v · plane) — an exact candidate-set
+    check, not just row counts. Filter is on the ROUNDED cosine,
+    matching lsh_blocked_pairs' output column semantics."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for b in range(LSH_BLOCK_BANDS):
+        for p in range(LSH_BLOCK_PLANES):
+            plane = _hyperplane(LSH_BLOCK_DIM, p, LSH_BLOCK_SEED * 1000 + b)
+            lits = ", ".join(repr(x) for x in plane)
+            rows.append(f"({b}, {p}, [{lits}]::DOUBLE[])")
+    values = ",\n               ".join(rows)
+    cos = _COSINE_SQL.format(a="ea.v", b="eb.v")
+    return f"""
+        WITH planes(band, plane_idx, p) AS (
+            VALUES {values}
+        ),
+        e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (SELECT e.id, pl.band, pl.plane_idx,
+                        CASE WHEN list_inner_product(e.v, pl.p) >= 0
+                             THEN '1' ELSE '0' END AS bit
+                 FROM e CROSS JOIN planes pl),
+        buckets AS (SELECT id, band,
+                           string_agg(bit, '' ORDER BY plane_idx) AS bucket
+                    FROM bits GROUP BY id, band),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        scored AS (SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+                   FROM cand c
+                   JOIN e ea ON ea.id = c.id_a
+                   JOIN e eb ON eb.id = c.id_b)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= {NEARDUP_COSINE}
+    """
+
+
+@register(
+    "embedding_neardup_lsh_blocked",
+    oracle=_lsh_blocked_oracle(),
+    tags=("llm", "similarity"),
+)
 def embedding_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: banded cosine-LSH blocking
     (OR-amplification over 6 bands of 3 sign bits) in front of the
     exact cosine check — candidates form per-band equi-joins, never a
-    cross join. Candidate set is LSH-dependent → rows-only here;
-    recall vs the exact tier is pinned in tests/test_operators.py."""
+    cross join. The hyperplane family is deterministic (md5-derived
+    literals), so the LSH-dependent candidate set is exactly
+    reproducible and the oracle replays it in SQL; recall vs the exact
+    tier is additionally pinned in tests/test_operators.py."""
     return similarity.lsh_blocked_pairs(
         _t(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         threshold=NEARDUP_COSINE,
-        n_planes=3,
-        bands=6,
+        n_planes=LSH_BLOCK_PLANES,
+        bands=LSH_BLOCK_BANDS,
+        seed=LSH_BLOCK_SEED,
     )
 
 
