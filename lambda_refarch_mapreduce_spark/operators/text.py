@@ -96,6 +96,79 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    bad_line_words: tuple[str, ...] = ("javascript",),
+    bad_doc_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style heuristic boilerplate cleaning (Raffel et al. 2020,
+    "Colossal Clean Crawled Corpus" §2.2) as one row-local projection.
+
+    A line survives iff it has >= ``min_words_per_line`` whitespace
+    words, (optionally) ends in terminal punctuation (``.!?"``), and
+    contains none of ``bad_line_words`` (case-insensitive). A document
+    is dropped outright if its text contains any ``bad_doc_substrings``
+    (case-insensitive, C4 drops "lorem ipsum" and "{" pages) or if
+    fewer than ``min_kept_lines`` lines survive.
+
+    ``sep`` is the LITERAL line separator (regex-escaped for the
+    split, reused verbatim for the rejoin — same two-role contract as
+    dedup.paragraph_dedup). All conditions are Catalyst higher-order
+    ``filter`` lambdas over a staged line array (the HOF staging rule:
+    the array is a column, never a re-evaluated expression), so the
+    whole pass is O(len(text)) per row with ZERO shuffle — at 100 TB
+    this fuses into the ingest scan.
+
+    Returns (id, n_lines, n_lines_kept, text_clean).
+    """
+    import re as _re
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.split(F.col(text_col), _re.escape(sep)).alias("__lines"),
+    )
+
+    def _line_ok(line: Column) -> Column:
+        cond = F.size(tokenize(line)) >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            cond = cond & F.trim(line).rlike('[.!?"]$')
+        low = F.lower(line)
+        for w in bad_line_words:
+            cond = cond & ~low.contains(w.lower())
+        return cond
+
+    doc_ok = F.lit(True)
+    low_text = F.lower(F.col("__text"))
+    for s in bad_doc_substrings:
+        doc_ok = doc_ok & ~low_text.contains(s.lower())
+    # stage the filtered array as a column so the line predicate runs
+    # once, not once per consumer (size + rejoin)
+    filtered = staged.select(
+        F.col(id_col),
+        F.size("__lines").alias("n_lines"),
+        F.filter(F.col("__lines"), _line_ok).alias("__kept"),
+        doc_ok.alias("__doc_ok"),
+    )
+    return (
+        filtered.select(
+            F.col(id_col),
+            F.col("n_lines"),
+            F.size("__kept").alias("n_lines_kept"),
+            F.array_join(F.col("__kept"), sep).alias("text_clean"),
+            F.col("__doc_ok"),
+        )
+        .filter(F.col("__doc_ok") & (F.col("n_lines_kept") >= min_kept_lines))
+        .drop("__doc_ok")
+    )
+
+
 def quality_quantile_filter(
     df: DataFrame,
     id_col: str,

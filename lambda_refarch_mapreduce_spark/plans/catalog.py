@@ -78,6 +78,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_unigram_logprob",
     "text_tfidf_terms",
     "text_bm25_search",
+    "text_c4_line_clean",
     "dedup_paragraphs_corpus",
     "embedding_quantize_int8",
     "embedding_normalize_truncate",

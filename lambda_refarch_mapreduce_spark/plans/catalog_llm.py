@@ -1443,6 +1443,55 @@ def _para_oracle() -> str:
     """
 
 
+C4_MIN_KEPT_LINES = 2
+C4_BAD_LINE_WORD = "slow"  # stands in for C4's "javascript" line rule
+
+
+def _c4_clean_oracle() -> str:
+    w = PARA_CHUNK_W
+    return rf"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents),
+        c AS (SELECT doc_id, text,
+                     list_transform(range(1, cast(ceil(len(w) / {w}.0) AS INT) + 1),
+                                    i -> array_to_string(w[(i - 1) * {w} + 1 : i * {w}], ' ')) AS lines
+              FROM t),
+        k AS (SELECT doc_id, len(lines) AS n_lines,
+                     list_filter(lines,
+                         l -> len(regexp_extract_all(l, '\S+')) >= {w}
+                              AND NOT contains(lower(l), '{C4_BAD_LINE_WORD}')) AS kept
+              FROM c
+              WHERE NOT contains(lower(text), 'lorem ipsum'))
+        SELECT doc_id, n_lines::INT AS n_lines, len(kept)::INT AS n_lines_kept,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM k WHERE len(kept) >= {C4_MIN_KEPT_LINES}
+    """
+
+
+@register("text_c4_line_clean", oracle=_c4_clean_oracle(), tags=("llm", "text"))
+def text_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line cleaning (Raffel et al. 2020 §2.2)
+    over pseudo-lines: fixture docs are flat word streams with no
+    punctuation, so re-chunk into PARA_CHUNK_W-token lines first, then
+    drop short lines and lines containing the stand-in bad word
+    ('slow' ~ C4's 'javascript' rule), and drop documents with fewer
+    than C4_MIN_KEPT_LINES survivors or a 'lorem ipsum' page marker.
+    The terminal-punctuation rule is exercised in tests (the fixture
+    corpus has no punctuation to key on). Entirely row-local — fuses
+    into the ingest scan at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    chunked = dedup.chunk_tokens(docs, "doc_id", "text", PARA_CHUNK_W)
+    return text.c4_line_clean(
+        chunked,
+        "doc_id",
+        "text",
+        min_words_per_line=PARA_CHUNK_W,
+        require_terminal_punct=False,
+        bad_line_words=(C4_BAD_LINE_WORD,),
+        bad_doc_substrings=("lorem ipsum",),
+        min_kept_lines=C4_MIN_KEPT_LINES,
+    )
+
+
 @register("dedup_paragraphs_corpus", oracle=_para_oracle(), tags=("llm", "dedup"))
 def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Dolma-style corpus-wide exact paragraph dedup: the fixture

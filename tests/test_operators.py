@@ -727,6 +727,49 @@ def test_pii_stats_redaction(spark):
     assert got[3].redacted == got[3].redacted == "clean text, no pii here"
 
 
+def test_c4_line_clean_rules(spark):
+    """Each C4 rule on hand-built docs: terminal punctuation, min
+    words, bad line word, bad doc substring, min kept lines."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            # line 1 keepable; line 2 no terminal punct; line 3 short;
+            # line 4 contains the bad word
+            (1, "one two three four five.\nno punct here at all\nshort.\nenable javascript to view this page."),
+            (2, "lorem ipsum dolor sit amet."),  # doc-level drop
+            (3, "braces { everywhere in this doc. }"),  # doc-level drop
+            (4, "tiny."),  # no line survives -> dropped
+            (5, 'he said "stop right there now!"\nanother good line ends here?'),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.c4_line_clean(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 5}
+    assert got[1].n_lines == 4
+    assert got[1].n_lines_kept == 1
+    assert got[1].text_clean == "one two three four five."
+    # '"' and '?' count as terminal punctuation
+    assert got[5].n_lines_kept == 2
+
+    # min_kept_lines promotes the partial doc 1 to a drop
+    strict = text_ops.c4_line_clean(df, "doc_id", "text", min_kept_lines=2)
+    assert {r.doc_id for r in strict.collect()} == {5}
+
+    # literal separator with a regex metacharacter must not explode
+    dotted = spark.createDataFrame(
+        [(9, "alpha beta gamma delta five six|seven eight nine ten eleven p")],
+        "doc_id int, text string",
+    )
+    out = text_ops.c4_line_clean(
+        dotted, "doc_id", "text", sep="|", require_terminal_punct=False
+    ).collect()
+    assert out[0].n_lines == 2 and out[0].n_lines_kept == 2
+
+
 def test_paragraph_dedup_keep_first(spark):
     from lambda_refarch_mapreduce_spark.operators.dedup import paragraph_dedup
 
