@@ -96,6 +96,56 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear bag-of-words classifier inference (fastText-style:
+    mean of per-token weights + bias through a sigmoid) — the
+    model-based quality-filter tier (e.g. a GPT-3/CCNet-style
+    "looks like reference text" classifier) run as pure Catalyst.
+
+    The weight table rides the plan as a map LITERAL and is staged as
+    a column before the fold lambda references it (HOF staging rule:
+    Catalyst would otherwise rebuild the map once per token). That is
+    the right shape up to a few thousand weights; for a real 100k+
+    vocab model, explode tokens and broadcast-join a weights table
+    instead — same cutover rule as the IVF literal centroids.
+
+    Returns (id, n_tokens, score, label): score = rounded
+    sigmoid(bias + sum(w[token])/n_tokens), label = unrounded score
+    >= threshold. Row-local, zero shuffle — fuses into the scan.
+    """
+    from itertools import chain
+
+    wmap = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(weights.items())]
+    )
+    staged = df.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("__toks"),
+        wmap.alias("__w"),
+    )
+    n = F.size(F.col("__toks"))
+    raw = F.aggregate(
+        F.col("__toks"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("__w"), t), F.lit(0.0)),
+    )
+    logit = F.lit(float(bias)) + raw / F.greatest(n, F.lit(1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        (score >= F.lit(float(threshold))).alias("label"),
+    )
+
+
 def c4_line_clean(
     df: DataFrame,
     id_col: str,

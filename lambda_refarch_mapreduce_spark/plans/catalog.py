@@ -79,6 +79,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_tfidf_terms",
     "text_bm25_search",
     "text_c4_line_clean",
+    "text_classifier_quality",
     "dedup_paragraphs_corpus",
     "embedding_quantize_int8",
     "embedding_normalize_truncate",

@@ -1443,6 +1443,59 @@ def _para_oracle() -> str:
     """
 
 
+# fastText-style linear quality model: one weight dict drives BOTH the
+# Spark map literal and the SQL CASE chain — single source of truth.
+CLS_WEIGHTS: dict[str, float] = {
+    "fast": 1.2,
+    "data": 0.8,
+    "query": 0.6,
+    "spark": 0.9,
+    "slow": -1.5,
+    "small": -0.4,
+}
+CLS_BIAS = 0.0
+CLS_THRESHOLD = 0.5
+
+
+def _classifier_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in CLS_WEIGHTS.items()
+    )
+    mean = (
+        f"(coalesce(list_sum(list_transform(toks, t -> CASE t {cases} "
+        f"ELSE 0.0 END)), 0.0) / greatest(len(toks), 1))"
+    )
+    score = f"(1.0 / (1.0 + exp(-({CLS_BIAS!r} + {mean}))))"
+    return f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+        SELECT doc_id, len(toks)::INT AS n_tokens,
+               round({score}, 6) AS score,
+               ({score} >= {CLS_THRESHOLD!r}) AS label
+        FROM t
+    """
+
+
+@register(
+    "text_classifier_quality",
+    oracle=_classifier_oracle(),
+    tags=("llm", "text"),
+)
+def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: linear bag-of-words classifier
+    (mean token weight + bias through a sigmoid — the fastText /
+    CCNet-style quality-filter shape) with the weight table as plan
+    literals. Deterministic, so the oracle replays the same weights as
+    a SQL CASE chain (operators.text.classifier_score)."""
+    return text.classifier_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        CLS_WEIGHTS,
+        bias=CLS_BIAS,
+        threshold=CLS_THRESHOLD,
+    )
+
+
 C4_MIN_KEPT_LINES = 2
 C4_BAD_LINE_WORD = "slow"  # stands in for C4's "javascript" line rule
 

@@ -727,6 +727,39 @@ def test_pii_stats_redaction(spark):
     assert got[3].redacted == got[3].redacted == "clean text, no pii here"
 
 
+def test_classifier_score_linear_model(spark):
+    """Hand-computed sigmoid(mean token weight): known words, unknown
+    words (weight 0), empty doc (sits at sigmoid(bias))."""
+    from lambda_refarch_mapreduce_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "fast fast"), (2, "slow"), (3, "unseen words only"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.classifier_score(
+            df, "doc_id", "text", {"fast": 1.2, "slow": -1.5}
+        ).collect()
+    }
+    assert got[1].score == pytest.approx(0.768525, abs=1e-6) and got[1].label
+    assert got[2].score == pytest.approx(0.182426, abs=1e-6) and not got[2].label
+    # no vocab hits and the empty doc both sit exactly at sigmoid(0)=0.5
+    assert got[3].score == 0.5 and got[3].label
+    assert got[4].n_tokens == 0 and got[4].score == 0.5
+
+    # bias shifts every score; threshold moves the label boundary
+    biased = {
+        r.doc_id: r
+        for r in text_ops.classifier_score(
+            df, "doc_id", "text", {"fast": 1.2}, bias=-1.2, threshold=0.4
+        ).collect()
+    }
+    assert biased[1].score == 0.5 and biased[1].label  # mean 1.2 cancels bias
+    assert biased[3].score == pytest.approx(0.231475, abs=1e-6)
+    assert not biased[3].label
+
+
 def test_c4_line_clean_rules(spark):
     """Each C4 rule on hand-built docs: terminal punctuation, min
     words, bad line word, bad doc substring, min kept lines."""
