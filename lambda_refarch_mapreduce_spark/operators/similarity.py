@@ -596,3 +596,229 @@ def normalize_embeddings(
         unit.alias("unit"),
         F.round(norm, 6).alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-code ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", IEEE TPAMI)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic per-subspace PQ codebooks: the vector is split
+    into ``m`` contiguous subspaces; each subspace's ``n_codes``
+    centroids are seeded from the sub-vectors of the ``n_codes``
+    lowest-id corpus vectors, then refined by ``refine_iters``
+    k-means (Lloyd) passes — assign every sub-vector to its nearest
+    centroid by squared L2 (ties to the lower code id), recompute each
+    centroid as the per-dimension mean of its members; empty codes
+    keep their previous centroid. No RNG anywhere — the same
+    deterministic convention as ivf_centroids, so the whole pipeline
+    is replayable in SQL.
+
+    Each pass is one distributed groupBy over the corpus (all m
+    subspaces in a single exploded pass) plus a collect of
+    O(n_codes * dim) floats — bounded metadata, never data-plane rows.
+    Returns codebooks[j] = [(code, sub_vector)...].
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("cid")
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        return []
+    dim = len(rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = [
+        [(i, list(r["v"])[j * sub : (j + 1) * sub]) for i, r in enumerate(rows)]
+        for j in range(m)
+    ]
+    vexpr = _as_double(F.col(vec_col))
+    for _ in range(max(refine_iters, 0)):
+        staged = corpus.select(
+            *[F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}") for j in range(m)]
+        )
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _pq_assign(F.col(f"__s{j}"), books[j])["code"].alias("code"),
+                    F.col(f"__s{j}").alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        means = (
+            staged.select(F.explode(per_sub).alias("x"))
+            .select("x.j", "x.code", "x.sv")
+            .groupBy("j", "code")
+            .agg(*[F.avg(F.col("sv")[d]).alias(f"d{d}") for d in range(sub)])
+            .collect()
+        )
+        updated = [dict(b) for b in books]
+        for r in means:  # codes that attracted no vectors keep their seed
+            updated[r["j"]][r["code"]] = [r[f"d{d}"] for d in range(sub)]
+        books = [sorted(u.items()) for u in updated]
+    return books
+
+
+def _l2sq_lit(sub_expr: Column, center: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal
+    sub-centroid (fold of squared differences — sequential, matching
+    the oracle's list_zip replay)."""
+    lit = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(sub_expr, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _pq_assign(sub_expr: Column, codebook: list[tuple[int, list[float]]]) -> Column:
+    """(code, d2) struct of the nearest sub-centroid — argmin via
+    ascending struct sort, ties to the lower code id. Literal-codebook
+    expression; same O(n_codes * sub_dim) plan-size cutover rule as
+    _assign_lists."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2sq_lit(sub_expr, vec).alias("d2"),
+                F.lit(cid).alias("code"),
+            )
+            for cid, vec in codebook
+        ]
+    )
+    return F.array_sort(scored)[0]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Encode vectors to ``m`` sub-codes (one byte each at n_codes <=
+    256): a 4*dim-byte float vector becomes m bytes — a 32x scan-
+    bandwidth cut at dim=64/m=8 — at the cost of quantization error.
+
+    Row-local projection, zero shuffle. Returns (id, codes, recon_err)
+    where codes[j] is subspace j's nearest-centroid id and recon_err
+    is the summed squared quantization error (the ADC self-distance).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+    if not codebooks:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes array<int>, recon_err double"
+        )
+    sub = len(codebooks[0][0][1])
+    vexpr = _as_double(F.col(vec_col))
+    staged = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        *[
+            F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}")
+            for j in range(len(codebooks))
+        ],
+    )
+    assigns = [
+        _pq_assign(F.col(f"__s{j}"), cb).alias(f"__a{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+    staged2 = staged.select(F.col(id_col), *assigns)
+    codes = F.array(*[F.col(f"__a{j}")["code"] for j in range(len(codebooks))])
+    err = sum(
+        (F.col(f"__a{j}")["d2"] for j in range(len(codebooks))), F.lit(0.0)
+    )
+    return staged2.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.round(err, 6).alias("recon_err"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
+    m-byte codes (never raw floats), each query computes exact
+    sub-distances to the looked-up sub-centroids, and the smallest
+    summed approximate distance wins.
+
+    Plan shape: queries broadcast with their raw sub-vectors; the
+    corpus side carries only (id, codes); per-pair cost is m literal
+    array lookups + m sub-dim folds. PQ compresses the SCAN (32x
+    here), it does not prune candidates — production ANN composes it
+    with the IVF tier (IVF prunes lists, PQ compresses what is read;
+    "IVFADC" in Jégou et al.). Ranking uses the 6dp-rounded distance
+    (then neighbor id) so ranks are stable across engines.
+
+    Returns (query_id, neighbor_id, dist2, rank), dist2 ascending.
+    """
+    codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+    if not codebooks:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, dist2 double, rank long"
+        )
+    sub = len(codebooks[0][0][1])
+    coded = pq_encode(corpus, id_col, vec_col, m, n_codes, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    vexpr = _as_double(F.col(vec_col))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            *[
+                F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
+                for j in range(len(codebooks))
+            ],
+        )
+    )
+    # per-subspace centroid table as a literal array-of-arrays; code j
+    # indexes it (1-based element_at)
+    def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
+        table = F.array(
+            *[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb]
+        )
+        center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
+        return F.aggregate(
+            F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    dist = sum(
+        (_sub_d2(j, cb) for j, cb in enumerate(codebooks)), F.lit(0.0)
+    )
+    scored = (
+        coded.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dist, 6).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

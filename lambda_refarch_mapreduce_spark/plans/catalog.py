@@ -98,6 +98,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     # ANN tiers whose deterministic centroid pipeline is now oracled
     "similarity_ivf_topk",
     "semdedup_embeddings",
+    "embedding_pq_codes",
+    "similarity_pq_topk",
     "decontaminate_vs_benchmark",
     "dedup_incremental_batch",
     "mixture_token_sample",

@@ -1443,6 +1443,129 @@ def _para_oracle() -> str:
     """
 
 
+PQ_M = 8  # subspaces (dim 64 -> 8-dim sub-vectors)
+PQ_CODES = 16
+
+
+def _pq_ctes() -> str:
+    """Shared DuckDB replay of the deterministic PQ pipeline: sample-
+    seeded sub-codebooks (lowest-PQ_CODES ids), ONE k-means refinement
+    pass per subspace (assign by squared L2, ties to the lower code
+    id — matching _pq_assign's struct sort — then per-dimension means;
+    empty codes keep their seed), then final codes + summed
+    quantization error per vector against the refined books."""
+    m, sub = PQ_M, 64 // PQ_M
+    l2 = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    return f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                  FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+                        LIMIT {PQ_CODES})),
+        js AS (SELECT unnest(range({m})) AS j),
+        subc0 AS (SELECT s.cid, js.j, s.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
+                  FROM seeds s CROSS JOIN js),
+        sube AS (SELECT e.vec_id, js.j, e.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
+                 FROM e CROSS JOIN js),
+        d0 AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
+               FROM sube se JOIN subc0 c ON c.j = se.j),
+        a0 AS (SELECT vec_id, j, cid,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d2, cid) AS rn
+               FROM d0),
+        m0 AS (SELECT a0.j, a0.cid, se.sv
+               FROM a0 JOIN sube se ON se.vec_id = a0.vec_id AND se.j = a0.j
+               WHERE a0.rn = 1),
+        dims AS (SELECT j, cid, unnest(sv) AS val,
+                        unnest(range(1, len(sv) + 1)) AS pos
+                 FROM m0),
+        dimavg AS (SELECT j, cid, pos, avg(val) AS val
+                   FROM dims GROUP BY j, cid, pos),
+        means AS (SELECT j, cid, list(val ORDER BY pos) AS sv
+                  FROM dimavg GROUP BY j, cid),
+        subc AS (SELECT s0.cid, s0.j, coalesce(mn.sv, s0.sv) AS sv
+                 FROM subc0 s0 LEFT JOIN means mn
+                   ON mn.j = s0.j AND mn.cid = s0.cid),
+        d AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
+              FROM sube se JOIN subc c ON c.j = se.j),
+        a AS (SELECT vec_id, j, cid, d2,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d2, cid) AS rn
+              FROM d),
+        codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes,
+                         sum(d2) AS err
+                  FROM a WHERE rn = 1 GROUP BY vec_id)
+    """
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+        WITH {_pq_ctes()}
+        SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
+               round(err, 6) AS recon_err
+        FROM codes
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_encode): each
+    vector becomes PQ_M one-byte codes — 32x less scan bandwidth for
+    the ANN tiers. Codebooks are sample-seeded then refined by one
+    deterministic Lloyd pass, so the oracle replays seeding +
+    refinement + argmin assignment in SQL; codes ride as a CSV string
+    past the driver canonicalizer (array columns are unhashable
+    there)."""
+    out = similarity.pq_encode(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", PQ_M, PQ_CODES
+    )
+    return out.select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_csv"),
+        "recon_err",
+    )
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=f"""
+        WITH {_pq_ctes()},
+        qsub AS (SELECT vec_id, j, sv FROM sube WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+        nc AS (SELECT vec_id, j, cid FROM a WHERE rn = 1),
+        pair AS (SELECT qs.vec_id AS query_id, nc.vec_id AS neighbor_id,
+                        list_sum(list_transform(list_zip(qs.sv, c.sv),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+                 FROM qsub qs
+                 JOIN nc ON nc.j = qs.j
+                 JOIN subc c ON c.j = nc.j AND c.cid = nc.cid
+                 WHERE qs.vec_id <> nc.vec_id),
+        adc AS (SELECT query_id, neighbor_id, round(sum(d2), 6) AS dist2
+                FROM pair GROUP BY query_id, neighbor_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist2, neighbor_id) AS rnk FROM adc)
+        SELECT query_id, neighbor_id, dist2, rnk::BIGINT AS rank
+        FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (similarity.pq_topk): the corpus scan
+    reads m-byte codes, queries broadcast raw sub-vectors, distances
+    come from literal-codebook lookups. Deterministic end-to-end, so
+    the oracle replays encode + asymmetric distance; ranking uses the
+    6dp-rounded distance (then neighbor id) for cross-engine rank
+    stability. PQ compresses the scan, IVF prunes it — compose both
+    for production IVFADC."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.pq_topk(
+        emb, q, "vec_id", "embedding", k=TOPK_K, m=PQ_M, n_codes=PQ_CODES
+    )
+    return out.select(
+        "query_id", "neighbor_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # fastText-style linear quality model: one weight dict drives BOTH the
 # Spark map literal and the SQL CASE chain — single source of truth.
 CLS_WEIGHTS: dict[str, float] = {

@@ -237,6 +237,69 @@ def test_lsh_topk_multi_probe_monotone_recall(spark):
         similarity.lsh_topk(emb, q, n_planes=4, multi_probe=5)
 
 
+def test_pq_encode_properties(spark):
+    """Codes are m values in [0, n_codes); with UNREFINED codebooks
+    the seed vectors (lowest 16 ids) quantize to themselves with zero
+    error; one Lloyd pass must not increase total quantization error."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    seeded = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", m=8, n_codes=16, refine_iters=0
+    )
+    coded = similarity.pq_encode(
+        emb, "vec_id", "embedding", m=8, n_codes=16, codebooks=seeded
+    )
+    rows = coded.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.recon_err >= 0.0
+    seed_ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect()]
+    by_id = {r.vec_id: r for r in rows}
+    for i, vid in enumerate(seed_ids):
+        assert by_id[vid].recon_err == 0.0
+        assert by_id[vid].codes == [i] * 8
+
+    # Lloyd refinement is a descent step: total error must not grow
+    err0 = sum(r.recon_err for r in rows)
+    err1 = sum(
+        r.recon_err
+        for r in similarity.pq_encode(
+            emb, "vec_id", "embedding", m=8, n_codes=16
+        ).collect()
+    )
+    assert err1 <= err0 + 1e-6, (err0, err1)
+
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(emb, "vec_id", "embedding", m=7)
+
+
+def test_pq_topk_adc_recall_vs_brute_force(spark):
+    """ADC distances are approximations, but the quantizer must stay
+    informative: recall@5 against the exact tier above a coarse floor,
+    ranks contiguous from 1 with ascending distances."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = similarity.pq_topk(emb, q, k=5, m=8, n_codes=16).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact & approx_set) / len(exact)
+    # 16 sample-seeded codes x 8 subspaces on 500 vecs — guards that
+    # ADC is computing real distances, not that PQ beats brute force
+    assert recall > 0.2, f"recall {recall}"
+    per_q: dict[int, list] = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.dist2 for r in rows]
+        assert dists == sorted(dists)
+
+
 def test_lsh_bucket_is_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = {r.vec_id: r.bucket for r in similarity.lsh_bucket(emb).collect()}
