@@ -822,3 +822,89 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): IVF coarse lists PRUNE the scan,
+    PQ codes COMPRESS what is read — the production ANN composition.
+
+    One corpus pass emits (id, list_id, codes): coarse assignment and
+    PQ encoding share the same projection, so at 100 TB the float
+    vectors are read once and the searchable index is
+    ~(8 + 1 + m) bytes/vector. Queries broadcast with raw sub-vectors
+    and probe ``n_probe`` lists; per-pair cost is m table lookups + m
+    sub-dim folds on a corpus slice of n_probe/n_centroids.
+
+    This variant quantizes RAW vectors, not residuals (v - centroid):
+    residual encoding is the classic accuracy refinement but couples
+    the codebooks to the coarse quantizer; plan shape is identical.
+    Ranking uses the 6dp-rounded distance (then neighbor id), matching
+    pq_topk's cross-engine rank stability.
+
+    Returns (query_id, neighbor_id, dist2, rank).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
+    books = pq_codebooks(corpus, id_col, vec_col, m, n_codes, refine_iters)
+    if not cents or not books:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, dist2 double, rank long"
+        )
+    sub = len(books[0][0][1])
+    vexpr = _as_double(F.col(vec_col))
+    staged = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _assign_lists(vexpr, cents, 1)[0].alias("list_id"),
+        *[F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}") for j in range(len(books))],
+    )
+    coded = staged.select(
+        "neighbor_id",
+        "list_id",
+        F.array(
+            *[_pq_assign(F.col(f"__s{j}"), books[j])["code"] for j in range(len(books))]
+        ).alias("codes"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_assign_lists(vexpr, cents, n_probe)).alias("list_id"),
+            *[
+                F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
+                for j in range(len(books))
+            ],
+        )
+    )
+
+    def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
+        table = F.array(*[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb])
+        center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
+        return F.aggregate(
+            F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    dist = sum((_sub_d2(j, cb) for j, cb in enumerate(books)), F.lit(0.0))
+    # corpus vector lives in exactly one list and a query's probe lists
+    # are distinct -> (query, neighbor) pairs already unique, no dedup
+    scored = (
+        coded.join(q, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

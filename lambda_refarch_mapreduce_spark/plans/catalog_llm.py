@@ -1447,53 +1447,58 @@ PQ_M = 8  # subspaces (dim 64 -> 8-dim sub-vectors)
 PQ_CODES = 16
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(p: str = "") -> str:
     """Shared DuckDB replay of the deterministic PQ pipeline: sample-
     seeded sub-codebooks (lowest-PQ_CODES ids), ONE k-means refinement
     pass per subspace (assign by squared L2, ties to the lower code
     id — matching _pq_assign's struct sort — then per-dimension means;
     empty codes keep their seed), then final codes + summed
-    quantization error per vector against the refined books."""
+    quantization error per vector against the refined books.
+
+    ``p`` prefixes every CTE name so this chain can compose with the
+    IVF chain (which owns e/seeds/a0/means/... unprefixed) in one
+    statement — see similarity_ivfadc_topk."""
     m, sub = PQ_M, 64 // PQ_M
     l2 = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
     return f"""
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-                  FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+        {p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {p}seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                  FROM (SELECT vec_id, v FROM {p}e ORDER BY vec_id
                         LIMIT {PQ_CODES})),
-        js AS (SELECT unnest(range({m})) AS j),
-        subc0 AS (SELECT s.cid, js.j, s.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
-                  FROM seeds s CROSS JOIN js),
-        sube AS (SELECT e.vec_id, js.j, e.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
-                 FROM e CROSS JOIN js),
-        d0 AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
-               FROM sube se JOIN subc0 c ON c.j = se.j),
-        a0 AS (SELECT vec_id, j, cid,
+        {p}js AS (SELECT unnest(range({m})) AS j),
+        {p}subc0 AS (SELECT s.cid, js.j, s.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
+                  FROM {p}seeds s CROSS JOIN {p}js js),
+        {p}sube AS (SELECT e.vec_id, js.j, e.v[js.j * {sub} + 1 : (js.j + 1) * {sub}] AS sv
+                 FROM {p}e e CROSS JOIN {p}js js),
+        {p}d0 AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
+               FROM {p}sube se JOIN {p}subc0 c ON c.j = se.j),
+        {p}a0 AS (SELECT vec_id, j, cid,
                       row_number() OVER (PARTITION BY vec_id, j
                                          ORDER BY d2, cid) AS rn
-               FROM d0),
-        m0 AS (SELECT a0.j, a0.cid, se.sv
-               FROM a0 JOIN sube se ON se.vec_id = a0.vec_id AND se.j = a0.j
+               FROM {p}d0),
+        {p}m0 AS (SELECT a0.j, a0.cid, se.sv
+               FROM {p}a0 a0 JOIN {p}sube se
+                 ON se.vec_id = a0.vec_id AND se.j = a0.j
                WHERE a0.rn = 1),
-        dims AS (SELECT j, cid, unnest(sv) AS val,
+        {p}dims AS (SELECT j, cid, unnest(sv) AS val,
                         unnest(range(1, len(sv) + 1)) AS pos
-                 FROM m0),
-        dimavg AS (SELECT j, cid, pos, avg(val) AS val
-                   FROM dims GROUP BY j, cid, pos),
-        means AS (SELECT j, cid, list(val ORDER BY pos) AS sv
-                  FROM dimavg GROUP BY j, cid),
-        subc AS (SELECT s0.cid, s0.j, coalesce(mn.sv, s0.sv) AS sv
-                 FROM subc0 s0 LEFT JOIN means mn
+                 FROM {p}m0),
+        {p}dimavg AS (SELECT j, cid, pos, avg(val) AS val
+                   FROM {p}dims GROUP BY j, cid, pos),
+        {p}means AS (SELECT j, cid, list(val ORDER BY pos) AS sv
+                  FROM {p}dimavg GROUP BY j, cid),
+        {p}subc AS (SELECT s0.cid, s0.j, coalesce(mn.sv, s0.sv) AS sv
+                 FROM {p}subc0 s0 LEFT JOIN {p}means mn
                    ON mn.j = s0.j AND mn.cid = s0.cid),
-        d AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
-              FROM sube se JOIN subc c ON c.j = se.j),
-        a AS (SELECT vec_id, j, cid, d2,
+        {p}d AS (SELECT se.vec_id, se.j, c.cid, {l2.format(a="se.sv", b="c.sv")} AS d2
+              FROM {p}sube se JOIN {p}subc c ON c.j = se.j),
+        {p}a AS (SELECT vec_id, j, cid, d2,
                      row_number() OVER (PARTITION BY vec_id, j
                                         ORDER BY d2, cid) AS rn
-              FROM d),
-        codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes,
+              FROM {p}d),
+        {p}codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes,
                          sum(d2) AS err
-                  FROM a WHERE rn = 1 GROUP BY vec_id)
+                  FROM {p}a WHERE rn = 1 GROUP BY vec_id)
     """
 
 
@@ -1559,6 +1564,63 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.pq_topk(
         emb, q, "vec_id", "embedding", k=TOPK_K, m=PQ_M, n_codes=PQ_CODES
+    )
+    return out.select(
+        "query_id", "neighbor_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+IVFADC_N_PROBE = 4
+
+
+@register(
+    "similarity_ivfadc_topk",
+    # Composes the two deterministic replay chains: the IVF chain owns
+    # the unprefixed e/seeds/assigned names, the PQ chain is emitted
+    # with a pq_ prefix. Probing and encoding are independent pipelines
+    # over the same vectors, exactly as in the Spark operator.
+    oracle=f"""
+        WITH {_ivf_assign_sql()},
+        {_pq_ctes("pq_")},
+        corpus AS (SELECT vec_id, cid AS list_id FROM assigned WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS list_id
+                   FROM assigned
+                   WHERE rn <= {IVFADC_N_PROBE} AND vec_id < {TOPK_QUERY_MAX_ID}),
+        nc AS (SELECT vec_id, j, cid FROM pq_a WHERE rn = 1),
+        qsub AS (SELECT vec_id, j, sv FROM pq_sube
+                 WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+        pair AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        list_sum(list_transform(list_zip(qs.sv, sc.sv),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+                 FROM probes p
+                 JOIN corpus c ON c.list_id = p.list_id
+                              AND c.vec_id <> p.query_id
+                 JOIN qsub qs ON qs.vec_id = p.query_id
+                 JOIN nc ON nc.vec_id = c.vec_id AND nc.j = qs.j
+                 JOIN pq_subc sc ON sc.j = qs.j AND sc.cid = nc.cid),
+        adc AS (SELECT query_id, neighbor_id, round(sum(d2), 6) AS dist2
+                FROM pair GROUP BY query_id, neighbor_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist2, neighbor_id) AS rnk FROM adc)
+        SELECT query_id, neighbor_id, dist2, rnk::BIGINT AS rank
+        FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production ANN composition (similarity.ivfadc_topk):
+    IVF coarse lists prune the scan to n_probe/n_centroids of the
+    corpus, PQ codes compress what is read to m bytes/vector. Both
+    quantizers are deterministic (lowest-id seeds + one Lloyd pass),
+    so the oracle replays coarse assignment, codebook refinement,
+    encoding and asymmetric distance in one composed SQL statement."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.ivfadc_topk(
+        emb, q, "vec_id", "embedding",
+        k=TOPK_K, n_centroids=16, n_probe=IVFADC_N_PROBE,
+        m=PQ_M, n_codes=PQ_CODES,
     )
     return out.select(
         "query_id", "neighbor_id", "dist2",
