@@ -100,6 +100,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "semdedup_embeddings",
     "embedding_pq_codes",
     "similarity_pq_topk",
+    "similarity_ivfadc_topk",
     "decontaminate_vs_benchmark",
     "dedup_incremental_batch",
     "mixture_token_sample",

@@ -300,6 +300,31 @@ def test_pq_topk_adc_recall_vs_brute_force(spark):
         assert dists == sorted(dists)
 
 
+def test_ivfadc_topk_prunes_and_ranks(spark):
+    """IVFADC result is a subset of what full-scan ADC would score
+    (list pruning), ranks contiguous, distances ascending, and recall
+    vs the exact tier stays above the coarse floor."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    rows = similarity.ivfadc_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {r.vec_id for r in q.select("vec_id").collect()}
+    for qrows in per_q.values():
+        qrows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in qrows] == list(range(1, len(qrows) + 1))
+        dists = [r.dist2 for r in qrows]
+        assert dists == sorted(dists)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.15, f"recall {recall}"  # PQ error + IVF pruning stack
+
+
 def test_lsh_bucket_is_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     a = {r.vec_id: r.bucket for r in similarity.lsh_bucket(emb).collect()}
