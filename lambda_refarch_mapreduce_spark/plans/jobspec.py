@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -58,8 +58,14 @@ class JobSpec:
     #   {"op": "repetition_filter", "text": col, "n": 2, "max_dup_frac": 0.75}
     #   {"op": "pii_redact", "text": col}            # rewrites col in place
     #   {"op": "dedup_exact", "id": col, "text": col}  # corpus keep-first
-    # Filters and the redaction are row-local Catalyst expressions
-    # (zero shuffle); dedup_exact is one digest-keyed window shuffle.
+    #   {"op": "classifier_filter", "text": col, "weights": {tok: w},
+    #    "bias": 0.0, "min_score": 0.5}   # linear model quality gate
+    #   {"op": "c4_clean", "text": col, "min_words_per_line": 5,
+    #    "require_terminal_punct": True, "bad_line_words": [...],
+    #    "bad_doc_substrings": [...], "min_kept_lines": 1}  # rewrites col
+    # Filters, the redaction, the classifier gate and the C4 cleaner are
+    # row-local Catalyst expressions (zero shuffle); dedup_exact is one
+    # digest-keyed window shuffle.
     prep: list[dict] = field(default_factory=list)
     filter: str | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
@@ -124,6 +130,71 @@ def _apply_prep(df: DataFrame, step: dict) -> DataFrame:
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+    if op == "classifier_filter":
+        # fastText-style linear model gate (operators.text.classifier_score
+        # semantics, expressed inline so the gate composes with other
+        # row-local prep steps in ONE scan): keep rows whose
+        # sigmoid(bias + mean token weight) >= min_score.
+        from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+
+        weights: dict[str, float] = step["weights"]
+        from itertools import chain
+
+        wmap = F.create_map(
+            *[F.lit(x) for x in chain.from_iterable(weights.items())]
+        )
+        toks = tokenize(F.col(text_col))
+        staged = df.withColumn("__toks", toks).withColumn("__w", wmap)
+        raw = F.aggregate(
+            F.col("__toks"),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(F.col("__w"), t), F.lit(0.0)),
+        )
+        logit = F.lit(float(step.get("bias", 0.0))) + raw / F.greatest(
+            F.size(F.col("__toks")), F.lit(1)
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        return (
+            staged.filter(score >= F.lit(float(step.get("min_score", 0.5))))
+            .drop("__toks", "__w")
+        )
+    if op == "c4_clean":
+        # C4 boilerplate line cleaning (operators.text.c4_line_clean),
+        # rewriting text_col in place and dropping documents the
+        # cleaner rejects; other columns pass through via join-free
+        # reconstruction on the same row.
+        import re as _re
+
+        sep = step.get("sep", "\n")
+        min_words = step.get("min_words_per_line", 5)
+        punct = step.get("require_terminal_punct", True)
+        bad_words = tuple(step.get("bad_line_words", ("javascript",)))
+        bad_docs = tuple(step.get("bad_doc_substrings", ("lorem ipsum", "{")))
+        min_kept = step.get("min_kept_lines", 1)
+        from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+
+        def _line_ok(line: Column) -> Column:
+            cond = F.size(tokenize(line)) >= F.lit(min_words)
+            if punct:
+                cond = cond & F.trim(line).rlike('[.!?"]$')
+            low = F.lower(line)
+            for wword in bad_words:
+                cond = cond & ~low.contains(wword.lower())
+            return cond
+
+        staged = df.withColumn(
+            "__lines", F.split(F.col(text_col), _re.escape(sep))
+        ).withColumn("__kept", F.filter(F.col("__lines"), _line_ok))
+        doc_ok = F.lit(True)
+        low_text = F.lower(F.col(text_col))
+        for s in bad_docs:
+            doc_ok = doc_ok & ~low_text.contains(s.lower())
+        return (
+            staged.filter(doc_ok & (F.size(F.col("__kept")) >= min_kept))
+            .withColumn(text_col, F.array_join(F.col("__kept"), sep))
+            .drop("__lines", "__kept")
         )
     raise ValueError(f"unknown prep op {op!r}")
 

@@ -197,6 +197,43 @@ def test_prep_pipeline_steps(spark):
     assert "<EMAIL>" in rows[4] and "alice" not in rows[4]
 
 
+def test_prep_classifier_and_c4_clean(spark):
+    """classifier_filter gates on sigmoid(mean token weight);
+    c4_clean rewrites text in place and drops rejected docs while
+    passthrough columns survive both steps."""
+    df = spark.createDataFrame(
+        [
+            (1, "good words here.\nbad stuff", "en"),
+            (2, "awful terrible dreadful junk today", "en"),
+            (3, "tiny.", "de"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        prep=[
+            {
+                "op": "classifier_filter",
+                "text": "text",
+                "weights": {"good": 2.0, "awful": -2.0, "terrible": -2.0},
+                "min_score": 0.5,
+            },
+            {
+                "op": "c4_clean",
+                "text": "text",
+                "min_words_per_line": 3,
+                "bad_line_words": ["bad"],
+            },
+        ],
+    )
+    rows = {r.doc_id: r for r in run_jobspec(spark, spec).collect()}
+    # 2 fails the classifier (negative mean weight); 3 passes the
+    # classifier (no vocab hits -> 0.5) but c4_clean leaves no line
+    assert set(rows) == {1}
+    assert rows[1].text == "good words here."
+    assert rows[1].lang == "en"
+
+
 def test_prep_unknown_op_raises(spark):
     import pytest
 
