@@ -648,6 +648,84 @@ def paragraph_dedup(
     )
 
 
+def duplicate_span_excise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring dedup: excise duplicated k-token spans, keeping
+    each span's first occurrence — the sequence-level pass (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")
+    that document- and paragraph-level tiers can't express: a boiler-
+    plate sentence pasted into thousands of otherwise-distinct pages
+    survives exactly once.
+
+    Semantics (deterministic): every k-token rolling window is keyed by
+    the md5 of its space-joined tokens; the globally first occurrence
+    of each key — ordered by (id, position) — is kept, every later
+    occurrence (across documents AND repeats within one document)
+    marks its k token positions as covered; covered tokens are removed
+    and each document is rebuilt from its surviving tokens in order.
+    Documents shorter than k tokens are never touched.
+
+    Plan shape at 100 TB: the keep-first window shuffles (id, pos,
+    32-byte digest) rows keyed by digest — gram TEXT never rides, only
+    fixed-width rows, unlike paragraph_dedup where reassembly forces
+    bodies through the first shuffle. Covered positions (duplicate
+    occurrences × k, small for mostly-unique corpora) distinct-shuffle
+    next, and one final shuffle on doc id rebuilds — token text rides
+    only that last, unavoidable exchange. No pair join, no collect.
+
+    Returns (id, n_tokens, n_removed, text_cleaned); fully-excised
+    documents stay in the output with empty text.
+    """
+    from pyspark.sql.window import Window
+
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = staged.select(
+        "id", F.posexplode(F.col("__toks")).alias("tokpos", "token")
+    )
+    grams = staged.select(
+        "id",
+        F.posexplode(word_ngrams(F.col("__toks"), k)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5(F.col("gram")).alias("digest"))
+    w = Window.partitionBy("digest").orderBy("id", "pos")
+    dup_occ = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos")
+    )
+    covered = dup_occ.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tokpos"),
+    ).distinct()
+    kept = toks.join(covered, ["id", "tokpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text_cleaned"),
+    )
+    sizes = staged.select("id", F.size("__toks").cast("bigint").alias("n_tokens"))
+    return sizes.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("text_cleaned", F.lit("")).alias("text_cleaned"),
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str,

@@ -81,6 +81,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_c4_line_clean",
     "text_classifier_quality",
     "dedup_paragraphs_corpus",
+    "dedup_substring_spans",
     "embedding_quantize_int8",
     "embedding_normalize_truncate",
     "shuffle_shard_assignment",

@@ -1743,6 +1743,62 @@ def dedup_paragraphs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(chunked, "doc_id", "text", "\n")
 
 
+SPAN_K = 8  # rolling-window width (tokens) for substring dedup
+
+
+def _span_oracle() -> str:
+    k = SPAN_K
+    joined = " || ' ' || ".join(
+        f"w[i + {j}]" if j else "w[i]" for j in range(k)
+    )
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {k - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        g0 AS (SELECT id, {grams} AS grams FROM t),
+        g1 AS (SELECT id, unnest(grams) AS gram,
+                      unnest(range(len(grams))) AS pos
+               FROM g0),
+        occ AS (SELECT id, pos,
+                       row_number() OVER (PARTITION BY md5(gram)
+                                          ORDER BY id, pos) AS rn
+                FROM g1),
+        cov0 AS (SELECT id, unnest(range(pos, pos + {k})) AS tokpos
+                 FROM occ WHERE rn > 1),
+        cov AS (SELECT DISTINCT id, tokpos FROM cov0),
+        tok AS (SELECT id, unnest(w) AS token,
+                       unnest(range(len(w))) AS tokpos
+                FROM t),
+        kept AS (SELECT tk.id, tk.tokpos, tk.token
+                 FROM tok tk LEFT JOIN cov c
+                   ON c.id = tk.id AND c.tokpos = tk.tokpos
+                 WHERE c.id IS NULL),
+        r AS (SELECT id, count(*) AS n_kept,
+                     string_agg(token, ' ' ORDER BY tokpos) AS text_cleaned
+              FROM kept GROUP BY id)
+        SELECT t.id AS doc_id,
+               len(w)::BIGINT AS n_tokens,
+               (len(w) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(r.text_cleaned, '') AS text_cleaned
+        FROM t LEFT JOIN r ON r.id = t.id
+    """
+
+
+@register("dedup_substring_spans", oracle=_span_oracle(), tags=("llm", "dedup"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): every duplicated
+    SPAN_K-token rolling window survives only at its globally-first
+    (id, pos) occurrence; later occurrences' tokens are excised and
+    documents rebuilt (operators.dedup.duplicate_span_excise). The
+    keep-first shuffle carries fixed-width (id, pos, digest) rows —
+    span text never rides a shuffle until the final per-doc rebuild."""
+    return dedup.duplicate_span_excise(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", SPAN_K
+    )
+
+
 @register(
     "embedding_quantize_int8",
     oracle="""

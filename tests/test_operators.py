@@ -1049,6 +1049,7 @@ def test_new_ops_on_empty_input(spark):
     vecs = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert paragraph_dedup(docs, "doc_id", "text").count() == 0
     assert chunk_tokens(docs, "doc_id", "text").count() == 0
+    assert dedup.duplicate_span_excise(docs, "doc_id", "text").count() == 0
     assert text_ops.repetition_stats(docs, "doc_id", "text").count() == 0
     assert text_ops.pii_stats(docs, "doc_id", "text").count() == 0
     assert text_ops.unigram_logprob(docs, "doc_id", "text").count() == 0
@@ -1067,3 +1068,67 @@ def test_bm25_no_matching_terms(spark):
         "doc_id bigint, text string",
     )
     assert bm25_search(df, "doc_id", "text", ["zzz", "qqq"]).count() == 0
+
+
+def test_duplicate_span_excise_cross_doc(spark):
+    """A k-token span shared with an earlier doc is excised from the
+    later one; the first occurrence survives; short docs untouched."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import duplicate_span_excise
+
+    span = "one two three four"  # k=4 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),
+            (2, f"{span} trailing words here"),  # loses the span to doc 1
+            (3, "tiny doc"),  # shorter than k: never touched
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_excise(df, "doc_id", "text", k=4).collect()
+    }
+    assert got[1].text_cleaned == f"intro {span} outro"
+    assert (got[1].n_tokens, got[1].n_removed) == (6, 0)
+    assert got[2].text_cleaned == "trailing words here"
+    assert (got[2].n_tokens, got[2].n_removed) == (7, 4)
+    assert got[3].text_cleaned == "tiny doc"
+    assert (got[3].n_tokens, got[3].n_removed) == (2, 0)
+
+
+def test_duplicate_span_excise_within_doc_and_overlap(spark):
+    """Repeats WITHIN one doc are excised too, and overlapping
+    duplicate windows union their covered positions instead of
+    double-counting."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import duplicate_span_excise
+
+    # doc 1: "a b c a b c" with k=3 -> windows: (a b c)@0, (b c a)@1,
+    # (c a b)@2, (a b c)@3. "a b c"@3 is a repeat -> covers 3,4,5.
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d e f")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_excise(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[1].text_cleaned == "a b c"
+    assert (got[1].n_tokens, got[1].n_removed) == (6, 3)
+    # doc 2 shares window "a b c"@0 with doc 1's first occurrence ->
+    # doc 1 is first globally (id order), doc 2 loses tokens 0..2
+    assert got[2].text_cleaned == "d e f"
+    assert (got[2].n_tokens, got[2].n_removed) == (6, 3)
+
+
+def test_duplicate_span_excise_fully_covered(spark):
+    from lambda_refarch_mapreduce_spark.operators.dedup import duplicate_span_excise
+
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_excise(df, "doc_id", "text", k=4).collect()
+    }
+    assert got[1].text_cleaned == "x y z w"
+    assert (got[2].n_removed, got[2].text_cleaned) == (4, "")
