@@ -607,6 +607,70 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-relative bigram LM quality score — one rung up the
+    KenLM ladder from unigram_logprob (CCNet's perplexity gate is a
+    5-gram of this shape): score each document by the mean log of the
+    add-k-smoothed conditional p(w2|w1) = (c(w1 w2) + k) /
+    (c(w1) + k*V) under the corpus's own counts, V = distinct
+    unigram count. Documents with < 2 tokens score 0.0.
+
+    Plan shape: bigram and unigram counts are two map-side-combined
+    groupBys over exploded tokens (the corpus-token-sized shuffles —
+    same posture as tfidf_terms); (V, ) is one broadcast row; the
+    doc-bigram → count joins key on the bigram/unigram strings and are
+    AQE's choice of broadcast vs shuffle (counts tables are
+    vocab-sized, never corpus-sized); the per-doc re-aggregation is
+    the only other shuffle. No collects, no corpus broadcast.
+
+    Returns (id, n_bigrams, avg_logprob).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    bg = staged.select(
+        "id", F.explode(word_ngrams(F.col("__toks"), 2)).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    uni = staged.select(F.explode(F.col("__toks")).alias("w1")).groupBy(
+        "w1"
+    ).agg(F.count(F.lit(1)).alias("c1"))
+    vstats = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        bg.join(bgc, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vstats))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + F.lit(add_k))
+                        / (F.col("c1") + F.lit(add_k) * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF weights: tf = in-doc count, idf =
     ln((N + 1) / (df + 1)) + 1 (smooth), tfidf = tf * idf.

@@ -76,6 +76,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_repetition_stats",
     "text_pii_redaction",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_tfidf_terms",
     "text_bm25_search",
     "text_c4_line_clean",

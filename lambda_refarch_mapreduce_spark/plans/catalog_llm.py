@@ -1879,6 +1879,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 0.5
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        bg AS (SELECT id, unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS bg
+               FROM t),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        uni AS (SELECT unnest(w) AS w1 FROM t),
+        unic AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+        v AS (SELECT count(*)::DOUBLE AS v FROM unic),
+        sc AS (SELECT bg.id,
+                      count(*) AS n_bigrams,
+                      round(avg(ln((bgc.c2 + {BIGRAM_ADD_K}) /
+                                   (unic.c1 + {BIGRAM_ADD_K} * v.v))), 6)
+                          AS avg_logprob
+               FROM bg
+               JOIN bgc USING (bg)
+               JOIN unic ON unic.w1 = split_part(bg.bg, ' ', 1)
+               CROSS JOIN v
+               GROUP BY bg.id)
+        SELECT d.doc_id,
+               coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+        FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score (operators.text.bigram_logprob): mean
+    add-k-smoothed conditional log-prob of each document's adjacent
+    token pairs under the corpus's own bigram/unigram counts — the
+    next rung toward CCNet's KenLM perplexity gate after the unigram
+    entry. Count tables shrink via map-side combine; the corpus is
+    never broadcast."""
+    return text.bigram_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BIGRAM_ADD_K
+    )
+
+
 @register(
     "semdedup_embeddings",
     oracle=f"""

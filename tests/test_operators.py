@@ -1132,3 +1132,26 @@ def test_duplicate_span_excise_fully_covered(spark):
     }
     assert got[1].text_cleaned == "x y z w"
     assert (got[2].n_removed, got[2].text_cleaned) == (4, "")
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """add-k bigram conditional against hand-computed corpus counts."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r for r in bigram_logprob(df, "doc_id", "text", 0.5).collect()
+    }
+    # corpus: c(a)=3, c(b)=2, c(solo)=1, V=3; c("a b")=1, c("b a")=2
+    p_ab = (1 + 0.5) / (3 + 0.5 * 3)  # p(b|a)
+    p_ba = (2 + 0.5) / (2 + 0.5 * 3)  # p(a|b)
+    assert got[1].n_bigrams == 2
+    assert got[1].avg_logprob == round((math.log(p_ab) + math.log(p_ba)) / 2, 6)
+    assert got[2].n_bigrams == 1
+    assert got[2].avg_logprob == round(math.log(p_ba), 6)
+    assert (got[3].n_bigrams, got[3].avg_logprob) == (0, 0.0)
