@@ -87,3 +87,42 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns (JVM-side)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def url_canonicalize(url: Column | str) -> Column:
+    """Canonical URL form for web-corpus dedup and per-domain
+    accounting (the Common-Crawl-pipeline normalization step):
+    drop the fragment, strip an http/https scheme (any case) and a
+    leading ``www.``, drop explicit default ports (:80/:443),
+    lowercase the host, drop a bare trailing ``?`` and a single
+    trailing slash.
+
+    Pure portable regex — no lookarounds, no group backrefs (Java
+    ``$1`` vs RE2 ``\\1`` would diverge) — so the DuckDB oracle can
+    replay it with the same patterns. Query-parameter reordering and
+    tracking-param stripping are deliberately out of scope: they need
+    a parse, not a regex, and belong in a mapInPandas kernel.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"(?i)^https?://", "")
+    u = F.regexp_replace(u, r"(?i)^www\.", "")
+    # default ports: mid-URL via literal replace, trailing via anchor
+    u = F.replace(u, F.lit(":80/"), F.lit("/"))
+    u = F.replace(u, F.lit(":443/"), F.lit("/"))
+    u = F.regexp_replace(u, r":(80|443)$", "")
+    # lowercase the host (everything before the first '/'), keep the
+    # path's case
+    slash = F.instr(u, "/")
+    host = F.when(slash > 0, F.substring_index(u, "/", 1)).otherwise(u)
+    path = F.when(slash > 0, F.substr(u, slash)).otherwise(F.lit(""))
+    u = F.concat(F.lower(host), path)
+    u = F.regexp_replace(u, r"\?$", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_domain(canon_url: Column | str) -> Column:
+    """Host (sans port) of an already-canonicalized URL — the
+    per-domain grouping key for caps and mixture accounting."""
+    u = F.col(canon_url) if isinstance(canon_url, str) else canon_url
+    return F.substring_index(F.substring_index(u, "/", 1), ":", 1)

@@ -768,3 +768,29 @@ def bm25_search(
         .limit(topk)
         .select(F.col("id").alias(id_col), "bm25")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl/C4 anti-spam pass:
+    no single domain may contribute more than ``cap`` documents):
+    keep each domain's ``cap`` lowest-id documents, deterministic.
+
+    Plan shape: one shuffle keyed by domain, and the per-domain
+    row_number plans as a WindowGroupLimit — Spark pushes the
+    ``rank <= cap`` limit into the sort, so a mega-domain (the skew
+    case: one host with 10^9 pages) never materializes more than
+    ``cap`` rows per partition past the exchange. Returns the input
+    rows + ``domain_rank`` (1-based within domain).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )

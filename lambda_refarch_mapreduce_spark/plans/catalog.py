@@ -81,6 +81,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_bm25_search",
     "text_c4_line_clean",
     "text_classifier_quality",
+    "url_canonicalize_docs",
+    "domain_cap_docs",
     "dedup_paragraphs_corpus",
     "dedup_substring_spans",
     "embedding_quantize_int8",

@@ -1681,6 +1681,117 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic messy-URL construction shared by the Spark program and
+# the SQL oracle: the fixture has no URL column, so one is derived from
+# (source, doc_id) with scheme-case / www / default-port / trailing-
+# slash / fragment variation cycling by doc_id — every canonicalization
+# rule gets exercised, and both engines build the identical input.
+DOMAIN_CAP = 10
+
+
+@register(
+    "url_canonicalize_docs",
+    oracle="""
+        WITH u0 AS (
+            SELECT doc_id,
+                   (CASE doc_id % 3 WHEN 0 THEN 'http://'
+                                    WHEN 1 THEN 'HTTPS://www.'
+                                    ELSE 'https://' END)
+                   || source || '.Example.COM'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+                   || '/Docs/' || doc_id
+                   || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)
+                   AS url_raw
+            FROM documents),
+        c1 AS (SELECT doc_id, url_raw,
+                      regexp_replace(url_raw, '#.*$', '') AS u FROM u0),
+        c2 AS (SELECT doc_id, url_raw,
+                      regexp_replace(regexp_replace(u, '(?i)^https?://', ''),
+                                     '(?i)^www\\.', '') AS u FROM c1),
+        c3 AS (SELECT doc_id, url_raw,
+                      regexp_replace(
+                          replace(replace(u, ':80/', '/'), ':443/', '/'),
+                          ':(80|443)$', '') AS u FROM c2),
+        c4 AS (SELECT doc_id, url_raw,
+                      lower(split_part(u, '/', 1))
+                      || (CASE WHEN strpos(u, '/') > 0
+                               THEN substr(u, strpos(u, '/')) ELSE '' END)
+                      AS u FROM c3),
+        c5 AS (SELECT doc_id, url_raw,
+                      regexp_replace(regexp_replace(u, '\\?$', ''), '/$', '')
+                      AS url_canon FROM c4)
+        SELECT doc_id, url_raw, url_canon,
+               split_part(split_part(url_canon, '/', 1), ':', 1) AS domain
+        FROM c5
+    """,
+    tags=("llm", "text"),
+)
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.scalar.url_canonicalize): strip
+    fragment / scheme / www / default ports, lowercase the host, drop
+    trailing '?' and '/'. Row-local portable regex, zero shuffle —
+    fuses into the scan; the oracle replays both the URL construction
+    and every canonicalization step with the same RE2-safe patterns."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        url_canonicalize,
+        url_domain,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("http://"))
+        .when(d % 3 == 1, F.lit("HTTPS://www."))
+        .otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    staged = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url_raw")
+    )
+    canon = url_canonicalize(F.col("url_raw"))
+    return staged.select(
+        "doc_id",
+        "url_raw",
+        canon.alias("url_canon"),
+        url_domain(canon).alias("domain"),
+    )
+
+
+@register(
+    "domain_cap_docs",
+    oracle=f"""
+        SELECT doc_id, source, rn::BIGINT AS domain_rank
+        FROM (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn <= {DOMAIN_CAP}
+    """,
+    tags=("llm", "text"),
+)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators.text.domain_cap, C4/CC
+    anti-spam pass) keyed on the fixture's source column: keep each
+    domain's DOMAIN_CAP lowest-id docs. One domain-keyed shuffle; the
+    rank filter plans as WindowGroupLimit so a mega-domain never
+    materializes past the cap."""
+    out = text.domain_cap(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        "source",
+        DOMAIN_CAP,
+    )
+    return out.select(
+        "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
+    )
+
+
 C4_MIN_KEPT_LINES = 2
 C4_BAD_LINE_WORD = "slow"  # stands in for C4's "javascript" line rule
 

@@ -1155,3 +1155,54 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[2].n_bigrams == 1
     assert got[2].avg_logprob == round(math.log(p_ba), 6)
     assert (got[3].n_bigrams, got[3].avg_logprob) == (0, 0.0)
+
+
+def test_url_canonicalize_edge_cases(spark):
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        url_canonicalize,
+        url_domain,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?#frag", "example.com/Path"),
+        ("https://example.com:443/a/b#x", "example.com/a/b"),
+        ("https://Example.com", "example.com"),
+        ("example.com/x/", "example.com/x"),
+        ("https://sub.Example.com:8080/y", "sub.example.com:8080/y"),
+        ("  https://example.com/  ", "example.com"),
+        ("www.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r.i: (r.canon, r.dom)
+        for r in df.select(
+            "i",
+            url_canonicalize("url").alias("canon"),
+            url_domain(url_canonicalize("url")).alias("dom"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i][0] == want, (cases[i][0], got[i][0], want)
+    assert got[4][1] == "sub.example.com"  # port stripped from domain
+
+
+def test_domain_cap_semantics_and_plan(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "doc_id int, domain string"
+    )
+    out = domain_cap(df, "doc_id", "domain", 4)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    for dom, ids in by_dom.items():
+        assert len(ids) == 4
+        lo = int(dom[1])
+        assert sorted(ids) == [lo, lo + 3, lo + 6, lo + 9]  # lowest ids kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # cap pushed into the sort
