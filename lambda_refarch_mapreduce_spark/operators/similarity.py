@@ -908,3 +908,67 @@ def ivfadc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a cheap
+    ADC pass over m-byte PQ codes shortlists ``shortlist`` candidates
+    per query, then ONLY those candidates are reranked with exact
+    squared-L2 against raw vectors. Approximation error is confined to
+    which vectors make the shortlist; the returned distances and
+    ordering are exact.
+
+    Scale shape: stage 1 is pq_topk's compressed scan (corpus read as
+    codes, never floats); the candidate set (queries x shortlist rows,
+    ids only) broadcasts into a hash join against the corpus, so the
+    raw-vector scan in stage 2 touches every corpus partition once but
+    materializes only shortlist hits. No corpus shuffle in either
+    stage. Ranking uses the 6dp-rounded exact distance (then neighbor
+    id) for cross-engine rank stability.
+
+    Returns (query_id, neighbor_id, dist2, rank) with exact dist2.
+    """
+    cand = pq_topk(
+        corpus, queries, id_col, vec_col, k=shortlist, m=m, n_codes=n_codes
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__nv")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        )
+    )
+    exact = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"), F.col("__nv"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

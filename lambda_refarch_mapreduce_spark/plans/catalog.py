@@ -105,6 +105,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "embedding_pq_codes",
     "similarity_pq_topk",
     "similarity_ivfadc_topk",
+    "similarity_pq_rerank_topk",
     "decontaminate_vs_benchmark",
     "dedup_incremental_batch",
     "mixture_token_sample",

@@ -1571,6 +1571,64 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SHORTLIST = 20
+
+
+@register(
+    "similarity_pq_rerank_topk",
+    # Stage 1 replays the full ADC chain (shortlist of PQ_SHORTLIST per
+    # query), stage 2 joins raw vectors back for the exact rerank —
+    # mirroring similarity.pq_rerank_topk's two stages.
+    oracle=f"""
+        WITH {_pq_ctes()},
+        qsub AS (SELECT vec_id, j, sv FROM sube WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+        nc AS (SELECT vec_id, j, cid FROM a WHERE rn = 1),
+        pair AS (SELECT qs.vec_id AS query_id, nc.vec_id AS neighbor_id,
+                        list_sum(list_transform(list_zip(qs.sv, c.sv),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+                 FROM qsub qs
+                 JOIN nc ON nc.j = qs.j
+                 JOIN subc c ON c.j = nc.j AND c.cid = nc.cid
+                 WHERE qs.vec_id <> nc.vec_id),
+        adc AS (SELECT query_id, neighbor_id, round(sum(d2), 6) AS dist2
+                FROM pair GROUP BY query_id, neighbor_id),
+        short AS (SELECT query_id, neighbor_id
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2, neighbor_id) AS rnk FROM adc)
+                  WHERE rnk <= {PQ_SHORTLIST}),
+        exact AS (SELECT s.query_id, s.neighbor_id,
+                         round(list_sum(list_transform(
+                             list_zip(qe.v, ne.v),
+                             z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS dist2
+                  FROM short s
+                  JOIN e qe ON qe.vec_id = s.query_id
+                  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist2, neighbor_id) AS rnk FROM exact)
+        SELECT query_id, neighbor_id, dist2, rnk::BIGINT AS rank
+        FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving (similarity.pq_rerank_topk): ADC over
+    m-byte PQ codes shortlists PQ_SHORTLIST candidates per query, then
+    exact squared-L2 reranks only those against raw vectors — the
+    returned distances/order are exact, approximation confined to
+    shortlist membership. Deterministic end to end, so the oracle
+    replays both stages in one statement."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.pq_rerank_topk(
+        emb, q, "vec_id", "embedding",
+        k=TOPK_K, shortlist=PQ_SHORTLIST, m=PQ_M, n_codes=PQ_CODES,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 IVFADC_N_PROBE = 4
 
 

@@ -1206,3 +1206,44 @@ def test_domain_cap_semantics_and_plan(spark):
         assert sorted(ids) == [lo, lo + 3, lo + 6, lo + 9]  # lowest ids kept
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # cap pushed into the sort
+
+
+def test_pq_rerank_improves_recall_and_is_exact(spark):
+    """Two-stage ADC shortlist -> exact rerank: recall@k vs numpy
+    exact-L2 ground truth must be >= raw PQ's, and every returned
+    distance must equal the exact squared L2 (approximation confined
+    to shortlist membership)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    k = 5
+
+    def exact_topk(qid):
+        d = sorted(
+            (float(np.sum((vecs[qid] - v) ** 2)), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )
+        return {nid for _, nid in d[:k]}
+
+    truth = {qid: exact_topk(qid) for qid in vecs if qid < 10}
+    pq = similarity.pq_topk(emb, q, k=k).collect()
+    rr = similarity.pq_rerank_topk(emb, q, k=k, shortlist=20).collect()
+
+    def recall(rows):
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(qid, set()) & t) for qid, t in truth.items()) / (
+            k * len(truth)
+        )
+
+    assert recall(rr) >= recall(pq)
+    for r in rr:  # distances are exact, not ADC approximations
+        want = float(np.sum((vecs[r.query_id] - vecs[r.neighbor_id]) ** 2))
+        assert abs(r.dist2 - want) < 1e-4, (r, want)
