@@ -794,3 +794,139 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= cap)
     )
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, wc) corpus word-frequency table — vocab-sized after the
+    map-side combine; every BPE pass below runs on THIS, not on the
+    corpus (the classic BPE trick: corpus scale enters only through
+    the counts)."""
+    return (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word counts —
+    round 1 of BPE tokenizer training (Sennrich et al. 2016). One
+    corpus-token shuffle builds the word-frequency table; the pair
+    explode then runs over the VOCAB (not the corpus), so at 100 TB
+    the expensive part is a map-side-combined word count and
+    everything after is alphabet²-bounded.
+
+    Returns (pair_left, pair_right, pair_count).
+    """
+    words = _word_vocab(df, text_col)
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.substr(F.col("word"), i, F.lit(1)).alias("l"),
+                        F.substr(F.col("word"), i + 1, F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("wc", "p.l", "p.r")
+    )
+    return pairs.groupBy("l", "r").agg(F.sum("wc").alias("pair_count")).select(
+        F.col("l").alias("pair_left"),
+        F.col("r").alias("pair_right"),
+        "pair_count",
+    )
+
+
+def _merge_adjacent(syms: Column, l: str, r: str) -> Column:
+    """Greedy left-to-right merge of adjacent (l, r) symbol pairs in
+    one array — the BPE apply step as a Catalyst fold. A just-merged
+    symbol (l+r) can't immediately re-merge, so overlapping
+    occurrences resolve leftmost-first, matching the reference BPE
+    algorithm."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (s == F.lit(r)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 10,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Iterative BPE merge induction: each round counts adjacent
+    symbol pairs over the word-frequency table, picks the most
+    frequent pair (ties to the lexicographically smallest), and
+    applies the merge to every word's symbol array. Deterministic.
+
+    Distributed posture (the connected_components pattern): the vocab
+    table — NOT the corpus — carries the iteration; the per-round
+    driver action collects exactly ONE (pair, count) row of bounded
+    metadata. Each round localCheckpoints the re-symbolized vocab to
+    stop lineage growth (same executor-loss caveat as dedup.py — use
+    reliable checkpointing under dynamic allocation at cluster scale).
+
+    Returns ([(left, right, count), ...] in merge order, final vocab
+    DataFrame (word, wc, symbols)).
+    """
+    words = _word_vocab(df, text_col)
+    vocab = words.select(
+        "word",
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("word"), F.lit(1))),
+            lambda i: F.substr(F.col("word"), i, F.lit(1)),
+        ).alias("symbols"),
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "wc",
+                F.explode(
+                    F.filter(
+                        F.zip_with(
+                            F.col("symbols"),
+                            F.slice(
+                                F.col("symbols"),
+                                2,
+                                F.greatest(
+                                    F.size("symbols") - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        ),
+                        lambda p: p["r"].isNotNull(),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((l, r, cnt))
+        vocab = vocab.select(
+            "word",
+            "wc",
+            _merge_adjacent(F.col("symbols"), l, r).alias("symbols"),
+        ).localCheckpoint(eager=False)
+    return merges, vocab

@@ -81,6 +81,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_bm25_search",
     "text_c4_line_clean",
     "text_classifier_quality",
+    "text_bpe_pair_counts",
     "url_canonicalize_docs",
     "domain_cap_docs",
     "dedup_paragraphs_corpus",

@@ -1739,6 +1739,33 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+        WITH t AS (SELECT {_SQL_TOKENS} AS w FROM documents),
+        wd AS (SELECT unnest(w) AS word FROM t),
+        wc AS (SELECT word, count(*) AS c FROM wd GROUP BY word),
+        p AS (SELECT c, substr(word, i::INT, 1) AS l,
+                     substr(word, i::INT + 1, 1) AS r
+              FROM (SELECT word, c, unnest(range(1, length(word))) AS i
+                    FROM wc WHERE length(word) >= 2))
+        SELECT l AS pair_left, r AS pair_right,
+               sum(c)::BIGINT AS pair_count
+        FROM p GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training round 1 (operators.text.bpe_pair_counts,
+    Sennrich et al. 2016): adjacent character-pair frequencies
+    weighted by word counts. The pair explode runs over the word-
+    frequency VOCAB, never the corpus — corpus scale enters only
+    through one map-side-combined word count."""
+    return text.bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 # Deterministic messy-URL construction shared by the Spark program and
 # the SQL oracle: the fixture has no URL column, so one is derived from
 # (source, doc_id) with scheme-case / www / default-port / trailing-

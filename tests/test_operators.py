@@ -1247,3 +1247,72 @@ def test_pq_rerank_improves_recall_and_is_exact(spark):
     for r in rr:  # distances are exact, not ADC approximations
         want = float(np.sum((vecs[r.query_id] - vecs[r.neighbor_id]) ** 2))
         assert abs(r.dist2 - want) < 1e-4, (r, want)
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE (Sennrich et al. 2016): greedy
+    leftmost merge, most-frequent pair first, ties to the
+    lexicographically smallest pair."""
+    vocab: dict[tuple, int] = {}
+    for w, c in word_counts.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, cnt))
+        nv: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import bpe_train_merges
+
+    docs = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest newest low lowest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    wc: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_vocab = _ref_bpe(wc, 6)
+    got_merges, vocab_df = bpe_train_merges(df, "doc_id", "text", 6)
+    assert got_merges == want_merges
+    got_vocab = {
+        tuple(r.symbols): r.wc
+        for r in vocab_df.groupBy("symbols")
+        .agg(F.sum("wc").alias("wc"))
+        .collect()
+    }
+    assert got_vocab == want_vocab
+
+
+def test_bpe_train_overlapping_runs(spark):
+    """'aaaa' with merge (a,a) must become ['aa','aa'] (greedy
+    leftmost, no re-merge of a just-produced symbol in-round)."""
+    from lambda_refarch_mapreduce_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id int, text string")
+    merges, vocab_df = bpe_train_merges(df, "doc_id", "text", 1)
+    assert merges[0][:2] == ("a", "a") and merges[0][2] == 7  # 3+3+1 pairs
+    syms = {r.word: list(r.symbols) for r in vocab_df.collect()}
+    assert syms["aaaa"] == ["aa", "aa"]
+    assert syms["aa"] == ["aa"]
