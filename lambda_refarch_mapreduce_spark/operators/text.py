@@ -930,3 +930,62 @@ def bpe_train_merges(
             _merge_adjacent(F.col("symbols"), l, r).alias("symbols"),
         ).localCheckpoint(eager=False)
     return merges, vocab
+
+
+def corpus_stats_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group corpus report card — the dataset-summary query a
+    training-data curation dashboard runs after every pipeline stage:
+    document/token counts, exact token-length percentiles (p50/p90),
+    mean heuristic quality, exact-duplicate counts (corpus-wide,
+    attributed to the group of the LATER occurrence) and each group's
+    share of total tokens.
+
+    Plan shape: one row-local projection computes tokens/quality/
+    digest in a single corpus scan; the dup flag is one digest-keyed
+    window (32-byte keys); the per-group aggregate reduces to
+    |groups| rows, and the grand total re-aggregates THAT tiny table
+    (no second corpus pass). Exact percentiles sort only within the
+    per-group aggregate buffers — at extreme cardinalities swap
+    percentile() for percentile_approx and drop the oracle to
+    rows-only, same policy as the HLL entries.
+
+    Returns (group, n_docs, total_tokens, p50_tokens, p90_tokens,
+    avg_quality, n_dup_docs, token_share).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+        quality_expr(F.col(text_col)).alias("quality"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("id")
+    flagged = base.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    per = flagged.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+    )
+    grand = per.agg(F.sum("total_tokens").cast("double").alias("__gt"))
+    return per.crossJoin(F.broadcast(grand)).select(
+        "group",
+        "n_docs",
+        "total_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        "avg_quality",
+        "n_dup_docs",
+        F.round(F.col("total_tokens") / F.col("__gt"), 6).alias("token_share"),
+    )

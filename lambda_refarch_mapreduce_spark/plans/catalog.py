@@ -82,6 +82,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_c4_line_clean",
     "text_classifier_quality",
     "text_bpe_pair_counts",
+    "corpus_stats_report",
     "url_canonicalize_docs",
     "domain_cap_docs",
     "dedup_paragraphs_corpus",

@@ -1739,6 +1739,56 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_report_oracle() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, lang AS grp, text,
+                          {_SQL_TOKENS} AS w
+                   FROM documents),
+        m AS (SELECT id, grp, len(w) AS n_tokens, md5(text) AS digest,
+                     round((least(len(w) / 100.0, 1.0)
+                        + len(list_filter(list_distinct(w),
+                              x -> list_contains([{stop_list}], x))) * 1.0
+                          / greatest(len(list_distinct(w)), 1)
+                        + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / greatest(length(text), 1)) / 3.0, 6) AS quality
+              FROM t),
+        d AS (SELECT *, row_number() OVER (PARTITION BY digest
+                                           ORDER BY id) AS rn FROM m),
+        per AS (SELECT grp, count(*) AS n_docs,
+                       sum(n_tokens) AS total_tokens,
+                       quantile_cont(n_tokens, 0.5) AS p50,
+                       quantile_cont(n_tokens, 0.9) AS p90,
+                       avg(quality) AS avg_q,
+                       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM d GROUP BY grp),
+        g AS (SELECT sum(total_tokens)::DOUBLE AS gt FROM per)
+        SELECT grp AS "group", n_docs::BIGINT AS n_docs,
+               total_tokens::BIGINT AS total_tokens,
+               round(p50, 6) AS p50_tokens, round(p90, 6) AS p90_tokens,
+               round(avg_q, 6) AS avg_quality, n_dup::BIGINT AS n_dup_docs,
+               round(total_tokens / g.gt, 6) AS token_share
+        FROM per CROSS JOIN g
+    """
+
+
+@register(
+    "corpus_stats_report",
+    oracle=_corpus_report_oracle(),
+    tags=("llm", "text"),
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset report card per language (operators.text.
+    corpus_stats_report): doc/token counts, exact p50/p90 token
+    lengths, mean quality, corpus-wide exact-dup counts, token share.
+    One corpus scan + one digest window; the grand total re-aggregates
+    the |groups|-row table, never the corpus."""
+    return text.corpus_stats_report(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
+
+
 @register(
     "text_bpe_pair_counts",
     oracle=f"""

@@ -1316,3 +1316,26 @@ def test_bpe_train_overlapping_runs(spark):
     syms = {r.word: list(r.symbols) for r in vocab_df.collect()}
     assert syms["aaaa"] == ["aa", "aa"]
     assert syms["aa"] == ["aa"]
+
+
+def test_corpus_stats_report_dup_attribution(spark):
+    """Exact dups are counted corpus-wide but attributed to the group
+    of the LATER occurrence; token_share sums to 1."""
+    from lambda_refarch_mapreduce_spark.operators.text import corpus_stats_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here", "en"),
+            (2, "same text here", "de"),  # dup of doc 1, counted under de
+            (3, "unique german words", "de"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    got = {
+        r.group: r
+        for r in corpus_stats_report(df, "doc_id", "text", "lang").collect()
+    }
+    assert got["en"].n_dup_docs == 0
+    assert got["de"].n_dup_docs == 1
+    assert got["en"].n_docs == 1 and got["de"].n_docs == 2
+    assert abs(sum(r.token_share for r in got.values()) - 1.0) < 1e-5
