@@ -44,6 +44,9 @@ HEADLINE = {
     # round 3 additions
     "q_c4_clean": "text_c4_line_clean",
     "q_pq_topk": "similarity_pq_topk",
+    "q_dedup_spans": "dedup_substring_spans",
+    "q_bigram_logprob": "text_bigram_logprob",
+    "q_corpus_report": "corpus_stats_report",
 }
 
 
