@@ -63,9 +63,13 @@ class JobSpec:
     #   {"op": "c4_clean", "text": col, "min_words_per_line": 5,
     #    "require_terminal_punct": True, "bad_line_words": [...],
     #    "bad_doc_substrings": [...], "min_kept_lines": 1}  # rewrites col
+    #   {"op": "domain_cap", "id": col, "domain": col, "cap": 1000}
+    #   {"op": "dedup_spans", "id": col, "text": col, "k": 8,
+    #    "drop_empty": False}   # substring dedup, rewrites col
     # Filters, the redaction, the classifier gate and the C4 cleaner are
-    # row-local Catalyst expressions (zero shuffle); dedup_exact is one
-    # digest-keyed window shuffle.
+    # row-local Catalyst expressions (zero shuffle); dedup_exact and
+    # domain_cap are one keyed window shuffle each; dedup_spans adds
+    # the span-excision shuffles (digest window + rebuild).
     prep: list[dict] = field(default_factory=list)
     filter: str | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
@@ -196,6 +200,37 @@ def _apply_prep(df: DataFrame, step: dict) -> DataFrame:
             .withColumn(text_col, F.array_join(F.col("__kept"), sep))
             .drop("__lines", "__kept")
         )
+    if op == "domain_cap":
+        # per-domain document cap (operators.text.domain_cap semantics,
+        # inline so the WindowGroupLimit plans directly on this frame)
+        id_col = step.get("id", "doc_id")
+        domain_col = step.get("domain", "source")
+        cap = int(step.get("cap", 1000))
+        w = Window.partitionBy(domain_col).orderBy(id_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    if op == "dedup_spans":
+        # exact substring dedup (operators.dedup.duplicate_span_excise):
+        # text_col is rewritten with duplicated k-token spans excised;
+        # other columns ride back via the id-keyed join (the operator's
+        # rebuild shuffle is the only added data-plane exchange).
+        # drop_empty=True also removes fully-excised documents.
+        from lambda_refarch_mapreduce_spark.operators.dedup import (
+            duplicate_span_excise,
+        )
+
+        id_col = step.get("id", "doc_id")
+        k = int(step.get("k", 8))
+        cleaned = duplicate_span_excise(
+            df.select(id_col, text_col), id_col, text_col, k
+        ).select(id_col, F.col("text_cleaned").alias(text_col))
+        out = df.drop(text_col).join(cleaned, id_col)
+        if step.get("drop_empty", False):
+            out = out.filter(F.col(text_col) != "")
+        return out
     raise ValueError(f"unknown prep op {op!r}")
 
 

@@ -240,3 +240,34 @@ def test_prep_unknown_op_raises(spark):
     spec = JobSpec(source={"df": spark.range(1)}, prep=[{"op": "nope"}])
     with pytest.raises(ValueError, match="unknown prep op"):
         run_jobspec(spark, spec)
+
+
+def test_prep_domain_cap_and_dedup_spans(spark):
+    """domain_cap keeps the cap lowest-id docs per domain; dedup_spans
+    rewrites text with duplicated spans excised and keeps passthrough
+    columns; drop_empty removes fully-excised docs."""
+    span = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {span} end", "a"),
+            (2, f"{span} tail words here", "a"),
+            (3, span, "a"),  # fully excised by dedup_spans
+            (4, "fresh unique content", "b"),
+            (5, "more things", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        prep=[
+            {"op": "domain_cap", "domain": "source", "cap": 2},
+            {"op": "dedup_spans", "k": 4, "drop_empty": True},
+        ],
+    )
+    rows = {r.doc_id: r for r in run_jobspec(spark, spec).collect()}
+    # doc 3 capped out of domain a (rank 3) before span dedup ran
+    assert set(rows) == {1, 2, 4, 5}
+    assert rows[1].text == f"intro {span} end"
+    assert rows[2].text == "tail words here"
+    assert rows[2].source == "a"
+    assert rows[4].text == "fresh unique content"
