@@ -669,13 +669,16 @@ def duplicate_span_excise(
     and each document is rebuilt from its surviving tokens in order.
     Documents shorter than k tokens are never touched.
 
-    Plan shape at 100 TB: the keep-first window shuffles (id, pos,
-    32-byte digest) rows keyed by digest — gram TEXT never rides, only
-    fixed-width rows, unlike paragraph_dedup where reassembly forces
-    bodies through the first shuffle. Covered positions (duplicate
-    occurrences × k, small for mostly-unique corpora) distinct-shuffle
-    next, and one final shuffle on doc id rebuilds — token text rides
-    only that last, unavoidable exchange. No pair join, no collect.
+    Plan shape at 100 TB: ONE corpus-sized shuffle — the keep-first
+    window over (id, pos, 32-byte digest) rows; gram text never rides
+    it. Duplicate occurrences reduce to per-doc sorted START-position
+    arrays (duplicate-occurrence-sized, i.e. tiny for mostly-unique
+    corpora), which join back on doc id — AQE turns that into a
+    broadcast join whenever the dup set fits — and the excision itself
+    is a row-local indexed filter over the token array: no exploded
+    token stream ever shuffles, and reassembly costs nothing because
+    the document was never taken apart. Per-token rebuild cost is
+    O(|dup spans in doc|); no pair join, no collect.
 
     Returns (id, n_tokens, n_removed, text_cleaned); fully-excised
     documents stay in the output with empty text.
@@ -685,44 +688,37 @@ def duplicate_span_excise(
     staged = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
     )
-    toks = staged.select(
-        "id", F.posexplode(F.col("__toks")).alias("tokpos", "token")
-    )
     grams = staged.select(
         "id",
         F.posexplode(word_ngrams(F.col("__toks"), k)).alias("pos", "gram"),
     ).select("id", "pos", F.md5(F.col("gram")).alias("digest"))
     w = Window.partitionBy("digest").orderBy("id", "pos")
-    dup_occ = (
+    dup_starts = (
         grams.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
-        .select("id", "pos")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
     )
-    covered = dup_occ.select(
+    joined = staged.join(dup_starts, "id", "left").select(
         "id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-        ).alias("tokpos"),
-    ).distinct()
-    kept = toks.join(covered, ["id", "tokpos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tokpos", "token"))),
-                lambda s: s["token"],
-            ),
-            " ",
-        ).alias("text_cleaned"),
+        "__toks",
+        F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
     )
-    sizes = staged.select("id", F.size("__toks").cast("bigint").alias("n_tokens"))
-    return sizes.join(rebuilt, "id", "left").select(
+    kept = joined.withColumn(
+        "__kept",
+        F.filter(
+            F.col("__toks"),
+            lambda t, i: ~F.exists(
+                F.col("__starts"),
+                lambda s: (i >= s) & (i <= s + F.lit(k - 1)),
+            ),
+        ),
+    )
+    return kept.select(
         F.col("id").alias(id_col),
-        F.col("n_tokens"),
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce("text_cleaned", F.lit("")).alias("text_cleaned"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        F.array_join("__kept", " ").alias("text_cleaned"),
     )
 
 

@@ -81,8 +81,17 @@ def main() -> None:
         "paragraph_dedup": lambda df: dedup.paragraph_dedup(
             dedup.chunk_tokens(df, "doc_id", "text", 8), "doc_id", "text", "\n"
         ),
+        "substring_spans": lambda df: dedup.duplicate_span_excise(
+            df, "doc_id", "text", 8
+        ),
     }
-    big_tiers = ("exact", "minhash_lsh", "connected_components", "paragraph_dedup")
+    big_tiers = (
+        "exact",
+        "minhash_lsh",
+        "connected_components",
+        "paragraph_dedup",
+        "substring_spans",
+    )
 
     # warm JIT/codegen on the small tier first; discard
     tiers["minhash_lsh"](frames["1x"]).write.format("noop").mode("overwrite").save()
