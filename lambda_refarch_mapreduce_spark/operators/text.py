@@ -989,3 +989,92 @@ def corpus_stats_report(
         "n_dup_docs",
         F.round(F.col("total_tokens") / F.col("__gt"), 6).alias("token_share"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_stages: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum ordering for training: split the corpus into
+    ``n_stages`` equal-size quality tiers (stage 1 = highest heuristic
+    quality, served last in an anti-curriculum or first in a classic
+    one — the trainer's choice), with a deterministic pseudo-random
+    order WITHIN each stage so batches are shuffled but reproducible
+    across runs and engines (portable md5 of ``seed:id``, the same
+    family as deterministic_sample).
+
+    Plan shape: quality is row-local; the tier split needs a GLOBAL
+    quality rank, computed with the distributed two-phase pattern
+    (range-partitioned sort + per-partition row_number + broadcast
+    partition offsets — same machinery as global_sort_rank; a plain
+    ``ntile().over(Window.orderBy(...))`` would serialize the corpus
+    through one partition). The stage is then arithmetic on the rank
+    — stage = floor((rank-1)*K/N)+1, identical in any engine, unlike
+    SQL ntile's remainder-distribution rule — and the intra-stage
+    order is just an emitted sort KEY: the training loader sorts
+    shards by (stage, shuffle_key) at read time, no second shuffle
+    here.
+
+    Returns (id, quality, stage, shuffle_key).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quality_expr(F.col(text_col)).alias("quality"),
+    )
+    ranked = (
+        base.repartitionByRange(32, F.col("quality").desc(), F.col("id"))
+        .sortWithinPartitions(F.col("quality").desc(), F.col("id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_rn",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(
+                    F.col("quality").desc(), F.col("id")
+                )
+            ),
+        )
+    )
+    offsets = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    total = F.broadcast(offsets.agg(F.sum("__n").alias("__total")))
+    rank = F.col("__local_rn") + F.col("__offset")
+    return (
+        ranked.join(F.broadcast(offsets.select("__pid", "__offset")), "__pid")
+        .crossJoin(total)
+        .select(
+            F.col("id").alias(id_col),
+            "quality",
+            (
+                F.floor((rank - 1) * n_stages / F.col("__total")) + 1
+            )
+            .cast("int")
+            .alias("stage"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("shuffle_key"),
+        )
+    )

@@ -83,6 +83,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_classifier_quality",
     "text_bpe_pair_counts",
     "corpus_stats_report",
+    "curriculum_order_docs",
     "url_canonicalize_docs",
     "domain_cap_docs",
     "dedup_paragraphs_corpus",

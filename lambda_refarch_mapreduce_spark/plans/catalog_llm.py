@@ -1739,6 +1739,52 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_STAGES = 4
+
+
+def _curriculum_oracle() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, text, {_SQL_TOKENS} AS w
+                   FROM documents),
+        q AS (SELECT id,
+                     round((least(len(w) / 100.0, 1.0)
+                        + len(list_filter(list_distinct(w),
+                              x -> list_contains([{stop_list}], x))) * 1.0
+                          / greatest(len(list_distinct(w)), 1)
+                        + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / greatest(length(text), 1)) / 3.0, 6) AS quality
+              FROM t),
+        r AS (SELECT id, quality,
+                     row_number() OVER (ORDER BY quality DESC, id) AS rnk,
+                     count(*) OVER () AS n
+              FROM q)
+        SELECT id AS doc_id, quality,
+               (floor((rnk - 1) * {CURRICULUM_STAGES} / n) + 1)::INT AS stage,
+               ('0x' || substr(md5('0:' || id::VARCHAR), 1, 15))::BIGINT
+                   AS shuffle_key
+        FROM r
+    """
+
+
+@register(
+    "curriculum_order_docs",
+    oracle=_curriculum_oracle(),
+    tags=("llm", "text"),
+)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators.text.curriculum_order): equal-
+    size quality tiers from a DISTRIBUTED global rank (two-phase
+    range-sort + broadcast offsets — never a single-partition window)
+    plus a portable deterministic intra-stage shuffle key. Stage is
+    arithmetic on the rank, so Spark and the oracle agree without
+    depending on SQL ntile's remainder rule."""
+    return text.curriculum_order(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", CURRICULUM_STAGES
+    )
+
+
 def _corpus_report_oracle() -> str:
     all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
     stop_list = ", ".join(f"'{w}'" for w in all_stop)

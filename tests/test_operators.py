@@ -1339,3 +1339,26 @@ def test_corpus_stats_report_dup_attribution(spark):
     assert got["de"].n_dup_docs == 1
     assert got["en"].n_docs == 1 and got["de"].n_docs == 2
     assert abs(sum(r.token_share for r in got.values()) - 1.0) < 1e-5
+
+
+def test_curriculum_order_balanced_stages(spark):
+    """Stages are equal-size (±1), quality-monotone across stage
+    boundaries, and the shuffle key is deterministic across runs."""
+    from lambda_refarch_mapreduce_spark.operators.text import curriculum_order
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = curriculum_order(docs, "doc_id", "text", n_stages=4).collect()
+    by_stage: dict[int, list] = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) == {1, 2, 3, 4}
+    sizes = [len(v) for _, v in sorted(by_stage.items())]
+    assert max(sizes) - min(sizes) <= 1
+    for s in (1, 2, 3):
+        assert min(r.quality for r in by_stage[s]) >= max(
+            r.quality for r in by_stage[s + 1]
+        )
+    again = curriculum_order(docs, "doc_id", "text", n_stages=4).collect()
+    assert {(r.doc_id, r.shuffle_key) for r in again} == {
+        (r.doc_id, r.shuffle_key) for r in out
+    }
