@@ -693,24 +693,65 @@ def duplicate_span_excise(
         F.posexplode(word_ngrams(F.col("__toks"), k)).alias("pos", "gram"),
     ).select("id", "pos", F.md5(F.col("gram")).alias("digest"))
     w = Window.partitionBy("digest").orderBy("id", "pos")
-    dup_starts = (
+    # Merge each doc's sorted duplicate-window starts into disjoint
+    # covered INTERVALS before anything joins: a fully-duplicated
+    # document has ~T duplicate windows but collapses to ONE interval.
+    # This (a) makes the per-token test below O(T * intervals) instead
+    # of O(T * windows) — linear, not quadratic, on exact-dup docs —
+    # and (b) shrinks the dup side enough that AQE broadcast-joins it
+    # instead of sort-merge-shuffling the tokenized corpus (measured:
+    # the uncompressed start arrays crossed the broadcast threshold at
+    # 100x and forced a corpus-sized shuffle). Starts ascend, so a
+    # window [p, p+k-1] either extends the last interval
+    # (p <= last.e + 1; its end p+k-1 > last.e always) or opens a new
+    # one.
+    def _intervals(starts: Column) -> Column:
+        return F.aggregate(
+            starts,
+            F.array().cast("array<struct<s:int,e:int>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            (p + F.lit(k - 1)).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.alias("s"), (p + F.lit(k - 1)).alias("e"))
+                    ),
+                )
+            ),
+        )
+
+    dup_iv = (
         grams.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+        .select("id", _intervals(F.col("__starts")).alias("__iv"))
     )
-    joined = staged.join(dup_starts, "id", "left").select(
+    joined = staged.join(dup_iv, "id", "left").select(
         "id",
         "__toks",
-        F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
+        F.coalesce(
+            "__iv", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("__iv"),
     )
     kept = joined.withColumn(
         "__kept",
         F.filter(
             F.col("__toks"),
             lambda t, i: ~F.exists(
-                F.col("__starts"),
-                lambda s: (i >= s) & (i <= s + F.lit(k - 1)),
+                F.col("__iv"),
+                lambda iv: (i >= iv["s"]) & (i <= iv["e"]),
             ),
         ),
     )
