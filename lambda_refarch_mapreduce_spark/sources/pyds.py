@@ -1,0 +1,92 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a deterministic synthetic-document generator.
+
+The reference hard-wires its input surface to S3 objects enumerated by
+the driver (driver.py's bucket listing); Spark's pluggable DataSource
+is the idiomatic replacement for "teach the engine a new input kind".
+This one generates a synthetic corpus — the scale-testing input that
+needs NO storage: a 100 TB corpus is 100 TB of generator output, not
+100 TB of parquet, and every executor produces exactly its own slice.
+
+Determinism contract: doc `i` is a pure function of (seed, i) via the
+repo's portable md5-derived hash family, so the same options always
+yield the same corpus — across runs, partition counts and engines —
+and planted duplicates (``dup_every``) land at fixed ids. That makes
+the source usable under the dedup/similarity test oracles, not just
+for smoke load.
+
+Registration is explicit (`register_synthetic_docs(spark)`) because
+Python data sources are session-scoped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch query "
+    "spark data shard sort join index block"
+).split()
+
+
+def _h(seed: int, *parts: int) -> int:
+    """Portable deterministic 60-bit hash of (seed, parts)."""
+    key = ":".join(str(p) for p in (seed, *parts))
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def synth_doc(seed: int, doc_id: int, n_tokens: int, dup_every: int) -> str:
+    """Document text for one id. Ids at multiples of ``dup_every``
+    (>0) replay the text of the previous multiple — planted exact
+    duplicates at known positions."""
+    if dup_every > 0 and doc_id % dup_every == 0 and doc_id >= dup_every:
+        return synth_doc(seed, doc_id - dup_every, n_tokens, dup_every)
+    return " ".join(
+        _VOCAB[_h(seed, doc_id, j) % len(_VOCAB)] for j in range(n_tokens)
+    )
+
+
+class _SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.tokens_per_doc = int(options.get("tokens_per_doc", 50))
+        self.seed = int(options.get("seed", 0))
+        self.dup_every = int(options.get("dup_every", 0))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # contiguous id slices: partition p owns [lo, hi)
+        p = partition.value
+        per = -(-self.n_docs // self.n_partitions)  # ceil
+        lo, hi = p * per, min((p + 1) * per, self.n_docs)
+        for i in range(lo, hi):
+            yield (
+                i,
+                synth_doc(self.seed, i, self.tokens_per_doc, self.dup_every),
+                _VOCAB[_h(self.seed, i) % 5],
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    """format("synthetic_docs") — options: n_docs, n_partitions,
+    tokens_per_doc, seed, dup_every (0 = no planted dups)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, source string"
+
+    def reader(self, schema) -> _SyntheticDocsReader:
+        return _SyntheticDocsReader(self.options)
+
+
+def register_synthetic_docs(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -232,3 +232,58 @@ def test_write_shuffled_shards_deterministic(spark, tmp_path):
         for r in spark.read.parquet(out2).select("shard", "doc_id").collect()
     }
     assert a == b
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark-4 Python DataSource: deterministic across runs AND
+    partition counts; planted dups land where promised; composes with
+    the dedup operators."""
+    from lambda_refarch_mapreduce_spark.operators import dedup
+    from lambda_refarch_mapreduce_spark.sources.pyds import (
+        register_synthetic_docs,
+        synth_doc,
+    )
+
+    register_synthetic_docs(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", "200")
+            .option("n_partitions", str(parts))
+            .option("tokens_per_doc", "20")
+            .option("dup_every", "50")
+            .load()
+        )
+
+    df = load(4)
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.doc_id: r.text for r in df.collect()}
+    # partition-count invariance
+    assert {r.doc_id: r.text for r in load(7).collect()} == rows
+    # python-side generator agrees with what the executors produced
+    assert rows[3] == synth_doc(0, 3, 20, 50)
+    # planted dups: 50==0? ids 50,100,150 replay the previous multiple
+    assert rows[100] == rows[50] == rows[0]
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    dup_groups = [g for g in groups if g.n_copies > 1]
+    assert len(dup_groups) == 1 and dup_groups[0].n_copies == 4  # ids 0,50,100,150
+    assert dup_groups[0].keep_id == 0
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across parquet shards: a column added later
+    must surface (null-padded for old shards) under mergeSchema — the
+    long-lived-dataset reality at 100 TB where shards span schema
+    versions."""
+    old = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 0.9)], "id bigint, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "p"), mode="append")
+    new.write.parquet(str(tmp_path / "p"), mode="append")
+    df = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "p"))
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 0.9
