@@ -1078,3 +1078,72 @@ def curriculum_order(
             .alias("shuffle_key"),
         )
     )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate/
+    template detector run before writing C4-style cleaning rules, and
+    the corpus-level companion to the per-doc repetition gate.
+
+    Plan shape: one map-side-combined (ngram -> count) shuffle (counts
+    collapse per partition before the exchange, so the shuffle carries
+    the partial-distinct set, not every occurrence) and the global
+    top-k plans TakeOrderedAndProject — per-partition heaps of k, no
+    global sort. Deterministic tie-break on the gram text.
+
+    Returns (ngram, cnt) ordered by (cnt desc, ngram).
+    """
+    staged = df.select(tokenize(F.col(text_col)).alias("__toks"))
+    grams = staged.select(
+        F.explode(word_ngrams(F.col("__toks"), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: which documents were
+    added, removed, or changed (same id, different content) — the
+    audit query run between pipeline releases before retraining.
+
+    Plan shape: both sides reduce to (id, 32-byte digest) projections
+    first, so the full-outer join shuffles fixed-width rows, never
+    text; status is a row-local CASE over null-ness and digest
+    equality. Unchanged documents are dropped (they dominate at scale
+    and carry no information).
+
+    Returns (id, status) with status in {'added','removed','changed'}.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__old_d")
+    )
+    nw = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__new_d")
+    )
+    return (
+        o.join(nw, "id", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("__old_d").isNull(), F.lit("added"))
+            .when(F.col("__new_d").isNull(), F.lit("removed"))
+            .when(F.col("__old_d") != F.col("__new_d"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("status") != "unchanged")
+        .select(F.col("id").alias(id_col), "status")
+    )

@@ -84,6 +84,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_bpe_pair_counts",
     "corpus_stats_report",
     "curriculum_order_docs",
+    "corpus_top_ngrams",
+    "corpus_diff_snapshots",
     "url_canonicalize_docs",
     "domain_cap_docs",
     "dedup_paragraphs_corpus",

@@ -1739,6 +1739,91 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_NGRAM_N = 3
+TOP_NGRAM_K = 20
+
+
+def _top_ngrams_oracle() -> str:
+    n = TOP_NGRAM_N
+    joined = " || ' ' || ".join(
+        f"w[i + {j}]" if j else "w[i]" for j in range(n)
+    )
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+    return f"""
+        WITH t AS (SELECT {_SQL_TOKENS} AS w FROM documents),
+        g AS (SELECT unnest({grams}) AS ngram FROM t)
+        SELECT ngram, count(*)::BIGINT AS cnt
+        FROM g GROUP BY ngram
+        ORDER BY cnt DESC, ngram LIMIT {TOP_NGRAM_K}
+    """
+
+
+@register(
+    "corpus_top_ngrams",
+    oracle=_top_ngrams_oracle(),
+    tags=("llm", "text"),
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent n-grams (operators.text.
+    corpus_top_ngrams) — the boilerplate detector behind C4-style
+    cleaning rules. Map-side-combined count shuffle +
+    TakeOrderedAndProject top-k, deterministic tie-break on gram."""
+    return text.corpus_top_ngrams(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        TOP_NGRAM_N, TOP_NGRAM_K,
+    )
+
+
+@register(
+    "corpus_diff_snapshots",
+    oracle="""
+        WITH old AS (SELECT doc_id AS id, md5(text) AS d FROM documents),
+        new AS (
+            SELECT doc_id AS id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' zzz'
+                            ELSE text END) AS d
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS id, md5('fresh ' || text) AS d
+            FROM documents WHERE doc_id % 25 = 0),
+        j AS (SELECT coalesce(o.id, n.id) AS id, o.d AS od, n.d AS nd
+              FROM old o FULL OUTER JOIN new n ON o.id = n.id)
+        SELECT id AS doc_id,
+               CASE WHEN od IS NULL THEN 'added'
+                    WHEN nd IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM j
+        WHERE od IS NULL OR nd IS NULL OR od <> nd
+    """,
+    tags=("llm", "text"),
+)
+def corpus_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators.text.corpus_diff): the release
+    audit between two pipeline versions. The "new" snapshot is derived
+    deterministically from the fixture (every 10th doc removed, every
+    7th surviving doc changed, every 25th spawning an added doc), and
+    both engines build the identical pair; the diff itself shuffles
+    only (id, digest) projections."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    new = docs.filter(d % 10 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" zzz")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(d % 25 == 0).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    return text.corpus_diff(
+        docs, new.unionByName(added), "doc_id", "text"
+    )
+
+
 CURRICULUM_STAGES = 4
 
 

@@ -1362,3 +1362,32 @@ def test_curriculum_order_balanced_stages(spark):
     assert {(r.doc_id, r.shuffle_key) for r in again} == {
         (r.doc_id, r.shuffle_key) for r in out
     }
+
+
+def test_corpus_diff_statuses(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged, dropped
+
+
+def test_corpus_top_ngrams_counts_occurrences(spark):
+    """Counts every occurrence (not distinct-per-doc) with a
+    deterministic tie-break."""
+    from lambda_refarch_mapreduce_spark.operators.text import corpus_top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d")], "doc_id int, text string"
+    )
+    rows = corpus_top_ngrams(df, "doc_id", "text", n=3, k=3).collect()
+    assert (rows[0].ngram, rows[0].cnt) == ("a b c", 3)  # 2 in doc1 + 1 in doc2
+    assert rows[1].cnt == 1 and rows[2].cnt == 1
+    assert rows[1].ngram < rows[2].ngram  # tie-break ascending
