@@ -972,3 +972,56 @@ def pq_rerank_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def group_centroids(
+    vectors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_id_col: str = "doc_id",
+    label_col: str = "lang",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-group mean embedding — the topic/domain centroid summary a
+    curation dashboard shows next to corpus_stats_report, and the seed
+    step for supervised SemDedup-style per-class pruning.
+
+    Plan shape: the label join keys on ids (AQE picks broadcast for a
+    dim-table-sized label side); the mean is computed as ``dim`` fixed
+    aggregate buffers (one avg per component) with map-side combine —
+    the corpus is NEVER exploded to (row x dim) rows; only the
+    |groups|-row result unpivots to (group, dim, value) for output.
+    ``dim`` defaults to a one-row probe (bounded metadata).
+
+    Returns (group, dim, centroid_val, n_vectors).
+    """
+    if dim is None:
+        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not probe:
+            return vectors.sparkSession.createDataFrame(
+                [], "group string, dim int, centroid_val double, n_vectors bigint"
+            )
+        dim = probe[0]["d"]
+    v = _as_double(F.col(vec_col))
+    joined = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id"), v.alias("__v")
+    ).join(
+        labels.select(
+            F.col(label_id_col).alias("id"), F.col(label_col).alias("group")
+        ),
+        "id",
+    )
+    per = joined.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.avg(F.col("__v")[i]).alias(f"__d{i}") for i in range(dim)],
+    )
+    arr = F.array(*[F.col(f"__d{i}") for i in range(dim)])
+    return per.select(
+        "group", "n_vectors", F.posexplode(arr).alias("dim", "__val")
+    ).select(
+        "group",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("__val", 6).alias("centroid_val"),
+        "n_vectors",
+    )

@@ -86,6 +86,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "curriculum_order_docs",
     "corpus_top_ngrams",
     "corpus_diff_snapshots",
+    "embedding_group_centroids",
     "url_canonicalize_docs",
     "domain_cap_docs",
     "dedup_paragraphs_corpus",

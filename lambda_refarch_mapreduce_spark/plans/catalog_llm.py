@@ -1739,6 +1739,38 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_group_centroids",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        j AS (SELECT d.lang AS grp, e.v
+              FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        x AS (SELECT grp, unnest(v) AS val, unnest(range(len(v))) AS dim
+              FROM j)
+        SELECT grp AS "group", dim::INT AS dim,
+               round(avg(val), 6) AS centroid_val,
+               count(*)::BIGINT AS n_vectors
+        FROM x GROUP BY grp, dim
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean embedding (similarity.group_centroids): the
+    domain-centroid summary for curation dashboards and per-class
+    pruning seeds. Computed as dim fixed aggregate buffers with
+    map-side combine — the corpus is never exploded to (row x dim)
+    rows; the oracle unnests because DuckDB has no positional array
+    aggregate, but the VALUES must match exactly."""
+    return similarity.group_centroids(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        "vec_id",
+        "embedding",
+        "doc_id",
+        "lang",
+    )
+
+
 TOP_NGRAM_N = 3
 TOP_NGRAM_K = 20
 

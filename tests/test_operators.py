@@ -1391,3 +1391,21 @@ def test_corpus_top_ngrams_counts_occurrences(spark):
     assert (rows[0].ngram, rows[0].cnt) == ("a b c", 3)  # 2 in doc1 + 1 in doc2
     assert rows[1].cnt == 1 and rows[2].cnt == 1
     assert rows[1].ngram < rows[2].ngram  # tie-break ascending
+
+
+def test_group_centroids_matches_numpy(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    got = similarity.group_centroids(emb, docs).collect()
+    vecs = {r.vec_id: np.array(r.embedding, float) for r in emb.collect()}
+    langs = {r.doc_id: r.lang for r in docs.collect()}
+    by_lang: dict[str, list] = {}
+    for vid, v in vecs.items():
+        by_lang.setdefault(langs[vid], []).append(v)
+    want = {g: np.mean(np.stack(vs), axis=0) for g, vs in by_lang.items()}
+    assert {r.group for r in got} == set(want)
+    for r in got:
+        assert r.n_vectors == len(by_lang[r.group])
+        assert abs(r.centroid_val - want[r.group][r.dim]) < 1e-6
