@@ -94,8 +94,10 @@ def url_canonicalize(url: Column | str) -> Column:
     accounting (the Common-Crawl-pipeline normalization step):
     drop the fragment, strip an http/https scheme (any case) and a
     leading ``www.``, drop explicit default ports (:80/:443),
-    lowercase the host, drop a bare trailing ``?`` and a single
-    trailing slash.
+    lowercase the host, drop any trailing run of ``?``/``/`` chars
+    (one class-strip keeps the function IDEMPOTENT — sequential
+    single-char strips are not: ``a?/`` needs the slash gone before
+    the ``?`` is visible; property-tested).
 
     Pure portable regex — no lookarounds, no group backrefs (Java
     ``$1`` vs RE2 ``\\1`` would diverge) — so the DuckDB oracle can
@@ -117,8 +119,7 @@ def url_canonicalize(url: Column | str) -> Column:
     host = F.when(slash > 0, F.substring_index(u, "/", 1)).otherwise(u)
     path = F.when(slash > 0, F.substr(u, slash)).otherwise(F.lit(""))
     u = F.concat(F.lower(host), path)
-    u = F.regexp_replace(u, r"\?$", "")
-    return F.regexp_replace(u, r"/$", "")
+    return F.regexp_replace(u, r"[?/]+$", "")
 
 
 def url_domain(canon_url: Column | str) -> Column:

@@ -2017,8 +2017,7 @@ DOMAIN_CAP = 10
                                THEN substr(u, strpos(u, '/')) ELSE '' END)
                       AS u FROM c3),
         c5 AS (SELECT doc_id, url_raw,
-                      regexp_replace(regexp_replace(u, '\\?$', ''), '/$', '')
-                      AS url_canon FROM c4)
+                      regexp_replace(u, '[?/]+$', '') AS url_canon FROM c4)
         SELECT doc_id, url_raw, url_canon,
                split_part(split_part(url_canon, '/', 1), ':', 1) AS domain
         FROM c5

@@ -172,3 +172,37 @@ def test_paragraph_dedup_conservation(spark, texts):
         p for t in texts for p in t.split("\n") if p.strip(" ") != ""
     }
     assert set(kept_paras) == distinct_input
+
+
+# URL-shaped strings: optional scheme/www/port/path/fragment noise
+URLISH = st.builds(
+    lambda scheme, www, host, port, path, slash, frag: (
+        scheme + www + host + port + path + slash + frag
+    ),
+    scheme=st.sampled_from(["", "http://", "https://", "HTTPS://", "HtTp://"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9_.\-]{0,8}){0,3}", fullmatch=True),
+    slash=st.sampled_from(["", "/"]),
+    frag=st.sampled_from(["", "#x", "#frag/with/slash"]),
+)
+
+
+@given(urls=st.lists(URLISH, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_url_canonicalize_idempotent(spark, urls):
+    """Canonicalization is a projection: applying it twice equals
+    applying it once, on arbitrary URL-shaped strings."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import url_canonicalize
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    rows = df.select(
+        "i",
+        url_canonicalize("url").alias("once"),
+        url_canonicalize(url_canonicalize("url")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, (urls[r.i], r.once, r.twice)
