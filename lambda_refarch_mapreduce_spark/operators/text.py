@@ -1147,3 +1147,49 @@ def corpus_diff(
         .filter(F.col("status") != "unchanged")
         .select(F.col("id").alias(id_col), "status")
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+) -> DataFrame:
+    """Apply a learned BPE merge list (bpe_train_merges output) to a
+    corpus: each word is split to characters, then every merge is
+    applied in training order (greedy leftmost within each merge —
+    the standard BPE encode).
+
+    Plan shape: row-local — the merge list composes into ONE chained
+    Catalyst fold expression per document, zero shuffle, fuses into
+    the scan. Plan size grows linearly with len(merges); past a few
+    hundred merges, encode via a mapInPandas kernel instead (same
+    cutover rule as the classifier map literal).
+
+    Returns (id, n_tokens, n_pieces, pieces) where pieces is the
+    space-joined sub-word stream ('word boundaries' are preserved by
+    never merging across the original whitespace tokens).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    word_syms = F.transform(
+        F.col("__toks"),
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+            lambda i: F.substr(w, i, F.lit(1)),
+        ),
+    )
+    out = staged.withColumn("__syms", word_syms)
+    for m in merges:
+        l, r = m[0], m[1]
+        out = out.withColumn(
+            "__syms",
+            F.transform(F.col("__syms"), lambda ws: _merge_adjacent(ws, l, r)),
+        )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.flatten("__syms")).alias("n_pieces"),
+        F.array_join(F.flatten("__syms"), " ").alias("pieces"),
+    )

@@ -1409,3 +1409,39 @@ def test_group_centroids_matches_numpy(spark):
     for r in got:
         assert r.n_vectors == len(by_lang[r.group])
         assert abs(r.centroid_val - want[r.group][r.dim]) < 1e-6
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Train merges, then encode a NEW text with them — pieces must
+    match the pure-Python greedy-apply reference."""
+    from lambda_refarch_mapreduce_spark.operators.text import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower lowest newest newest widest")],
+        "doc_id int, text string",
+    )
+    merges, _ = bpe_train_merges(train, "doc_id", "text", 5)
+
+    def ref_apply(word):
+        syms = list(word)
+        for l, r, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    test_df = spark.createDataFrame(
+        [(9, "lowest slower new"), (10, "")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in bpe_encode(test_df, "doc_id", "text", merges).collect()}
+    want = [p for w in "lowest slower new".split() for p in ref_apply(w)]
+    assert got[9].pieces.split(" ") == want
+    assert got[9].n_tokens == 3 and got[9].n_pieces == len(want)
+    assert (got[10].n_tokens, got[10].n_pieces, got[10].pieces) == (0, 0, "")
