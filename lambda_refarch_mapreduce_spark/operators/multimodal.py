@@ -363,3 +363,87 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.mapInPandas(_kernel, schema=schema)
+
+
+def decode_video(content: bytes) -> "tuple":
+    """Real video decode — numpy-only parser for the RAWV toy
+    container (magic ``RAWV`` + little-endian u16 width/height/fps/
+    n_frames + concatenated raw RGB24 frames). Uncompressed raw video
+    is what a demuxer hands a stats kernel anyway; real codecs need
+    pyav/ffmpeg, absent in this runtime, and fall through to
+    NotImplementedError like decode_image does for JPEG.
+
+    Returns (width, height, fps, frames) with frames shaped
+    (n_frames, h, w, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    content = bytes(content)
+    if content[:4] != b"RAWV":
+        raise NotImplementedError(
+            "only the RAWV raw-RGB container decodes natively; compressed "
+            "codecs need pyav/ffmpeg, not present in this runtime"
+        )
+    if len(content) < 12:
+        raise ValueError("truncated RAWV header")
+    w, h, fps, n = struct.unpack_from("<HHHH", content, 4)
+    need = w * h * 3
+    frames = np.frombuffer(
+        content, dtype=np.uint8, count=n * need, offset=12
+    ).reshape(n, h, w, 3)
+    return w, h, fps, frames
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("fps", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_pixel", DoubleType(), True),
+        StructField("max_pixel", IntegerType(), True),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame, sample_every: int = 2) -> DataFrame:
+    """REAL video decode + temporal frame sampling: each RAWV payload
+    is parsed by ``decode_video``, every ``sample_every``-th frame is
+    kept (the fps-aware sampling a caption/embedding stage feeds on),
+    and each sampled frame reduces to pixel stats. 1 row → n rows
+    inside the Arrow batch — the fan-out never shuffles; undecodable
+    payloads drop (DROPMALFORMED policy)."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.content is None:
+                    continue
+                try:
+                    w, h, fps, frames = decode_video(row.content)
+                except (ValueError, NotImplementedError):
+                    continue
+                for idx in range(0, frames.shape[0], sample_every):
+                    f = frames[idx]
+                    out.append(
+                        (
+                            row.media_id,
+                            idx,
+                            int(frames.shape[0]),
+                            fps,
+                            w,
+                            h,
+                            round(float(np.asarray(f, dtype=np.float64).mean()), 6),
+                            int(f.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_kernel, schema=VIDEO_STATS_SCHEMA)

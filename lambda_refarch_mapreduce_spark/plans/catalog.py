@@ -104,6 +104,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "multimodal_decode_image_stats",
     "multimodal_decode_audio_stats",
     "multimodal_frame_sampling",
+    "multimodal_decode_video_stats",
     "embedding_neardup_lsh_blocked",
     # ANN tiers whose deterministic centroid pipeline is now oracled
     "similarity_ivf_topk",

@@ -790,6 +790,62 @@ def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.extract_image_features(media)
 
 
+# RAWV toy-video header: magic + u16le (width=2, height=2, fps=8,
+# n_frames=4); each frame is 2*2*3 = 12 raw RGB bytes.
+import struct as _struct
+
+_RAWV_HEADER = b"RAWV" + _struct.pack("<HHHH", 2, 2, 8, 4)
+VIDEO_SAMPLE_EVERY = 2
+
+
+def _video_oracle() -> str:
+    # sampled frames 0 and 2 of 4; frame k's 12 bytes are the first 24
+    # hex chars of md5(doc_id || ':vk')
+    frame = """
+        SELECT doc_id AS media_id, {k} AS frame_idx,
+               4 AS n_frames, 8 AS fps, 2 AS width, 2 AS height,
+               round(list_sum(px) / 12.0, 6) AS mean_pixel,
+               list_max(px) AS max_pixel
+        FROM (SELECT doc_id,
+                     list_transform(range(1, 13),
+                         i -> ('0x' || substr(md5(doc_id::VARCHAR || ':v{k}'),
+                                              2*i - 1, 2))::INT) AS px
+              FROM documents) f{k}
+    """
+    return " UNION ALL ".join(frame.format(k=k) for k in (0, 2))
+
+
+@register(
+    "multimodal_decode_video_stats",
+    oracle=_video_oracle(),
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + temporal sampling end to end: build one
+    4-frame 2x2 RAWV clip per document (each frame = 12 md5-derived
+    RGB bytes, so the oracle computes identical per-frame stats from
+    hex), parse it with the numpy RAWV demuxer, keep every 2nd frame,
+    emit per-frame pixel stats (multimodal.extract_video_features).
+    The 1→n frame fan-out happens inside the Arrow batch — binary
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    frames = F.concat(
+        *[
+            F.substring(F.unhex(F.md5(F.concat(sid, F.lit(f":v{k}")))), 1, 12)
+            for k in range(4)
+        ]
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(F.lit(_RAWV_HEADER), frames).alias("content"),
+        F.lit("rawv").alias("format"),
+        (F.length(frames) + F.lit(len(_RAWV_HEADER))).cast("long").alias("n_bytes"),
+    )
+    return multimodal.extract_video_features(media, VIDEO_SAMPLE_EVERY)
+
+
 # 44-byte canonical WAV header: PCM16 mono, 8000 Hz, 64-byte data chunk
 # (32 samples). Precomputed with struct.pack — constant for every row.
 _WAV_HEADER = bytes.fromhex(

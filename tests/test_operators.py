@@ -1445,3 +1445,35 @@ def test_bpe_encode_matches_reference(spark):
     assert got[9].pieces.split(" ") == want
     assert got[9].n_tokens == 3 and got[9].n_pieces == len(want)
     assert (got[10].n_tokens, got[10].n_pieces, got[10].pieces) == (0, 0, "")
+
+
+def test_video_decode_and_sampling(spark):
+    """RAWV demux: header parsed, frames shaped, sampling keeps every
+    nth frame with real per-frame stats; non-RAWV payloads drop."""
+    import struct
+
+    import numpy as np
+
+    header = b"RAWV" + struct.pack("<HHHH", 2, 2, 24, 3)
+    f0 = bytes(range(12))            # mean 5.5, max 11
+    f1 = bytes([100] * 12)           # mean 100, max 100
+    f2 = bytes([0] * 11 + [255])     # mean 255/12, max 255
+    clip = header + f0 + f1 + f2
+    w, h, fps, frames = multimodal.decode_video(clip)
+    assert (w, h, fps) == (2, 2, 24) and frames.shape == (3, 2, 2, 3)
+    assert frames.dtype == np.uint8
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(clip), "rawv", len(clip)),
+         (2, "video", bytearray(b"NOPE" + bytes(20)), "mp4", 24)],
+        "media_id long, media_type string, content binary, format string, n_bytes long",
+    )
+    rows = sorted(
+        multimodal.extract_video_features(media, sample_every=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.media_id for r in rows] == [1, 1]  # mp4 payload dropped
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert rows[0].mean_pixel == 5.5 and rows[0].max_pixel == 11
+    assert rows[1].max_pixel == 255 and rows[1].n_frames == 3
+    assert (rows[0].width, rows[0].height, rows[0].fps) == (2, 2, 24)
