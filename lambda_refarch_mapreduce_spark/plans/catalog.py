@@ -128,6 +128,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "jobspec_filter_groupby",
     "jobspec_star_join",
     "jobspec_training_prep",
+    "jobspec_web_pipeline",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

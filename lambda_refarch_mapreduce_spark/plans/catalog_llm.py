@@ -1795,6 +1795,66 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEB_DOMAIN_CAP = 15
+WEB_MIN_QUALITY = 0.3
+
+
+def _web_pipeline_oracle() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    quality = f"""round((least(len(w) / 100.0, 1.0)
+        + len(list_filter(list_distinct(w),
+              x -> list_contains([{stop_list}], x))) * 1.0
+          / greatest(len(list_distinct(w)), 1)
+        + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+          / greatest(length(text), 1)) / 3.0, 6)"""
+    return f"""
+        WITH capped AS (
+            SELECT doc_id, text, lang, source
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= {WEB_DOMAIN_CAP}),
+        t AS (SELECT doc_id, text, lang, source, {_SQL_TOKENS} AS w
+              FROM capped),
+        q AS (SELECT doc_id, text, lang, source FROM t
+              WHERE {quality} >= {WEB_MIN_QUALITY}),
+        d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn2 FROM q)
+        SELECT doc_id, lang, source FROM d WHERE rn2 = 1
+    """
+
+
+@register(
+    "jobspec_web_pipeline",
+    oracle=_web_pipeline_oracle(),
+    tags=("llm", "udf", "text"),
+)
+def jobspec_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative web-corpus curation — the Common-Crawl front half
+    as ONE JobSpec plan Catalyst sees whole: per-domain cap (anti-
+    spam) → heuristic quality gate (row-local, fused into the scan) →
+    corpus-wide exact dedup keep-first. Two keyed window shuffles
+    total (domain rank, digest rank); the gate never shuffles."""
+    import os
+
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, run_jobspec
+
+    spec = JobSpec(
+        source={
+            "format": "parquet",
+            "path": os.path.join(sf_dir, "documents.parquet"),
+        },
+        prep=[
+            {"op": "domain_cap", "domain": "source", "cap": WEB_DOMAIN_CAP},
+            {"op": "quality_filter", "min_quality": WEB_MIN_QUALITY},
+            {"op": "dedup_exact"},
+        ],
+        select={"doc_id": "doc_id", "lang": "lang", "source": "source"},
+    )
+    return run_jobspec(spark, spec)
+
+
 @register(
     "embedding_group_centroids",
     oracle="""
