@@ -129,6 +129,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "jobspec_star_join",
     "jobspec_training_prep",
     "jobspec_web_pipeline",
+    "python_udtf_word_stream",
+    "variant_events_extract",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

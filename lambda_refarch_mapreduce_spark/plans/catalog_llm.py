@@ -1795,6 +1795,75 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "python_udtf_word_stream",
+    oracle="""
+        SELECT p_partkey, (ord - 1)::INT AS pos, word,
+               (length(word) >= 6) AS is_long FROM (
+            SELECT p_partkey,
+                   unnest(string_split(p_name, ' ')) AS word,
+                   unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS ord
+            FROM part)
+    """,
+    tags=("llm", "udf"),
+)
+def python_udtf_word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Python UDTF seam (`@udtf`, Spark 3.5+/4): a
+    user-defined table function yielding one row per word with its
+    position and a derived flag — the API-level twin of
+    udtf_posexplode_part_words (which covers the same semantics with
+    the built-in generator; this one covers the extension point).
+    UDTFs run row-at-a-time in Python — fine for a seam demo; hot
+    paths belong in posexplode or mapInPandas, exactly like the
+    python_udf_rowwise / pandas_udf pairing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string, is_long boolean")
+    class WordStream:
+        def eval(self, name: str):
+            if name is None:
+                return
+            for i, w in enumerate(name.split(" ")):
+                yield i, w, len(w) >= 6
+
+    spark.udtf.register("word_stream", WordStream)
+    part = _t(spark, sf_dir, "part")
+    part.select("p_partkey", "p_name").createOrReplaceTempView("__udtf_part")
+    return spark.sql(
+        "SELECT p.p_partkey, s.pos, s.word, s.is_long "
+        "FROM __udtf_part p, LATERAL word_stream(p.p_name) s"
+    )
+
+
+@register(
+    "variant_events_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+               json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        FROM events
+    """,
+    tags=("llm",),
+)
+def variant_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse each event's JSON
+    props into a VARIANT once, then extract typed fields with
+    variant_get — the columnar-shredding-friendly path that replaces
+    repeated get_json_object string re-parsing (one parse per row, not
+    one per extraction). The oracle reads the same field with DuckDB's
+    JSON extraction."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    staged = e.select("event_id", v.alias("__v"))
+    return staged.select(
+        "event_id",
+        F.try_variant_get(F.col("__v"), "$.k", "bigint").alias("k_variant"),
+        F.try_variant_get(F.col("__v"), "$.k", "bigint").isNotNull().alias(
+            "has_k"
+        ),
+    )
+
+
 WEB_DOMAIN_CAP = 15
 WEB_MIN_QUALITY = 0.3
 
