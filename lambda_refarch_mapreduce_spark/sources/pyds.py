@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _VOCAB = (
     "key agg row scan slow fast table value part hash merge batch query "
@@ -73,9 +78,50 @@ class _SyntheticDocsReader(DataSourceReader):
             )
 
 
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: an unbounded corpus arriving
+    ``docs_per_batch`` ids at a time. Offsets are just the next doc id
+    ({"next": N}) — replayable by construction, since doc i is a pure
+    function of (seed, i): a restarted query re-reads EXACTLY the same
+    documents for the same offset range, which is the property
+    Structured Streaming's exactly-once contract needs from a source.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.tokens_per_doc = int(options.get("tokens_per_doc", 50))
+        self.seed = int(options.get("seed", 0))
+        self.dup_every = int(options.get("dup_every", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the prefetch cache copy.copy()s the
+        # returned iterator, and generators aren't copyable
+        return [
+            (
+                i,
+                synth_doc(self.seed, i, self.tokens_per_doc, self.dup_every),
+                _VOCAB[_h(self.seed, i) % 5],
+            )
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        end = {"next": start["next"] + self.docs_per_batch}
+        return iter(self._rows(start["next"], end["next"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay for recovery — same rows, no state
+        return iter(self._rows(start["next"], end["next"]))
+
+
 class SyntheticDocsDataSource(DataSource):
     """format("synthetic_docs") — options: n_docs, n_partitions,
-    tokens_per_doc, seed, dup_every (0 = no planted dups)."""
+    tokens_per_doc, seed, dup_every (0 = no planted dups). Batch via
+    reader(); streaming via simpleStreamReader() (docs_per_batch ids
+    per micro-batch, replayable offsets)."""
 
     @classmethod
     def name(cls) -> str:
@@ -86,6 +132,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> _SyntheticDocsReader:
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _SyntheticDocsStreamReader:
+        return _SyntheticDocsStreamReader(self.options)
 
 
 def register_synthetic_docs(spark) -> None:
