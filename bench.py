@@ -47,6 +47,7 @@ HEADLINE = {
     "q_dedup_spans": "dedup_substring_spans",
     "q_bigram_logprob": "text_bigram_logprob",
     "q_corpus_report": "corpus_stats_report",
+    "q_web_pipeline": "jobspec_web_pipeline",
 }
 
 
