@@ -1193,3 +1193,74 @@ def bpe_encode(
         F.size(F.flatten("__syms")).alias("n_pieces"),
         F.array_join(F.flatten("__syms"), " ").alias("pieces"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the pass every dedup/hashing
+    stage runs first so that case/spacing variants collide (C4 and
+    CCNet both normalize before fingerprinting). Row-local portable
+    regex, zero shuffle, fuses into the scan.
+
+    Steps (each optional): lowercase; collapse any whitespace run to
+    one space and trim; strip punctuation (everything neither word
+    character nor whitespace — the portable [^\\w\\s] class; NOTE both
+    engines' \\w is ASCII, so strip_punct also removes CJK glyphs —
+    keep it off for multilingual corpora). Unicode NFC/accent folding
+    needs ICU and belongs in a mapInPandas kernel, not claimed here.
+
+    Returns (id, text_norm, n_chars_norm).
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    if strip_punct:
+        t = F.regexp_replace(t, r"[^\w\s]", "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        t.alias("text_norm"),
+        F.length(t).alias("n_chars_norm"),
+    )
+
+
+def domain_best_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    keep: int,
+) -> DataFrame:
+    """Quality-ranked per-domain selection: keep each domain's
+    ``keep`` HIGHEST-quality documents (ties to the lower id) — the
+    "best of every source" sampling used to seed classifier training
+    sets, vs domain_cap's id-ordered anti-spam truncation.
+
+    One domain-keyed shuffle; the rank filter plans WindowGroupLimit,
+    so a mega-domain never materializes past ``keep`` rows per
+    partition after the exchange.
+
+    Returns (id, domain, quality, quality_rank).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        quality_expr(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("quality").desc(), "id")
+    return (
+        base.withColumn("quality_rank", F.row_number().over(w))
+        .filter(F.col("quality_rank") <= keep)
+        .select(
+            F.col("id").alias(id_col), "domain", "quality", "quality_rank"
+        )
+    )

@@ -131,6 +131,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "jobspec_web_pipeline",
     "python_udtf_word_stream",
     "variant_events_extract",
+    "text_normalize_docs",
+    "domain_best_docs",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

@@ -1864,6 +1864,68 @@ def variant_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_normalize_docs",
+    oracle=r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+               length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS n_chars_norm
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization before hashing (operators.text.
+    normalize_text): lowercase + whitespace-collapse + trim, row-local
+    and zero-shuffle. strip_punct stays off here — the portable \\w is
+    ASCII, which would strip CJK from the zh fixture docs."""
+    return text.normalize_text(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+DOMAIN_BEST_KEEP = 5
+
+
+def _domain_best_oracle() -> str:
+    all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, source AS domain, text,
+                          {_SQL_TOKENS} AS w
+                   FROM documents),
+        q AS (SELECT id, domain,
+                     round((least(len(w) / 100.0, 1.0)
+                        + len(list_filter(list_distinct(w),
+                              x -> list_contains([{stop_list}], x))) * 1.0
+                          / greatest(len(list_distinct(w)), 1)
+                        + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / greatest(length(text), 1)) / 3.0, 6) AS quality
+              FROM t),
+        r AS (SELECT *, row_number() OVER (PARTITION BY domain
+                          ORDER BY quality DESC, id) AS rn FROM q)
+        SELECT id AS doc_id, domain, quality, rn::INT AS quality_rank
+        FROM r WHERE rn <= {DOMAIN_BEST_KEEP}
+    """
+
+
+@register(
+    "domain_best_docs",
+    oracle=_domain_best_oracle(),
+    tags=("llm", "text"),
+)
+def domain_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-domain selection (operators.text.
+    domain_best_docs): each source's DOMAIN_BEST_KEEP highest-quality
+    docs, ties to the lower id — classifier-seed sampling, vs
+    domain_cap's id-ordered anti-spam cut. WindowGroupLimit plan."""
+    return text.domain_best_docs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        DOMAIN_BEST_KEEP,
+    )
+
+
 WEB_DOMAIN_CAP = 15
 WEB_MIN_QUALITY = 0.3
 

@@ -1477,3 +1477,47 @@ def test_video_decode_and_sampling(spark):
     assert rows[0].mean_pixel == 5.5 and rows[0].max_pixel == 11
     assert rows[1].max_pixel == 255 and rows[1].n_frames == 3
     assert (rows[0].width, rows[0].height, rows[0].fps) == (2, 2, 24)
+
+
+def test_normalize_text_options(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!  \n twice ")], "doc_id int, text string"
+    )
+    base = normalize_text(df, "doc_id", "text").collect()[0]
+    assert base.text_norm == "hello, world! twice"
+    punct = normalize_text(df, "doc_id", "text", strip_punct=True).collect()[0]
+    assert punct.text_norm == "hello world twice"
+    raw = normalize_text(
+        df, "doc_id", "text", lowercase=False, collapse_whitespace=False
+    ).collect()[0]
+    assert "Hello" in raw.text_norm and raw.n_chars_norm == len(raw.text_norm)
+
+
+def test_domain_best_vs_domain_cap(spark):
+    """domain_best keeps the highest-QUALITY docs; domain_cap keeps
+    the lowest IDS — on a corpus where late ids have better text, the
+    two must disagree."""
+    from lambda_refarch_mapreduce_spark.operators.text import (
+        domain_best_docs,
+        domain_cap,
+    )
+
+    rich = (
+        "the quick brown fox jumps over the lazy dog with many of "
+        "the finest words in a long and fluent sentence that is for on"
+    )
+    df = spark.createDataFrame(
+        [(i, "x y" if i < 3 else rich, "d0") for i in range(6)],
+        "doc_id int, text string, source string",
+    )
+    best = {r.doc_id for r in domain_best_docs(df, "doc_id", "text", "source", 3).collect()}
+    cap = {r.doc_id for r in domain_cap(df, "doc_id", "source", 3).collect()}
+    assert best == {3, 4, 5}  # the fluent docs
+    assert cap == {0, 1, 2}  # the early ids
+    ranks = {
+        r.doc_id: r.quality_rank
+        for r in domain_best_docs(df, "doc_id", "text", "source", 3).collect()
+    }
+    assert ranks == {3: 1, 4: 2, 5: 3}  # quality tie -> lower id first
