@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
 from lambda_refarch_mapreduce_spark.sources.readers import load_table
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _plan(df) -> str:
@@ -207,3 +207,63 @@ def test_semdedup_pairs_are_cluster_blocked(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Sweep EVERY catalog entry's physical plan: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only in entries that
+    document a theta/range join or a broadcast single-row/tiny-side
+    cross join — the registry-level guard that no future entry
+    sneaks in an all-pairs plan."""
+    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+
+    # BNLJ is legitimate where the docstring declares a theta/range
+    # join against a BROADCAST side or a single-row stats cross join
+    bnlj_ok = {
+        "range_bucket_lineitem",       # broadcast range-bucket BNLJ
+        "cross_join_region_priority",  # tiny x tiny dense grid
+        "scalar_subquery_above_avg",   # single-row subquery broadcast
+        "embedding_neardup_pairs",     # grid theta-join (documented)
+        "embedding_neardup_lsh_blocked",
+        "similarity_topk",             # broadcast queries, != predicate
+        "similarity_pq_topk",          # broadcast queries, != predicate
+        "similarity_pq_rerank_topk",
+        "similarity_ivf_topk",
+        "similarity_ivfadc_topk",
+        "semdedup_embeddings",
+        "text_unigram_logprob",        # single-row floor/total rows
+        "text_bigram_logprob",         # single-row (V,) row
+        "text_tfidf_terms",            # single-row N row
+        "text_bm25_search",            # single-row stats row
+        "corpus_stats_report",         # single-row grand total
+        "curriculum_order_docs",       # single-row total + offsets
+        "mixture_token_sample",
+        "quality_quantile_filter",
+        "pack_sequences_token_budget",
+        "decimal_exact_totals",
+        "stats_aggregates_lineitem",
+        "dedup_incremental_batch",
+        "decontaminate_vs_benchmark",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "jobspec_training_prep",
+        "training_data_prep_pipeline",
+    }
+    offenders, bnlj_new = [], []
+    for name, qd in catalog.REGISTRY.items():
+        plan = (
+            qd.spark(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bnlj_new.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
+    assert not bnlj_new, (
+        f"undocumented BroadcastNestedLoopJoin in: {bnlj_new} — if the "
+        "theta/broadcast shape is intentional, add the entry to bnlj_ok "
+        "with a comment"
+    )
