@@ -1025,3 +1025,61 @@ def group_centroids(
         F.round("__val", 6).alias("centroid_val"),
         "n_vectors",
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 4,
+    seed: int = 0,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic random negative sampling for contrastive training
+    (in-batch negatives made reproducible): each anchor gets ``k``
+    pseudo-random partners drawn corpus-wide via the portable md5 hash
+    family — the same (seed, anchor, slot) always yields the same
+    negative, across runs, partition counts and engines.
+
+    Plan shape: ids are dealt into ``n_buckets`` hash buckets with a
+    dense within-bucket index (one bucket-keyed window shuffle of
+    fixed-width rows); bucket sizes broadcast (n_buckets rows); each
+    (anchor, slot) computes its target (bucket, index) row-locally and
+    equi-joins the bucket-index table — never an array payload, never
+    a cross join. Size n_buckets ~ corpus/1000 at scale so the window
+    sort stays partition-local. Anchors that hash onto THEMSELVES are
+    dropped (self-pairs are useless as negatives), so an anchor may
+    get k-1 rows; re-probing instead would bias toward bucket
+    neighbors.
+
+    Returns (id, slot, negative_id).
+    """
+    from lambda_refarch_mapreduce_spark.operators.dedup import salted_hash
+
+    from pyspark.sql.window import Window
+
+    ids = df.select(F.col(id_col).alias("id"))
+    bucketed = ids.withColumn(
+        "bucket", F.pmod(salted_hash(F.col("id").cast("string"), seed), n_buckets)
+    )
+    w = Window.partitionBy("bucket").orderBy("id")
+    indexed = bucketed.withColumn("idx", F.row_number().over(w) - 1)
+    sizes = F.broadcast(
+        indexed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    )
+    slots = ids.select(
+        "id", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot")
+    )
+    probe = F.concat_ws(":", F.col("id").cast("string"), F.col("slot").cast("string"))
+    targets = (
+        slots.withColumn("bucket", F.pmod(salted_hash(probe, seed + 1), n_buckets))
+        .join(sizes, "bucket")
+        .withColumn("idx", F.pmod(salted_hash(probe, seed + 2), F.col("bsize")))
+    )
+    neg = indexed.select(
+        "bucket", "idx", F.col("id").alias("negative_id")
+    )
+    return (
+        targets.join(neg, ["bucket", "idx"])
+        .filter(F.col("negative_id") != F.col("id"))
+        .select(F.col("id").alias(id_col), "slot", "negative_id")
+    )

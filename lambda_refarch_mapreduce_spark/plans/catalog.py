@@ -133,6 +133,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "variant_events_extract",
     "text_normalize_docs",
     "domain_best_docs",
+    "contrastive_negative_samples",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

@@ -1986,6 +1986,53 @@ def jobspec_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_jobspec(spark, spec)
 
 
+NEG_K = 4
+NEG_BUCKETS = 16
+
+
+def _neg_samples_oracle() -> str:
+    h_id = _sql_salted_hash("id::VARCHAR", 0)
+    probe = "s.id::VARCHAR || ':' || s.slot::VARCHAR"
+    h_b = _sql_salted_hash(probe, 1)
+    h_i = _sql_salted_hash(probe, 2)
+    return f"""
+        WITH ids AS (SELECT vec_id AS id FROM embeddings),
+        b AS (SELECT id, {h_id} % {NEG_BUCKETS} AS bucket FROM ids),
+        ix AS (SELECT id, bucket,
+                      row_number() OVER (PARTITION BY bucket
+                                         ORDER BY id) - 1 AS idx
+               FROM b),
+        sz AS (SELECT bucket, count(*) AS bsize FROM ix GROUP BY bucket),
+        slots AS (SELECT id, unnest(range({NEG_K})) AS slot FROM ids),
+        t AS (SELECT s.id, s.slot, {h_b} % {NEG_BUCKETS} AS bucket,
+                     {h_i} AS hraw
+              FROM slots s),
+        t2 AS (SELECT t.id, t.slot, t.bucket, t.hraw % sz.bsize AS idx
+               FROM t JOIN sz USING (bucket))
+        SELECT t2.id AS vec_id, t2.slot::INT AS slot, n.id AS negative_id
+        FROM t2 JOIN ix n ON n.bucket = t2.bucket AND n.idx = t2.idx
+        WHERE n.id <> t2.id
+    """
+
+
+@register(
+    "contrastive_negative_samples",
+    oracle=_neg_samples_oracle(),
+    tags=("llm", "similarity"),
+)
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random negatives for contrastive training
+    (similarity.negative_samples): portable-hash bucket dealing + a
+    fixed-width (bucket, idx) equi-join — no array payloads, no cross
+    join; the oracle replays the identical hash arithmetic."""
+    out = similarity.negative_samples(
+        _t(spark, sf_dir, "embeddings"), "vec_id", NEG_K, 0, NEG_BUCKETS
+    )
+    return out.select(
+        "vec_id", F.col("slot").cast("int").alias("slot"), "negative_id"
+    )
+
+
 @register(
     "embedding_group_centroids",
     oracle="""

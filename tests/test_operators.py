@@ -1521,3 +1521,19 @@ def test_domain_best_vs_domain_cap(spark):
         for r in domain_best_docs(df, "doc_id", "text", "source", 3).collect()
     }
     assert ranks == {3: 1, 4: 2, 5: 3}  # quality tie -> lower id first
+
+
+def test_negative_samples_deterministic_and_spread(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = similarity.negative_samples(emb, "vec_id", k=4).collect()
+    b = similarity.negative_samples(emb.repartition(7), "vec_id", k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-invariant
+    n = emb.count()
+    per_anchor: dict[int, set] = {}
+    for r in a:
+        assert r.negative_id != r.vec_id  # no self-pairs
+        per_anchor.setdefault(r.vec_id, set()).add(r.slot)
+    assert set(per_anchor) == {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(len(s) >= 3 for s in per_anchor.values())  # k or k-1 slots
+    distinct_negs = len({r.negative_id for r in a})
+    assert distinct_negs > n * 0.3  # negatives spread across the corpus
