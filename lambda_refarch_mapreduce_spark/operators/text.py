@@ -1264,3 +1264,71 @@ def domain_best_docs(
             F.col("id").alias(id_col), "domain", "quality", "quality_rank"
         )
     )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Vocabulary lookup — the stage between tokenization and sequence
+    packing: the corpus's top-``vocab_size`` tokens (by count desc,
+    then token asc) get ids 1..V in rank order, everything else maps
+    to 0 (UNK); each document becomes its id sequence.
+
+    Plan shape: one map-side-combined token count shrinks to the
+    vocab; id assignment is a row_number over the V-row table (a
+    single-partition window over VOCAB-sized data — bounded, never the
+    corpus); the vocab broadcast-joins back onto exploded (doc, pos,
+    token) rows and one id-keyed shuffle reassembles sequences in
+    position order — same rebuild posture as paragraph_dedup.
+
+    Returns (id, n_tokens, oov_count, ids_csv).
+    """
+    from pyspark.sql.window import Window
+
+    staged = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    freq = (
+        staged.select(F.explode(F.col("__toks")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        freq.orderBy(F.col("c").desc(), "token")
+        .limit(vocab_size)
+        .withColumn(
+            "tok_id",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "token")),
+        )
+        .select("token", "tok_id")
+    )
+    toks = staged.select(
+        "id", F.posexplode(F.col("__toks")).alias("pos", "token")
+    )
+    mapped = toks.join(F.broadcast(vocab), "token", "left").select(
+        "id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    seqs = mapped.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tok_id") == 0).cast("bigint")).alias("oov_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(seqs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("oov_count", F.lit(0).cast("bigint")).alias("oov_count"),
+            F.coalesce("ids_csv", F.lit("")).alias("ids_csv"),
+        )
+    )

@@ -1986,6 +1986,46 @@ def jobspec_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_jobspec(spark, spec)
 
 
+IDS_VOCAB = 512
+
+
+@register(
+    "text_tokens_to_ids",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        tok AS (SELECT id, unnest(w) AS token,
+                       unnest(range(len(w))) AS pos
+                FROM t),
+        freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        vocab AS (SELECT token,
+                         row_number() OVER (ORDER BY c DESC, token) AS tok_id
+                  FROM freq ORDER BY c DESC, token LIMIT {IDS_VOCAB}),
+        m AS (SELECT tok.id, tok.pos,
+                     coalesce(vocab.tok_id, 0) AS tok_id
+              FROM tok LEFT JOIN vocab USING (token)),
+        s AS (SELECT id, count(*) AS n_tokens,
+                     sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS oov_count,
+                     string_agg(tok_id, ',' ORDER BY pos) AS ids_csv
+              FROM m GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(s.oov_count, 0)::BIGINT AS oov_count,
+               coalesce(s.ids_csv, '') AS ids_csv
+        FROM documents d LEFT JOIN s ON s.id = d.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary lookup (operators.text.tokens_to_ids): corpus top-V
+    tokens get rank ids 1..V, OOV -> 0, documents become id sequences
+    — the stage feeding sequence packing. The id-assignment window
+    runs over the VOCAB-sized table only; sequences reassemble through
+    one id-keyed shuffle."""
+    return text.tokens_to_ids(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", IDS_VOCAB
+    )
+
+
 NEG_K = 4
 NEG_BUCKETS = 16
 

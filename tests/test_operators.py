@@ -1537,3 +1537,20 @@ def test_negative_samples_deterministic_and_spread(spark):
     assert all(len(s) >= 3 for s in per_anchor.values())  # k or k-1 slots
     distinct_negs = len({r.negative_id for r in a})
     assert distinct_negs > n * 0.3  # negatives spread across the corpus
+
+
+def test_tokens_to_ids_rank_and_oov(spark):
+    from lambda_refarch_mapreduce_spark.operators.text import tokens_to_ids
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a rare b"), (3, "")],
+        "doc_id int, text string",
+    )
+    # counts: b=4, a=3, c=1, rare=1; vocab_size=3 -> b:1, a:2, c:3
+    # (count desc, token asc tie-break: c before rare)
+    got = {r.doc_id: r for r in tokens_to_ids(df, "doc_id", "text", 3).collect()}
+    assert got[1].ids_csv == "1,1,1,2,2,3"
+    assert (got[1].n_tokens, got[1].oov_count) == (6, 0)
+    assert got[2].ids_csv == "2,0,1"  # 'rare' is OOV -> 0
+    assert got[2].oov_count == 1
+    assert (got[3].n_tokens, got[3].ids_csv) == (0, "")
