@@ -180,3 +180,74 @@ def stratified_hash_sample(
     for k, v in sorted(rates_pct.items()):
         pct = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(pct)
     return df.filter(h < pct)
+
+
+def interval_self_join(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    time_col: str,
+    max_gap_secs: int,
+) -> DataFrame:
+    """All pairs of rows sharing ``key_col`` whose ``time_col`` values
+    lie within ``max_gap_secs`` of each other — correlated-event
+    detection (fraud bursts, session stitching, co-click mining)
+    WITHOUT the O(n²/key) theta join.
+
+    Scalable shape (the pigeonhole pattern the SimHash/LSH tiers use
+    on hashes, applied to time): bucket = floor(epoch / gap). The
+    earlier row of any qualifying pair sits in the later row's bucket
+    or the one before it, so the earlier side emits ONE row at its own
+    bucket and the later side emits TWO (its bucket and the previous
+    one); an equi-join on (key, bucket) then sees every qualifying
+    pair exactly once — no dedup pass — and candidate volume is
+    bounded by per-bucket occupancy, never per-key row count squared.
+    Pair orientation (and the exactly-once guarantee) comes from the
+    total order (time, id); the time filter re-checks the real gap.
+
+    Time arithmetic is exact integer MICROSECONDS (unix_micros /
+    DuckDB epoch_us) — fixture timestamps carry sub-second parts, and
+    a seconds-truncating comparison would silently widen the window.
+
+    Returns (key, id_a, id_b, micros_apart) with id_a the earlier row
+    (ties broken by id).
+    """
+    gap_us = max_gap_secs * 1_000_000
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.unix_micros(F.col(time_col)).alias("t"),
+    )
+    left = base.select(
+        "key",
+        F.col("id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.floor(F.col("t") / gap_us).alias("bucket"),
+    )
+    right = base.select(
+        "key",
+        F.col("id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / gap_us),
+                F.floor(F.col("t") / gap_us) - 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        left.join(right, ["key", "bucket"])
+        .filter(
+            (F.col("t_b") - F.col("t_a") <= gap_us)
+            & (
+                F.struct("t_a", "id_a")
+                < F.struct(F.col("t_b").alias("t_a"), F.col("id_b").alias("id_a"))
+            )
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "id_a",
+            "id_b",
+            (F.col("t_b") - F.col("t_a")).cast("bigint").alias("micros_apart"),
+        )
+    )

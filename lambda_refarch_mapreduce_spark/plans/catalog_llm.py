@@ -905,6 +905,34 @@ def multimodal_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+INTERVAL_GAP_SECS = 60
+
+
+@register(
+    "interval_self_join_events",
+    oracle=f"""
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS micros_apart
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) - epoch_us(a.ts)
+                 BETWEEN 0 AND {INTERVAL_GAP_SECS} * 1000000
+         AND (epoch_us(a.ts), a.event_id) < (epoch_us(b.ts), b.event_id)
+    """,
+    tags=("llm",),
+)
+def interval_self_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-event pairs: same user within 60 s, via the bucketed
+    interval self-join (operators.relational.interval_self_join) —
+    exact-once pigeonhole bucketing on time, candidate volume bounded
+    by per-bucket occupancy instead of the oracle's O(n²/user) theta
+    join. Exact integer microsecond arithmetic on both engines."""
+    return relational.interval_self_join(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "ts",
+        INTERVAL_GAP_SECS,
+    )
+
+
 # Streaming-equivalent window (batch check of streaming semantics)
 # ---------------------------------------------------------------------------
 

@@ -1554,3 +1554,38 @@ def test_tokens_to_ids_rank_and_oov(spark):
     assert got[2].ids_csv == "2,0,1"  # 'rare' is OOV -> 0
     assert got[2].oov_count == 1
     assert (got[3].n_tokens, got[3].ids_csv) == (0, "")
+
+
+def test_interval_self_join_exact_once(spark):
+    """Pairs straddling a bucket boundary appear exactly once; gaps
+    beyond the bound are excluded; orientation by (time, id)."""
+    from datetime import datetime, timedelta
+
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        interval_self_join,
+    )
+
+    def t(s, us=0):
+        return datetime(2024, 1, 1) + timedelta(seconds=s, microseconds=us)
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(55)),   # bucket 0 (gap=60)
+            (2, 1, t(59)),   # same bucket, 4s apart
+            (3, 1, t(61)),   # next bucket: 6s from id1 (cross-boundary)
+            (4, 1, t(130)),  # 69s from id3 -> excluded
+            (5, 2, t(56)),   # other key: never pairs with key 1
+            (6, 1, t(55)),   # exact tie with id1 -> (t, id) orders it
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    rows = interval_self_join(df, "user_id", "event_id", "ts", 60).collect()
+    pairs = {(r.id_a, r.id_b): r.micros_apart for r in rows}
+    assert pairs == {
+        (1, 2): 4_000_000,
+        (1, 3): 6_000_000,
+        (2, 3): 2_000_000,
+        (1, 6): 0,       # tie: lower id is id_a
+        (6, 2): 4_000_000,
+        (6, 3): 6_000_000,
+    }
