@@ -1332,3 +1332,46 @@ def tokens_to_ids(
             F.coalesce("ids_csv", F.lit("")).alias("ids_csv"),
         )
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the classic gibberish/binary-spill detector
+    (keyboard mash and base64 blobs sit far from natural-language
+    entropy). Pure row-local Catalyst: O(distinct_chars x len) per
+    document, zero shuffle, fuses into the scan.
+
+    The distinct-char list is SORTED before the summation fold so the
+    floating-point accumulation order is identical in any engine
+    (DuckDB's list_distinct does not preserve order).
+
+    Returns (id, n_chars, n_distinct_chars, char_entropy) with entropy
+    rounded to 6dp; empty documents score 0.0.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(text_col), F.lit(1))
+            ),
+            lambda i: F.substr(F.col(text_col), i, F.lit(1)),
+        ).alias("__chars"),
+    )
+    n = F.length("__text")
+    uniq = F.array_sort(F.array_distinct(F.col("__chars")))
+    ent = -F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, u: acc
+        + (
+            F.size(F.filter(F.col("__chars"), lambda c: c == u)) / n
+        )
+        * F.log(F.size(F.filter(F.col("__chars"), lambda c: c == u)) / n),
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        n.alias("n_chars"),
+        F.when(n > 0, F.size(uniq)).otherwise(0).alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(0.0).alias("char_entropy"),
+    )

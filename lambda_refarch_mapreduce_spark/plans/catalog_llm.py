@@ -2014,6 +2014,36 @@ def jobspec_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_jobspec(spark, spec)
 
 
+@register(
+    "text_char_entropy",
+    oracle=r"""
+        WITH t AS (SELECT doc_id, text, length(text) AS n,
+                          list_sort(list_distinct(
+                              list_transform(range(1, greatest(length(text), 1) + 1),
+                                             i -> substr(text, i::INT, 1))
+                          )) AS uniq,
+                          list_transform(range(1, greatest(length(text), 1) + 1),
+                                         i -> substr(text, i::INT, 1)) AS chars
+                   FROM documents)
+        SELECT doc_id, n::INT AS n_chars,
+               CASE WHEN n > 0 THEN len(uniq) ELSE 0 END AS n_distinct_chars,
+               CASE WHEN n > 0 THEN
+                   round(-list_sum(list_transform(uniq,
+                       u -> (len(list_filter(chars, c -> c = u)) * 1.0 / n)
+                            * ln(len(list_filter(chars, c -> c = u)) * 1.0 / n))), 6)
+               ELSE 0.0 END AS char_entropy
+        FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (operators.text.
+    char_entropy): the gibberish/binary-spill quality signal.
+    Row-local, zero shuffle; the distinct-char list is sorted before
+    the fold so float accumulation order matches across engines."""
+    return text.char_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 IDS_VOCAB = 512
 
 

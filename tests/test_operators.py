@@ -1589,3 +1589,20 @@ def test_interval_self_join_exact_once(spark):
         (6, 2): 4_000_000,
         (6, 3): 6_000_000,
     }
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abcd")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert got[1].char_entropy == 0.0  # single symbol: zero entropy
+    assert got[2].char_entropy == round(math.log(2), 6)  # two equiprobable
+    assert (got[3].n_chars, got[3].char_entropy) == (0, 0.0)
+    assert got[4].char_entropy == round(math.log(4), 6)  # uniform over 4
+    assert got[4].n_distinct_chars == 4
