@@ -133,6 +133,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Document pairs where the SMALLER document's shingle set is
+    mostly contained in the larger one: containment(A→B) =
+    |A∩B| / |A| (Broder 1997's resemblance companion). The asymmetric
+    measure catches excerpt/quote/boilerplate inclusion — a 100-word
+    page pasted into a 10,000-word page has near-zero Jaccard but
+    containment ≈ 1 — which is exactly what symmetric dedup tiers
+    miss.
+
+    Same two-shuffle inverted-index plan as ngram_jaccard_pairs
+    (postings by shingle with sizes riding the rows, pairs by id);
+    only the final row-local formula differs: the reported
+    containment is max(inter/|A|, inter/|B|) with the direction
+    column naming the contained side.
+
+    Returns (id_a, id_b, containment, contained) with id_a < id_b and
+    contained in {'a','b'} (the doc whose shingles are covered —
+    ties to 'a').
+    """
+    sh = shingles(df, id_col, content_col, n, with_count=True)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_a = F.col("inter") / F.col("n_a")
+    c_b = F.col("inter") / F.col("n_b")
+    return (
+        inter.withColumn("containment", F.greatest(c_a, c_b))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.when(c_a >= c_b, F.lit("a")).otherwise(F.lit("b")).alias(
+                "contained"
+            ),
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

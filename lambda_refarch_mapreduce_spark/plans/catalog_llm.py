@@ -105,6 +105,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE}, {_SQL_SH_CTE}, {_SQL_SIZES_CTE},
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS ninter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(greatest(ninter * 1.0 / sa.n, ninter * 1.0 / sb.n), 6)
+                   AS containment,
+               CASE WHEN ninter * 1.0 / sa.n >= ninter * 1.0 / sb.n
+                    THEN 'a' ELSE 'b' END AS contained
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE greatest(ninter * 1.0 / sa.n, ninter * 1.0 / sb.n)
+                  >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators.dedup.
+    ngram_containment_pairs, Broder 1997): |A∩B|/min-side size catches
+    excerpt/boilerplate inclusion that symmetric Jaccard misses. Same
+    two-shuffle inverted-index plan as the Jaccard tier."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        NGRAM_N, CONTAINMENT_THRESHOLD,
+    )
+
+
 # Shared recursive-CTE prefix: n-gram Jaccard pairs -> undirected edges
 # -> transitive closure -> (doc_id, cluster_id) components.
 _SQL_COMP_CTES = f"""

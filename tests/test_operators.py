@@ -1606,3 +1606,24 @@ def test_char_entropy_hand_computed(spark):
     assert (got[3].n_chars, got[3].char_entropy) == (0, 0.0)
     assert got[4].char_entropy == round(math.log(4), 6)  # uniform over 4
     assert got[4].n_distinct_chars == 4
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc quoted inside a much larger one: containment ~1
+    while Jaccard stays under any useful threshold."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id int, text string",
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", 3, 0.9).collect()
+    assert len(cont) == 1
+    assert cont[0].containment >= 0.99 and cont[0].contained == "a"
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3).collect()
+    assert jac == []  # symmetric measure misses the inclusion
