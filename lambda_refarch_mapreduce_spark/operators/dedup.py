@@ -849,3 +849,60 @@ def chunk_tokens(
         "\n",
     )
     return staged.select(F.col(id_col), chunked.alias(out_col))
+
+
+WINNOW_SEED = 7
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local-fingerprinting algorithm): hash every positional
+    n-gram, slide a ``window`` over the hash sequence, keep the
+    minimum of each window, emit the distinct selected hashes. The
+    guarantee: any shared substring of at least ``window + n - 1``
+    tokens yields at least one SHARED fingerprint — so an inverted
+    index over fingerprints finds local overlaps with a document-
+    length-independent, tunable density (~2/(window+1) of all grams),
+    where MinHash sketches only global resemblance.
+
+    Row-local selection (O(grams x window) per doc via a staged hash
+    array — HOF staging rule applies), zero shuffle until the caller
+    joins fingerprints. Hashes are the portable md5 family, so the
+    oracle replays selection exactly. Documents shorter than the
+    window emit the single global minimum; documents with < n tokens
+    emit nothing.
+
+    Returns (id, fingerprint) distinct rows.
+    """
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        word_ngrams(tokenize(F.col(content_col)), n).alias("__grams"),
+    )
+    hashed = staged.select(
+        "id",
+        F.transform(
+            F.col("__grams"), lambda g: salted_hash(g, WINNOW_SEED)
+        ).alias("__h"),
+    )
+    g = F.size("__h")
+    nwin = g - F.lit(window - 1)
+    fps = (
+        F.when(
+            nwin >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+                    lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
+                )
+            ),
+        )
+        .when(g >= 1, F.array(F.array_min(F.col("__h"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return hashed.select("id", F.explode(fps).alias("fingerprint"))

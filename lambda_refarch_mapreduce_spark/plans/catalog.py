@@ -138,6 +138,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "interval_self_join_events",
     "text_char_entropy",
     "dedup_ngram_containment",
+    "dedup_winnow_fingerprints",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

@@ -105,6 +105,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_WINDOW = 4
+
+
+def _winnow_oracle() -> str:
+    n, w = NGRAM_N, WINNOW_WINDOW
+    joined = " || ' ' || ".join(
+        f"w[i + {j}]" if j else "w[i]" for j in range(n)
+    )
+    grams = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+    h = _sql_salted_hash("g", dedup.WINNOW_SEED)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {_SQL_TOKENS} AS w FROM documents),
+        g0 AS (SELECT id, {grams} AS grams FROM t),
+        h0 AS (SELECT id, list_transform(grams, g -> {h}) AS h FROM g0),
+        sel AS (SELECT id,
+                       CASE WHEN len(h) - {w - 1} >= 1 THEN
+                           list_distinct(list_transform(
+                               range(1, len(h) - {w - 1} + 1),
+                               j -> list_min(h[j : j + {w - 1}])))
+                       WHEN len(h) >= 1 THEN [list_min(h)]
+                       ELSE [] END AS fps
+                FROM h0)
+        SELECT id AS doc_id, unnest(fps) AS fingerprint FROM sel
+    """
+
+
+@register(
+    "dedup_winnow_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("llm", "dedup"),
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.dedup.winnow_fingerprints,
+    Schleimer et al. 2003 / MOSS): per-window minimum of positional
+    n-gram hashes — guaranteed shared fingerprint for any shared run
+    of window+n-1 tokens, at ~2/(window+1) density. Row-local
+    selection over the portable hash family; the oracle replays the
+    identical window minima."""
+    out = dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        NGRAM_N, WINNOW_WINDOW,
+    )
+    return out.select(F.col("id").alias("doc_id"), "fingerprint")
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 

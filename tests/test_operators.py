@@ -1627,3 +1627,29 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont[0].containment >= 0.99 and cont[0].contained == "a"
     jac = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3).collect()
     assert jac == []  # symmetric measure misses the inclusion
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run of >= window+n-1
+    tokens must share at least one fingerprint; disjoint docs share
+    none. Density lands near the 2/(w+1) theory value."""
+    from lambda_refarch_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+    n, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(w + n - 1))  # exactly w+n-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 {shared} a5 a6 a7 a8"),
+            (2, f"b1 b2 b3 {shared} b4 b5 b6 b7 b8 b9"),
+            (3, " ".join(f"c{i}" for i in range(30))),  # disjoint
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", n, w).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: doc 3 has 28 grams, expect ~2/(w+1)=0.4 selected (loose)
+    assert 0.15 <= len(by_doc[3]) / 28 <= 0.8
