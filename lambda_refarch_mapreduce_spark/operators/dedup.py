@@ -906,3 +906,42 @@ def winnow_fingerprints(
         .otherwise(F.array().cast("array<bigint>"))
     )
     return hashed.select("id", F.explode(fps).alias("fingerprint"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints —
+    the MOSS match step: documents sharing >= ``min_shared`` selected
+    fingerprints. Because winnowing guarantees a shared fingerprint
+    for any shared (window+n-1)-token run, this finds documents with
+    LOCAL overlapping passages regardless of how different the rest of
+    their content is — the plagiarism/boilerplate detector, vs
+    MinHash's global-resemblance candidates.
+
+    Plan shape: identical to the other inverted-index tiers — one
+    shuffle of (id, fingerprint) postings keyed by the 60-bit
+    fingerprint, pairs only materialize for docs sharing one, one pair
+    shuffle for the count. Fingerprint density ~2/(window+1) of grams,
+    so posting volume is a tunable fraction of the Jaccard tier's.
+
+    Returns (id_a, id_b, shared_fingerprints) with id_a < id_b.
+    """
+    fp = winnow_fingerprints(df, id_col, content_col, n, window)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -139,6 +139,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "text_char_entropy",
     "dedup_ngram_containment",
     "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

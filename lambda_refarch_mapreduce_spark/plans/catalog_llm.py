@@ -153,6 +153,38 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "fingerprint")
 
 
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+        WITH fps AS ({_winnow_oracle()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS shared_fingerprints
+        FROM fps a JOIN fps b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step (operators.dedup.winnow_overlap_pairs): pairs
+    sharing >= WINNOW_MIN_SHARED winnowed fingerprints — local-passage
+    overlap candidates at a tunable posting density, found with the
+    same inverted-index equi-join shape as every other pair tier."""
+    out = dedup.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        NGRAM_N, WINNOW_WINDOW, WINNOW_MIN_SHARED,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("shared_fingerprints").cast("long").alias(
+            "shared_fingerprints"
+        )
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 

@@ -1653,3 +1653,20 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
     # density: doc 3 has 28 grams, expect ~2/(w+1)=0.4 selected (loose)
     assert 0.15 <= len(by_doc[3]) / 28 <= 0.8
+
+
+def test_winnow_pairs_finds_local_overlap(spark):
+    from lambda_refarch_mapreduce_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = " ".join(f"s{i}" for i in range(20))  # long shared passage
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+            (3, " ".join(f"c{i}" for i in range(30))),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = winnow_overlap_pairs(df, "doc_id", "text").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].shared_fingerprints >= 2
