@@ -140,6 +140,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "dedup_ngram_containment",
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "events_sliding_window",
+    "language_id_confusion",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",

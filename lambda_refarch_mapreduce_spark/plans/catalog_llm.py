@@ -673,6 +673,31 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "language_id_confusion",
+    oracle=f"""
+        WITH p AS ({_langid_sql()})
+        SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+        FROM documents d JOIN p ON p.doc_id = d.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation query: confusion matrix of the language-ID
+    heuristic against the labeled lang column — the quality-dashboard
+    companion every classifier tier needs. Predictions are row-local;
+    the matrix is one |langs|²-bounded aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _quality_sql() -> str:
     all_stop = sorted({w for ws in text.STOPWORDS.values() for w in ws})
     stop_list = ", ".join(f"'{w}'" for w in all_stop)
@@ -1020,6 +1045,46 @@ def multimodal_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH w AS (
+            SELECT event_type, value,
+                   unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800),
+                           to_timestamp(floor(epoch(ts) / 1800) * 1800)])
+                       AS wstart
+            FROM events)
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               round(sum(value), 2) AS total,
+               count(*)::BIGINT AS n_events
+        FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute event-time window — the batch twin of
+    the streaming sliding-window test (each event lands in exactly two
+    overlapping windows). The oracle replays the assignment by epoch
+    arithmetic (both engines' 30-min boundaries are epoch-aligned)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "total",
+            "n_events",
+        )
+    )
+
+
 INTERVAL_GAP_SECS = 60
 
 
