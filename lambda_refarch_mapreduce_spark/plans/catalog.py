@@ -142,6 +142,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "dedup_winnow_pairs",
     "events_sliding_window",
     "language_id_confusion",
+    "q5_local_supplier_volume",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",
@@ -2148,5 +2149,68 @@ def argmax_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("o_custkey", "o_orderkey").alias("cust_of_first_key"),
             F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
             F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the six-table star+snowflake join with a
+    same-nation customer/supplier correlation: region filter prunes
+    nation, nation prunes supplier/customer, all four dimension sides
+    broadcast; lineitem (the only big table) flows through a single
+    pipeline of BroadcastHashJoins and shuffles exactly once, for the
+    final per-nation aggregate. The c_nationkey = s_nationkey
+    correlation rides the supplier join as a second equi-key, not a
+    post-filter — Catalyst sees it in the join condition."""
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").join(
+            r, F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            n, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
