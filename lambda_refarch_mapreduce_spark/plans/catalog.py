@@ -2214,3 +2214,49 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "histogram_event_values",
+    oracle=f"""
+        WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        b AS (SELECT least(floor((value - lo) / ((hi - lo) / {HIST_BINS})),
+                           {HIST_BINS} - 1)::INT AS bin,
+                     lo, hi
+              FROM events CROSS JOIN s)
+        SELECT bin,
+               round(lo + bin * ((hi - lo) / {HIST_BINS}), 6) AS bin_lo,
+               round(lo + (bin + 1) * ((hi - lo) / {HIST_BINS}), 6) AS bin_hi,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY bin, lo, hi
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a numeric column — the profiling query
+    behind every dashboard distribution plot. The (min, max) bounds
+    are one broadcast row (a second scan, not a shuffle); binning is
+    row-local arithmetic (identical IEEE ops in both engines); the
+    final aggregate is bins-sized. The top bin is closed so max lands
+    in bin HIST_BINS-1."""
+    e = _t(spark, sf_dir, "events")
+    s = F.broadcast(
+        e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        e.crossJoin(s)
+        .select(
+            binc.alias("bin"),
+            F.round(F.col("lo") + binc * width, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (binc + 1) * width, 6).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
