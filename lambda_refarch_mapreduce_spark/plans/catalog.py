@@ -143,6 +143,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "events_sliding_window",
     "language_id_confusion",
     "q5_local_supplier_volume",
+    "histogram_event_values",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",
