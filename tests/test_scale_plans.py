@@ -236,6 +236,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "text_tfidf_terms",            # single-row N row
         "text_bm25_search",            # single-row stats row
         "corpus_stats_report",         # single-row grand total
+        "histogram_event_values",      # single-row (min,max) bounds
         "curriculum_order_docs",       # single-row total + offsets
         "mixture_token_sample",
         "quality_quantile_filter",
