@@ -2261,3 +2261,119 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", "bin_lo", "bin_hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "funnel_view_purchase",
+    oracle=f"""
+        WITH first_view AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        conv AS (
+            SELECT fv.user_id, fv.t_view, min(e.ts) AS t_purchase
+            FROM first_view fv
+            JOIN events e ON e.user_id = fv.user_id
+                         AND e.event_type = 'purchase'
+                         AND e.ts >= fv.t_view
+                         AND e.ts < fv.t_view + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+            GROUP BY fv.user_id, fv.t_view)
+        SELECT fv.user_id,
+               strftime(fv.t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+               conv.user_id IS NOT NULL AS converted,
+               coalesce((epoch_us(conv.t_purchase) - epoch_us(fv.t_view))
+                            / 1000000.0, -1.0) AS secs_to_convert
+        FROM first_view fv LEFT JOIN conv ON conv.user_id = fv.user_id
+    """,
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first 'view' and whether a
+    'purchase' follows within FUNNEL_WINDOW_DAYS — the product-
+    analytics conversion query. Two user-keyed aggregates (map-side
+    combined) and one user-keyed join of user-sized tables; event
+    bodies never re-shuffle. Time math in exact microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        fv.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("t_p")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("t_p") >= F.col("t_view"))
+            & (
+                F.unix_micros("t_p")
+                < F.unix_micros("t_view")
+                + FUNNEL_WINDOW_DAYS * 86400 * 1_000_000
+            )
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_p").alias("t_purchase"))
+    )
+    return fv.join(conv.select("user_id", "t_purchase"), "user_id", "left").select(
+        "user_id",
+        F.date_format("t_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.col("t_purchase").isNotNull().alias("converted"),
+        F.coalesce(
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+            / F.lit(1_000_000.0),
+            F.lit(-1.0),
+        ).alias("secs_to_convert"),
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+        WITH fw AS (
+            SELECT user_id,
+                   date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id),
+        act AS (
+            SELECT DISTINCT e.user_id, fw.cohort_week,
+                   floor((epoch(date_trunc('week', e.ts))
+                          - epoch(fw.cohort_week)) / 604800)::INT AS week_offset
+            FROM events e JOIN fw ON fw.user_id = e.user_id)
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_offset,
+               count(*)::BIGINT AS n_active_users
+        FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later week they were active — the classic retention triangle.
+    One user-keyed aggregate for cohorts (user-sized, broadcasts),
+    then a distinct over (user, week) and a cohort-sized aggregate;
+    the event table streams through once."""
+    e = load_table(spark, sf_dir, "events")
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .join(F.broadcast(fw), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (F.unix_timestamp("w") - F.unix_timestamp("cohort_week"))
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
