@@ -144,6 +144,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "language_id_confusion",
     "q5_local_supplier_volume",
     "histogram_event_values",
+    "funnel_view_purchase",
+    "cohort_weekly_retention",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",
