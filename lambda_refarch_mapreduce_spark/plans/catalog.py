@@ -146,6 +146,8 @@ DRIVER_WINDOW_FIRST: list[str] = [
     "histogram_event_values",
     "funnel_view_purchase",
     "cohort_weekly_retention",
+    "rolling_weekly_active_users",
+    "welch_t_click_vs_error",
     "sql_interface_revenue_by_region",
     # batch/relational entries with no round-1 driver row
     "struct_json_roundtrip",
@@ -2379,3 +2381,95 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+        WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                    FROM events),
+        ex AS (SELECT DISTINCT user_id,
+                      unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                             INTERVAL 1 DAY)) AS wend
+               FROM ud)
+        SELECT strftime(wend, '%Y-%m-%d') AS window_end_day,
+               count(DISTINCT user_id)::BIGINT AS wau
+        FROM ex GROUP BY 1
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — the dashboard metric
+    a naive implementation computes with a per-day self-join or a
+    giant sliding distinct window. Here: distinct (user, day) pairs
+    (one shuffle of user-day rows, tiny), each day fans out to the 7
+    window-end days it contributes to (row-local sequence explode),
+    then one distinct count per window end. No self-join, no
+    re-scan per day."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    ex = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("wend"),
+    ).distinct()
+    return ex.groupBy(
+        F.date_format("wend", "yyyy-MM-dd").alias("window_end_day")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+
+
+@register(
+    "welch_t_click_vs_error",
+    oracle="""
+        WITH s AS (SELECT event_type,
+                          count(*) AS n,
+                          avg(value) AS m,
+                          var_samp(value) AS v
+                   FROM events
+                   WHERE event_type IN ('click', 'error')
+                   GROUP BY event_type),
+        a AS (SELECT n, m, v FROM s WHERE event_type = 'click'),
+        b AS (SELECT n, m, v FROM s WHERE event_type = 'error')
+        SELECT a.n::BIGINT AS n_click, b.n::BIGINT AS n_error,
+               round(a.m - b.m, 6) AS mean_diff,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat
+        FROM a CROSS JOIN b
+    """,
+)
+def welch_t_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic between two event groups — the A/B-test
+    readout query. One grouped aggregate (two rows) and row-local
+    arithmetic; the single-row cross join is the broadcast stats
+    pattern every comparison query uses."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = s.filter(F.col("event_type") == "error").select(
+        F.col("n").alias("n_error"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_click",
+        "n_error",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_click") + F.col("v_b") / F.col("n_error")),
+            6,
+        ).alias("t_stat"),
+    )
