@@ -237,6 +237,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "text_bm25_search",            # single-row stats row
         "corpus_stats_report",         # single-row grand total
         "histogram_event_values",      # single-row (min,max) bounds
+        "welch_t_click_vs_error",      # single-row x single-row stats
         "curriculum_order_docs",       # single-row total + offsets
         "mixture_token_sample",
         "quality_quantile_filter",
