@@ -55,6 +55,17 @@ REGISTRY: dict[str, QueryDef] = {}
 # added mid-round). This static list is the priority tiebreak among the
 # unverified entries; anything unlisted follows in registration order.
 DRIVER_WINDOW_FIRST: list[str] = [
+    # Round-2 VERDICT.md asks #1/#2 — the two harness-err entries (array
+    # outputs now serialized) and the six never-sampled oracle entries.
+    # These MUST land inside the driver's 50-entry window this round.
+    "embedding_quantize_int8",
+    "embedding_normalize_truncate",
+    "intersect_all_multiset",
+    "unpivot_order_measures",
+    "gap_fill_daily_orders",
+    "stats_aggregates_lineitem",
+    "argmax_bool_aggregates",
+    "events_hourly_window",
     # LLM training-data pipeline — dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
