@@ -22,7 +22,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _registry():
     # import here so a broken optional module never breaks the contract
-    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+        catalog_llm,
+    )
 
     # Priority-ordered: the driver's correctness gate samples a prefix of
     # this dict, so entries without a round-1 driver row come first (see

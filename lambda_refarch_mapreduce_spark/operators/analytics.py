@@ -1,0 +1,169 @@
+"""Relational analytics beyond the TPC-H shapes: 2-D skyline, Markov
+transition matrices, MERGE-style upsert, rule-based data validation,
+and an explicit salted join for skewed keys.
+
+These are "engine completeness" operators — each is a composition of
+DataFrame built-ins with a documented 100 TB plan shape; none drops to
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pareto frontier maximizing both ``x_col`` and ``y_col``: rows r
+    such that no other row has x >= r.x AND y >= r.y with at least one
+    strict inequality.
+
+    Distributed 2-D algorithm: (1) per-x reduction — only the max-y row
+    per distinct x can be non-dominated (a same-x row with lower y is
+    dominated by it); (2) over the distinct-x frame, a row survives iff
+    its y is STRICTLY greater than the running max y over all strictly
+    greater x. Step 1 is a map-side-combined groupBy on x (the only
+    corpus-sized shuffle); step 2 is a window over the distinct-x rows —
+    a single ordered partition, but of |distinct x| aggregated rows
+    (bounded metadata, same posture as dedup's cluster reductions), not
+    the corpus. O(n) + O(|x| log |x|) versus the naive O(n²) dominance
+    join.
+
+    Ties: distinct rows with identical (x, y) do not dominate each
+    other (no strict inequality), so an entire max (x, y) tie-group
+    survives — both steps keep full tie groups.
+
+    Returns (x, y) of the frontier, one row per surviving point."""
+    per_x = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.max(F.col(y_col)).alias("y")
+    )
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # x is distinct after the groupBy, so lag(running-max) in the
+    # x-descending order is exactly "max y over strictly greater x" —
+    # a row is dominated iff that reaches y >= ours.
+    return (
+        per_x.withColumn("_rm", F.max("y").over(w))
+        .withColumn("_pm", F.lag("_rm").over(Window.orderBy(F.col("x").desc())))
+        .filter(F.col("_pm").isNull() | (F.col("y") > F.col("_pm")))
+        .select(F.col("x").alias(x_col), F.col("y").alias(y_col))
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix of ``state_col`` sequences:
+    for each (from_state, to_state) adjacent pair within an entity's
+    timeline (ordered by ts, then tiebreak for determinism), the count
+    and the row-normalized probability P(to | from).
+
+    Plan: one window keyed by entity (single hash shuffle of (entity,
+    ts, state) rows), then a map-side-combined pair count — vocabulary²
+    output. No self-join: lead() gives adjacency in one pass."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    )
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE semantics as a batch operator: rows of ``updates`` replace
+    same-key rows of ``base``; unmatched update rows are inserted;
+    unmatched base rows pass through. Exactly the upsert a CDC sink
+    (Delta/Iceberg MERGE INTO) performs, expressed engine-agnostically.
+
+    ``updates`` must be unique per key (violations raise downstream
+    ambiguity; callers dedupe first). Plan: one anti-join of base
+    against updates on the key + a union — both sides hash-partitioned
+    on the key, so at scale this is a single co-partitioned shuffle; a
+    small update batch broadcasts (AQE picks the strategy from the
+    key-projection's size) and the base never shuffles."""
+    survivors = base.join(updates.select(*key_cols), key_cols, "left_anti")
+    return survivors.unionByName(updates.select(*base.columns))
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Rule-based data-quality report: ``rules`` maps rule name to a
+    boolean VIOLATION predicate; returns (rule, n_violations, n_rows,
+    violation_rate) — one output row per rule, computed in a SINGLE
+    scan (each rule is a conditional count aggregate, map-side
+    combined; no per-rule pass, no shuffle of data rows).
+
+    Cross-table rules (referential integrity) need a join before the
+    predicate — express them on the pre-joined frame."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pred in rules.items()
+    ]
+    totals = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    stack_expr = ", ".join(f"'{name}', `{name}`" for name in rules)
+    return (
+        totals.selectExpr(
+            "_n", f"stack({len(rules)}, {stack_expr}) as (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            "n_violations",
+            F.col("_n").alias("n_rows"),
+            F.round(
+                F.when(F.col("_n") > 0, F.col("n_violations") / F.col("_n"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("violation_rate"),
+        )
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join on ``key`` with explicit skew salting: the left
+    (large, skewed) side gets a deterministic salt in [0, n_salts) from
+    a hash of its ROW (so one hot key spreads over n_salts reducers);
+    the right side is replicated n_salts times with every salt value.
+    Join on (key, salt) then drop the salt — result identical to the
+    plain join (replication × spreading pair each left row with the
+    full right key group exactly once).
+
+    This is the manual form of what AQE skew-join does adaptively —
+    kept as a first-class operator for engines/pipelines that pin AQE
+    off, and as the documented fallback when a single key exceeds what
+    one reducer can hold even post-AQE-split. Cost: right side ×
+    n_salts (use only when right is the small side of a skewed join
+    that still must shuffle — e.g. too big to broadcast)."""
+    salted_left = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        ).cast("int"),
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(salted_right, [key, "_salt"]).drop("_salt")

@@ -1,0 +1,349 @@
+"""Analytics-tier catalog entries: graph algorithms, record linkage,
+skyline, Markov transitions, MERGE upsert, data validation, and the
+explicit salted skew join.
+
+Every entry pairs the Spark program with a DuckDB oracle that states
+the SEMANTICS (e.g. NOT-EXISTS dominance for the skyline, blocked
+all-pairs Levenshtein for the fuzzy join) rather than mirroring the
+distributed algorithm — so the oracle checks the answer, not the plan.
+
+The reference has none of these (its one query is a scan-group-sum,
+README.md:146); they extend the engine the same way the LLM tier does:
+capabilities a 100 TB corpus/warehouse user needs, in idiomatic
+Catalyst shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators import analytics, graph, linkage
+from lambda_refarch_mapreduce_spark.plans.catalog import _t, register
+
+# DuckDB twin of graph.token_bigram_edges' tokenizer (identical to the
+# catalog_llm _SQL_TOKENS split) and edge extraction.
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SQL_EDGES = (
+    "SELECT DISTINCT w[i] AS src, w[i + 1] AS dst "
+    "FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i "
+    f"      FROM (SELECT {_SQL_TOKS} AS w FROM documents) tw) ex "
+    "WHERE w[i] <> w[i + 1]"
+)
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(n_iter: int, damping: float) -> str:
+    """Unrolled power-iteration SQL, one CTE trio per round — the same
+    arithmetic (teleport, damped contribution, uniform dangling mass)
+    the Spark operator applies, with constants emitted at full Python
+    double precision so both engines fold the identical literals."""
+    teleport = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"WITH e AS ({_SQL_EDGES}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),",
+        "outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT e.dst, sum(r.rank / o.d) AS contrib "
+            f"FROM r{p} r JOIN outdeg o ON o.src = r.node "
+            f"JOIN e ON e.src = r.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM r{p} r LEFT JOIN outdeg o ON o.src = r.node "
+            f"WHERE o.src IS NULL),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {teleport} / (SELECT n FROM nn) "
+            f"+ {d} * (coalesce(c.contrib, 0.0) "
+            f"+ (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT node, round(rank, 6) AS rank FROM r{n_iter}) "
+        "SELECT * FROM fin"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_pagerank_tokens",
+    oracle=_pagerank_oracle(PR_ITERS, PR_DAMPING),
+    tags=("graph",),
+)
+def graph_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, d=0.85, uniform dangling
+    redistribution) over the corpus word-adjacency graph. The corpus
+    scan builds the edge set once; each round shuffles only
+    vocabulary-sized (node, rank) pairs — the iterative-dataflow shape
+    the reference schedules with S3 events (reducerCoordinator.py:107)
+    collapses into a driver-side loop of plain Spark jobs."""
+    edges = graph.token_bigram_edges(_t(spark, sf_dir, "documents"), "text")
+    ranks = graph.pagerank(edges, PR_ITERS, PR_DAMPING)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+        WITH e AS ({_SQL_EDGES}),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+        deg AS (SELECT node, count(*) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und) dn GROUP BY node),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        wed AS (SELECT coalesce(sum(deg * (deg - 1) / 2), 0)::BIGINT
+                    AS n_wedges FROM deg),
+        ne AS (SELECT count(*) AS n_edges FROM und)
+        SELECT ne.n_edges, wed.n_wedges, tri.n_triangles,
+               round(CASE WHEN wed.n_wedges > 0
+                          THEN 3.0 * tri.n_triangles / wed.n_wedges
+                          ELSE 0.0 END, 6) AS global_clustering
+        FROM ne, wed, tri
+    """,
+    tags=("graph",),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the
+    undirected word-adjacency graph, via the degree-oriented
+    node-iterator (each triangle joined exactly once along its unique
+    degree-ordered orientation — bounded fan-out on power-law hubs).
+    The oracle counts the same triangles a<b<c directly."""
+    edges = graph.token_bigram_edges(_t(spark, sf_dir, "documents"), "text")
+    return graph.triangle_stats(edges)
+
+
+@register(
+    "fuzzy_match_customers",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("linkage",),
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: same-nation customer pairs within Levenshtein
+    distance 1, found via the lossless PassJoin segment filter
+    (operators/linkage.py) — segment equi-join candidates, exact verify
+    — never the blocked all-pairs the oracle is allowed to brute-force
+    at sf=0.01."""
+    return linkage.fuzzy_self_join(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        k=1,
+        block_col="c_nationkey",
+    )
+
+
+@register(
+    "skyline_documents",
+    oracle=f"""
+        WITH s AS (SELECT len(w) AS x, len(list_distinct(w)) AS y
+                   FROM (SELECT {_SQL_TOKS} AS w FROM documents) tw),
+        p AS (SELECT DISTINCT x, y FROM s)
+        SELECT p1.x AS n_tokens, p1.y AS n_distinct
+        FROM p p1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p q
+            WHERE q.x >= p1.x AND q.y >= p1.y
+              AND (q.x > p1.x OR q.y > p1.y))
+    """,
+    tags=("analytics",),
+)
+def skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of documents maximizing (token count, distinct
+    token count): the non-dominated points. Oracle states dominance
+    as NOT EXISTS; the operator computes it with one groupBy(x) plus a
+    distinct-x window (O(n) + O(|x| log |x|)), never the O(n²) join."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    s = _t(spark, sf_dir, "documents").select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return analytics.skyline_2d(s, "n_tokens", "n_distinct")
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+        WITH o AS (SELECT event_type,
+                          lead(event_type) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        c AS (SELECT event_type AS from_state, nxt AS to_state,
+                     count(*) AS n
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        SELECT from_state, to_state, n,
+               round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p
+        FROM c
+    """,
+    tags=("analytics",),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences (deterministic tiebreak on event_id): counts and
+    row-normalized P(to|from). One window shuffle keyed by user, then a
+    map-side-combined |states|² count — no self-join."""
+    return analytics.markov_transitions(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH upd AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice * 1.1 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N',
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 = 3),
+        m AS (
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL SELECT * FROM upd)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM m
+    """,
+    tags=("analytics",),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: a CDC-shaped update set
+    (10%-repriced rows keyed 0 mod 7, plus inserts at shifted keys 3
+    mod 7) upserted into orders — matched rows replaced, new keys
+    inserted, the rest passing through. One key-partitioned anti-join +
+    union; the base table never shuffles when the batch broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    upd_mod = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    upd_new = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = analytics.merge_upsert(
+        orders, upd_mod.unionByName(upd_new), ["o_orderkey"]
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+        WITH j AS (SELECT l.*, o.o_orderkey AS ok, o.o_orderdate
+                   FROM lineitem l
+                   LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        t AS (SELECT count(*) AS n,
+                     sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+                         ::BIGINT AS orphan_lineitem,
+                     sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                         ::BIGINT AS null_quantity,
+                     sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END)
+                         ::BIGINT AS quantity_out_of_range,
+                     sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+                         ::BIGINT AS discount_above_cap,
+                     sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                         ::BIGINT AS price_nonpositive,
+                     sum(CASE WHEN l_shipdate < o_orderdate
+                              THEN 1 ELSE 0 END)
+                         ::BIGINT AS shipped_before_order
+              FROM j)
+        SELECT r.rule, r.n_violations, t.n AS n_rows,
+               round(CASE WHEN t.n > 0 THEN r.n_violations / t.n
+                          ELSE 0.0 END, 6) AS violation_rate
+        FROM t, LATERAL (VALUES
+            ('orphan_lineitem', orphan_lineitem),
+            ('null_quantity', null_quantity),
+            ('quantity_out_of_range', quantity_out_of_range),
+            ('discount_above_cap', discount_above_cap),
+            ('price_nonpositive', price_nonpositive),
+            ('shipped_before_order', shipped_before_order)
+        ) AS r(rule, n_violations)
+    """,
+    tags=("analytics",),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based data-quality audit of lineitem (+ referential check
+    against orders): six predicates evaluated as conditional counts in
+    ONE scan of the joined frame (operators/analytics.validate) — per
+    rule output rows, no per-rule passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.ok, "left")
+    return analytics.validate(
+        j,
+        {
+            "orphan_lineitem": F.col("ok").isNull(),
+            "null_quantity": F.col("l_quantity").isNull(),
+            "quantity_out_of_range": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+            "discount_above_cap": F.col("l_discount") > 0.08,
+            "price_nonpositive": F.col("l_extendedprice") <= 0,
+            "shipped_before_order": F.col("l_shipdate") < F.col("o_orderdate"),
+        },
+    )
+
+
+@register(
+    "skew_join_salted_revenue",
+    oracle="""
+        SELECT o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("analytics", "scale"),
+)
+def skew_join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through the EXPLICIT salted join
+    (operators/analytics.salted_join, 8 salts): the fact side spreads
+    each hot key over 8 reducers, the dimension side replicates — the
+    manual form of AQE's skew-join split, verified to produce exactly
+    the plain-join answer."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = analytics.salted_join(li, orders, "o_orderkey", 8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -1,0 +1,180 @@
+"""Unit tests for the analytics tier: graph algorithms, record linkage,
+skyline, Markov transitions, MERGE upsert, validation, salted join.
+
+Each test pins the operator's semantics on a small hand-computable
+graph/table — the catalog-level oracle comparison (test_catalog_oracle)
+covers the corpus-scale behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators import analytics, graph, linkage
+
+
+def test_pagerank_star_graph(spark):
+    # star: a->b, a->c, a->d; b,c,d dangling
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, n_iter=1).collect()}
+    # after 1 round from uniform 1/4: teleport 0.15/4; a gets only the
+    # dangling mass 3/4 / 4 damped; b/c/d each get a's (1/4)/3 + dangling
+    n, d = 4, 0.85
+    dm = 3 / 4 / n
+    exp_a = (1 - d) / n + d * dm
+    exp_b = (1 - d) / n + d * ((1 / 4) / 3 + dm)
+    assert math.isclose(ranks["a"], exp_a, rel_tol=1e-12)
+    for node in "bcd":
+        assert math.isclose(ranks[node], exp_b, rel_tol=1e-12)
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_mass_conserved_multi_iter(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    total = (
+        graph.pagerank(edges, n_iter=3)
+        .agg(F.sum("rank").alias("s"))
+        .first()
+        .s
+    )
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 minus one edge: triangles {a,b,c} and {a,b,d}; 5 edges
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "a")],  # duplicate direction of (a,c) — must dedupe
+        "src string, dst string",
+    )
+    row = graph.triangle_stats(edges).first()
+    assert row.n_edges == 5
+    assert row.n_triangles == 2
+    # degrees: a=3, b=3, c=2, d=2 -> wedges 3+3+1+1 = 8
+    assert row.n_wedges == 8
+    assert math.isclose(row.global_clustering, 6 / 8, rel_tol=1e-9)
+
+
+def test_fuzzy_self_join_insert_shift(spark):
+    # distance-1 pairs across insertion (position shift), substitution,
+    # and a non-match; verifies the probe covers shifted segments
+    df = spark.createDataFrame(
+        [
+            (1, "abcdef"),
+            (2, "abXdef"),   # substitution, dist 1
+            (3, "abcdefg"),  # suffix insert, dist 1
+            (4, "Xabcdef"),  # prefix insert (shifts all), dist 1
+            (5, "zzzzzz"),   # far away
+        ],
+        "id int, s string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in linkage.fuzzy_self_join(df, "id", "s", k=1).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1
+    assert pairs[(1, 4)] == 1
+    assert (2, 3) not in pairs  # dist 2
+    assert all(p[0] != 5 and p[1] != 5 for p in pairs)
+
+
+def test_fuzzy_self_join_blocking(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd", "x"), (2, "abce", "x"), (3, "abcf", "y")],
+        "id int, s string, blk string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in linkage.fuzzy_self_join(
+            df, "id", "s", k=1, block_col="blk"
+        ).collect()
+    }
+    assert pairs == {(1, 2)}  # 3 is distance 1 from both but other block
+
+
+def test_skyline_2d_with_ties(spark):
+    df = spark.createDataFrame(
+        [(5, 1), (5, 3), (4, 3), (3, 4), (3, 4), (2, 2), (1, 5)],
+        "x int, y int",
+    )
+    pts = {
+        (r.x, r.y) for r in analytics.skyline_2d(df, "x", "y").collect()
+    }
+    # (4,3) dominated by (5,3); (2,2) dominated by (3,4); duplicates of
+    # (3,4) survive as one point
+    assert pts == {(5, 3), (3, 4), (1, 5)}
+
+
+def test_markov_transitions_probabilities(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 10), (1, 2, "b", 11), (1, 3, "a", 12),
+            (2, 1, "a", 20), (2, 2, "b", 21), (2, 3, "b", 22),
+        ],
+        "u int, t int, s string, id int",
+    )
+    rows = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in analytics.markov_transitions(df, "u", "s", "t", "id").collect()
+    }
+    assert rows[("a", "b")] == (2, 1.0)
+    assert rows[("b", "a")] == (1, 0.5)
+    assert rows[("b", "b")] == (1, 0.5)
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "old")], "k int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "new"), (9, "ins")], "k int, v string"
+    )
+    out = {
+        r.k: r.v
+        for r in analytics.merge_upsert(base, updates, ["k"]).collect()
+    }
+    assert out == {1: "old", 2: "new", 3: "old", 9: "ins"}
+
+
+def test_validate_single_scan_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 200.0)], "id int, v double"
+    )
+    report = {
+        r.rule: (r.n_violations, r.n_rows, r.violation_rate)
+        for r in analytics.validate(
+            df,
+            {
+                "null_v": F.col("v").isNull(),
+                "negative_v": F.col("v") < 0,
+                "huge_v": F.col("v") > 100,
+            },
+        ).collect()
+    }
+    assert report["null_v"] == (1, 4, 0.25)
+    assert report["negative_v"] == (1, 4, 0.25)
+    assert report["huge_v"] == (1, 4, 0.25)
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, f"l{i}") for i in range(30)], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(0, "r0"), (1, "r1"), (2, "r2"), (7, "r7")], "k int, rv string"
+    )
+    salted = analytics.salted_join(left, right, "k", n_salts=4)
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # plan: join key carries the salt column
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan

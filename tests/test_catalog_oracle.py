@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 from tests.conftest import SF_CORRECT, assert_matches_oracle
 
 CASES = sorted(catalog.REGISTRY)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 from lambda_refarch_mapreduce_spark.sources.readers import load_table
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
@@ -215,7 +215,7 @@ def test_registry_wide_no_cartesian_product(spark):
     document a theta/range join or a broadcast single-row/tiny-side
     cross join — the registry-level guard that no future entry
     sneaks in an all-pairs plan."""
-    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 
     # BNLJ is legitimate where the docstring declares a theta/range
     # join against a BROADCAST side or a single-row stats cross join
@@ -238,6 +238,8 @@ def test_registry_wide_no_cartesian_product(spark):
         "corpus_stats_report",         # single-row grand total
         "histogram_event_values",      # single-row (min,max) bounds
         "welch_t_click_vs_error",      # single-row x single-row stats
+        "graph_pagerank_tokens",       # single-row dangling-mass term
+        "graph_triangle_stats",        # three single-row census frames
         "curriculum_order_docs",       # single-row total + offsets
         "mixture_token_sample",
         "quality_quantile_filter",
