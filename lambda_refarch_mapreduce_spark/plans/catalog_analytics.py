@@ -347,3 +347,221 @@ def skew_join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               round(list_reduce(
+                   list(value::DOUBLE ORDER BY ts, event_id),
+                   (acc, x) -> {EWMA_ALPHA!r}::DOUBLE * x
+                               + {1.0 - EWMA_ALPHA!r}::DOUBLE * acc), 6)
+                   AS ewma
+        FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "udf-seam"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the genuinely-sequential per-group fold Catalyst can't express as a
+    window (each output depends on the full prior recursion), so it
+    rides the applyInPandas seam: one hash shuffle keyed by user, then
+    an Arrow-batched in-memory fold per group. Both engines compute the
+    identical recursion acc = a*x + (1-a)*acc left-to-right over the
+    (ts, event_id)-ordered series, seeded with the first value."""
+    import pandas as pd
+
+    a = EWMA_ALPHA
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"].astype(float):
+            acc = x if acc is None else a * x + (1.0 - a) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [round(acc, 6)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, "user_id bigint, n_events bigint, ewma double")
+    )
+
+
+@register(
+    "trend_value_by_event_type",
+    oracle="""
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+                   AS slope_per_day,
+               round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+                   AS intercept,
+               round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+        FROM events GROUP BY event_type
+    """,
+    tags=("analytics",),
+)
+def trend_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope per
+    day, intercept, R²) via the built-in closed-form regression
+    aggregates — one map-side-combined pass, no per-group collect. The
+    time axis is epoch-days as DOUBLE in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), day), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), day), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), day), 6).alias("r2"),
+    )
+
+
+WSAMPLE_K = 50
+WSAMPLE_SEED = 7
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ln((('0x' || substr(md5('ws{WSAMPLE_SEED}:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0) / n_chars AS skey
+            FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars, round(skey, 8) AS skey
+        FROM keyed ORDER BY skey DESC, doc_id LIMIT {WSAMPLE_K}
+    """,
+    tags=("analytics", "sampling"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    A-ES): each doc draws u from a PORTABLE md5-derived uniform and is
+    ranked by ln(u)/weight (monotone in u^(1/w)) — the top-k IS a
+    weighted sample, selected distributedly via TakeOrderedAndProject
+    (per-partition top-k, merge at the driver; no global sort). Same
+    hash, same arithmetic, bit-stable across engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ws{WSAMPLE_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("skey")
+    )
+    return (
+        keyed.orderBy(F.col("skey").desc(), F.col("doc_id"))
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", F.round("skey", 8).alias("skey"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY sn.n_name, cn.n_name
+    """,
+    tags=("reference", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): fact table
+    joined to four broadcast dimensions — the nation filters push into
+    the dimension scans so the customer/supplier broadcasts carry only
+    the two nations' keys before the fact rows ever join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    cn = cust.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("c_nationkey"),
+                               F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    ).select("c_custkey", "cust_nation")
+    sn = supp.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("s_nationkey"),
+                               F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+        SELECT round(
+                   100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_revenue_pct,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    tags=("reference", "tpch"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): lineitem joined to a
+    broadcast part dimension, conditional revenue ratio in one
+    map-side-combined aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
