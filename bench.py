@@ -48,6 +48,9 @@ HEADLINE = {
     "q_bigram_logprob": "text_bigram_logprob",
     "q_corpus_report": "corpus_stats_report",
     "q_web_pipeline": "jobspec_web_pipeline",
+    "q_pagerank": "graph_pagerank_tokens",
+    "q_fuzzy_match": "fuzzy_match_customers",
+    "q_ewma": "ewma_user_value",
 }
 
 
@@ -56,7 +59,7 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
 
     from lambda_refarch_mapreduce_spark import get_spark
-    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: F401
+    from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -17,7 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lambda_refarch_mapreduce_spark import get_spark  # noqa: E402
-from lambda_refarch_mapreduce_spark.plans import catalog, catalog_llm  # noqa: E402,F401
+from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: E402,F401
 
 
 def main() -> None:
