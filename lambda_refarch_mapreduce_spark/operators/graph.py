@@ -60,10 +60,18 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
     dynamic allocation at cluster scale).
 
     Returns (node, rank) for every node appearing as src or dst."""
+    # Materialize the edge list ONCE: it is referenced twice per round
+    # (contribution join + dangling anti-join), and without this the
+    # final lazy plan would re-derive it — i.e. re-scan the corpus the
+    # edges came from — O(n_iter) times. The edge set is node²-bounded
+    # (vocabulary-sized for the corpus word graph), so the checkpoint
+    # holds the small side, never corpus text.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_total = nodes.count()  # bounded: vocabulary size, not corpus size
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -113,12 +121,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
     Plan: degree aggregation, two self-equi-joins on node keys, then
     single-row aggregates — no theta join, no all-pairs."""
+    # materialized once: referenced by deg + three join legs — without
+    # this the corpus-derived edge lineage would be re-scanned 4×
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("node"))

@@ -178,3 +178,86 @@ def test_salted_join_matches_plain_join(spark):
     # plan: join key carries the salt column
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the PassJoin segment filter must be LOSSLESS (exactly
+# the brute-force Levenshtein pairs) and the distributed skyline must
+# equal brute-force dominance — on arbitrary inputs, not just the
+# uniform fixed-length names of the sf tables.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@given(
+    strs=st.lists(
+        st.text(alphabet="abAB ", min_size=0, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+@settings(**_PROP_SETTINGS)
+def test_fuzzy_self_join_equals_bruteforce(spark, strs, k):
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in __import__(
+            "lambda_refarch_mapreduce_spark.operators.linkage",
+            fromlist=["fuzzy_self_join"],
+        ).fuzzy_self_join(df, "id", "s", k=k).collect()
+    }
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                d = _py_levenshtein(a, b)
+                if d <= k:
+                    want.add((i, j, d))
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_skyline_2d_equals_bruteforce(spark, pts):
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r.x, r.y) for r in analytics.skyline_2d(df, "x", "y").collect()}
+    uniq = set(pts)
+    want = {
+        p
+        for p in uniq
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and q != p for q in uniq
+        )
+    }
+    assert got == want
