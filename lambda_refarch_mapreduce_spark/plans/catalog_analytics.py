@@ -664,3 +664,202 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "interpolate_user_value_gaps",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE value END AS v
+            FROM events),
+        f AS (
+            SELECT user_id, ts, event_id, v,
+                   last_value(v IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_v,
+                   first_value(v IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_v
+            FROM s)
+        SELECT user_id, event_id,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                               THEN (prev_v + next_v) / 2.0
+                          ELSE coalesce(prev_v, next_v) END, 6) AS v_filled,
+               v IS NULL AS was_missing
+        FROM f
+    """,
+    tags=("analytics", "timeseries"),
+)
+def interpolate_user_value_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user event values masked at 'error'
+    events are imputed as the midpoint of the nearest non-null
+    neighbors (forward value when only history exists, backward when
+    only future). Two IGNORE-NULLS window passes over ONE user-keyed
+    shuffle — the classic ffill/bfill/lerp without any self-join."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    from pyspark.sql.window import Window
+
+    order = [F.col("ts"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    f = s.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(
+                F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+                (F.col("prev_v") + F.col("next_v")) / 2.0,
+            )
+            .otherwise(F.coalesce("prev_v", "next_v")),
+            6,
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("was_missing"),
+    )
+
+
+@register(
+    "chi_square_event_weekday",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, dayofweek(ts) AS wd, count(*)::DOUBLE AS o
+            FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+        ct AS (SELECT wd, sum(o) AS c FROM obs GROUP BY 1),
+        n AS (SELECT sum(o) AS n FROM obs),
+        cells AS (
+            SELECT obs.o, rt.r * ct.c / n.n AS e
+            FROM obs JOIN rt USING (event_type) JOIN ct USING (wd)
+                     CROSS JOIN n)
+        SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+               (SELECT (count(DISTINCT event_type) - 1)
+                       * (count(DISTINCT dayofweek(ts)) - 1)
+                FROM events)::BIGINT AS dof
+        FROM cells
+    """,
+    tags=("analytics", "stats"),
+)
+def chi_square_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and weekday:
+    observed vs expected contingency cells from three tiny aggregates
+    of ONE map-side-combined count table (|types|x7 rows) — the corpus
+    is scanned once; every join after that is on bounded metadata.
+    Spark's dayofweek == DuckDB's dayofweek + 1 (Sun=1 vs Sun=0),
+    which cancels in the statistic; the oracle uses its own encoding."""
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.dayofweek("ts").alias("wd"))
+        .groupBy("event_type", "wd")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=False)  # |types|x7 rows, reused 3x below
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("wd").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rt, "event_type")
+        .join(ct, "wd")
+        .crossJoin(F.broadcast(n))
+        .select("o", (F.col("r") * F.col("c") / F.col("n")).alias("e"))
+    )
+    chi2 = cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2")
+    )
+    dof = ev.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct(F.dayofweek("ts")) - 1)
+        ).alias("dof")
+    )
+    return chi2.crossJoin(F.broadcast(dof))
+
+
+@register(
+    "mad_outliers_by_event_type",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                       AS med
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+            FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               round(max(d.med), 6) AS median_value,
+               round(max(m.mad), 6) AS mad,
+               sum(CASE WHEN m.mad > 0
+                        AND abs(d.value - d.med) > 3 * m.mad
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+               count(*)::BIGINT AS n
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    tags=("analytics", "stats"),
+)
+def mad_outliers_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median + median absolute
+    deviation (exact interpolating medians, F.median == DuckDB
+    percentile_cont), outliers = |x - med| > 3·MAD. Two grouped exact
+    percentiles + a broadcast of the per-group stats back over one
+    hash-partitioned pass — no sort of the full data."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

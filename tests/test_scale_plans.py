@@ -240,6 +240,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "welch_t_click_vs_error",      # single-row x single-row stats
         "graph_pagerank_tokens",       # single-row dangling-mass term
         "graph_triangle_stats",        # three single-row census frames
+        "chi_square_event_weekday",    # single-row N and dof terms
         "curriculum_order_docs",       # single-row total + offsets
         "mixture_token_sample",
         "quality_quantile_filter",
