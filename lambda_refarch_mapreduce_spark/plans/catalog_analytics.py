@@ -863,3 +863,63 @@ def mad_outliers_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+        WITH RECURSIVE p AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+        comp AS (SELECT a AS id, least(a, min(b)) AS canon
+                 FROM reach GROUP BY a)
+        SELECT c.c_custkey,
+               coalesce(comp.canon, c.c_custkey) AS canonical_custkey,
+               count(*) OVER (PARTITION BY
+                   coalesce(comp.canon, c.c_custkey))::BIGINT AS cluster_size
+        FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+    """,
+    tags=("linkage",),
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (golden-record assignment): Ed-Join
+    fuzzy pairs (distance <= 1, blocked by nation) -> transitive
+    closure via iterative min-label propagation
+    (dedup.connected_components) -> every customer mapped to the min
+    custkey of its match cluster (itself when unmatched), with cluster
+    size. The same pipeline shape as the corpus near-dup tier, applied
+    to the warehouse MDM problem; the oracle re-derives components with
+    a recursive CTE."""
+    cust = _t(spark, sf_dir, "customer")
+    pairs = linkage.fuzzy_self_join(
+        cust, "c_custkey", "c_name", k=1, block_col="c_nationkey"
+    )
+    from lambda_refarch_mapreduce_spark.operators import dedup
+
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("c_custkey"), F.col("comp").alias("canon")
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        cust.select("c_custkey")
+        .join(comp, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("canon", "c_custkey").alias("canonical_custkey"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_custkey")),
+        )
+    )
