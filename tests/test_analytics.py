@@ -261,3 +261,75 @@ def test_skyline_2d_equals_bruteforce(spark, pts):
         )
     }
     assert got == want
+
+
+def _py_pagerank(edges, n_iter=3, d=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            contrib = sum(
+                r[u] / len(out[u]) for u in nodes if v in out.get(u, ())
+            )
+            nxt[v] = (1 - d) / n + d * (contrib + dm / n)
+        r = nxt
+    return r
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_pagerank_equals_reference(spark, edges):
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {r.node: r.rank for r in graph.pagerank(df, n_iter=3).collect()}
+    want = _py_pagerank(sorted(edges))
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9), (v, got[v], want[v])
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_triangle_stats_equals_bruteforce(spark, edges):
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    row = graph.triangle_stats(df).first()
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    tri = sum(
+        1
+        for a in nodes
+        for b in nodes
+        for c in nodes
+        if a < b < c
+        and (a, b) in und
+        and (b, c) in und
+        and (a, c) in und
+    )
+    deg = {v: sum(1 for e in und if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert row.n_edges == len(und)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
