@@ -113,17 +113,33 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     combined; no per-rule pass, no shuffle of data rows).
 
     Cross-table rules (referential integrity) need a join before the
-    predicate — express them on the pre-joined frame."""
+    predicate — express them on the pre-joined frame.
+
+    Rule names are carried as literals (never interpolated into SQL
+    text), so any string — quotes, backticks, unicode — is a valid
+    rule name."""
+    if not rules:
+        raise ValueError("validate() requires at least one rule")
+    names = list(rules)
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
-        for name, pred in rules.items()
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(f"_r{i}")
+        for i, pred in enumerate(rules.values())
     ]
     totals = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    stack_expr = ", ".join(f"'{name}', `{name}`" for name in rules)
-    return (
-        totals.selectExpr(
-            "_n", f"stack({len(rules)}, {stack_expr}) as (rule, n_violations)"
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_r{i}").alias("n_violations"),
+                )
+                for i, name in enumerate(names)
+            ]
         )
+    ).alias("kv")
+    return (
+        totals.select("_n", kv)
+        .select("_n", "kv.rule", "kv.n_violations")
         .select(
             "rule",
             "n_violations",

@@ -42,7 +42,23 @@ def token_bigram_edges(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFrame:
+def _ckpt(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
+    """Cut lineage: executor-local blocks by default (fast; fine in
+    local mode and on static clusters), or `checkpoint()` to the
+    reliable store when ``reliable=True`` — callers must have set
+    ``spark.sparkContext.setCheckpointDir(...)`` first. Mirrors
+    dedup.connected_components(reliable_checkpoint=...)."""
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
     """PageRank with a FIXED iteration count (deterministic, oracle-able).
 
     Per round: rank/out-degree flows along edges, sums per destination,
@@ -55,9 +71,10 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
     id, so a cluster reuses the same hash partitioning round to round.
     The dangling-mass term is a single-row aggregate broadcast back; the
     driver holds only the loop counter, never data rows. Lineage is cut
-    each round with localCheckpoint (same executor-loss caveat as
-    dedup.connected_components — swap in reliable checkpoint() under
-    dynamic allocation at cluster scale).
+    each round: localCheckpoint by default; pass
+    ``reliable_checkpoint=True`` (plus ``setCheckpointDir``) on a real
+    cluster under dynamic allocation so rounds survive executor loss —
+    the same contract as dedup.connected_components.
 
     Returns (node, rank) for every node appearing as src or dst."""
     # Materialize the edge list ONCE: it is referenced twice per round
@@ -66,12 +83,12 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
     # edges came from — O(n_iter) times. The edge set is node²-bounded
     # (vocabulary-sized for the corpus word graph), so the checkpoint
     # holds the small side, never corpus text.
-    edges = edges.localCheckpoint()
-    nodes = (
+    edges = _ckpt(edges, reliable_checkpoint)
+    nodes = _ckpt(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
     n_total = nodes.count()  # bounded: vocabulary size, not corpus size
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -101,12 +118,14 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = 0.85) -> DataFr
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = _ckpt(ranks, reliable_checkpoint, eager=False)
     return ranks
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Global triangle census of the UNDIRECTED simple graph induced by
     ``edges``: triangle count, wedge (open 2-path) count, and the global
     clustering coefficient 3·triangles / wedges.
@@ -120,16 +139,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     unique cyclic orientation a→b, b→c, a→c with a<b<c in degree order).
 
     Plan: degree aggregation, two self-equi-joins on node keys, then
-    single-row aggregates — no theta join, no all-pairs."""
+    single-row aggregates — no theta join, no all-pairs.
+    ``reliable_checkpoint=True`` swaps the lineage cut to the reliable
+    store (see _ckpt) for clusters with executor churn."""
     # materialized once: referenced by deg + three join legs — without
     # this the corpus-derived edge lineage would be re-scanned 4×
-    und = (
+    und = _ckpt(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
     deg = (
         und.select(F.col("a").alias("node"))

@@ -139,9 +139,9 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: same-nation customer pairs within Levenshtein
-    distance 1, found via the lossless PassJoin segment filter
-    (operators/linkage.py) — segment equi-join candidates, exact verify
-    — never the blocked all-pairs the oracle is allowed to brute-force
+    distance 1, found via the lossless Ed-Join frequency-ordered prefix filter
+    (operators/linkage.py) — gram-prefix equi-join candidates, exact
+    verify — never the blocked all-pairs the oracle is allowed to brute-force
     at sf=0.01."""
     return linkage.fuzzy_self_join(
         _t(spark, sf_dir, "customer"),
@@ -380,9 +380,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        acc = None
-        for x in pdf["value"].astype(float):
-            acc = x if acc is None else a * x + (1.0 - a) * acc
+        # adjust=False is exactly the recursion acc = a*x + (1-a)*acc
+        # seeded with the first value — vectorized over the whole series.
+        acc = pdf["value"].astype(float).ewm(alpha=a, adjust=False).mean().iloc[-1]
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
@@ -438,10 +438,10 @@ WSAMPLE_SEED = 7
         WITH keyed AS (
             SELECT doc_id, n_chars,
                    ln((('0x' || substr(md5('ws{WSAMPLE_SEED}:' || doc_id::VARCHAR), 1, 8))::BIGINT
-                       + 0.5) / 4294967296.0) / n_chars AS skey
+                       + 0.5) / 4294967296.0) / n_chars AS skey_raw
             FROM documents WHERE n_chars > 0)
-        SELECT doc_id, n_chars, round(skey, 8) AS skey
-        FROM keyed ORDER BY skey DESC, doc_id LIMIT {WSAMPLE_K}
+        SELECT doc_id, n_chars, round(skey_raw, 8) AS skey
+        FROM keyed ORDER BY skey_raw DESC, doc_id LIMIT {WSAMPLE_K}
     """,
     tags=("analytics", "sampling"),
 )

@@ -46,6 +46,37 @@ def test_pagerank_mass_conserved_multi_iter(spark):
     assert math.isclose(total, 1.0, rel_tol=1e-9)
 
 
+def test_graph_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True routes the per-round lineage cuts of
+    pagerank and the edge materialization of triangle_stats through
+    checkpoint() into the configured reliable store (the cluster
+    profile where executor loss must not drop the only copy) — same
+    contract as dedup.connected_components(reliable_checkpoint=...).
+    Results must be identical to the localCheckpoint default."""
+    import os
+
+    ckpt_dir = str(tmp_path / "graph_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    base = {
+        r.node: r.rank for r in graph.pagerank(edges, n_iter=2).collect()
+    }
+    rel = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            edges, n_iter=2, reliable_checkpoint=True
+        ).collect()
+    }
+    assert base == rel
+    tri = graph.triangle_stats(edges, reliable_checkpoint=True).first()
+    assert tri.n_triangles == 1
+    # the reliable store was actually written (RDD checkpoint files)
+    assert any(os.scandir(ckpt_dir))
+
+
 def test_triangle_stats_known_graph(spark):
     # K4 minus one edge: triangles {a,b,c} and {a,b,d}; 5 edges
     edges = spark.createDataFrame(
@@ -181,7 +212,7 @@ def test_salted_join_matches_plain_join(spark):
 
 
 # ---------------------------------------------------------------------------
-# Property tests: the PassJoin segment filter must be LOSSLESS (exactly
+# Property tests: the Ed-Join prefix filter must be LOSSLESS (exactly
 # the brute-force Levenshtein pairs) and the distributed skyline must
 # equal brute-force dominance — on arbitrary inputs, not just the
 # uniform fixed-length names of the sf tables.
