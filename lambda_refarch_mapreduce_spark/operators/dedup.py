@@ -503,33 +503,135 @@ def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 60) -> Dat
     return hashed.select("id", packed.alias("simhash"))
 
 
+def _simhash_block_tables(
+    bits: int, n_blocks: int, agree: int
+) -> list[Column]:
+    """Manku-style block-combination probe tables (Manku, Jain & Das
+    Sarma, WWW'07 — public): split the fingerprint into ``n_blocks``
+    blocks; a pair within hamming d = n_blocks - agree dirties at most
+    d blocks, so some combination of ``agree`` blocks matches EXACTLY.
+    One probe table per combination; the table key concatenates the
+    selected blocks, so the bucket space is 2^(agree · bits/n_blocks)
+    — exponentially larger than single-band probing — at the cost of
+    C(n_blocks, agree) posting rows per doc. Exact recall either way;
+    the choice is purely a collision/fan-out trade."""
+    import itertools
+
+    widths = [
+        bits // n_blocks + (1 if i < bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int) -> Column:
+        return (
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .cast("long")
+        )
+
+    structs: list[Column] = []
+    for t, combo in enumerate(itertools.combinations(range(n_blocks), agree)):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for i in combo:
+            key = key + block(i) * F.lit(1 << shift).cast("long")
+            shift += widths[i]
+        structs.append(
+            F.struct(F.lit(t).alias("band"), key.alias("bbits"))
+        )
+    return structs
+
+
+# Above this many probe tables the explode fan-out costs more than the
+# collisions it saves — corpora needing more buckets than the capped
+# table set provides should raise `bits` (wider fingerprints) instead.
+_SIMHASH_MAX_TABLES = 256
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     content_col: str,
     bits: int = 60,
-    bands: int = 6,
+    bands: int | str = "auto",
     max_hamming: int = 5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidate generation by band equality (pigeonhole: any pair within
-    ``max_hamming`` <= bands-1 bit flips must agree on >=1 band), then
-    exact hamming via bit_count(xor). Equi-join on (band, band_bits) —
-    shuffle-bounded, never O(n^2).
+    Candidate generation by probe-table equality, then exact hamming
+    via bit_count(xor). Equi-join on (table, key) — shuffle-bounded,
+    never O(n^2). Recall is EXACT for every valid configuration (the
+    verify step removes band false-positives and the probe scheme is
+    pigeonhole-complete), so ``bands`` is purely a performance knob.
 
-    The pigeonhole guarantee REQUIRES max_hamming <= bands-1: with
-    fewer bands, a qualifying pair can differ in every band and be
-    silently missed, so that combination raises instead of returning
-    incomplete results. Defaults satisfy the condition.
+    ``bands="auto"`` (default) sizes the probe scheme to the corpus
+    (SCALING.md lesson 5): with n docs (``n_docs`` hint, else a
+    count() over the pruned id column), it uses minimal single-band
+    probing (max_hamming+1 bands) while per-band bucket occupancy
+    n/2^width stays under ~1024, and switches to Manku-style
+    block-combination tables (_simhash_block_tables) beyond that.
+    The cutover is measured, not aesthetic: a candidate pair costs
+    ~9 ns (codegen bit_count + a filter that Catalyst pushes below
+    the pair-dedup aggregate) while a probe posting row costs ~0.5 µs
+    (explode + join build), so single-band's O(n²/2^width) candidate
+    mass only overtakes the multi-table's O(C(m,k)·n) posting cost
+    near occupancy ~1000 (measured at 500k docs: 1.02e9 candidates /
+    9.1 s single-band vs 8.3e7 candidates / 15.7 s multi-table —
+    SCALING.md lesson 5 addendum). Past the cutover the multi-table
+    keys give 2^(k·width) buckets and candidate growth returns to
+    ~linear in n.
+
+    An integer ``bands`` pins classic single-band probing (pigeonhole
+    REQUIRES max_hamming <= bands-1; fewer bands could differ in every
+    band and silently miss a qualifying pair, so that combination
+    raises instead of returning incomplete results).
     """
+    sig = simhash(df, id_col, content_col, bits)
+    if bands == "auto":
+        n = n_docs if n_docs is not None else df.select(id_col).count()
+        simple_bands = max_hamming + 1
+        width = bits // simple_bands
+        # occupancy ≤ ~1024: candidate evaluation is cheaper than the
+        # multi-table posting fan-out (measured crossover, docstring)
+        if n <= (1 << width) * 1024:
+            bands = simple_bands
+        else:
+            # smallest block count whose combination-key occupancy
+            # n/2^key_width drops under ~128 (same candidate-vs-
+            # posting economics as the outer cutover), capped so the
+            # explode fan-out stays bounded
+            import math
+            import warnings
+
+            choice = None
+            for m in range(max_hamming + 2, max_hamming + 10):
+                agree = m - max_hamming
+                key_width = agree * (bits // m)
+                n_tables = math.comb(m, agree)
+                if n_tables > _SIMHASH_MAX_TABLES:
+                    break
+                choice = (m, agree)
+                if (1 << key_width) * 128 >= n:
+                    break
+            m, agree = choice
+            if (1 << (agree * (bits // m))) * 128 < n:
+                warnings.warn(
+                    f"simhash_near_pairs: corpus of {n} docs exceeds the "
+                    f"bucket space of the largest capped probe scheme "
+                    f"({m} blocks / agree-{agree}); expect superlinear "
+                    f"candidates — raise `bits` for a wider fingerprint.",
+                    stacklevel=2,
+                )
+            band_structs = _simhash_block_tables(bits, m, agree)
+            return _simhash_join(sig, band_structs, max_hamming)
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding is only exact when max_hamming <= bands-1; got "
             f"max_hamming={max_hamming}, bands={bands} — raise bands to "
             f"at least {max_hamming + 1}"
         )
-    sig = simhash(df, id_col, content_col, bits)
     band_width = bits // bands
     band_structs = [
         F.struct(
@@ -540,6 +642,15 @@ def simhash_near_pairs(
         )
         for b in range(bands)
     ]
+    return _simhash_join(sig, band_structs, max_hamming)
+
+
+def _simhash_join(
+    sig: DataFrame, band_structs: list[Column], max_hamming: int
+) -> DataFrame:
+    """Shared candidate join + exact-hamming verify over any probe-table
+    layout: explode (band, key) postings, self-equi-join on them, then
+    bit_count(xor) filters to true near-dups."""
     banded = sig.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bbits").alias("bbits"))

@@ -540,16 +540,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs. Spark generates candidates by band
-    equality (bands > max_hamming ⇒ exact by pigeonhole), so the
-    banded plan provably equals the oracle's brute-force pairing while
-    staying shuffle-bounded."""
+    """SimHash near-dup pairs. Spark generates candidates by probe-
+    table equality (single-band or Manku block-combination tables —
+    both pigeonhole-exact), so the banded plan provably equals the
+    oracle's brute-force pairing while staying shuffle-bounded. Uses
+    the corpus-size-aware `bands="auto"` default: the production
+    configuration is exactly what this oracle verifies."""
     out = dedup.simhash_near_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         bits=SIMHASH_BITS,
-        bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -750,6 +750,33 @@ def test_simhash_near_pairs_rejects_unsound_banding(spark):
     dedup.simhash_near_pairs(docs, "doc_id", "text", bands=6, max_hamming=5).count()
 
 
+def test_simhash_probe_schemes_identical_results(spark):
+    """Banding is purely a performance knob: single-band probing,
+    auto-sized probing, and the forced Manku block-combination tables
+    (n_docs hint far past the single-band bucket space) must all
+    return exactly the same near-dup pairs — recall is pigeonhole-
+    exact in every scheme and the verify step strips false positives."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fixed = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", bands=6
+        ).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text").collect()
+    }
+    forced_multi = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", n_docs=10_000_000
+        ).collect()
+    }
+    assert fixed == auto == forced_multi
+    assert len(fixed) > 0
+
+
 def test_with_salt_range(spark):
     """Salt always lands in [0, n_salts) — pmod, not abs(hash)%n which
     overflows negative at hash == Integer.MIN_VALUE."""
