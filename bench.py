@@ -85,6 +85,13 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[label] = round(best, 3)
 
+    # Trained tiers measured twice more with the index BUILD (centroid/
+    # codebook training, edge materialization) separated from the query
+    # SERVE — production trains once and serves many, so the amortized
+    # cost is serve_s; queries[...] above keeps the all-in number for
+    # cross-round comparability.
+    trained = _trained_split(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -93,10 +100,63 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "trained": trained,
                 "sf": sf,
             }
         )
     )
+
+
+def _trained_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """(build_s, serve_s) for the tiers with a one-off training/index
+    phase. Build runs once (it is deterministic and cached by
+    content); serve is best-of-2 on the pre-built artifact."""
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators import graph, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def timed(fn):
+        t0 = time.monotonic()
+        out = fn()
+        return out, time.monotonic() - t0
+
+    def best2(fn):
+        return round(min(timed(fn)[1], timed(fn)[1]), 3)
+
+    out: dict[str, dict[str, float]] = {}
+
+    cents, b = timed(lambda: similarity.ivf_centroids(emb, "vec_id", "embedding", 16, 1))
+    s = best2(
+        lambda: similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cents
+        ).write.format("noop").mode("overwrite").save()
+    )
+    out["q_similarity_ivf"] = {"build_s": round(b, 3), "serve_s": s}
+
+    books, b = timed(lambda: similarity.pq_codebooks(emb, "vec_id", "embedding", 8, 16))
+    s = best2(
+        lambda: similarity.pq_topk(
+            emb, queries, k=5, m=8, n_codes=16, codebooks=books
+        ).write.format("noop").mode("overwrite").save()
+    )
+    out["q_pq_topk"] = {"build_s": round(b, 3), "serve_s": s}
+
+    edges, b = timed(
+        lambda: graph.token_bigram_edges(docs, "text").localCheckpoint()
+    )
+    s = best2(
+        lambda: graph.pagerank(edges, 3, 0.85)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["q_pagerank"] = {"build_s": round(b, 3), "serve_s": s}
+    return out
 
 
 if __name__ == "__main__":

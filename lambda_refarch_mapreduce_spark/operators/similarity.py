@@ -353,6 +353,45 @@ def _assign_lists(
     return F.slice(F.transform(ranked, lambda s: s["cid"]), 1, n_lists)
 
 
+def _centroids_frame(corpus: DataFrame, cents: list[tuple[int, list[float]]]):
+    """The documented literal→broadcast cutover (see _assign_lists) as
+    code: materialize the centroid set as ONE broadcast row holding an
+    array<struct<cid,vec>> column, instead of baking O(n_centroids *
+    dim) literals into every consuming expression. Attaching it is a
+    single-row BroadcastNestedLoopJoin (the same single-row stats-term
+    shape used throughout the catalog); the plan stays O(1) in the
+    centroid count, so thousands of lists no longer blow up codegen.
+    Sorted by cid so downstream index arithmetic is deterministic."""
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cid int, vec array<double>",
+    )
+    return F.broadcast(
+        cdf.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("__cents")
+        )
+    )
+
+
+def _assign_lists_col(
+    vec_expr: Column, cents_col: Column, n_lists: int
+) -> Column:
+    """Column-driven twin of _assign_lists: rank centroids held in an
+    array<struct<cid,vec>> COLUMN (broadcast-joined, not plan
+    literals) by cosine to ``vec_expr``. Same ordering semantics —
+    element 0 is the nearest centroid."""
+    scored = F.transform(
+        cents_col,
+        lambda c: F.struct(
+            cosine_similarity(vec_expr, c["vec"]).alias("cos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.slice(F.transform(ranked, lambda s: s["cid"]), 1, n_lists)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -362,6 +401,8 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     refine_iters: int = 1,
+    centroid_strategy: str = "literal",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     bucketed by nearest coarse centroid (k-means-refined, see
@@ -369,25 +410,65 @@ def ivf_topk(
     centroid lists.
 
     Plan shape: centroid scoring is a literal-array expression on both
-    sides (no join), list membership becomes an equi-join key, and the
-    final top-k is the same WindowGroupLimit as the exact tier. Scan
-    cost drops from O(|corpus|) to O(|corpus| * n_probe / n_centroids)
-    per query; recall is tested against brute_force_topk.
+    sides (no join) under ``centroid_strategy="literal"`` — right up
+    to ~100 lists (plan size grows O(n_centroids·dim), see
+    _assign_lists). ``centroid_strategy="broadcast"`` attaches the
+    centroid set as one broadcast-joined row instead
+    (_centroids_frame): identical results, plan O(1) in the centroid
+    count — the production mode for thousands of lists. Either way
+    list membership becomes an equi-join key and the final top-k is
+    the same WindowGroupLimit as the exact tier. Scan cost drops from
+    O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query;
+    recall is tested against brute_force_topk.
+
+    ``centroids`` accepts a pre-trained coarse quantizer (the output
+    of ivf_centroids) so index BUILD and query SERVE can be timed and
+    amortized separately — production trains once, serves many.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
+    )
     cv = _as_double(F.col(vec_col))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        cv.alias("cv"),
-        _assign_lists(cv, cents, 1)[0].alias("list_id"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            cv.alias("qv"),
-            F.explode(_assign_lists(cv, cents, n_probe)).alias("list_id"),
+    if centroid_strategy == "broadcast":
+        cents_row = _centroids_frame(corpus, cents)
+        c = (
+            ensure_parallelism(corpus)
+            .crossJoin(cents_row)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                cv.alias("cv"),
+                _assign_lists_col(cv, F.col("__cents"), 1)[0].alias("list_id"),
+            )
         )
-    )
+        q = F.broadcast(
+            queries.crossJoin(cents_row).select(
+                F.col(id_col).alias("query_id"),
+                cv.alias("qv"),
+                F.explode(
+                    _assign_lists_col(cv, F.col("__cents"), n_probe)
+                ).alias("list_id"),
+            )
+        )
+    elif centroid_strategy == "literal":
+        c = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            cv.alias("cv"),
+            _assign_lists(cv, cents, 1)[0].alias("list_id"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                cv.alias("qv"),
+                F.explode(_assign_lists(cv, cents, n_probe)).alias("list_id"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"centroid_strategy must be 'literal' or 'broadcast', "
+            f"got {centroid_strategy!r}"
+        )
     # Each corpus row belongs to exactly one list and a query's probe
     # lists are distinct, so pairs are already unique — no dedup shuffle.
     scored = (
@@ -685,6 +766,56 @@ def _l2sq_lit(sub_expr: Column, center: list[float]) -> Column:
     )
 
 
+def _l2sq_col(sub_expr: Column, center: Column) -> Column:
+    """Squared L2 between two array columns — the column-driven twin
+    of _l2sq_lit (identical fold order, so results are bit-equal)."""
+    return F.aggregate(
+        F.zip_with(sub_expr, center, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _codebooks_frame(
+    corpus: DataFrame, codebooks: list[list[tuple[int, list[float]]]]
+):
+    """PQ codebooks as ONE broadcast row: ``__books`` is an
+    array<struct<j, codes:array<struct<code, vec>>>> sorted by (j,
+    code), so subspace j's centroid for code c sits at
+    __books[j].codes[c] (1-based element_at). The broadcast twin of
+    the literal tables in _pq_assign/_sub_d2 — same cutover rationale
+    as _centroids_frame: plan stays O(1) in m·n_codes."""
+    spark = corpus.sparkSession
+    rows = [
+        (j, int(code), [float(x) for x in vec])
+        for j, cb in enumerate(codebooks)
+        for code, vec in cb
+    ]
+    bdf = spark.createDataFrame(rows, "j int, code int, vec array<double>")
+    per_j = bdf.groupBy("j").agg(
+        F.array_sort(F.collect_list(F.struct("code", "vec"))).alias("codes")
+    )
+    return F.broadcast(
+        per_j.agg(
+            F.array_sort(F.collect_list(F.struct("j", "codes"))).alias("__books")
+        )
+    )
+
+
+def _pq_assign_col(sub_expr: Column, book_col: Column) -> Column:
+    """(code, d2) struct of the nearest sub-centroid from a codebook
+    COLUMN (array<struct<code,vec>>) — broadcast twin of _pq_assign,
+    same argmin-by-ascending-struct-sort tie semantics."""
+    scored = F.transform(
+        book_col,
+        lambda c: F.struct(
+            _l2sq_col(sub_expr, c["vec"]).alias("d2"),
+            c["code"].alias("code"),
+        ),
+    )
+    return F.array_sort(scored)[0]
+
+
 def _pq_assign(sub_expr: Column, codebook: list[tuple[int, list[float]]]) -> Column:
     """(code, d2) struct of the nearest sub-centroid — argmin via
     ascending struct sort, ties to the lower code id. Literal-codebook
@@ -709,14 +840,19 @@ def pq_encode(
     m: int = 8,
     n_codes: int = 16,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    codebook_strategy: str = "literal",
 ) -> DataFrame:
     """Encode vectors to ``m`` sub-codes (one byte each at n_codes <=
     256): a 4*dim-byte float vector becomes m bytes — a 32x scan-
     bandwidth cut at dim=64/m=8 — at the cost of quantization error.
 
-    Row-local projection, zero shuffle. Returns (id, codes, recon_err)
-    where codes[j] is subspace j's nearest-centroid id and recon_err
-    is the summed squared quantization error (the ADC self-distance).
+    Row-local projection, zero shuffle (``codebook_strategy=
+    "broadcast"`` adds one single-row broadcast to carry the codebooks
+    as a column instead of plan literals — identical results, plan
+    O(1) in m·n_codes; use it past ~hundreds of codes). Returns (id,
+    codes, recon_err) where codes[j] is subspace j's nearest-centroid
+    id and recon_err is the summed squared quantization error (the
+    ADC self-distance).
     """
     if codebooks is None:
         codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
@@ -726,17 +862,37 @@ def pq_encode(
         )
     sub = len(codebooks[0][0][1])
     vexpr = _as_double(F.col(vec_col))
-    staged = ensure_parallelism(corpus).select(
+    staged = ensure_parallelism(corpus)
+    if codebook_strategy == "broadcast":
+        staged = staged.crossJoin(_codebooks_frame(corpus, codebooks))
+    elif codebook_strategy != "literal":
+        raise ValueError(
+            f"codebook_strategy must be 'literal' or 'broadcast', "
+            f"got {codebook_strategy!r}"
+        )
+    staged = staged.select(
         F.col(id_col),
+        *(
+            [F.col("__books")] if codebook_strategy == "broadcast" else []
+        ),
         *[
             F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}")
             for j in range(len(codebooks))
         ],
     )
-    assigns = [
-        _pq_assign(F.col(f"__s{j}"), cb).alias(f"__a{j}")
-        for j, cb in enumerate(codebooks)
-    ]
+    if codebook_strategy == "broadcast":
+        assigns = [
+            _pq_assign_col(
+                F.col(f"__s{j}"),
+                F.element_at(F.col("__books"), j + 1)["codes"],
+            ).alias(f"__a{j}")
+            for j in range(len(codebooks))
+        ]
+    else:
+        assigns = [
+            _pq_assign(F.col(f"__s{j}"), cb).alias(f"__a{j}")
+            for j, cb in enumerate(codebooks)
+        ]
     staged2 = staged.select(F.col(id_col), *assigns)
     codes = F.array(*[F.col(f"__a{j}")["code"] for j in range(len(codebooks))])
     err = sum(
@@ -757,11 +913,19 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     n_codes: int = 16,
+    codebook_strategy: str = "literal",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
     m-byte codes (never raw floats), each query computes exact
     sub-distances to the looked-up sub-centroids, and the smallest
     summed approximate distance wins.
+
+    ``codebook_strategy="broadcast"`` carries the codebooks as one
+    broadcast-joined row (_codebooks_frame) instead of plan literals
+    for both the encode pass and the ADC lookups — identical results,
+    plan O(1) in m·n_codes; the production mode past ~hundreds of
+    codes.
 
     Plan shape: queries broadcast with their raw sub-vectors; the
     corpus side carries only (id, codes); per-pair cost is m literal
@@ -771,34 +935,54 @@ def pq_topk(
     "IVFADC" in Jégou et al.). Ranking uses the 6dp-rounded distance
     (then neighbor id) so ranks are stable across engines.
 
+    ``codebooks`` accepts pre-trained sub-quantizers (the output of
+    pq_codebooks) so index BUILD and query SERVE time apart.
+
     Returns (query_id, neighbor_id, dist2, rank), dist2 ascending.
     """
-    codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_col, vec_col, m, n_codes)
     if not codebooks:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, dist2 double, rank long"
         )
     sub = len(codebooks[0][0][1])
-    coded = pq_encode(corpus, id_col, vec_col, m, n_codes, codebooks).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    )
+    coded = pq_encode(
+        corpus, id_col, vec_col, m, n_codes, codebooks, codebook_strategy
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
     vexpr = _as_double(F.col(vec_col))
+    q = queries
+    if codebook_strategy == "broadcast":
+        q = q.crossJoin(_codebooks_frame(corpus, codebooks))
     q = F.broadcast(
-        queries.select(
+        q.select(
             F.col(id_col).alias("query_id"),
+            *(
+                [F.col("__books")]
+                if codebook_strategy == "broadcast"
+                else []
+            ),
             *[
                 F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
                 for j in range(len(codebooks))
             ],
         )
     )
-    # per-subspace centroid table as a literal array-of-arrays; code j
-    # indexes it (1-based element_at)
+    # per-subspace centroid table: literal array-of-arrays, or the
+    # broadcast __books column; code j indexes it (1-based element_at)
     def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
-        table = F.array(
-            *[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb]
-        )
-        center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
+        if codebook_strategy == "broadcast":
+            center = F.element_at(
+                F.element_at(F.col("__books"), j + 1)["codes"],
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )["vec"]
+        else:
+            table = F.array(
+                *[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb]
+            )
+            center = F.element_at(
+                table, F.element_at(F.col("codes"), j + 1) + 1
+            )
         return F.aggregate(
             F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),

@@ -1381,9 +1381,7 @@ def _ivf_assign_sql(n_centroids: int = 16) -> str:
     """
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle=f"""
+_IVF_TOPK_ORACLE = f"""
         WITH {_ivf_assign_sql()},
         corpus AS (SELECT vec_id, v, cid AS list_id FROM assigned WHERE rn = 1),
         probes AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
@@ -1397,7 +1395,12 @@ def _ivf_assign_sql(n_centroids: int = 16) -> str:
                        ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
         SELECT query_id, neighbor_id, cosine, rnk::BIGINT AS rank
         FROM ranked WHERE rnk <= {TOPK_K}
-    """,
+    """
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("llm", "similarity"),
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,6 +1416,37 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.ivf_topk(
         emb, q, "vec_id", "embedding", k=TOPK_K, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "similarity_ivf_topk_broadcast",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_ivf_topk_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented IVF literal→broadcast cutover as a verified
+    mode: centroids ride ONE broadcast-joined row
+    (similarity._centroids_frame) instead of plan literals, keeping
+    the plan O(1) in the centroid count — the production
+    configuration for thousands of lists. Same oracle as
+    similarity_ivf_topk because the two strategies are result-
+    identical by construction (and plan-asserted in
+    test_scale_plans)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.ivf_topk(
+        emb,
+        q,
+        "vec_id",
+        "embedding",
+        k=TOPK_K,
+        n_centroids=16,
+        n_probe=4,
+        centroid_strategy="broadcast",
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -1795,9 +1829,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_pq_topk",
-    oracle=f"""
+_PQ_TOPK_ORACLE = f"""
         WITH {_pq_ctes()},
         qsub AS (SELECT vec_id, j, sv FROM sube WHERE vec_id < {TOPK_QUERY_MAX_ID}),
         nc AS (SELECT vec_id, j, cid FROM a WHERE rn = 1),
@@ -1814,7 +1846,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY dist2, neighbor_id) AS rnk FROM adc)
         SELECT query_id, neighbor_id, dist2, rnk::BIGINT AS rank
         FROM ranked WHERE rnk <= {TOPK_K}
-    """,
+    """
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=_PQ_TOPK_ORACLE,
     tags=("llm", "similarity"),
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1866,36 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.pq_topk(
         emb, q, "vec_id", "embedding", k=TOPK_K, m=PQ_M, n_codes=PQ_CODES
+    )
+    return out.select(
+        "query_id", "neighbor_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "similarity_pq_topk_broadcast",
+    oracle=_PQ_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_pq_topk_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with codebooks carried as ONE broadcast-joined row
+    (similarity._codebooks_frame) instead of plan literals — encode
+    and ADC lookup both read the __books column, so the plan stays
+    O(1) in m·n_codes (the production mode past ~hundreds of codes).
+    Result-identical to similarity_pq_topk by construction; same
+    oracle, plan-asserted in test_scale_plans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.pq_topk(
+        emb,
+        q,
+        "vec_id",
+        "embedding",
+        k=TOPK_K,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        codebook_strategy="broadcast",
     )
     return out.select(
         "query_id", "neighbor_id", "dist2",

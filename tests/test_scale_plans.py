@@ -209,6 +209,40 @@ def test_semdedup_pairs_are_cluster_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_broadcast_codebook_strategy_no_literal_blowup(spark):
+    """The IVF/PQ literal→broadcast cutover (VERDICT r3 #5): under
+    centroid/codebook_strategy="broadcast" the centroids ride ONE
+    broadcast-joined row, so the optimized plan must stay small (no
+    O(n_centroids·dim) literal arrays) while producing exactly the
+    same rows as the literal mode."""
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.operators import similarity
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(300)
+    q = emb.filter(F.col("vec_id") < 10)
+    lit_df = similarity.ivf_topk(emb, q, centroid_strategy="literal")
+    bc_df = similarity.ivf_topk(emb, q, centroid_strategy="broadcast")
+    assert {tuple(r) for r in lit_df.collect()} == {
+        tuple(r) for r in bc_df.collect()
+    }
+    p_lit = lit_df._jdf.queryExecution().optimizedPlan().toString()
+    p_bc = bc_df._jdf.queryExecution().optimizedPlan().toString()
+    # literal mode bakes 16 centroids x 64 dims into the plan twice;
+    # broadcast mode must be an order of magnitude smaller
+    assert len(p_bc) < len(p_lit) / 5
+    assert "BroadcastExchange" in _plan(bc_df) or "Broadcast" in _plan(bc_df)
+    # PQ twin
+    plit_df = similarity.pq_topk(emb, q, codebook_strategy="literal")
+    pbc_df = similarity.pq_topk(emb, q, codebook_strategy="broadcast")
+    assert {tuple(r) for r in plit_df.collect()} == {
+        tuple(r) for r in pbc_df.collect()
+    }
+    assert len(pbc_df._jdf.queryExecution().optimizedPlan().toString()) < len(
+        plit_df._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_registry_wide_no_cartesian_product(spark):
     """Sweep EVERY catalog entry's physical plan: no CartesianProduct
     anywhere, and BroadcastNestedLoopJoin only in entries that
@@ -227,8 +261,10 @@ def test_registry_wide_no_cartesian_product(spark):
         "embedding_neardup_lsh_blocked",
         "similarity_topk",             # broadcast queries, != predicate
         "similarity_pq_topk",          # broadcast queries, != predicate
+        "similarity_pq_topk_broadcast",  # + single-row codebook frame
         "similarity_pq_rerank_topk",
         "similarity_ivf_topk",
+        "similarity_ivf_topk_broadcast",  # + single-row centroid frame
         "similarity_ivfadc_topk",
         "semdedup_embeddings",
         "text_unigram_logprob",        # single-row floor/total rows
