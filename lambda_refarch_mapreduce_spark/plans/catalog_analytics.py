@@ -923,3 +923,626 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("canonical_custkey")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth, round 4: the remaining query shapes adapted to this
+# schema (no partsupp / l_commitdate / l_shipmode columns exist, so
+# each keeps the SHAPE — correlated subqueries, EXISTS/NOT-EXISTS,
+# HAVING-vs-global-scalar, distinct-count anti-join — on the columns
+# the tables do have). All joins are dim-broadcast or key-partitioned;
+# correlated subqueries decorrelate to aggregate+join exactly as
+# Catalyst plans them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_price_per_group",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_partkey,
+               round(p.p_retailprice, 2) AS retail
+        FROM part p
+        WHERE p.p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2
+            WHERE p2.p_brand = p.p_brand AND p2.p_type = p.p_type)
+    """,
+    tags=("reference", "tpch"),
+)
+def q2_min_price_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part -> cheapest part per
+    (brand, type)): a correlated scalar-min subquery, decorrelated to
+    a groupBy-min joined back on the group key. The group table is
+    group-count-sized, so the join broadcasts at any corpus scale."""
+    p = _t(spark, sf_dir, "part")
+    mins = p.groupBy("p_brand", "p_type").agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    return (
+        p.join(F.broadcast(mins), ["p_brand", "p_type"])
+        .filter(F.col("p_retailprice") == F.col("__min_price"))
+        .select(
+            "p_brand",
+            "p_type",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retail"),
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+        SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("reference", "tpch"),
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates
+    to a LEFT SEMI join on the order key — the probe side is pre-
+    filtered by the pushed-down date range before it shuffles."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    flagged = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(flagged, o.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        WITH rev AS (
+            SELECT year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+                         AND r.r_name = 'ASIA'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END) / sum(volume), 6)
+                   AS mkt_share
+        FROM rev GROUP BY o_year
+    """,
+    tags=("reference", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share by year): the six-table
+    star join with every dimension broadcast, one conditional-ratio
+    aggregation at the end — the fact table shuffles once (for the
+    orders join) and never again."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(sn.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+            s.s_nationkey == F.col("sn_key"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(F.lit(0.0))
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+        SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity), 2)
+                   AS profit,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%red%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY nation, o_year
+    """,
+    tags=("reference", "tpch"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit; supply cost stands in as
+    half the retail price since partsupp doesn't exist here): part
+    filter broadcast against the fact table FIRST — the selective
+    LIKE prunes lineitem before the orders shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH val AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, round(value, 2) AS value
+        FROM val
+        WHERE round(value, 2) > (SELECT round(0.0006 * sum(value), 2)
+                                 FROM val)
+    """,
+    tags=("reference", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-key aggregate filtered
+    against a global-scalar share of the SAME aggregate — computed
+    once and broadcast as a single-row frame, so the per-key side
+    streams through one hash aggregation. Both sides of the
+    comparison are pre-rounded to 2dp so the threshold test is
+    engine-stable."""
+    val = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "__value"
+            )
+        )
+    )
+    thresh = val.agg(
+        F.round(0.0006 * F.sum("__value"), 2).alias("__thresh")
+    )
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.round(F.col("__value"), 2) > F.col("__thresh"))
+        .select("l_partkey", F.round("__value", 2).alias("value"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+        SELECT l.l_returnflag AS flag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY flag
+    """,
+    tags=("reference", "tpch"),
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts; l_returnflag
+    stands in for the absent l_shipmode): date-pruned fact join +
+    conditional counts in one aggregation pass."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey)
+        SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+    tags=("reference", "tpch"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a
+    histogram of the per-customer counts — two cheap aggregations,
+    the second over customer-count-sized data."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_revenue_suppliers",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name,
+               round(rev.total_revenue, 2) AS total_revenue
+        FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    tags=("reference", "tpch"),
+)
+def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue view computed once,
+    its max taken as a single-row broadcast, equality-filtered, then
+    the supplier dimension joined onto the (tiny) winner set."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("reference", "tpch"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship counting): NOT IN
+    becomes a LEFT ANTI join against the (tiny, broadcast) excluded-
+    supplier set, then a distinct count grouped by part attributes."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("reference", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    decorrelates to a per-part aggregate joined back on the part key.
+    The brand filter prunes the fact side BEFORE the per-part-average
+    join; the average itself is taken over every lineitem of the
+    surviving parts (semi-join pruned), matching the subquery scope."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(p, l.l_partkey == F.col("p_partkey"), "left_semi")
+    avgs = lp.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        lp.join(F.broadcast(avgs), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q20_qualified_suppliers",
+    oracle="""
+        WITH sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                    FROM lineitem GROUP BY l_suppkey, l_partkey),
+        pt AS (SELECT l_partkey, sum(l_quantity) AS tot
+               FROM lineitem GROUP BY l_partkey)
+        SELECT DISTINCT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN sp ON sp.l_suppkey = s.s_suppkey
+        JOIN pt ON pt.l_partkey = sp.l_partkey
+        WHERE sp.qty > 0.12 * pt.tot
+    """,
+    tags=("reference", "tpch"),
+)
+def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with a dominant share of some
+    part's volume): two aggregations of the same fact table joined on
+    the part key — co-partitioned, one shuffle each — then a semi
+    join into the supplier dimension."""
+    l = _t(spark, sf_dir, "lineitem")
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    pt = l.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tot"))
+    qualified = (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("qty") > 0.12 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        qualified, s.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+        SELECT s.s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+                        AND l1.l_returnflag = 'R'
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                     AND o.o_orderstatus = 'F'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """,
+    tags=("reference", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting — sole 'R'
+    supplier on a multi-supplier order): the EXISTS/NOT-EXISTS pair
+    decorrelates to per-order supplier stats (any other supplier?
+    any OTHER supplier with 'R'?) computed in ONE aggregation over
+    the order's lines, then joined back — no repeated correlated
+    scans of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    r_lines = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # per (order, candidate supplier): does another supplier exist on
+    # the order, and does another supplier have an R line?
+    order_stats = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_r_supp"),
+    )
+    return (
+        r_lines.join(o, r_lines.l_orderkey == o.o_orderkey)
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_r_supp") == 1))
+        .join(F.broadcast(s), r_lines.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+        SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("reference", "tpch"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (wealthy customers with no RECENT orders —
+    every synthetic customer has historical orders, so the idle test
+    uses the last period): a global-scalar AVG broadcast against the
+    customer table and a NOT EXISTS that becomes a LEFT ANTI join on
+    the date-pruned order side's custkey projection."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events),
+        m AS (SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev)
+                                  > {SESSION_GAP_S} * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM o),
+        s AS (SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM m)
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*)::BIGINT AS n_events,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0,
+                     3) AS duration_s
+        FROM s GROUP BY user_id, session_id
+    """,
+    tags=("analytics", "timeseries"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min inactivity closes a
+    session) — the batch twin of the streaming session window: lag()
+    marks session starts, a running sum numbers them, one aggregation
+    emits per-session stats. Two window passes + one groupBy, all
+    partitioned by user_id, so the whole query is ONE hash shuffle
+    of the events table at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_S * 1_000_000
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / 1e6,
+            3,
+        ).alias("duration_s"),
+    )

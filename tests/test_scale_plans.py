@@ -277,6 +277,9 @@ def test_registry_wide_no_cartesian_product(spark):
         "graph_pagerank_tokens",       # single-row dangling-mass term
         "graph_triangle_stats",        # three single-row census frames
         "chi_square_event_weekday",    # single-row N and dof terms
+        "q11_important_parts",         # single-row global-share threshold
+        "q15_top_revenue_suppliers",   # single-row max-revenue term
+        "q22_idle_customers",          # single-row global-avg balance
         "curriculum_order_docs",       # single-row total + offsets
         "mixture_token_sample",
         "quality_quantile_filter",

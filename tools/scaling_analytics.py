@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from lambda_refarch_mapreduce_spark import get_spark, load_table  # noqa: E402
+from lambda_refarch_mapreduce_spark.metrics import MeasuredRun  # noqa: E402
 from lambda_refarch_mapreduce_spark.operators import graph, linkage  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,34 +77,55 @@ def build_documents(spark, out: str, replicas: int):
 
 def main() -> None:
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_analytics"
-    spark = get_spark("scaling-analytics")
+    # UI on: MeasuredRun reads per-stage shuffle bytes over REST
+    spark = get_spark(
+        "scaling-analytics", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict[str, dict[str, dict[str, float]]] = {"fuzzy_join": {}, "pagerank": {}}
+    out: dict[str, dict[str, dict[str, float]]] = {
+        "fuzzy_join": {},
+        "pagerank": {},
+        "triangle_stats": {},
+    }
+
+    def run(tier: str, scale: int, make):
+        with MeasuredRun(spark) as m:
+            n = make().count()
+        row = {"wall_s": round(m.stats.wall_secs, 2), "rows": n}
+        if m.stats.bytes_measured:
+            row["shuffle_mb"] = round(m.stats.shuffle_bytes / 1e6, 1)
+        out[tier][f"{scale}x"] = row
 
     for scale in SCALES:
         cust = build_customers(
             spark, os.path.join(workdir, f"cust_{scale}x"), scale
         )
-        t0 = time.monotonic()
-        n = linkage.fuzzy_self_join(
-            cust, "c_custkey", "c_name", k=1, block_col="c_nationkey"
-        ).count()
-        out["fuzzy_join"][f"{scale}x"] = {
-            "wall_s": round(time.monotonic() - t0, 2),
-            "rows": n,
-        }
+        run(
+            "fuzzy_join",
+            scale,
+            lambda: linkage.fuzzy_self_join(
+                cust, "c_custkey", "c_name", k=1, block_col="c_nationkey"
+            ),
+        )
 
     for scale in SCALES:
         docs = build_documents(
             spark, os.path.join(workdir, f"docs_{scale}x"), scale
         )
-        t0 = time.monotonic()
-        edges = graph.token_bigram_edges(docs, "text")
-        n = graph.pagerank(edges, n_iter=3).count()
-        out["pagerank"][f"{scale}x"] = {
-            "wall_s": round(time.monotonic() - t0, 2),
-            "rows": n,
-        }
+        run(
+            "pagerank",
+            scale,
+            lambda: graph.pagerank(
+                graph.token_bigram_edges(docs, "text"), n_iter=3
+            ),
+        )
+        run(
+            "triangle_stats",
+            scale,
+            lambda: graph.triangle_stats(
+                graph.token_bigram_edges(docs, "text")
+            ),
+        )
 
     print(json.dumps(out))
 
