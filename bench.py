@@ -51,6 +51,11 @@ HEADLINE = {
     "q_pagerank": "graph_pagerank_tokens",
     "q_fuzzy_match": "fuzzy_match_customers",
     "q_ewma": "ewma_user_value",
+    # round 4 additions
+    "q_sessionize": "sessionize_events",
+    "q_market_share": "q8_market_share",
+    "q_waiting_suppliers": "q21_waiting_suppliers",
+    "q_ivf_broadcast": "similarity_ivf_topk_broadcast",
 }
 
 

@@ -1,8 +1,18 @@
 """Record linkage: edit-distance similarity self-join without all-pairs.
 
-Candidate generation is Ed-Join-style prefix filtering over positional
-q-grams (Xiao, Wang & Lin, VLDB 2008; prefix principle from
-Chaudhuri et al. / ppjoin):
+Two lossless candidate filters, auto-selected by ``k`` (round-4
+measurement, SCALING.md: at 1.5M serial-numbered names the q-gram
+alphabet saturates — ~119 distinct 2-grams — and EVERY gram-based
+prefix filter emits 1.4e9+ candidates at any q; deletion signatures
+key on whole perturbed strings and stay output-sized):
+
+- ``deletion`` (k <= 2, default): SymDelete/FastSS deletion-
+  neighborhood digests — a pair within k edits provably shares a
+  variant reachable by <= k deletions from each side, so an equi-join
+  on variant md5s is exact-recall; O(len^k) row-local variants.
+- ``edjoin`` (any k): Ed-Join-style prefix filtering over positional
+  q-grams (Xiao, Wang & Lin, VLDB 2008; prefix principle from
+  Chaudhuri et al. / ppjoin):
 
 - one edit destroys at most ``q`` of a string's ``|s|-q+1`` positional
   q-grams, so ``ed(s,t) <= k`` implies the two multisets of gram TEXTS
@@ -41,6 +51,61 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _deletion_digests(txt, k: int):
+    """md5 digests of every variant of ``txt`` reachable by deleting
+    up to ``k`` characters (k in {1, 2}) — the SymDelete / FastSS
+    signature family (public: Bocek et al. 2007 "Fast Similarity
+    Search in Large Dictionaries"; SymSpell). Soundness of the filter:
+    an edit script of length <= k aligns A and B so that deleting the
+    substituted+deleted positions from A (<= k of them) and the
+    substituted+inserted positions from B (<= k) yields the SAME
+    string — so every qualifying pair shares a variant digest.
+    Runtime array HOFs over sequence() — per-row O(len^k) work and
+    bytes, no plan growth in len."""
+    length = F.length(txt)
+
+    def drop1(i):
+        return F.concat(
+            F.substring(txt, 1, i - 1),
+            txt.substr(i + 1, F.greatest(length - i, F.lit(0))),
+        )
+
+    variants = F.concat(
+        F.array(txt),
+        F.transform(F.sequence(F.lit(1), F.greatest(length, F.lit(1))), drop1),
+    )
+    if k >= 2:
+
+        def drop2(i):
+            # delete j from (txt without i); j indexes the shortened
+            # string, j >= i keeps each unordered pair once
+            shorter = drop1(i)
+            slen = F.length(shorter)
+            return F.transform(
+                F.sequence(F.lit(1), F.greatest(slen, F.lit(1))),
+                lambda j: F.when(
+                    j >= i,
+                    F.concat(
+                        F.substring(shorter, 1, j - 1),
+                        shorter.substr(
+                            j + 1, F.greatest(slen - j, F.lit(0))
+                        ),
+                    ),
+                ),
+            )
+
+        pairs2 = F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(length, F.lit(1))), drop2
+                )
+            ),
+            lambda v: v.isNotNull(),
+        )
+        variants = F.concat(variants, pairs2)
+    return F.array_distinct(F.transform(variants, F.md5))
+
+
 def fuzzy_self_join(
     df: DataFrame,
     id_col: str,
@@ -48,12 +113,74 @@ def fuzzy_self_join(
     k: int = 1,
     q: int = 2,
     block_col: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with ``levenshtein(text_a, text_b) <= k``
-    (optionally restricted to equal ``block_col``), via frequency-
-    ordered prefix filtering on positional q-grams.
+    (optionally restricted to equal ``block_col``).
+
+    ``strategy``:
+    - ``"deletion"``: deletion-neighborhood signatures
+      (_deletion_digests) — each string emits O(len^k) variant digests
+      and candidates are an equi-join on the digest. Exact recall for
+      k <= 2; bucket sizes track true near-match clusters, NOT gram
+      statistics, so selectivity survives low-entropy corpora
+      (serial-numbered names) where any gram-based filter drowns —
+      measured at 1.5M customers: gram-prefix candidates 1.4–4.7e9 at
+      every q, deletion-signature candidates ~= the true pair count
+      (SCALING.md round-4 addendum).
+    - ``"edjoin"``: frequency-ordered prefix filtering on positional
+      q-grams (module docstring) — the general-k path.
+    - ``"auto"`` (default): deletion for k <= 2, Ed-Join beyond.
 
     Returns (id_a, id_b, dist)."""
+    if strategy == "auto":
+        strategy = "deletion" if k <= 2 else "edjoin"
+    if strategy == "deletion":
+        if k > 2:
+            raise ValueError(
+                "deletion strategy supports k <= 2 (variant count grows "
+                f"O(len^k)); got k={k} — use strategy='edjoin'"
+            )
+        blk = [F.col(block_col).alias("_blk")] if block_col else []
+        base = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"), *blk
+        )
+        sigs = base.select(
+            "_id",
+            *(["_blk"] if block_col else []),
+            F.explode(_deletion_digests(F.col("_txt"), k)).alias("sig"),
+        )
+        a = sigs.select(
+            F.col("_id").alias("id_i"),
+            *([F.col("_blk").alias("_blk_i")] if block_col else []),
+            "sig",
+        )
+        b = sigs.select(
+            F.col("_id").alias("id_p"),
+            *([F.col("_blk").alias("_blk_p")] if block_col else []),
+            F.col("sig").alias("sig_p"),
+        )
+        on = [F.col("sig") == F.col("sig_p"), F.col("id_i") < F.col("id_p")]
+        if block_col:
+            on.append(F.col("_blk_i") == F.col("_blk_p"))
+        pairs = (
+            a.join(b, on)
+            .select(F.col("id_i").alias("id_a"), F.col("id_p").alias("id_b"))
+            .distinct()
+        )
+        ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"))
+        tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"))
+        return (
+            pairs.join(ta, "id_a")
+            .join(tb, "id_b")
+            .withColumn("dist", F.levenshtein("_txt_a", "_txt_b"))
+            .filter(F.col("dist") <= k)
+            .select("id_a", "id_b", "dist")
+        )
+    if strategy != "edjoin":
+        raise ValueError(
+            f"strategy must be 'auto', 'deletion' or 'edjoin', got {strategy!r}"
+        )
     prefix_len = k * q + 1
     # strings with |G| = len-q+1 <= k*q grams can lose ALL grams to k
     # edits — the prefix argument gives nothing, so they pair through

@@ -1019,6 +1019,7 @@ def ivfadc_topk(
     m: int = 8,
     n_codes: int = 16,
     refine_iters: int = 1,
+    codebook_strategy: str = "literal",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): IVF coarse lists PRUNE the scan,
     PQ codes COMPRESS what is read — the production ANN composition.
@@ -1034,7 +1035,10 @@ def ivfadc_topk(
     residual encoding is the classic accuracy refinement but couples
     the codebooks to the coarse quantizer; plan shape is identical.
     Ranking uses the 6dp-rounded distance (then neighbor id), matching
-    pq_topk's cross-engine rank stability.
+    pq_topk's cross-engine rank stability. ``codebook_strategy=
+    "broadcast"`` carries BOTH the coarse centroids and the PQ
+    codebooks as single broadcast rows (plan O(1) in n_centroids and
+    m·n_codes) — identical results.
 
     Returns (query_id, neighbor_id, dist2, rank).
     """
@@ -1044,24 +1048,53 @@ def ivfadc_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, dist2 double, rank long"
         )
+    if codebook_strategy not in ("literal", "broadcast"):
+        raise ValueError(
+            f"codebook_strategy must be 'literal' or 'broadcast', "
+            f"got {codebook_strategy!r}"
+        )
+    bcast = codebook_strategy == "broadcast"
     sub = len(books[0][0][1])
     vexpr = _as_double(F.col(vec_col))
-    staged = ensure_parallelism(corpus).select(
+    corpus_side = ensure_parallelism(corpus)
+    query_side = queries
+    if bcast:
+        cents_row = _centroids_frame(corpus, cents)
+        books_row = _codebooks_frame(corpus, books)
+        corpus_side = corpus_side.crossJoin(cents_row).crossJoin(books_row)
+        query_side = query_side.crossJoin(cents_row).crossJoin(books_row)
+
+    def _assign(n_lists: int):
+        if bcast:
+            return _assign_lists_col(vexpr, F.col("__cents"), n_lists)
+        return _assign_lists(vexpr, cents, n_lists)
+
+    staged = corpus_side.select(
         F.col(id_col).alias("neighbor_id"),
-        _assign_lists(vexpr, cents, 1)[0].alias("list_id"),
+        *([F.col("__books")] if bcast else []),
+        _assign(1)[0].alias("list_id"),
         *[F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}") for j in range(len(books))],
     )
-    coded = staged.select(
-        "neighbor_id",
-        "list_id",
-        F.array(
+    if bcast:
+        code_arr = F.array(
+            *[
+                _pq_assign_col(
+                    F.col(f"__s{j}"),
+                    F.element_at(F.col("__books"), j + 1)["codes"],
+                )["code"]
+                for j in range(len(books))
+            ]
+        )
+    else:
+        code_arr = F.array(
             *[_pq_assign(F.col(f"__s{j}"), books[j])["code"] for j in range(len(books))]
-        ).alias("codes"),
-    )
+        )
+    coded = staged.select("neighbor_id", "list_id", code_arr.alias("codes"))
     q = F.broadcast(
-        queries.select(
+        query_side.select(
             F.col(id_col).alias("query_id"),
-            F.explode(_assign_lists(vexpr, cents, n_probe)).alias("list_id"),
+            *([F.col("__books")] if bcast else []),
+            F.explode(_assign(n_probe)).alias("list_id"),
             *[
                 F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
                 for j in range(len(books))
@@ -1070,8 +1103,14 @@ def ivfadc_topk(
     )
 
     def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
-        table = F.array(*[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb])
-        center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
+        if bcast:
+            center = F.element_at(
+                F.element_at(F.col("__books"), j + 1)["codes"],
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )["vec"]
+        else:
+            table = F.array(*[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb])
+            center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
         return F.aggregate(
             F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),

@@ -139,10 +139,11 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: same-nation customer pairs within Levenshtein
-    distance 1, found via the lossless Ed-Join frequency-ordered prefix filter
-    (operators/linkage.py) — gram-prefix equi-join candidates, exact
-    verify — never the blocked all-pairs the oracle is allowed to brute-force
-    at sf=0.01."""
+    distance 1, via the lossless deletion-neighborhood signature join
+    (operators/linkage.py, strategy="auto" -> deletion for k<=2):
+    variant-digest equi-join candidates, exact verify — never the
+    blocked all-pairs the oracle is allowed to brute-force at sf=0.01.
+    The Ed-Join gram-prefix path remains the general-k strategy."""
     return linkage.fuzzy_self_join(
         _t(spark, sf_dir, "customer"),
         "c_custkey",

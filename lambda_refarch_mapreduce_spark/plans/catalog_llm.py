@@ -1964,13 +1964,7 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFADC_N_PROBE = 4
 
 
-@register(
-    "similarity_ivfadc_topk",
-    # Composes the two deterministic replay chains: the IVF chain owns
-    # the unprefixed e/seeds/assigned names, the PQ chain is emitted
-    # with a pq_ prefix. Probing and encoding are independent pipelines
-    # over the same vectors, exactly as in the Spark operator.
-    oracle=f"""
+_IVFADC_TOPK_ORACLE = f"""
         WITH {_ivf_assign_sql()},
         {_pq_ctes("pq_")},
         corpus AS (SELECT vec_id, cid AS list_id FROM assigned WHERE rn = 1),
@@ -1995,7 +1989,16 @@ IVFADC_N_PROBE = 4
                        ORDER BY dist2, neighbor_id) AS rnk FROM adc)
         SELECT query_id, neighbor_id, dist2, rnk::BIGINT AS rank
         FROM ranked WHERE rnk <= {TOPK_K}
-    """,
+    """
+
+
+@register(
+    "similarity_ivfadc_topk",
+    # Composes the two deterministic replay chains: the IVF chain owns
+    # the unprefixed e/seeds/assigned names, the PQ chain is emitted
+    # with a pq_ prefix. Probing and encoding are independent pipelines
+    # over the same vectors, exactly as in the Spark operator.
+    oracle=_IVFADC_TOPK_ORACLE,
     tags=("llm", "similarity"),
 )
 def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,6 +2051,39 @@ def _classifier_oracle() -> str:
                ({score} >= {CLS_THRESHOLD!r}) AS label
         FROM t
     """
+
+
+
+@register(
+    "similarity_ivfadc_topk_broadcast",
+    oracle=_IVFADC_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_ivfadc_topk_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with BOTH the coarse centroids and the PQ codebooks
+    carried as single broadcast-joined rows (codebook_strategy=
+    "broadcast") — plan O(1) in n_centroids and m*n_codes, the
+    production configuration for real list/code counts. Result-
+    identical to similarity_ivfadc_topk by construction; same
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    out = similarity.ivfadc_topk(
+        emb,
+        q,
+        "vec_id",
+        "embedding",
+        k=TOPK_K,
+        n_centroids=16,
+        n_probe=4,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        codebook_strategy="broadcast",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "dist2",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register(

@@ -250,15 +250,10 @@ def _py_levenshtein(a: str, b: str) -> int:
 )
 @settings(**_PROP_SETTINGS)
 def test_fuzzy_self_join_equals_bruteforce(spark, strs, k):
+    """BOTH candidate strategies must be lossless — exactly the
+    brute-force Levenshtein pairs — on arbitrary inputs."""
     rows = list(enumerate(strs))
     df = spark.createDataFrame(rows, "id int, s string")
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in __import__(
-            "lambda_refarch_mapreduce_spark.operators.linkage",
-            fromlist=["fuzzy_self_join"],
-        ).fuzzy_self_join(df, "id", "s", k=k).collect()
-    }
     want = set()
     for i, a in rows:
         for j, b in rows:
@@ -266,7 +261,14 @@ def test_fuzzy_self_join_equals_bruteforce(spark, strs, k):
                 d = _py_levenshtein(a, b)
                 if d <= k:
                     want.add((i, j, d))
-    assert got == want
+    for strategy in ("deletion", "edjoin"):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in linkage.fuzzy_self_join(
+                df, "id", "s", k=k, strategy=strategy
+            ).collect()
+        }
+        assert got == want, f"strategy={strategy}"
 
 
 @given(

@@ -265,6 +265,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "similarity_pq_rerank_topk",
         "similarity_ivf_topk",
         "similarity_ivf_topk_broadcast",  # + single-row centroid frame
+        "similarity_ivfadc_topk_broadcast",  # + centroid/codebook frames
         "similarity_ivfadc_topk",
         "semdedup_embeddings",
         "text_unigram_logprob",        # single-row floor/total rows
