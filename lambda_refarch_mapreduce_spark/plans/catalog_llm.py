@@ -3271,3 +3271,151 @@ def embedding_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit_micro_csv"),
         "norm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: RAG-style chunking and collocation mining
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+        WITH tw AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+        st AS (SELECT doc_id, w, len(w) AS n,
+                      unnest(range(1, greatest(len(w), 1) + 1,
+                                   {CHUNK_STRIDE})) AS start
+               FROM tw WHERE len(w) > 0)
+        SELECT doc_id,
+               ((start - 1) / {CHUNK_STRIDE})::BIGINT AS chunk_id,
+               least({CHUNK_TOKENS}, n - start + 1)::BIGINT
+                   AS n_tokens_chunk,
+               array_to_string(w[start : least(start + {CHUNK_TOKENS} - 1,
+                                               n)], ' ') AS chunk_text
+        FROM st
+        WHERE start = 1 OR start + {CHUNK_TOKENS} - 1 <= n + {CHUNK_STRIDE} - 1
+    """,
+    tags=("llm", "text"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: {CHUNK}-token chunks every
+    {STRIDE} tokens (16-token overlap), last partial chunk kept. Pure
+    row-local explode over a sequence of starts — zero shuffle; the
+    chunk id is derivable from the start offset so downstream joins
+    (chunk -> embedding -> doc) need no global numbering. Both engines
+    enumerate identical (doc, start) grids."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    staged = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", "w", F.size("w").alias("n"))
+    )
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+    ex = staged.select(
+        "doc_id", "w", "n", F.explode(starts).alias("start")
+    ).filter(
+        (F.col("start") == 1)
+        | (F.col("start") + CHUNK_TOKENS - 1 <= F.col("n") + CHUNK_STRIDE - 1)
+    )
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens_chunk"),
+        F.array_join(
+            F.slice(
+                F.col("w"),
+                F.col("start"),
+                F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+chunk_documents_overlap.__doc__ = chunk_documents_overlap.__doc__.replace(
+    "{CHUNK}", str(CHUNK_TOKENS)
+).replace("{STRIDE}", str(CHUNK_STRIDE))
+
+PMI_MIN_PAIR = 5
+PMI_TOP = 50
+
+
+@register(
+    "collocations_pmi_top",
+    oracle=f"""
+        WITH tw AS (SELECT {_SQL_TOKENS} AS w FROM documents),
+        big AS (SELECT w[i] AS a, w[i + 1] AS b
+                FROM (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i
+                      FROM tw) x),
+        pc AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+        ua AS (SELECT a, count(*) AS n_a FROM big GROUP BY a),
+        ub AS (SELECT b, count(*) AS n_b FROM big GROUP BY b),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM big),
+        scored AS (SELECT pc.a, pc.b, pc.n_ab,
+                          round(ln(pc.n_ab * (SELECT n FROM tot)
+                                   / (ua.n_a * ub.n_b)), 6) AS pmi
+                   FROM pc JOIN ua ON ua.a = pc.a
+                           JOIN ub ON ub.b = pc.b
+                   WHERE pc.n_ab >= {PMI_MIN_PAIR})
+        SELECT a, b, n_ab::BIGINT AS n_ab, pmi
+        FROM scored ORDER BY pmi DESC, a, b LIMIT {PMI_TOP}
+    """,
+    tags=("llm", "text"),
+)
+def collocations_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{TOP} adjacent-token pairs by pointwise
+    mutual information ln(N·c(a,b) / (c(a·)·c(·b))), support >= {MINP}.
+    One corpus pass emits bigrams; pair/left/right marginals are three
+    vocabulary-sized aggregates joined back on the (small) pair table;
+    the grand total is a broadcast single row; top-N is
+    TakeOrderedAndProject. Marginals are positional (count of bigrams
+    with a as left / b as right), matching the oracle exactly."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+        lambda p: p["b"].isNotNull(),
+    )
+    big = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ua = big.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    ub = big.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = big.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        pc.filter(F.col("n_ab") >= PMI_MIN_PAIR)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("__n") / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("a"), F.col("b")
+    ).limit(PMI_TOP)
+
+
+collocations_pmi_top.__doc__ = collocations_pmi_top.__doc__.replace(
+    "{TOP}", str(PMI_TOP)
+).replace("{MINP}", str(PMI_MIN_PAIR))
