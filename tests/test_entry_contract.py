@@ -65,3 +65,19 @@ def test_queries_md_index_matches_registry():
     cov = open("/root/repo/COVERAGE.md").read()
     assert f"{len(reg_names)} catalog entries" in cov
     assert f"{n_oracle} oracle-backed" in cov
+
+
+def test_bench_headline_names_exist_in_registry():
+    """bench.py's headline set must reference live catalog entries —
+    a renamed/removed entry should fail here, not at bench time in
+    the driver's per-round run."""
+    import bench
+
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+        catalog_llm,
+    )
+
+    missing = [q for q in bench.HEADLINE.values() if q not in catalog.REGISTRY]
+    assert not missing, f"bench.py references unknown entries: {missing}"
