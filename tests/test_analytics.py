@@ -366,3 +366,45 @@ def test_triangle_stats_equals_bruteforce(spark, edges):
     assert row.n_edges == len(und)
     assert row.n_triangles == tri
     assert row.n_wedges == wedges
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Cross-validation of the gap-sessionization semantics: the
+    lag+running-sum batch formulation (catalog sessionize_events) must
+    produce the same per-user session event-counts as Spark's built-in
+    session_window(gap) — two independent implementations of the same
+    30-minute-gap semantics."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        sessionize_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ours = sessionize_events(spark, sf)
+    got = sorted(
+        (r.user_id, r.n_events) for r in ours.collect()
+    )
+    ev = load_table(spark, sf, "events")
+    builtin = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+    )
+    want = sorted((r.user_id, r["count"]) for r in builtin.collect())
+    assert got == want
+
+
+def test_tpch_star_shapes_broadcast_dimensions(spark):
+    """The round-4 TPC-H shapes must broadcast their dimension tables
+    (the fact side shuffles at most once): q8's six-table join and
+    q9's part-pruned profit rollup both show BroadcastHashJoin and no
+    CartesianProduct."""
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        q8_market_share,
+        q9_profit_by_nation_year,
+    )
+
+    for fn in (q8_market_share, q9_profit_by_nation_year):
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
