@@ -305,9 +305,18 @@ def ivf_centroids(
     dim = len(cents[0][1])
     vexpr = _as_double(F.col(vec_col))
     for _ in range(max(refine_iters, 0)):
+        # assignment via the broadcast-joined centroid row
+        # (_assign_lists_col) — bit-identical arithmetic to the
+        # literal form but the per-pass plan stays O(1) in
+        # n_centroids·dim, so Lloyd passes don't pay a fresh
+        # codegen compile of a centroid-literal expression each round
+        # (measured: the compile dominated training time at 16×64)
         means = (
-            corpus.select(
-                _assign_lists(vexpr, cents, 1)[0].alias("list_id"),
+            corpus.crossJoin(_centroids_frame(corpus, cents))
+            .select(
+                _assign_lists_col(vexpr, F.col("__cents"), 1)[0].alias(
+                    "list_id"
+                ),
                 vexpr.alias("v"),
             )
             .groupBy("list_id")
@@ -727,14 +736,21 @@ def pq_codebooks(
     ]
     vexpr = _as_double(F.col(vec_col))
     for _ in range(max(refine_iters, 0)):
-        staged = corpus.select(
+        # broadcast-joined codebooks for the assignment (see
+        # ivf_centroids) — same argmin arithmetic, per-pass plan O(1)
+        # in m·n_codes·sub_dim instead of a fresh literal compile
+        staged = corpus.crossJoin(_codebooks_frame(corpus, books)).select(
+            F.col("__books"),
             *[F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}") for j in range(m)]
         )
         per_sub = F.array(
             *[
                 F.struct(
                     F.lit(j).alias("j"),
-                    _pq_assign(F.col(f"__s{j}"), books[j])["code"].alias("code"),
+                    _pq_assign_col(
+                        F.col(f"__s{j}"),
+                        F.element_at(F.col("__books"), j + 1)["codes"],
+                    )["code"].alias("code"),
                     F.col(f"__s{j}").alias("sv"),
                 )
                 for j in range(m)
