@@ -610,22 +610,36 @@ def simhash_near_pairs(
                 agree = m - max_hamming
                 key_width = agree * (bits // m)
                 n_tables = math.comb(m, agree)
-                if n_tables > _SIMHASH_MAX_TABLES:
+                if n_tables > _SIMHASH_MAX_TABLES or bits // m == 0:
                     break
                 choice = (m, agree)
                 if (1 << key_width) * 128 >= n:
                     break
-            m, agree = choice
-            if (1 << (agree * (bits // m))) * 128 < n:
+            if choice is None:
+                # even the smallest block-combination scheme exceeds
+                # the table cap (large max_hamming relative to bits):
+                # fall back to minimal single-band probing, loudly
                 warnings.warn(
-                    f"simhash_near_pairs: corpus of {n} docs exceeds the "
-                    f"bucket space of the largest capped probe scheme "
-                    f"({m} blocks / agree-{agree}); expect superlinear "
-                    f"candidates — raise `bits` for a wider fingerprint.",
+                    f"simhash_near_pairs: no capped multi-table scheme "
+                    f"exists for bits={bits}, max_hamming={max_hamming}; "
+                    f"falling back to {simple_bands}-band probing — "
+                    f"expect superlinear candidates at {n} docs.",
                     stacklevel=2,
                 )
-            band_structs = _simhash_block_tables(bits, m, agree)
-            return _simhash_join(sig, band_structs, max_hamming)
+                bands = simple_bands
+            else:
+                m, agree = choice
+                if (1 << (agree * (bits // m))) * 128 < n:
+                    warnings.warn(
+                        f"simhash_near_pairs: corpus of {n} docs exceeds "
+                        f"the bucket space of the largest capped probe "
+                        f"scheme ({m} blocks / agree-{agree}); expect "
+                        f"superlinear candidates — raise `bits` for a "
+                        f"wider fingerprint.",
+                        stacklevel=2,
+                    )
+                band_structs = _simhash_block_tables(bits, m, agree)
+                return _simhash_join(sig, band_structs, max_hamming)
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding is only exact when max_hamming <= bands-1; got "

@@ -1697,3 +1697,32 @@ def test_winnow_pairs_finds_local_overlap(spark):
     pairs = winnow_overlap_pairs(df, "doc_id", "text").collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert pairs[0].shared_fingerprints >= 2
+
+
+def test_simhash_auto_falls_back_when_no_capped_scheme(spark):
+    """Large max_hamming relative to bits leaves no block-combination
+    scheme under the table cap — auto must fall back to single-band
+    probing (with a warning) instead of crashing, and stay exact."""
+    import warnings as _w
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = dedup.simhash_near_pairs(
+            docs, "doc_id", "text", bits=60, max_hamming=22,
+            n_docs=10_000_000,
+        ).collect()
+    assert any("no capped multi-table scheme" in str(x.message) for x in rec)
+    # still exact: brute-force hamming over the signatures
+    sig = {r.id: r.simhash for r in dedup.simhash(
+        docs, "doc_id", "text", 60
+    ).selectExpr("id", "simhash").collect()}
+    want = {
+        (a, b)
+        for a in sig for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 22
+    }
+    assert {(r.id_a, r.id_b) for r in out} == want
