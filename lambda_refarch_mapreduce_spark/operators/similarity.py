@@ -1064,32 +1064,55 @@ def ivfadc_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, dist2 double, rank long"
         )
+    coded = ivfadc_encode(
+        corpus, cents, books, id_col, vec_col, codebook_strategy
+    )
+    return ivfadc_search(
+        coded, queries, cents, books, id_col, vec_col, k, n_probe,
+        codebook_strategy,
+    )
+
+
+def ivfadc_encode(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook_strategy: str = "literal",
+) -> DataFrame:
+    """The IVFADC index-build pass: one projection over the raw
+    vectors emits (neighbor_id, list_id, codes) — coarse assignment
+    and PQ encoding share the scan, so the float vectors are read
+    exactly once and the searchable index is ~(8 + 1 + m)
+    bytes/vector. Centroids/codebooks are FROZEN inputs (train with
+    ivf_centroids / pq_codebooks), which is what lets a streaming
+    ingest (streaming/ann.py) encode micro-batches incrementally
+    against a stable index layout."""
     if codebook_strategy not in ("literal", "broadcast"):
         raise ValueError(
             f"codebook_strategy must be 'literal' or 'broadcast', "
             f"got {codebook_strategy!r}"
         )
     bcast = codebook_strategy == "broadcast"
-    sub = len(books[0][0][1])
+    sub = len(codebooks[0][0][1])
     vexpr = _as_double(F.col(vec_col))
     corpus_side = ensure_parallelism(corpus)
-    query_side = queries
     if bcast:
-        cents_row = _centroids_frame(corpus, cents)
-        books_row = _codebooks_frame(corpus, books)
-        corpus_side = corpus_side.crossJoin(cents_row).crossJoin(books_row)
-        query_side = query_side.crossJoin(cents_row).crossJoin(books_row)
-
-    def _assign(n_lists: int):
-        if bcast:
-            return _assign_lists_col(vexpr, F.col("__cents"), n_lists)
-        return _assign_lists(vexpr, cents, n_lists)
-
+        corpus_side = corpus_side.crossJoin(
+            _centroids_frame(corpus, centroids)
+        ).crossJoin(_codebooks_frame(corpus, codebooks))
+        assign = _assign_lists_col(vexpr, F.col("__cents"), 1)
+    else:
+        assign = _assign_lists(vexpr, centroids, 1)
     staged = corpus_side.select(
         F.col(id_col).alias("neighbor_id"),
         *([F.col("__books")] if bcast else []),
-        _assign(1)[0].alias("list_id"),
-        *[F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}") for j in range(len(books))],
+        assign[0].alias("list_id"),
+        *[
+            F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}")
+            for j in range(len(codebooks))
+        ],
     )
     if bcast:
         code_arr = F.array(
@@ -1098,22 +1121,59 @@ def ivfadc_topk(
                     F.col(f"__s{j}"),
                     F.element_at(F.col("__books"), j + 1)["codes"],
                 )["code"]
-                for j in range(len(books))
+                for j in range(len(codebooks))
             ]
         )
     else:
         code_arr = F.array(
-            *[_pq_assign(F.col(f"__s{j}"), books[j])["code"] for j in range(len(books))]
+            *[
+                _pq_assign(F.col(f"__s{j}"), codebooks[j])["code"]
+                for j in range(len(codebooks))
+            ]
         )
-    coded = staged.select("neighbor_id", "list_id", code_arr.alias("codes"))
+    return staged.select("neighbor_id", "list_id", code_arr.alias("codes"))
+
+
+def ivfadc_search(
+    coded: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    codebook_strategy: str = "literal",
+) -> DataFrame:
+    """The IVFADC serve pass over a pre-encoded index ``coded`` =
+    (neighbor_id, list_id, codes): queries broadcast with raw
+    sub-vectors, probe ``n_probe`` lists, ADC-score only the pruned
+    code rows, WindowGroupLimit top-k. The index side never touches
+    raw floats — the m-byte codes ARE the scan."""
+    if codebook_strategy not in ("literal", "broadcast"):
+        raise ValueError(
+            f"codebook_strategy must be 'literal' or 'broadcast', "
+            f"got {codebook_strategy!r}"
+        )
+    bcast = codebook_strategy == "broadcast"
+    sub = len(codebooks[0][0][1])
+    vexpr = _as_double(F.col(vec_col))
+    query_side = queries
+    if bcast:
+        query_side = query_side.crossJoin(
+            _centroids_frame(queries, centroids)
+        ).crossJoin(_codebooks_frame(queries, codebooks))
+        probe = _assign_lists_col(vexpr, F.col("__cents"), n_probe)
+    else:
+        probe = _assign_lists(vexpr, centroids, n_probe)
     q = F.broadcast(
         query_side.select(
             F.col(id_col).alias("query_id"),
             *([F.col("__books")] if bcast else []),
-            F.explode(_assign(n_probe)).alias("list_id"),
+            F.explode(probe).alias("list_id"),
             *[
                 F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
-                for j in range(len(books))
+                for j in range(len(codebooks))
             ],
         )
     )
@@ -1133,7 +1193,7 @@ def ivfadc_topk(
             lambda a, x: a + x,
         )
 
-    dist = sum((_sub_d2(j, cb) for j, cb in enumerate(books)), F.lit(0.0))
+    dist = sum((_sub_d2(j, cb) for j, cb in enumerate(codebooks)), F.lit(0.0))
     # corpus vector lives in exactly one list and a query's probe lists
     # are distinct -> (query, neighbor) pairs already unique, no dedup
     scored = (

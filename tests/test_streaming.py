@@ -581,3 +581,59 @@ def test_python_datasource_streaming_batches(spark, tmp_path):
             assert rows[i] == synth_doc(0, i, 10, 0)
     # downstream relational ops compose
     assert got.groupBy("source").agg(F.count(F.lit(1))).count() <= 5
+
+
+def test_streaming_ann_index_matches_batch_ivfadc(spark, tmp_path):
+    """Streaming ANN ingest (streaming/ann.py): embeddings arrive in
+    parquet chunks, each micro-batch is encoded against frozen
+    centroids/codebooks and appended to the index; searching the
+    committed index must return EXACTLY what batch ivfadc_topk
+    computes over the same corpus with the same quantizers — the
+    streaming path changes the arrival schedule, never the answer."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators import similarity
+    from lambda_refarch_mapreduce_spark.streaming import ann
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.ivf_centroids(emb, "vec_id", "embedding", 8, 1)
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", 8, 8)
+
+    # corpus arrives as three chunks
+    src = str(tmp_path / "vec_src")
+    emb.withColumn("_chunk", F.pmod(F.col("vec_id"), F.lit(3))).write.partitionBy(
+        "_chunk"
+    ).parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src + "/_chunk=*")
+
+    index_dir = str(tmp_path / "ann_index")
+    q = ann.ingest_embedding_stream(
+        stream, cents, books, index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id, r.dist2, r.rank)
+        for r in ann.search_index(
+            spark, index_dir, queries, cents, books, k=5, n_probe=3
+        ).collect()
+    }
+    coded = similarity.ivfadc_encode(
+        emb, cents, books, codebook_strategy="broadcast"
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.dist2, r.rank)
+        for r in similarity.ivfadc_search(
+            coded, queries, cents, books, k=5, n_probe=3,
+            codebook_strategy="broadcast",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the index is committed-batch clean: every code row belongs to a
+    # committed batch and every vector is indexed exactly once
+    codes = ann.read_committed_codes(spark, index_dir)
+    assert codes.count() == emb.count()
+    assert codes.select("neighbor_id").distinct().count() == emb.count()
