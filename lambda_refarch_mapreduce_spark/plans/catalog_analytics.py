@@ -1547,3 +1547,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("duration_s"),
     )
+
+
+@register(
+    "fuzzy_match_customers_k2",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("linkage",),
+)
+def fuzzy_match_customers_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=2 regime of the deletion-neighborhood join: each string
+    emits O(len²) two-deletion variant digests (still row-local), and
+    the equi-join on digests remains exact-recall — the SymDelete
+    soundness argument holds per deletion count. Distinct from the
+    k=1 entry because the variant family, candidate shape and verify
+    set all change with k."""
+    return linkage.fuzzy_self_join(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        k=2,
+        block_col="c_nationkey",
+    )
