@@ -56,6 +56,7 @@ HEADLINE = {
     "q_market_share": "q8_market_share",
     "q_waiting_suppliers": "q21_waiting_suppliers",
     "q_ivf_broadcast": "similarity_ivf_topk_broadcast",
+    "q_ewma_hof": "ewma_user_value_hof",
 }
 
 

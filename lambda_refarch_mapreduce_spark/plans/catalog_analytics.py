@@ -1575,3 +1575,48 @@ def fuzzy_match_customers_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=2,
         block_col="c_nationkey",
     )
+
+
+@register(
+    "ewma_user_value_hof",
+    oracle=f"""
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               round(list_reduce(
+                   list(value::DOUBLE ORDER BY ts, event_id),
+                   (acc, x) -> {EWMA_ALPHA!r}::DOUBLE * x
+                               + {1.0 - EWMA_ALPHA!r}::DOUBLE * acc), 6)
+                   AS ewma
+        FROM events GROUP BY user_id
+    """,
+    tags=("analytics",),
+)
+def ewma_user_value_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user EWMA recursion as ewma_user_value, but pure
+    Catalyst: collect each user's (ts, event_id, value) structs,
+    array_sort, and fold with the `aggregate` higher-order function
+    seeded by the first element — literally the oracle's list_reduce,
+    executed in codegen with no Python/Arrow seam. A window can't
+    express the recursion (each output needs the full prior fold),
+    but an array fold can; per-group memory is one sorted array,
+    identical to what the applyInPandas variant holds in its pandas
+    frame. Registered alongside the seam version as the fast twin."""
+    a = EWMA_ALPHA
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ),
+        lambda s: s["value"].cast("double"),
+    )
+    folded = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(a) * x + F.lit(1.0 - a) * acc
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(folded, 6).alias("ewma"),
+    )
