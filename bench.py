@@ -57,6 +57,7 @@ HEADLINE = {
     "q_waiting_suppliers": "q21_waiting_suppliers",
     "q_ivf_broadcast": "similarity_ivf_topk_broadcast",
     "q_ewma_hof": "ewma_user_value_hof",
+    "q_pq_broadcast": "similarity_pq_topk_broadcast",
 }
 
 
