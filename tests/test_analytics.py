@@ -408,3 +408,36 @@ def test_tpch_star_shapes_broadcast_dimensions(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_chunk_overlap_boundaries(spark, tmp_path):
+    """Hand-computed chunk grids for the sliding-window chunker
+    (64-token chunks / 48-token stride): exact-multiple, one-over,
+    shorter-than-chunk, and the contained-tail case where the last
+    start would add < 16 new tokens and must be dropped."""
+    from lambda_refarch_mapreduce_spark.plans.catalog_llm import (
+        chunk_documents_overlap,
+    )
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(64))),    # exactly one chunk
+        (2, " ".join(f"t{i}" for i in range(65))),    # 49..65 adds 17 new
+        (3, " ".join(f"t{i}" for i in range(10))),    # short: one partial
+        (4, " ".join(f"t{i}" for i in range(100))),   # start 97 contained
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        src + "/documents.parquet"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r.n_tokens_chunk
+        for r in chunk_documents_overlap(spark, src).collect()
+    }
+    assert out == {
+        (1, 0): 64,
+        (2, 0): 64,
+        (2, 1): 17,   # start 49, tokens 49..65
+        (3, 0): 10,
+        (4, 0): 64,
+        (4, 1): 52,   # start 49, tokens 49..100; start 97 dropped
+    }
