@@ -81,3 +81,22 @@ def test_bench_headline_names_exist_in_registry():
 
     missing = [q for q in bench.HEADLINE.values() if q not in catalog.REGISTRY]
     assert not missing, f"bench.py references unknown entries: {missing}"
+
+
+def test_plans_md_covers_bench_headline():
+    """Drift guard (VERDICT r4 'what's wrong' #2): PLANS.md is the
+    generated plan-audit artifact for the bench headline set — every
+    headline key must have a plan section, so adding a bench query
+    without regenerating fails CI instead of silently staling.
+    Regenerate with: python tools/dump_plans.py > PLANS.md"""
+    import re
+
+    import bench
+
+    text = open("/root/repo/PLANS.md").read()
+    sections = set(re.findall(r"^## (\S+) — ", text, re.M))
+    missing = sorted(set(bench.HEADLINE) - sections)
+    assert not missing, (
+        f"PLANS.md lacks plan sections for bench headline keys "
+        f"{missing} — regenerate with tools/dump_plans.py"
+    )
