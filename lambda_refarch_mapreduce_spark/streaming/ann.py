@@ -13,7 +13,9 @@ build-once/serve-many split the batch tier already exposes
 - TRAIN once, offline: ivf_centroids + pq_codebooks on a bootstrap
   sample. The quantizers must be frozen for the index layout to be
   stable — re-training would re-bucket history (the standard IVF
-  operating model; re-train + re-encode is a batch job, not a stream).
+  operating model; re-train + re-encode is a batch job, not a stream —
+  shipped below as retrain_index: fresh quantizers + full re-encode
+  into a new generation directory + an atomic CURRENT pointer flip).
 - INGEST continuously: each micro-batch is one ivfadc_encode
   projection (row-local; the only shuffle is the partitioned write).
 - SERVE anytime: ivfadc_search over the committed code rows.
@@ -142,4 +144,189 @@ def search_index(
         k,
         n_probe,
         codebook_strategy="broadcast",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: generations + batch re-train / re-encode / atomic swap
+# ---------------------------------------------------------------------------
+# The frozen-quantizer contract above keeps INGEST incremental; when
+# drift accumulates (recon_err creeping up, list skew), the fix is a
+# BATCH job, not a stream: train fresh quantizers on the raw vectors,
+# re-encode everything into a brand-new generation directory, and flip
+# one pointer file. Serving reads through the pointer, so the swap is
+# atomic from the reader's perspective and the old generation remains
+# intact (instant rollback = write the old name back).
+#
+# Layout:
+#   index_dir/
+#     CURRENT            # text file naming the live generation
+#     gen-000001/
+#       quantizers/      # parquet: (kind, j, cid, vec) — self-contained serve
+#       codes/_batch_id=N/list_id=.../
+#       commits/
+#     gen-000002/        # next retrain output
+#
+# The pointer flip uses write-temp + os.replace — atomic on POSIX
+# filesystems. On an object store, replace CURRENT with the
+# metastore/conditional-put pointer of your platform; everything else
+# (immutable generation dirs, commit logs) is object-store-safe as-is.
+#
+# The bulk re-encode commits under _batch_id=-1 (reserved): streaming
+# batch ids are >= 0, so an ingest stream restarted against the new
+# generation (fresh checkpoint) never collides with the bootstrap load.
+
+_BOOTSTRAP_BATCH_ID = -1
+_QUANT_SCHEMA = "kind string, j int, cid int, vec array<double>"
+
+
+def _gen_path(index_dir: str, n: int) -> str:
+    return os.path.join(index_dir, f"gen-{n:06d}")
+
+
+def current_generation(index_dir: str) -> int:
+    """The live generation number (0 if no CURRENT pointer exists —
+    a legacy/flat index at ``index_dir`` itself)."""
+    try:
+        with open(os.path.join(index_dir, "CURRENT")) as fh:
+            return int(fh.read().strip().rsplit("-", 1)[1])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def current_generation_dir(index_dir: str) -> str:
+    """Resolve the live generation directory through the CURRENT
+    pointer; a pointer-less index (the flat layout ingest writes) is
+    its own generation."""
+    n = current_generation(index_dir)
+    return _gen_path(index_dir, n) if n > 0 else index_dir
+
+
+def _flip_current(index_dir: str, n: int) -> None:
+    tmp = os.path.join(index_dir, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"gen-{n:06d}\n")
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))  # POSIX-atomic
+
+
+def save_quantizers(
+    spark: SparkSession,
+    gen_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> None:
+    """Persist the generation's quantizers beside its codes so the
+    index serves without any driver-side state (and a reader can never
+    pair codes with the wrong quantizer version)."""
+    rows = [("cent", 0, cid, list(map(float, v))) for cid, v in centroids]
+    for j, cb in enumerate(codebooks):
+        rows.extend(("book", j, cid, list(map(float, v))) for cid, v in cb)
+    spark.createDataFrame(rows, _QUANT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gen_dir, "quantizers"))
+
+
+def load_quantizers(
+    spark: SparkSession, gen_dir: str
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """(centroids, codebooks) back from a generation directory."""
+    rows = spark.read.parquet(os.path.join(gen_dir, "quantizers")).collect()
+    cents = sorted(
+        ((r.cid, list(r.vec)) for r in rows if r.kind == "cent"),
+        key=lambda t: t[0],
+    )
+    by_j: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        if r.kind == "book":
+            by_j.setdefault(r.j, []).append((r.cid, list(r.vec)))
+    books = [sorted(by_j[j], key=lambda t: t[0]) for j in sorted(by_j)]
+    if not cents or not books:
+        raise ValueError(
+            f"no quantizers persisted under {gen_dir!r} — was this "
+            "generation written by retrain_index/init_index?"
+        )
+    return cents, books
+
+
+def init_index(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> str:
+    """Create generation 1 (quantizers only, empty codes) and point
+    CURRENT at it. Returns the generation directory — pass it to
+    ingest_embedding_stream as the index dir."""
+    gen_dir = _gen_path(index_dir, 1)
+    save_quantizers(spark, gen_dir, centroids, codebooks)
+    _flip_current(index_dir, 1)
+    return gen_dir
+
+
+def retrain_index(
+    spark: SparkSession,
+    index_dir: str,
+    raw_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+) -> str:
+    """The batch re-train + re-encode + swap job the frozen-quantizer
+    ingest defers to: train fresh quantizers on ``raw_vectors`` (the
+    archived full corpus — codes are lossy, so re-training always goes
+    back to the raw vectors), re-encode everything into generation
+    N+1, then atomically flip CURRENT. One scan of the raw vectors
+    (ivfadc_encode shares the coarse-assign and PQ projections), one
+    partitioned write; the old generation stays untouched for
+    rollback/in-flight readers. Returns the new generation dir."""
+    cents = similarity.ivf_centroids(
+        raw_vectors, id_col, vec_col, n_centroids, refine_iters
+    )
+    books = similarity.pq_codebooks(
+        raw_vectors, id_col, vec_col, m, n_codes, refine_iters
+    )
+    if not cents or not books:
+        raise ValueError("retrain_index: raw_vectors trained empty quantizers")
+    new_n = current_generation(index_dir) + 1
+    gen_dir = _gen_path(index_dir, new_n)
+    coded = similarity.ivfadc_encode(
+        raw_vectors, cents, books, id_col, vec_col,
+        codebook_strategy="broadcast",
+    )
+    (
+        coded.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(
+            os.path.join(gen_dir, "codes", f"_batch_id={_BOOTSTRAP_BATCH_ID}")
+        )
+    )
+    spark.createDataFrame(
+        [(_BOOTSTRAP_BATCH_ID,)], "batch_id bigint"
+    ).write.mode("append").parquet(os.path.join(gen_dir, "commits"))
+    save_quantizers(spark, gen_dir, cents, books)
+    _flip_current(index_dir, new_n)  # swap LAST: readers never see a
+    # partially-built generation
+    return gen_dir
+
+
+def search_current(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVFADC top-k against the LIVE generation: resolve CURRENT, load
+    that generation's own persisted quantizers, search its committed
+    codes. Quantizers and codes always come from the same generation,
+    so a concurrent swap can never mix index versions."""
+    gen_dir = current_generation_dir(index_dir)
+    cents, books = load_quantizers(spark, gen_dir)
+    return search_index(
+        spark, gen_dir, queries, cents, books, id_col, vec_col, k, n_probe
     )

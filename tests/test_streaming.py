@@ -637,3 +637,83 @@ def test_streaming_ann_index_matches_batch_ivfadc(spark, tmp_path):
     codes = ann.read_committed_codes(spark, index_dir)
     assert codes.count() == emb.count()
     assert codes.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_ann_retrain_swap_search_equivalence(spark, tmp_path):
+    """Index lifecycle (streaming/ann.py generations): bootstrap a
+    generation with frozen quantizers, stream-ingest half the corpus,
+    then run the batch retrain job (fresh quantizers on the FULL raw
+    corpus, full re-encode, atomic CURRENT flip). search_current must
+    equal batch ivfadc_topk over the same corpus before AND after the
+    swap, and the old generation must stay intact for rollback."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators import similarity
+    from lambda_refarch_mapreduce_spark.streaming import ann
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    cents0 = similarity.ivf_centroids(half, "vec_id", "embedding", 8, 1)
+    books0 = similarity.pq_codebooks(half, "vec_id", "embedding", 8, 8)
+
+    index_dir = str(tmp_path / "ann_lifecycle")
+    gen1 = ann.init_index(spark, index_dir, cents0, books0)
+    assert gen1.endswith("gen-000001")
+    assert ann.current_generation(index_dir) == 1
+    # persisted quantizers roundtrip exactly
+    assert ann.load_quantizers(spark, gen1) == (cents0, books0)
+
+    # stream the bootstrap half into generation 1
+    src = str(tmp_path / "vec_src")
+    half.withColumn("_chunk", F.pmod(F.col("vec_id"), F.lit(4))).write.partitionBy(
+        "_chunk"
+    ).parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src + "/_chunk=*")
+    q = ann.ingest_embedding_stream(
+        stream, cents0, books0, gen1, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return {(r.query_id, r.neighbor_id, r.dist2, r.rank) for r in df.collect()}
+
+    got1 = rows(ann.search_current(spark, index_dir, queries, k=5, n_probe=3))
+    want1 = rows(
+        similarity.ivfadc_search(
+            similarity.ivfadc_encode(half, cents0, books0),
+            queries, cents0, books0, k=5, n_probe=3,
+        )
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    # batch retrain on the FULL raw corpus -> generation 2 + swap
+    gen2 = ann.retrain_index(
+        spark, index_dir, emb, n_centroids=8, m=8, n_codes=8
+    )
+    assert gen2.endswith("gen-000002")
+    assert ann.current_generation(index_dir) == 2
+
+    got2 = rows(ann.search_current(spark, index_dir, queries, k=5, n_probe=3))
+    want2 = rows(
+        similarity.ivfadc_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=3, m=8, n_codes=8
+        )
+    )
+    assert got2 == want2 and len(got2) > 0
+    # the retrain actually changed the answer basis (new corpus ->
+    # new quantizers -> generally different neighbors); if these were
+    # equal the swap test would be vacuous
+    assert got2 != got1
+
+    # rollback safety: generation 1 is untouched and still serves
+    cents1, books1 = ann.load_quantizers(spark, gen1)
+    still = rows(
+        ann.search_index(
+            spark, gen1, queries, cents1, books1, k=5, n_probe=3
+        )
+    )
+    assert still == got1
