@@ -251,3 +251,46 @@ def interval_self_join(
             (F.col("t_b") - F.col("t_a")).cast("bigint").alias("micros_apart"),
         )
     )
+
+
+def gap_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based batch sessionization — the batch twin of the streaming
+    session window (streaming/events.py): ``gap_s`` of inactivity
+    closes a session. lag() marks session starts, a running sum
+    numbers them, one aggregation emits per-session stats. Two window
+    passes + one groupBy, all partitioned by ``user_col``, so the
+    whole computation is ONE hash shuffle of the input at any scale.
+
+    ``order_cols`` breaks timestamp ties deterministically (defaults
+    to [ts_col]; pass [ts_col, event_id] when timestamps can repeat).
+    Returns (user_col, session_id, n_events, duration_s)."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    gap_us = gap_s * 1_000_000
+    prev = F.lag(ts_col).over(w)
+    marked = df.withColumn(
+        "__is_new",
+        F.when(
+            prev.isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("__is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / 1e6,
+            3,
+        ).alias("duration_s"),
+    )

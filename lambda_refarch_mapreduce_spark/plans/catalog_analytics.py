@@ -1520,40 +1520,137 @@ SESSION_GAP_S = 1800
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (30-min inactivity closes a
-    session) — the batch twin of the streaming session window: lag()
-    marks session starts, a running sum numbers them, one aggregation
-    emits per-session stats. Two window passes + one groupBy, all
-    partitioned by user_id, so the whole query is ONE hash shuffle
-    of the events table at any scale."""
-    from pyspark.sql.window import Window
+    session) via operators.relational.gap_sessionize — the batch twin
+    of the streaming session window: lag() marks session starts, a
+    running sum numbers them, one aggregation emits per-session stats.
+    Two window passes + one groupBy, all partitioned by user_id, so
+    the whole query is ONE hash shuffle of the events table at any
+    scale."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        gap_sessionize,
+    )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_S * 1_000_000
-    marked = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros(F.col("ts"))
-                - F.unix_micros(F.lag("ts").over(w))
-                > gap_us
-            ),
-            1,
-        ).otherwise(0),
+    return gap_sessionize(
+        ev, "user_id", "ts", ["ts", "event_id"], SESSION_GAP_S
     )
-    sessioned = marked.withColumn(
-        "session_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+
+
+@register(
+    "jobspec_sessionize_stats",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events),
+        m AS (SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev)
+                                  > {SESSION_GAP_S} * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM o),
+        s AS (SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM m),
+        g AS (SELECT user_id, session_id,
+                     count(*) AS n_events,
+                     round((epoch_us(max(ts)) - epoch_us(min(ts)))
+                           / 1000000.0, 3) AS duration_s
+              FROM s GROUP BY user_id, session_id)
+        SELECT user_id, count(*)::BIGINT AS n_sessions,
+               sum(n_events)::BIGINT AS total_events,
+               max(n_events)::BIGINT AS max_events,
+               round(max(duration_s), 3) AS max_duration_s
+        FROM g GROUP BY user_id
+    """,
+    tags=("analytics", "jobspec", "timeseries"),
+)
+def jobspec_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative layer composing the sessionization tier: a
+    JobSpec ``sessionize`` clause (lowering onto
+    operators.relational.gap_sessionize — one hash shuffle) followed
+    by ordinary spec aggregates over the per-session rows, the
+    "sessionize, then summarize per user" pipeline an events consumer
+    chains next. Per-user aggregates are chosen engine-stable: counts
+    and sums of exact ints, max of the already-3dp-rounded duration
+    (max is summation-order-free, unlike a float sum)."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        # events needs the nanosecond-timestamp loader, so it rides in
+        # as a pre-built frame (the spec's df passthrough)
+        source={"df": _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")},
+        sessionize={
+            "user": "user_id",
+            "ts": "ts",
+            "order": ["ts", "event_id"],
+            "gap_s": SESSION_GAP_S,
+        },
+        group_by=["user_id"],
+        aggs={
+            "n_sessions": "count(1)",
+            "total_events": "sum(n_events)",
+            "max_events": "max(n_events)",
+            "max_duration_s": "round(max(duration_s), 3)",
+        },
     )
-    return sessioned.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-            / 1e6,
-            3,
-        ).alias("duration_s"),
+    return build(spark, spec)
+
+
+@register(
+    "jobspec_fuzzy_linkage",
+    oracle="""
+        WITH p AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE a.c_acctbal >= 0 AND b.c_acctbal >= 0
+              AND levenshtein(a.c_name, b.c_name) <= 1)
+        SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_pairs,
+               min(id_a)::BIGINT AS min_id_a,
+               max(id_b)::BIGINT AS max_id_b
+        FROM p GROUP BY dist
+    """,
+    tags=("analytics", "jobspec", "linkage"),
+)
+def jobspec_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative layer composing the record-linkage tier: spec
+    filter (solvent customers) → ``fuzzy_join`` clause (lowering onto
+    operators.linkage.fuzzy_self_join — deletion-signature candidates,
+    nation-blocked, never all-pairs) → select → aggregates over the
+    matched pairs. The oracle brute-forces the blocked pair space at
+    sf0.01; the spec plan must agree while staying candidate-pruned."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{sf_dir}/customer.parquet"},
+        filter="c_acctbal >= 0",
+        fuzzy_join={
+            "id": "c_custkey",
+            "text": "c_name",
+            "k": 1,
+            "block": "c_nationkey",
+        },
+        select={
+            "dist": "cast(dist as bigint)",
+            "id_a": "id_a",
+            "id_b": "id_b",
+        },
+        group_by=["dist"],
+        aggs={
+            "n_pairs": "count(1)",
+            "min_id_a": "min(id_a)",
+            "max_id_b": "max(id_b)",
+        },
     )
+    return build(spark, spec)
 
 
 @register(

@@ -72,6 +72,19 @@ class JobSpec:
     # the span-excision shuffles (digest window + rebuild).
     prep: list[dict] = field(default_factory=list)
     filter: str | None = None
+    # Reshaping stages (applied after filter, before select) — each
+    # REPLACES the row shape, so downstream select/aggs see the new
+    # columns:
+    #   sessionize={"user": col, "ts": col, "order": [cols], "gap_s": N}
+    #     -> (user, session_id, n_events, duration_s) per session
+    #     (operators.relational.gap_sessionize: one hash shuffle).
+    #   fuzzy_join={"id": col, "text": col, "k": 1, "block": col?,
+    #               "strategy": "auto"}
+    #     -> (id_a, id_b, dist): all pairs within Levenshtein k
+    #     (operators.linkage.fuzzy_self_join: deletion-signature /
+    #     Ed-Join candidates, never all-pairs).
+    sessionize: dict | None = None
+    fuzzy_join: dict | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
     group_by: list[str] = field(default_factory=list)
     aggs: dict[str, str] | None = None  # alias -> SQL aggregate expression
@@ -260,6 +273,33 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         df = _apply_prep(df, step)
     if spec.filter:
         df = df.filter(F.expr(spec.filter))
+    if spec.sessionize:
+        from lambda_refarch_mapreduce_spark.operators.relational import (
+            gap_sessionize,
+        )
+
+        s = spec.sessionize
+        df = gap_sessionize(
+            df,
+            s.get("user", "user_id"),
+            s.get("ts", "ts"),
+            s.get("order"),
+            int(s.get("gap_s", 1800)),
+        )
+    if spec.fuzzy_join:
+        from lambda_refarch_mapreduce_spark.operators.linkage import (
+            fuzzy_self_join,
+        )
+
+        fj = spec.fuzzy_join
+        df = fuzzy_self_join(
+            df,
+            fj.get("id", "doc_id"),
+            fj.get("text", "text"),
+            k=int(fj.get("k", 1)),
+            block_col=fj.get("block"),
+            strategy=fj.get("strategy", "auto"),
+        )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])
     if spec.map_udf is not None:

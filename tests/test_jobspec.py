@@ -271,3 +271,56 @@ def test_prep_domain_cap_and_dedup_spans(spark):
     assert rows[2].text == "tail words here"
     assert rows[2].source == "a"
     assert rows[4].text == "fresh unique content"
+
+
+def test_sessionize_clause_numbers_and_aggregates(spark):
+    """sessionize replaces the row shape with per-session stats that
+    downstream spec aggregates consume: a 40-min gap splits sessions
+    at gap_s=1800, and ties on ts break by the order column."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0), 10),
+            (1, ts(10), 11),   # same session (10 min gap)
+            (1, ts(60), 12),   # 50 min gap -> new session
+            (2, ts(0), 20),    # one single-event session
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        sessionize={"user": "user_id", "ts": "ts",
+                    "order": ["ts", "event_id"], "gap_s": 1800},
+        group_by=["user_id"],
+        aggs={"n_sessions": "count(1)", "total_events": "sum(n_events)"},
+    )
+    got = {r.user_id: (r.n_sessions, r.total_events)
+           for r in run_jobspec(spark, spec).collect()}
+    assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_fuzzy_join_clause_filters_then_pairs(spark):
+    """fuzzy_join runs AFTER the spec filter (filtered rows never pair)
+    and yields exactly the Levenshtein<=k pairs."""
+    df = spark.createDataFrame(
+        [
+            (1, "martha", 1),
+            (2, "marhta", 1),   # 2 edits from martha -> excluded at k=1
+            (3, "marthe", 1),   # 1 edit from martha
+            (4, "martha", 0),   # filtered out before pairing
+        ],
+        "id bigint, name string, keep int",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        filter="keep = 1",
+        fuzzy_join={"id": "id", "text": "name", "k": 1},
+    )
+    got = {(r.id_a, r.id_b, r.dist) for r in run_jobspec(spark, spec).collect()}
+    assert got == {(1, 3, 1)}

@@ -280,6 +280,10 @@ def test_registry_wide_no_cartesian_product(spark):
         "similarity_ivf_topk_broadcast",  # + single-row centroid frame
         "similarity_ivfadc_topk_broadcast",  # + centroid/codebook frames
         "similarity_ivfadc_topk",
+        "embedding_pq_codes",          # single-row codebook frame
+        # (broadcast is the operator default since round 5)
+        "hll_sketch_rollup_users",     # single-row exact-total term for
+        # the ALL-row bounded-error verdict
         "semdedup_embeddings",
         "text_unigram_logprob",        # single-row floor/total rows
         "text_bigram_logprob",         # single-row (V,) row
