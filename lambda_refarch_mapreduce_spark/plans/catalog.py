@@ -1860,6 +1860,60 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_BITS = 10
+_Z_FILE_SHIFT = 12  # 2^20 z-space / 2^12 = 256 file buckets
+_Z_TERMS_SQL = " + ".join(
+    f"(((a >> {j}) & 1) * {1 << (2 * j)}) + "
+    f"(((b >> {j}) & 1) * {1 << (2 * j + 1)})"
+    for j in range(_Z_BITS)
+)
+
+
+@register(
+    "zorder_layout_lineitem",
+    oracle=f"""
+        WITH m AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b
+                   FROM lineitem),
+        z AS (SELECT a, b, ({_Z_TERMS_SQL}) AS zv FROM m)
+        SELECT (zv // {1 << _Z_FILE_SHIFT})::BIGINT AS file_id,
+               count(*)::BIGINT AS n_rows,
+               min(a)::BIGINT AS min_part, max(a)::BIGINT AS max_part,
+               min(b)::BIGINT AS min_supp, max(b)::BIGINT AS max_supp
+        FROM z GROUP BY 1
+    """,
+    tags=("layout", "scale"),
+)
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planning: interleave the low 10 bits of
+    two filter dimensions (partkey/suppkey buckets) so range-
+    partitioning on ONE key (partitioning.z_value) co-locates rows
+    that are close in BOTH — per-file min/max stats become tight on
+    both columns at once, which is what lets a 100TB scan skip files
+    for predicates on either dimension (single-column sort only gives
+    one). The entry emits the per-file-bucket stats a layout job would
+    write as its manifest: z is row-local codegen bit arithmetic, the
+    only exchange is the stats groupBy (in production, the
+    repartitionByRange(z) write itself)."""
+    from lambda_refarch_mapreduce_spark.partitioning import z_value
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(1024)).alias("a"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).alias("b"),
+    )
+    z = z_value(F.col("a"), F.col("b"), _Z_BITS)
+    return (
+        l.select("a", "b", F.shiftright(z, _Z_FILE_SHIFT).alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_part"),
+            F.max("a").alias("max_part"),
+            F.min("b").alias("min_supp"),
+            F.max("b").alias("max_supp"),
+        )
+    )
+
+
 @register(
     "sql_interface_revenue_by_region",
     oracle="""

@@ -259,6 +259,45 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON_K = 5
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+        WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                   FROM customer GROUP BY 1, 2)
+        SELECT count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN n < {K_ANON_K} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_small_groups,
+               sum(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END)::BIGINT
+                   AS n_rows_at_risk,
+               min(n)::BIGINT AS min_group_size
+        FROM g
+    """,
+    tags=("analytics", "quality", "privacy"),
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for a release pipeline: k-anonymity over a
+    quasi-identifier tuple (nation x market segment) — any equivalence
+    class smaller than k=K_ANON_K (5) re-identifies its members. One
+    hash aggregation to the class sizes (map-side combined), then a
+    single-row rollup; at 100TB the second aggregate consumes
+    |distinct QI combinations| rows, never data-plane rows."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    small = F.col("n") < K_ANON_K
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(small.cast("long")).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("n")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+    )
+
+
 @register(
     "data_quality_report",
     oracle="""

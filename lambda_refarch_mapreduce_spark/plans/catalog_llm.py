@@ -2550,6 +2550,65 @@ def corpus_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_drift_psi",
+    # PSI = sum over bins of (pA - pB) * ln(pA/pB): the standard
+    # population-stability drift score between two corpus snapshots.
+    # Laplace-smoothed (+0.5/bin) so empty bins can't divide by zero;
+    # 6dp rounding absorbs the <=1-ulp libm ln() difference between
+    # engines.
+    oracle="""
+        WITH d AS (SELECT doc_id % 2 AS snap,
+                          least(length(text) // 100, 9) AS bin
+                   FROM documents),
+        c AS (SELECT bin,
+                     sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS n_a,
+                     sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS n_b
+              FROM d GROUP BY bin),
+        t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+        SELECT bin::BIGINT AS bin, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               round((n_a + 0.5) / (ta + 5.0), 6) AS p_a,
+               round((n_b + 0.5) / (tb + 5.0), 6) AS p_b,
+               round(((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+                     * ln(((n_a + 0.5) / (ta + 5.0))
+                          / ((n_b + 0.5) / (tb + 5.0))), 6) AS psi_contrib
+        FROM c, t
+    """,
+    tags=("llm", "quality", "drift"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots
+    (population stability index over document-length bins) — the
+    release gate that catches a pipeline change silently shifting the
+    data mix. Snapshots are the deterministic doc_id-parity split of
+    the fixture; the feature is length(text) binned at 100 chars
+    (capped at bin 9). Plan: one row-local binning projection, one
+    hash aggregation to |bins| rows, a single-row totals broadcast —
+    the corpus is scanned once and never reshuffled, so the monitor
+    costs one pass at any scale."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("snap"),
+        F.least(
+            F.floor(F.length("text") / 100), F.lit(9).cast("long")
+        ).alias("bin"),
+    )
+    c = docs.groupBy("bin").agg(
+        F.sum((F.col("snap") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("snap") == 1).cast("long")).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    p_a = (F.col("n_a") + 0.5) / (F.col("ta") + 5.0)
+    p_b = (F.col("n_b") + 0.5) / (F.col("tb") + 5.0)
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_contrib"),
+    )
+
+
 CURRICULUM_STAGES = 4
 
 

@@ -290,6 +290,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "text_tfidf_terms",            # single-row N row
         "text_bm25_search",            # single-row stats row
         "corpus_stats_report",         # single-row grand total
+        "corpus_drift_psi",            # single-row snapshot-totals term
         "collocations_pmi_top",        # single-row bigram grand total
         "histogram_event_values",      # single-row (min,max) bounds
         "welch_t_click_vs_error",      # single-row x single-row stats
