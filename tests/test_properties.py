@@ -206,3 +206,41 @@ def test_url_canonicalize_idempotent(spark, urls):
     ).collect()
     for r in rows:
         assert r.once == r.twice, (urls[r.i], r.once, r.twice)
+
+
+def _py_z(a: int, b: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((a >> j) & 1) << (2 * j)
+        z |= ((b >> j) & 1) << (2 * j + 1)
+    return z
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_z_value_matches_reference_interleave(spark, pairs):
+    """partitioning.z_value must equal the plain-Python Morton
+    interleave (which is bijective on the bits x bits grid), so
+    range-partitioning on it is a faithful Z-order layout."""
+    from lambda_refarch_mapreduce_spark.partitioning import z_value
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", z_value(F.col("a"), F.col("b"), 10).alias("z")
+        ).collect()
+    }
+    want = {i: _py_z(a, b, 10) for i, (a, b) in enumerate(pairs)}
+    assert got == want
