@@ -294,3 +294,47 @@ def gap_sessionize(
             3,
         ).alias("duration_s"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "global_rank",
+    partitions: int = 32,
+) -> DataFrame:
+    """Dense global 1..n ranking under a TOTAL order (callers include a
+    tie-break key) without a single-partition window: range-partitioned
+    sort (sample + balanced exchange), per-partition local row_number,
+    then add per-partition offsets — the offsets are one tiny broadcast
+    (a row per partition) and the data never leaves its partition
+    again. The distributed zipWithIndex, kept in DataFrame land."""
+    ranked = (
+        df.repartitionByRange(partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = ranked.withColumn(
+        "__local_rn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__local_rn") + F.col("__offset"))
+        .drop("__pid", "__local_rn")
+    )

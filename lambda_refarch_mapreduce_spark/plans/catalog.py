@@ -183,7 +183,7 @@ DRIVER_WINDOW_FIRST: list[str] = [
 DRIVER_WINDOW_LAST: list[str] = []
 
 
-def _driver_verified_names() -> set[str]:
+def _driver_verified_names(artifact_dir=None) -> set[str]:
     """Entry names with a green row in any CORRECTNESS_r*.json artifact.
 
     Green = the driver compared the query and it matched (hash_match true)
@@ -200,7 +200,11 @@ def _driver_verified_names() -> set[str]:
     from pathlib import Path
 
     verified: set[str] = set()
-    repo_root = Path(__file__).resolve().parents[2]
+    repo_root = (
+        Path(artifact_dir)
+        if artifact_dir is not None
+        else Path(__file__).resolve().parents[2]
+    )
     for artifact in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(artifact.read_text())
@@ -1814,48 +1818,66 @@ def right_join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total ordering with dense ids. A single-partition window
-    would serialize the world; instead: range-partitioned sort (sample
-    + balanced exchange), per-partition local row_number, then add
-    per-partition offsets computed from partition counts — the offsets
-    are a tiny broadcast, the data never leaves its partition again.
-    zipWithIndex is the classic RDD shape; this stays in DataFrame land
-    via spark_partition_id + a window over partition ids."""
+    would serialize the world; instead operators.relational.global_rank:
+    range-partitioned sort (sample + balanced exchange), per-partition
+    local row_number, then add per-partition offsets computed from
+    partition counts — the offsets are a tiny broadcast, the data never
+    leaves its partition again. zipWithIndex is the classic RDD shape;
+    this stays in DataFrame land via spark_partition_id + a window over
+    partition ids."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    ranked = (
-        o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .sortWithinPartitions(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .withColumn("__pid", F.spark_partition_id())
+    return global_rank(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    ).select("o_orderkey", "global_rank")
+
+
+@register(
+    "equidepth_histogram_prices",
+    oracle="""
+        WITH r AS (SELECT o_totalprice,
+                          row_number() OVER (ORDER BY o_totalprice,
+                                             o_orderkey) AS rnk,
+                          count(*) OVER () AS n
+                   FROM orders)
+        SELECT (((rnk - 1) * 10) // n + 1)::BIGINT AS decile,
+               count(*)::BIGINT AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM r GROUP BY 1
+    """,
+    tags=("aggregation", "scale"),
+)
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile boundaries of order price): each
+    bucket holds n/10 rows, unlike the fixed-width histogram entry.
+    The naive plan is ntile() over a single-partition global window;
+    this one reuses operators.relational.global_rank (range exchange +
+    per-partition offsets) and assigns decile = ((rank-1)*10) div n —
+    exact integer arithmetic on both engines, no float boundary. The
+    total count rides as one broadcast row; at 100TB the only
+    data-plane motion is the one balanced range exchange."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
     )
-    # per-partition sizes -> cumulative offsets (tiny: one row per partition)
-    local = ranked.withColumn(
-        "__local_rn",
-        F.row_number().over(
-            Window.partitionBy("__pid").orderBy(
-                F.col("o_totalprice").desc(), F.col("o_orderkey")
-            )
-        ),
-    )
-    offsets = (
-        local.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__offset")
-    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, [F.col("o_totalprice"), F.col("o_orderkey")])
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        ranked.crossJoin(F.broadcast(n))
         .select(
-            "o_orderkey",
-            (F.col("__local_rn") + F.col("__offset")).alias("global_rank"),
+            "o_totalprice",
+            F.expr("((global_rank - 1) * 10) div __n + 1").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
 

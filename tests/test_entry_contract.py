@@ -100,3 +100,37 @@ def test_plans_md_covers_bench_headline():
         f"PLANS.md lacks plan sections for bench headline keys "
         f"{missing} — regenerate with tools/dump_plans.py"
     )
+
+
+def test_driver_window_reopens_when_entry_gains_oracle(tmp_path):
+    """The driver-window bookkeeping (catalog._driver_verified_names):
+    a hash_match row verifies; a stale rows-only (no_oracle) row only
+    verifies while the entry STILL has no oracle — once an oracle is
+    added (the round-5 bounded-error sketch gates), the entry must
+    re-enter the priority window and lead ordered_registry."""
+    import json
+
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+        catalog_llm,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "scan_filter_project": {"hash_match": True},
+                # both entries HAVE oracles in the live registry, so a
+                # stale rows-only row must not count as verified
+                "approx_distinct_users": {"err": "no_oracle"},
+                "dedup_minhash_lsh": {"err": "no_oracle"},
+                # failed rows never verify
+                "substr_groupby_sum": {"hash_match": False},
+            }
+        )
+    )
+    verified = catalog._driver_verified_names(tmp_path)
+    assert "scan_filter_project" in verified
+    assert "approx_distinct_users" not in verified
+    assert "dedup_minhash_lsh" not in verified
+    assert "substr_groupby_sum" not in verified

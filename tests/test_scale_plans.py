@@ -293,6 +293,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "corpus_drift_psi",            # single-row snapshot-totals term
         "collocations_pmi_top",        # single-row bigram grand total
         "histogram_event_values",      # single-row (min,max) bounds
+        "equidepth_histogram_prices",  # single-row total-count term
         "welch_t_click_vs_error",      # single-row x single-row stats
         "graph_pagerank_tokens",       # single-row dangling-mass term
         "graph_triangle_stats",        # three single-row census frames
