@@ -202,3 +202,59 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007) with a FIXED iteration count and DETERMINISTIC
+    tie-breaks, so the result is oracle-able: every node starts
+    labeled with itself; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label. The graph is undirected (edges symmetrized, self-loops
+    dropped).
+
+    Plan shape per round: one equi-join of (node, label) against the
+    symmetrized adjacency on the neighbor key + one two-level
+    aggregation ((node, label) counts, then per-node argmax via a
+    struct MIN — no window, so the round is map-side-combinable).
+    Both shuffles key on node id, reused round to round; the driver
+    holds only the loop counter. Lineage is cut per round exactly as
+    pagerank does (localCheckpoint; ``reliable_checkpoint=True`` on a
+    real cluster).
+
+    Returns (node, community)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = _ckpt(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        ),
+        reliable_checkpoint,
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        nbr_labels = labels.select(
+            F.col("node").alias("nbr"), F.col("label")
+        )
+        counts = adj.join(nbr_labels, "nbr").groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax(count) with min-label tie-break, as ONE aggregate:
+        # struct min orders by -count asc (= count desc), then label
+        labels = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lab"))
+            )["lab"].alias("label")
+        )
+        labels = _ckpt(labels, reliable_checkpoint, eager=False)
+    return labels.select("node", F.col("label").alias("community"))

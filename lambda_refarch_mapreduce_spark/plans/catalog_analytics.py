@@ -74,6 +74,60 @@ def _pagerank_oracle(n_iter: int, damping: float) -> str:
     return "\n".join(parts)
 
 
+LPA_ITERS = 3
+
+
+def _lpa_oracle(n_iter: int) -> str:
+    """Unrolled synchronous label-propagation SQL: one (count, argmax)
+    CTE pair per round, replicating the operator's exact semantics —
+    neighbor-majority label with smallest-label tie-break over the
+    symmetrized, deduplicated, self-loop-free edge set."""
+    parts = [
+        f"WITH e AS ({_SQL_EDGES}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM e WHERE src <> dst),",
+        "adj AS (SELECT a AS node, b AS nbr FROM und "
+        "UNION ALL SELECT b, a FROM und),",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM "
+        "(SELECT a AS node FROM und UNION SELECT b FROM und) nd),",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT adj.node, l.label, count(*) AS c "
+            f"FROM adj JOIN l{p} l ON l.node = adj.nbr "
+            f"GROUP BY adj.node, l.label),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, label) AS rn "
+            f"FROM c{i}) t WHERE rn = 1),"
+        )
+    parts.append(
+        f"fin AS (SELECT node, label AS community FROM l{n_iter}) "
+        "SELECT * FROM fin"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(LPA_ITERS),
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 fixed
+    rounds, deterministic smallest-label tie-break) over the corpus
+    word-adjacency graph — the third graph algorithm tier beside
+    PageRank and the triangle census. The corpus is scanned once for
+    edges; each round shuffles only vocabulary-sized (node, label)
+    pairs keyed on node id, and the per-node argmax is a struct MIN
+    aggregate (map-side combinable), not a window."""
+    edges = graph.token_bigram_edges(_t(spark, sf_dir, "documents"), "text")
+    return graph.label_propagation(edges, LPA_ITERS)
+
+
 @register(
     "graph_pagerank_tokens",
     oracle=_pagerank_oracle(PR_ITERS, PR_DAMPING),

@@ -441,3 +441,26 @@ def test_chunk_overlap_boundaries(spark, tmp_path):
         (4, 0): 64,
         (4, 1): 52,   # start 49, tokens 49..100; start 97 dropped
     }
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Hand-computed 3-round synchronous LPA on two triangles joined by
+    one bridge edge (c-x): with neighbor-majority + smallest-label
+    tie-breaks the left clique converges to community 'a' and the
+    right to 'c' — the bridge must not merge them."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("b", "c"),
+            ("x", "y"), ("x", "z"), ("y", "z"),
+            ("c", "x"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, n_iter=3).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "c", "y": "c", "z": "c",
+    }
