@@ -1310,6 +1310,53 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register(
+    "dataset_split_counts",
+    # same portable md5 bucket as the stratified sampler: bucket<80 ->
+    # train, <90 -> val, else test — disjoint, exhaustive, and stable
+    # under corpus growth (a doc never changes split when others are
+    # added, unlike any RNG or modulo-of-row-number scheme)
+    oracle="""
+        WITH s AS (SELECT source,
+                          CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                                    1, 15))::BIGINT % 100 < 80
+                               THEN 'train'
+                               WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                                    1, 15))::BIGINT % 100 < 90
+                               THEN 'val' ELSE 'test' END AS split
+                   FROM documents)
+        SELECT source, split, count(*)::BIGINT AS n_docs
+        FROM s GROUP BY source, split
+    """,
+    tags=("llm", "text"),
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-hash
+    bucket of the document id (the portable md5 uniform the sampling
+    tiers share): row-local, shuffle-free, reproducible across engines
+    and cluster sizes, and STABLE under corpus growth — adding
+    documents never moves an existing one across splits, so eval
+    contamination can't creep in between releases. The entry emits the
+    per-source split counts a release report would assert on."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end dedup: produce the surviving corpus, not just the pairs
 # ---------------------------------------------------------------------------
