@@ -1375,3 +1375,13 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(n > 0, F.size(uniq)).otherwise(0).alias("n_distinct_chars"),
         F.when(n > 0, F.round(ent, 6)).otherwise(0.0).alias("char_entropy"),
     )
+
+
+def length_bin(text_col, width: int = 100, n_bins: int = 10):
+    """The shared document-length binning the drift monitors use
+    (catalog corpus_drift_psi and streaming/drift.py must bin
+    identically or their PSI values aren't comparable): floor(chars /
+    width), capped at the last bin."""
+    return F.least(
+        F.floor(F.length(text_col) / width), F.lit(n_bins - 1).cast("long")
+    )

@@ -2635,9 +2635,7 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one pass at any scale."""
     docs = _t(spark, sf_dir, "documents").select(
         F.pmod(F.col("doc_id"), F.lit(2)).alias("snap"),
-        F.least(
-            F.floor(F.length("text") / 100), F.lit(9).cast("long")
-        ).alias("bin"),
+        text.length_bin(F.col("text")).alias("bin"),
     )
     c = docs.groupBy("bin").agg(
         F.sum((F.col("snap") == 0).cast("long")).alias("n_a"),

@@ -717,3 +717,63 @@ def test_ann_retrain_swap_search_equivalence(spark, tmp_path):
         )
     )
     assert still == got1
+
+
+def test_streaming_drift_psi_matches_batch_entry(spark, tmp_path):
+    """Streaming drift monitor (streaming/drift.py): snapshot-B docs
+    arrive in chunks, each micro-batch folds its length histogram into
+    the committed running state, and PSI against the frozen snapshot-A
+    baseline must reproduce the batch corpus_drift_psi entry bin for
+    bin (PSI contributions are symmetric in the two snapshots, and
+    both monitors share operators.text.length_bin + the same Laplace
+    smoothing). Replayed batches must not double-count."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.plans import catalog_llm  # noqa: F401
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.streaming import drift
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    snap_a = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    snap_b = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+
+    baseline = drift.baseline_histogram(snap_a)
+
+    src = str(tmp_path / "doc_src")
+    snap_b.withColumn("_chunk", F.pmod(F.col("doc_id"), F.lit(3))).write.partitionBy(
+        "_chunk"
+    ).parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/_chunk=*")
+    index_dir = str(tmp_path / "drift_idx")
+    q = drift.ingest_length_histogram(
+        stream, index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    observed = drift.running_histogram(spark, index_dir)
+    # the running histogram is exactly snapshot B's histogram
+    want_hist = {
+        (r.bin, r.n) for r in drift.baseline_histogram(snap_b).collect()
+    }
+    assert {(r.bin, r.n) for r in observed.collect()} == want_hist
+
+    got = {
+        r.bin: (r.n_base, r.n_obs, r.psi_contrib)
+        for r in drift.psi_against_baseline(observed, baseline).collect()
+    }
+    batch = {
+        r.bin: r.psi_contrib
+        for r in REGISTRY["corpus_drift_psi"].spark(spark, sf).collect()
+    }
+    # bins the batch entry emits (present in either snapshot) must
+    # match its contributions exactly; full-range-only bins are absent
+    # from both snapshots
+    for b, (n_base, n_obs, contrib) in got.items():
+        if b in batch:
+            assert contrib == batch[b], (b, contrib, batch[b])
+        else:
+            assert n_base == 0 and n_obs == 0
+    assert set(batch) <= set(got)
