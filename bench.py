@@ -58,6 +58,11 @@ HEADLINE = {
     "q_ivf_broadcast": "similarity_ivf_topk_broadcast",
     "q_ewma_hof": "ewma_user_value_hof",
     "q_pq_broadcast": "similarity_pq_topk_broadcast",
+    # round 5 additions
+    "q_label_prop": "graph_label_propagation",
+    "q_zorder": "zorder_layout_lineitem",
+    "q_equidepth": "equidepth_histogram_prices",
+    "q_drift_psi": "corpus_drift_psi",
 }
 
 
