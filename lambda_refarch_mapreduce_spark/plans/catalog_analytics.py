@@ -74,6 +74,48 @@ def _pagerank_oracle(n_iter: int, damping: float) -> str:
     return "\n".join(parts)
 
 
+@register(
+    "recursive_cte_bfs_tokens",
+    oracle=f"""
+        WITH RECURSIVE e AS ({_SQL_EDGES}),
+        reach(node, depth) AS (
+            SELECT (SELECT min(src) FROM e), 0
+            UNION ALL
+            SELECT e2.dst, r.depth + 1
+            FROM reach r JOIN e e2 ON e2.src = r.node
+            WHERE r.depth < 3
+        )
+        SELECT node, min(depth)::BIGINT AS min_depth
+        FROM reach GROUP BY node
+    """,
+    tags=("graph", "sql"),
+)
+def recursive_cte_bfs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS via a RECURSIVE CTE (new in Spark 4.1):
+    min hop-distance (<= 3) from the lexicographically smallest token
+    through the word-adjacency graph — the SAME recursive SQL text
+    runs on both engines, exercising Spark's recursive-CTE iteration
+    against DuckDB's. The depth bound keeps the UNION ALL walk
+    enumeration finite on a cyclic graph; UNbounded iterative
+    computation at scale belongs to the driver-loop operators
+    (pagerank / label_propagation / connected_components), which also
+    checkpoint per round — the CTE is the ergonomic tier for small
+    bounded traversals."""
+    edges = graph.token_bigram_edges(_t(spark, sf_dir, "documents"), "text")
+    edges.createOrReplaceTempView("__edges_rcte")
+    return spark.sql("""
+        WITH RECURSIVE reach(node, depth) AS (
+            SELECT (SELECT min(src) FROM __edges_rcte), 0
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN __edges_rcte e ON e.src = r.node
+            WHERE r.depth < 3
+        )
+        SELECT node, min(depth) AS min_depth
+        FROM reach GROUP BY node
+    """)
+
+
 LPA_ITERS = 3
 
 

@@ -87,3 +87,72 @@ def running_stats_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _RunningStatsProcessor:
+    """StatefulProcessor for running_stats_per_key_tws — defined at
+    module scope so it pickles cleanly to executors."""
+
+    def init(self, handle) -> None:
+        self._value_col = self.value_col  # set by factory below
+        self._state = handle.getValueState("acc", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, total, mx = (
+            self._state.get() if self._state.exists() else (0, 0.0, None)
+        )
+        for pdf in rows:
+            vals = pdf[self._value_col].dropna()
+            if len(vals) == 0:
+                continue
+            n += int(len(vals))
+            total += float(vals.sum())
+            m = float(vals.max())
+            mx = m if mx is None else max(mx, m)
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_events": [n],
+                "total": [round(total, 6)],
+                "running_max": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_stats_per_key_tws(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """The transformWithStateInPandas twin of running_stats_per_key —
+    Spark 4's arbitrary-stateful API (SPARK-49564): typed state
+    handles (ValueState/ListState/MapState), optional per-key timers
+    and state TTL, schema'd state evolution. Same accumulator
+    semantics as the applyInPandasWithState version (the two are
+    cross-validated in tests/test_streaming.py); this is the API new
+    stateful operators should target, with applyInPandasWithState
+    kept as the stable seam.
+
+    NOTE: executing this requires the ``protobuf`` package (the TWS
+    Python state-server protocol is protobuf-based) — absent in the
+    build container, so the test is a tracked environment-blocked
+    skip, the same class as the Avro jar."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "RunningStatsTWS",
+        (_RunningStatsProcessor, StatefulProcessor),
+        {"value_col": value_col},
+    )
+    return (
+        stream.selectExpr(f"cast({key_col} as string) as k", f"{value_col}")
+        .groupBy("k")
+        .transformWithStateInPandas(
+            statefulProcessor=proc_cls(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

