@@ -27,8 +27,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _VOCAB = (
@@ -139,3 +141,106 @@ class SyntheticDocsDataSource(DataSource):
 
 def register_synthetic_docs(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom streaming SINK (DataSourceStreamWriter): manifest-committed JSONL
+# ---------------------------------------------------------------------------
+# The write-side twin of the stream reader above, completing the Spark-4
+# Python DataSource surface (batch read / stream read / stream write).
+# Protocol mirrors the repo's commit-log convention (streaming/corpus.py):
+# executors stage one JSONL part per task under _staging/, the DRIVER
+# commits the micro-batch by writing one manifest file LAST (write-temp +
+# atomic rename), and readers consult only manifests — a crashed batch's
+# staged parts are invisible, and commit() re-invoked for a replayed
+# batch id simply overwrites the same manifest (idempotent). Local-fs
+# oriented (the test surface); on an object store the manifest rename
+# becomes a conditional put, everything else is safe as-is.
+
+
+class _JsonlPartMeta(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlManifestStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict) -> None:
+        if "path" not in options:
+            raise ValueError("jsonl_manifest sink requires option 'path'")
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlPartMeta(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        manifest = {
+            "batch_id": batchId,
+            "parts": [
+                {"path": m.path, "rows": m.n_rows}
+                for m in messages
+                if m is not None and m.n_rows > 0
+            ],
+        }
+        tmp = os.path.join(commits, f".batch-{batchId}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(commits, f"batch-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonlManifestSink(DataSource):
+    """writeStream.format("jsonl_manifest").option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def streamWriter(self, schema, overwrite: bool) -> _JsonlManifestStreamWriter:
+        return _JsonlManifestStreamWriter(self.options)
+
+
+def register_jsonl_manifest_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestSink)
+
+
+def read_committed_jsonl(spark, path: str):
+    """Read back ONLY manifest-committed rows of a jsonl_manifest sink
+    (staged parts from uncommitted/aborted batches are invisible)."""
+    import glob
+    import json
+    import os
+
+    parts: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_commits", "batch-*.json"))):
+        with open(mf) as fh:
+            parts.extend(p["path"] for p in json.load(fh)["parts"])
+    if not parts:
+        return spark.createDataFrame([], "dummy string").limit(0)
+    return spark.read.json(parts)

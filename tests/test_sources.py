@@ -287,3 +287,65 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 0.9
+
+
+def test_python_datasource_stream_writer_manifest_commit(spark, tmp_path):
+    """Custom streaming SINK (Spark-4 DataSourceStreamWriter,
+    sources/pyds.py jsonl_manifest): drain an events stream into the
+    sink, then read back ONLY manifest-committed rows — they must
+    equal the batch input exactly, and every staged part on disk must
+    be accounted for by a manifest (no orphaned uncommitted parts
+    after a clean drain)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.sources.pyds import (
+        read_committed_jsonl,
+        register_jsonl_manifest_sink,
+    )
+
+    register_jsonl_manifest_sink(spark)
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type"
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sink = str(tmp_path / "jsonl_sink")
+    q = (
+        stream.writeStream.format("jsonl_manifest")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in read_committed_jsonl(spark, sink)
+        .select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            "event_type",
+        )
+        .collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.read.parquet(src).collect()
+    }
+    assert got == want and len(got) > 0
+    committed = set()
+    for mf in glob.glob(os.path.join(sink, "_commits", "batch-*.json")):
+        committed |= {p["path"] for p in json.load(open(mf))["parts"]}
+    staged = set(glob.glob(os.path.join(sink, "_staging", "*.jsonl")))
+    # every non-empty staged part is committed (empty tasks stage a
+    # zero-row file the manifest omits)
+    for p in staged - committed:
+        assert os.path.getsize(p) == 0, f"orphaned non-empty part {p}"
