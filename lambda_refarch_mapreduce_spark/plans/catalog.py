@@ -1962,6 +1962,40 @@ def sql_interface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "sql_udf_discounted_revenue",
+    oracle="""
+        SELECT l_returnflag AS flag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf"),
+)
+def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE FUNCTION ... RETURN expr —
+    the Spark 4 SQL UDF catalog): the user-extensible function seam in
+    pure SQL. Catalyst INLINES the body at analysis time, so the plan
+    is bit-identical to writing the expression by hand — whole-stage
+    codegen, zero Python, unlike every pandas/Python UDF seam in §2.2;
+    this is the first function tier a SQL user should reach for. The
+    oracle states the inlined semantics."""
+    from lambda_refarch_mapreduce_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                   AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
     "sessionize_events_batch",
     oracle="""
         WITH marked AS (

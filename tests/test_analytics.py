@@ -464,3 +464,38 @@ def test_label_propagation_two_cliques_bridge(spark):
         "a": "a", "b": "a", "c": "a",
         "x": "c", "y": "c", "z": "c",
     }
+
+
+def test_sql_scripting_block(spark):
+    """Spark 4 SQL scripting (BEGIN ... END with DECLARE/SET control
+    flow): a script that derives a threshold and applies it must equal
+    the two-step computation — the procedural SQL surface works."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 11)], "id int, v double"
+    )
+    df.createOrReplaceTempView("__scripting_t")
+    rows = spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0.0;
+          SET thr = (SELECT avg(v) FROM __scripting_t);
+          SELECT id, v FROM __scripting_t WHERE v > thr ORDER BY id;
+        END
+        """
+    ).collect()
+    assert [r.id for r in rows] == [6, 7, 8, 9, 10]
+
+
+def test_sql_table_function(spark):
+    """SQL-defined table function (CREATE FUNCTION ... RETURNS TABLE):
+    the declarative UDTF tier — exploding through it equals the
+    direct explode."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION words(s STRING) "
+        "RETURNS TABLE(w STRING) RETURN SELECT explode(split(s, ' '))"
+    )
+    rows = spark.sql(
+        "SELECT w FROM words('alpha beta gamma') ORDER BY w"
+    ).collect()
+    assert [r.w for r in rows] == ["alpha", "beta", "gamma"]
