@@ -1788,6 +1788,110 @@ def jobspec_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build(spark, spec)
 
 
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def _holt_oracle() -> str:
+    # b_t = beta*(l_t - l) + (1-beta)*b rewritten so each accumulator
+    # field is referenced ONCE: b_t = alpha*beta*(x - l)
+    # + (beta*(1-alpha) + 1-beta)*b — and the accumulator is a 2-list,
+    # not a struct: DuckDB 1.0's list_reduce evaluates struct_pack
+    # accumulator fields SEQUENTIALLY IN PLACE (the b expression would
+    # see the already-updated l), while list construction is
+    # functional. Spark folds the identical op tree.
+    a, ca = repr(HOLT_ALPHA), repr(1.0 - HOLT_ALPHA)
+    ab = repr(HOLT_ALPHA * HOLT_BETA)
+    k = repr(HOLT_BETA * (1.0 - HOLT_ALPHA) + (1.0 - HOLT_BETA))
+    return f"""
+        WITH g AS (SELECT user_id,
+                          list(value::DOUBLE ORDER BY ts, event_id) AS xs,
+                          count(*) AS n
+                   FROM events GROUP BY user_id),
+        f AS (SELECT user_id, n, xs,
+                     CASE WHEN n >= 2 THEN list_reduce(
+                       list_prepend(
+                         [xs[1]::DOUBLE, (xs[2] - xs[1])::DOUBLE],
+                         list_transform(list_slice(xs, 2, n),
+                                        x -> [x::DOUBLE, 0.0::DOUBLE])),
+                       (acc, x) -> [
+                          {a}::DOUBLE * x[1]
+                            + {ca}::DOUBLE * (acc[1] + acc[2]),
+                          {ab}::DOUBLE * (x[1] - acc[1])
+                            + {k}::DOUBLE * acc[2]])
+                     END AS fin
+              FROM g)
+        SELECT user_id, n::BIGINT AS n_events,
+               round(CASE WHEN n = 1 THEN xs[1] ELSE fin[1] END, 6) AS level,
+               round(CASE WHEN n = 1 THEN 0.0 ELSE fin[2] END, 6) AS trend,
+               round(CASE WHEN n = 1 THEN xs[1] ELSE fin[1] + fin[2] END, 6)
+                   AS forecast_next
+        FROM f
+    """
+
+
+@register(
+    "holt_linear_user_value",
+    oracle=_holt_oracle(),
+    tags=("analytics", "timeseries"),
+)
+def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend, the
+    forecasting rung above EWMA): seeds l1 = x1, b1 = x2 - x1, then
+    the standard recursion l_t = a*x_t + (1-a)(l + b),
+    b_t = b*(l_t - l) + (1-b)*b. Like ewma_user_value_hof this is a
+    pure-Catalyst sorted-array `aggregate` fold with a struct
+    accumulator — no window can express the recursion, no Python seam
+    is needed, per-group memory is one sorted array. The oracle folds
+    the identical FP op tree via list_reduce (seed prepended — DuckDB
+    1.0's two-arg fold; list accumulator and single-reference trend
+    form, see _holt_oracle), so values match bit-for-bit before the
+    6dp rounding. Emits (level, trend, one-step forecast) per user."""
+    a = HOLT_ALPHA
+    ab = HOLT_ALPHA * HOLT_BETA
+    k = HOLT_BETA * (1.0 - HOLT_ALPHA) + (1.0 - HOLT_BETA)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"].cast("double"),
+    )
+    x1 = F.element_at(vals, 1)
+    seed = F.struct(
+        x1.alias("l"), (F.element_at(vals, 2) - x1).alias("b")
+    )
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    fin = F.aggregate(
+        rest,
+        seed,
+        lambda acc, x: F.struct(
+            (
+                F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(ab) * (x - acc["l"]) + F.lit(k) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        vals.alias("__xs"),
+        fin.alias("__fin"),
+    )
+    one = F.col("n_events") == 1
+    lvl = F.when(one, F.element_at("__xs", 1)).otherwise(F.col("__fin.l"))
+    trd = F.when(one, F.lit(0.0)).otherwise(F.col("__fin.b"))
+    fc = F.when(one, F.element_at("__xs", 1)).otherwise(
+        F.col("__fin.l") + F.col("__fin.b")
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round(lvl, 6).alias("level"),
+        F.round(trd, 6).alias("trend"),
+        F.round(fc, 6).alias("forecast_next"),
+    )
+
+
 @register(
     "fuzzy_match_customers_k2",
     oracle="""
