@@ -183,3 +183,60 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_left.join(salted_right, [key, "_salt"]).drop("_salt")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: per key, the change with
+    the highest ``seq_col`` wins; a final 'D' removes the row, a final
+    'I'/'U' upserts the change's values; untouched base rows pass
+    through. The replication-stream compaction every CDC sink
+    (Debezium -> MERGE) performs, engine-agnostic.
+
+    ``changes`` carries the base's columns plus (seq_col, op_col);
+    (key, seq) must be unique. Plan: one WindowGroupLimit per key over
+    the CHANGELOG only (usually tiny next to the base), then the same
+    anti-join + union shape as merge_upsert — the base is never
+    windowed and shuffles at most once on the key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    return survivors.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change stream into
+    validity intervals — each change row becomes a version valid from
+    its own timestamp until the key's next change (NULL = current),
+    plus an ``is_current`` flag. One window pass partitioned by key;
+    the standard warehouse dimension-history build.
+
+    ``tiebreak_cols`` deterministically orders same-timestamp changes
+    (defaults to none — timestamps must then be unique per key)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

@@ -355,6 +355,114 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_apply_orders",
+    # deterministic synthetic changelog: seq1 'U' re-prices every
+    # 7th order, seq2 'D' deletes every 14th (overriding its update),
+    # seq1 'I' inserts a new key (+20M) for every 9th — the oracle
+    # states the net effect per key class
+    oracle="""
+        WITH keep AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             round(o_totalprice, 2) AS o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0),
+        upd AS (SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+                       round(o_totalprice * 1.1, 2) AS o_totalprice
+                FROM orders
+                WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
+        ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+                       'N' AS o_orderstatus, 1.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 9 = 0)
+        SELECT * FROM keep
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    """,
+    tags=("analytics", "warehouse", "cdc"),
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction + apply (operators.analytics.apply_cdc):
+    per key the highest-sequence change wins — a trailing delete
+    removes the row even if an earlier update touched it, an
+    insert/update upserts, untouched base rows pass through. The
+    window runs over the CHANGELOG only (tiny next to the base); the
+    base itself just anti-joins on the key, exactly merge_upsert's
+    scale shape."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter(k % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U1").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(k % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(k % 9 == 0).select(
+        (k + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    out = analytics.apply_cdc(base, changes, ["o_orderkey"], "seq")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "scd2_customer_price_history",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(o_orderdate) OVER w,
+                        '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (lead(o_orderdate) OVER w IS NULL) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("analytics", "warehouse"),
+)
+def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build
+    (operators.analytics.scd2_history): each per-customer change (here
+    the order stream as the change source) becomes a version row valid
+    from its own timestamp until the next change, with NULL/flagged
+    current rows — the standard dimension-history table. One window
+    pass hash-partitioned on the key; nothing else moves."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    hist = analytics.scd2_history(
+        orders, ["o_custkey"], "o_orderdate", ["o_orderkey"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
 K_ANON_K = 5
 
 
