@@ -86,6 +86,7 @@ def main() -> None:
         "fuzzy_join": {},
         "pagerank": {},
         "triangle_stats": {},
+        "label_propagation": {},
     }
 
     def run(tier: str, scale: int, make):
@@ -124,6 +125,13 @@ def main() -> None:
             scale,
             lambda: graph.triangle_stats(
                 graph.token_bigram_edges(docs, "text")
+            ),
+        )
+        run(
+            "label_propagation",
+            scale,
+            lambda: graph.label_propagation(
+                graph.token_bigram_edges(docs, "text"), n_iter=3
             ),
         )
 
