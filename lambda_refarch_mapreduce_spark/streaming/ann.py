@@ -330,3 +330,42 @@ def search_current(
     return search_index(
         spark, gen_dir, queries, cents, books, id_col, vec_col, k, n_probe
     )
+
+
+def forget_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    forget_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> str:
+    """Deletion propagation (right-to-be-forgotten) through the index:
+    build generation N+1 as the CURRENT generation's committed codes
+    MINUS the given ids — quantizers are copied unchanged (deletions
+    don't move centroids; retrain_index is the tool when drift says
+    they should), the pointer flips atomically, and the old
+    generation remains for audit/rollback until retired.
+
+    Plan: one anti-join of the code rows against the id set (broadcast
+    when small — AQE decides) + one partitioned write; the raw corpus
+    is never touched. Returns the new generation dir."""
+    gen_dir = current_generation_dir(index_dir)
+    cents, books = load_quantizers(spark, gen_dir)
+    coded = read_committed_codes(spark, gen_dir)
+    col = id_col if id_col in forget_ids.columns else forget_ids.columns[0]
+    ids = forget_ids.select(F.col(col).alias("neighbor_id")).distinct()
+    kept = coded.join(ids, "neighbor_id", "left_anti")
+    new_n = current_generation(index_dir) + 1
+    new_dir = _gen_path(index_dir, new_n)
+    (
+        kept.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(
+            os.path.join(new_dir, "codes", f"_batch_id={_BOOTSTRAP_BATCH_ID}")
+        )
+    )
+    spark.createDataFrame(
+        [(_BOOTSTRAP_BATCH_ID,)], "batch_id bigint"
+    ).write.mode("append").parquet(os.path.join(new_dir, "commits"))
+    save_quantizers(spark, new_dir, cents, books)
+    _flip_current(index_dir, new_n)
+    return new_dir

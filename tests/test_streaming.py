@@ -837,3 +837,51 @@ def test_transform_with_state_matches_batch_and_twin(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ann_forget_vectors_deletion_propagation(spark, tmp_path):
+    """Right-to-be-forgotten through the ANN index: after
+    forget_vectors, search over the new generation must equal batch
+    ivfadc over the surviving vectors with the SAME (unchanged)
+    quantizers, forgotten ids must be absent from both the index and
+    any result, and the prior generation must remain for audit."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators import similarity
+    from lambda_refarch_mapreduce_spark.streaming import ann
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index_dir = str(tmp_path / "ann_forget")
+    gen1 = ann.retrain_index(
+        spark, index_dir, emb, n_centroids=8, m=8, n_codes=8
+    )
+    cents, books = ann.load_quantizers(spark, gen1)
+
+    forget = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0).select(
+        "vec_id"
+    )
+    gen2 = ann.forget_vectors(spark, index_dir, forget)
+    assert gen2.endswith("gen-000002")
+    # quantizers copied unchanged
+    assert ann.load_quantizers(spark, gen2) == (cents, books)
+    # forgotten ids are gone from the committed index
+    remaining = ann.read_committed_codes(spark, gen2)
+    forgotten = {r.vec_id for r in forget.collect()}
+    assert not (
+        {r.neighbor_id for r in remaining.collect()} & forgotten
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return {(r.query_id, r.neighbor_id, r.dist2, r.rank) for r in df.collect()}
+
+    got = rows(ann.search_current(spark, index_dir, queries, k=5, n_probe=3))
+    survivors = emb.join(forget, "vec_id", "left_anti")
+    want = rows(
+        similarity.ivfadc_search(
+            similarity.ivfadc_encode(survivors, cents, books),
+            queries, cents, books, k=5, n_probe=3,
+        )
+    )
+    assert got == want and len(got) > 0
+    assert not {r[1] for r in got} & forgotten
