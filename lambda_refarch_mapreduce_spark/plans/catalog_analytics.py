@@ -1896,6 +1896,67 @@ def jobspec_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build(spark, spec)
 
 
+@register(
+    "twa_user_value",
+    oracle="""
+        WITH o AS (SELECT user_id, value, epoch_us(ts) AS t,
+                          lead(epoch_us(ts)) OVER w AS nt,
+                          first_value(value) OVER w AS v1
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        g AS (SELECT user_id, count(*) AS n,
+                     sum(CASE WHEN nt IS NOT NULL
+                              THEN value * (nt - t) END) AS num,
+                     max(t) - min(t) AS dur,
+                     min(v1) AS v1
+              FROM o GROUP BY user_id)
+        SELECT user_id, n::BIGINT AS n_events,
+               round(CASE WHEN dur > 0 THEN num / dur ELSE v1 END, 6)
+                   AS twa
+        FROM g
+    """,
+    tags=("analytics", "timeseries"),
+)
+def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the monitoring-correct mean
+    for irregularly sampled step signals (a value holds until the
+    next event, so long-held values weigh more than bursts): each
+    value weighted by its holding duration, divided by the observed
+    span; a single-event user degenerates to its value. One keyed
+    window pass (lead) + one aggregation, both partitioned by
+    user_id; durations are exact integer microseconds so only the
+    final ratio is floating."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    o = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("nt"),
+        F.first("value").over(w).alias("v1"),
+    )
+    g = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("nt").isNotNull(),
+                F.col("value") * (F.col("nt") - F.col("t")),
+            )
+        ).alias("__num"),
+        (F.max("t") - F.min("t")).alias("__dur"),
+        F.min("v1").alias("__v1"),
+    )
+    twa = F.when(
+        F.col("__dur") > 0, F.col("__num") / F.col("__dur")
+    ).otherwise(F.col("__v1"))
+    return g.select(
+        "user_id", "n_events", F.round(twa, 6).alias("twa")
+    )
+
+
 HOLT_ALPHA = 0.5
 HOLT_BETA = 0.3
 
