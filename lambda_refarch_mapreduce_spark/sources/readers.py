@@ -121,8 +121,26 @@ def raw_line_count(spark: SparkSession, path: str) -> int:
     return spark.read.text(path).count()
 
 
-def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Schema'd JSONL reader. With ``corrupt_col`` set, malformed lines
+    survive as rows whose other fields are NULL and whose
+    ``corrupt_col`` carries the raw line (Spark PERMISSIVE mode) — the
+    JSON twin of read_csv's drop-and-count malformed contract, letting
+    pipelines quarantine bad records instead of silently losing them.
+    The corrupt column must be declared in ``schema`` (Spark requires
+    it present to populate it)."""
     reader = spark.read
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -349,3 +349,29 @@ def test_python_datasource_stream_writer_manifest_commit(spark, tmp_path):
     # zero-row file the manifest omits)
     for p in staged - committed:
         assert os.path.getsize(p) == 0, f"orphaned non-empty part {p}"
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """read_json(corrupt_col=...): malformed JSONL lines survive as
+    quarantine rows (raw line captured, data fields NULL) instead of
+    vanishing — the JSON twin of the CSV drop-and-count contract."""
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "v": "a"}\n')
+        fh.write("{broken json!!\n")
+        fh.write('{"id": 3, "v": "c"}\n')
+    from lambda_refarch_mapreduce_spark.sources.readers import read_json
+
+    df = read_json(
+        spark, p,
+        schema="id bigint, v string, _bad string",
+        corrupt_col="_bad",
+    ).cache()
+    good = {(r.id, r.v) for r in df.filter(F.col("_bad").isNull()).collect()}
+    bad = [r._bad for r in df.filter(F.col("_bad").isNotNull()).collect()]
+    assert good == {(1, "a"), (3, "c")}
+    assert bad == ["{broken json!!"]
+    import pytest
+
+    with pytest.raises(ValueError, match="requires an explicit schema"):
+        read_json(spark, p, corrupt_col="_bad")

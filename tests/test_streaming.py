@@ -885,3 +885,40 @@ def test_ann_forget_vectors_deletion_propagation(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert not {r[1] for r in got} & forgotten
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched by a static
+    (broadcastable) dimension — per-segment totals after draining must
+    equal the batch join+aggregate."""
+    d = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema, max_files_per_trigger=2)
+    dim = (
+        spark.read.parquet(d)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(4)))
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name)
+    got = {
+        (r.segment, r.n, r.total)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.segment, r.n, r.total)
+        for r in spark.read.parquet(d)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 4
