@@ -240,3 +240,144 @@ def scd2_history(
         F.lead(ts_col).over(w).alias("valid_to"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order conversion funnel: a user reaches stage i+1 only
+    via an event of that type STRICTLY AFTER their earliest qualifying
+    stage-i event (the standard product-analytics funnel, immune to
+    out-of-order credit). Emits one row per stage with the user count,
+    conversion vs the previous stage, and conversion vs the top.
+
+    Scale shape: one keyed aggregation per stage plus one co-keyed
+    join per transition — every shuffle is on ``user_col`` so AQE can
+    reuse the exchange; the final rate window runs over |stages| rows
+    (bounded metadata). No event ever leaves its user partition."""
+    reached = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts = [
+        reached.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(f"1_{stages[0]}").alias("stage"), "users"
+        )
+    ]
+    for i, s in enumerate(stages[1:], start=2):
+        reached = (
+            df.filter(F.col(type_col) == s)
+            .join(reached.select(user_col, "__t"), user_col)
+            .filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(f"{i}_{s}").alias("stage"), "users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("stage")
+    prev = F.lag("users").over(w)
+    top = F.first("users").over(w)
+    rate = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num / F.nullif(den, F.lit(0)), F.lit(1.0)), 6
+    )
+    return out.select(
+        "stage",
+        "users",
+        rate(F.col("users"), prev).alias("conv_from_prev"),
+        rate(F.col("users"), top).alias("conv_from_top"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: cohort = period of the user's first
+    event; a cohort's retention at offset k = fraction of its users
+    active in cohort-start + k periods. The warehouse-standard growth
+    report. Two corpus shuffles, both on ``user_col`` (first-event agg
+    and the distinct activity grid), then one join co-keyed on
+    ``user_col`` and one aggregation on (cohort, offset) — cardinality
+    |cohorts| x |periods|, metadata-sized; the rate window partitions
+    by cohort. Offset-0 is the cohort size by construction (the first
+    event makes its own period active)."""
+    trunc = lambda c: F.date_trunc(period, c).cast("date")  # noqa: E731
+    cohort = (
+        df.groupBy(user_col)
+        .agg(F.min(ts_col).alias("__first"))
+        .select(user_col, trunc(F.col("__first")).alias("cohort_period"))
+    )
+    activity = df.select(
+        user_col, trunc(F.col(ts_col)).alias("active_period")
+    ).distinct()
+    days = {"week": 7, "month": 30}  # month offsets only label buckets
+    per_days = days.get(period, 7)
+    g = (
+        activity.join(cohort, user_col)
+        .groupBy(
+            "cohort_period",
+            (
+                F.datediff("active_period", "cohort_period") / per_days
+            )
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    w = Window.partitionBy("cohort_period").orderBy("period_offset")
+    return g.select(
+        "cohort_period",
+        "period_offset",
+        "active_users",
+        F.round(
+            F.col("active_users") / F.first("active_users").over(w), 6
+        ).alias("retention"),
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the user's most recent PRECEDING non-conversion event
+    type (``(direct)`` when none exists). One window pass partitioned
+    by user (last-ignore-nulls over the preceding frame — no self
+    join), then a channel aggregation over conversions only; the
+    corpus shuffles once, on ``user_col``."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = df.select("*", src.alias("__src")).filter(
+        F.col(type_col) == conversion
+    )
+    return conv.groupBy(
+        F.coalesce("__src", F.lit("(direct)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )

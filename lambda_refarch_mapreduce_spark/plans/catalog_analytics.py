@@ -2132,3 +2132,106 @@ def ewma_user_value_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(folded, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: funnel, cohorts, attribution (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion_events",
+    oracle="""
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+                                    AND e.ts > s1.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s2 ON s2.user_id = e.user_id
+                                    AND e.ts > s2.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        c AS (SELECT '1_view' AS stage,
+                     (SELECT count(*) FROM s1)::BIGINT AS users
+              UNION ALL SELECT '2_click', (SELECT count(*) FROM s2)
+              UNION ALL SELECT '3_purchase', (SELECT count(*) FROM s3))
+        SELECT stage, users,
+               round(coalesce(users / nullif(
+                   lag(users) OVER (ORDER BY stage), 0), 1.0), 6)
+                   AS conv_from_prev,
+               round(coalesce(users / nullif(
+                   first_value(users) OVER (ORDER BY stage), 0), 1.0), 6)
+                   AS conv_from_top
+        FROM c
+    """,
+    tags=("analytics", "product"),
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase strict-order funnel over the events
+    stream (operators/analytics.funnel): stage user counts plus
+    step and top-of-funnel conversion rates. All corpus shuffles are
+    keyed on user_id; the rate window sees 3 rows."""
+    return analytics.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+        WITH c AS (SELECT user_id,
+                          date_trunc('week', min(ts))::DATE AS cohort_period
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id,
+                     date_trunc('week', ts)::DATE AS active_period
+              FROM events),
+        g AS (SELECT c.cohort_period,
+                     (datediff('day', c.cohort_period, a.active_period)
+                      / 7)::INT AS period_offset,
+                     count(*)::BIGINT AS active_users
+              FROM a JOIN c USING (user_id)
+              GROUP BY 1, 2)
+        SELECT cohort_period, period_offset, active_users,
+               round(active_users / first_value(active_users) OVER (
+                   PARTITION BY cohort_period ORDER BY period_offset), 6)
+                   AS retention
+        FROM g
+    """,
+    tags=("analytics", "product"),
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (operators/analytics.
+    cohort_retention): cohort = week of first event, retention at
+    offset k = share of the cohort active k weeks later. Both corpus
+    shuffles key on user_id; the (cohort, offset) grid is
+    metadata-sized."""
+    return analytics.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+        WITH x AS (SELECT user_id, event_type, value,
+                          last_value(CASE WHEN event_type <> 'purchase'
+                                          THEN event_type END IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS src
+                   FROM events)
+        SELECT coalesce(src, '(direct)') AS channel,
+               count(*)::BIGINT AS conversions,
+               round(sum(value), 2) AS total_value
+        FROM x WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("analytics", "product"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases (operators/analytics.
+    last_touch_attribution): each purchase credits the user's most
+    recent preceding non-purchase event type via one
+    last-ignore-nulls window pass — no self join, one user_id
+    shuffle."""
+    return analytics.last_touch_attribution(_t(spark, sf_dir, "events"))

@@ -499,3 +499,72 @@ def test_sql_table_function(spark):
         "SELECT w FROM words('alpha beta gamma') ORDER BY w"
     ).collect()
     assert [r.w for r in rows] == ["alpha", "beta", "gamma"]
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Hand-built funnel: user 1 converts fully in order; user 2 clicks
+    BEFORE viewing (no credit); user 3 views only. Strictly-after rule:
+    a click at the same instant as the view must not count."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        (1, "view", s(0)), (1, "click", s(1)), (1, "purchase", s(2)),
+        (2, "click", s(0)), (2, "view", s(1)), (2, "purchase", s(2)),
+        (3, "view", s(0)), (3, "click", s(0)),  # same instant: no credit
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.stage: (r.users, r.conv_from_prev, r.conv_from_top)
+        for r in analytics.funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    # user 2's purchase IS after their view->?click: view at s(1), but the
+    # click at s(0) precedes the view, so stage 2 is never reached.
+    assert got["1_view"] == (3, 1.0, 1.0)
+    assert got["2_click"] == (1, round(1 / 3, 6), round(1 / 3, 6))
+    assert got["3_purchase"] == (1, 1.0, round(1 / 3, 6))
+
+
+def test_last_touch_attribution_direct_and_channel(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: ad-click then purchase -> credited to click
+        (1, 1, "click", s(0), 0.0), (1, 2, "purchase", s(1), 10.0),
+        # user 2: purchase with no prior event -> (direct)
+        (2, 3, "purchase", s(0), 5.0),
+        # user 2: second purchase; the preceding PURCHASE must not be
+        # credited (non-conversion touches only) -> still (direct)
+        (2, 4, "purchase", s(1), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        r.channel: (r.conversions, r.total_value)
+        for r in analytics.last_touch_attribution(df).collect()
+    }
+    assert got == {"click": (1, 10.0), "(direct)": (2, 12.0)}
+
+
+def test_cohort_retention_offsets(spark):
+    """Two cohorts: users 1,2 start week 0 (user 2 returns in week 1),
+    user 3 starts week 1. Offset-0 retention is 1.0 by construction."""
+    import datetime as dt
+
+    # 2024-01-01 is a Monday (week-truncation boundary)
+    d = lambda day, u: (u, dt.datetime(2024, 1, day, 12, 0))  # noqa: E731
+    rows = [d(1, 1), d(3, 2), d(10, 2), d(9, 3), d(11, 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_period), r.period_offset): (r.active_users, r.retention)
+        for r in analytics.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+    }
