@@ -308,7 +308,10 @@ def cohort_retention(
     """Cohort retention triangle: cohort = period of the user's first
     event; a cohort's retention at offset k = fraction of its users
     active in cohort-start + k periods. The warehouse-standard growth
-    report. Two corpus shuffles, both on ``user_col`` (first-event agg
+    report. (The catalog's oracle gate for the raw triangle is
+    ``cohort_weekly_retention`` in plans/catalog.py; this reusable
+    operator adds the cohort-normalized retention rate and is pinned
+    by a hand-computed unit test instead of a near-duplicate entry.) Two corpus shuffles, both on ``user_col`` (first-event agg
     and the distinct activity grid), then one join co-keyed on
     ``user_col`` and one aggregation on (cohort, offset) — cardinality
     |cohorts| x |periods|, metadata-sized; the rate window partitions

@@ -2170,43 +2170,16 @@ def ewma_user_value_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase strict-order funnel over the events
     stream (operators/analytics.funnel): stage user counts plus
-    step and top-of-funnel conversion rates. All corpus shuffles are
-    keyed on user_id; the rate window sees 3 rows."""
+    step and top-of-funnel conversion rates. Complements
+    funnel_view_purchase (per-user 2-stage detail within a time
+    window) with the N-stage strictly-chained SUMMARY shape — stage
+    i+1 credit requires an event strictly after the earliest stage-i
+    event, so same-instant or out-of-order events never convert. All
+    corpus shuffles are keyed on user_id; the rate window sees 3
+    rows."""
     return analytics.funnel(
         _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
-
-
-@register(
-    "cohort_retention_weekly",
-    oracle="""
-        WITH c AS (SELECT user_id,
-                          date_trunc('week', min(ts))::DATE AS cohort_period
-                   FROM events GROUP BY user_id),
-        a AS (SELECT DISTINCT user_id,
-                     date_trunc('week', ts)::DATE AS active_period
-              FROM events),
-        g AS (SELECT c.cohort_period,
-                     (datediff('day', c.cohort_period, a.active_period)
-                      / 7)::INT AS period_offset,
-                     count(*)::BIGINT AS active_users
-              FROM a JOIN c USING (user_id)
-              GROUP BY 1, 2)
-        SELECT cohort_period, period_offset, active_users,
-               round(active_users / first_value(active_users) OVER (
-                   PARTITION BY cohort_period ORDER BY period_offset), 6)
-                   AS retention
-        FROM g
-    """,
-    tags=("analytics", "product"),
-)
-def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort-retention triangle (operators/analytics.
-    cohort_retention): cohort = week of first event, retention at
-    offset k = share of the cohort active k weeks later. Both corpus
-    shuffles key on user_id; the (cohort, offset) grid is
-    metadata-sized."""
-    return analytics.cohort_retention(_t(spark, sf_dir, "events"))
 
 
 @register(
