@@ -2208,3 +2208,207 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ignore-nulls window pass — no self join, one user_id
     shuffle."""
     return analytics.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Warehouse maintenance + robust stats (round 5, batch 2)
+# ---------------------------------------------------------------------------
+
+COMPACT_ROW_BYTES = 64
+COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@register(
+    "compaction_plan_lineitem",
+    oracle=f"""
+        WITH inv AS (SELECT l_returnflag, l_linestatus,
+                            date_trunc('month', l_shipdate)::DATE AS ship_month,
+                            count(*)::BIGINT AS n_rows,
+                            (count(*) * {COMPACT_ROW_BYTES})::BIGINT AS est_bytes
+                     FROM lineitem GROUP BY 1, 2, 3)
+        SELECT l_returnflag, l_linestatus, ship_month, n_rows, est_bytes,
+               (coalesce(sum(est_bytes) OVER (
+                    ORDER BY l_returnflag, l_linestatus, ship_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {COMPACT_TARGET_BYTES})::INT AS bin_id
+        FROM inv
+    """,
+    tags=("analytics", "scale", "maintenance"),
+)
+def compaction_plan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance job that
+    keeps a 100 TB lake readable: build a file inventory (here one
+    'file' per (returnflag, linestatus, ship month) slice, sized at a
+    constant per-row estimate), then greedy-bin-pack inventory order
+    into ~256 KB output groups via an exclusive running sum — every
+    file whose cumulative offset falls in the same target-size stripe
+    lands in the same rewrite bin, preserving sort order so the
+    rewrite stays data-skipping-friendly. The corpus shuffles once
+    (the inventory aggregate, map-side combined); the packing window
+    runs over FILE METADATA (|files| rows, the manifest), which is
+    exactly how real compaction planners scale — plan over the
+    manifest, never the data. Integer byte math end to end."""
+    from pyspark.sql.window import Window
+
+    inv = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "*",
+            (F.col("n_rows") * COMPACT_ROW_BYTES).alias("est_bytes"),
+        )
+    )
+    w = (
+        Window.orderBy("l_returnflag", "l_linestatus", "ship_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("est_bytes").over(w), F.lit(0))
+    return inv.select(
+        "l_returnflag",
+        "l_linestatus",
+        "ship_month",
+        "n_rows",
+        "est_bytes",
+        F.floor(cum_excl / COMPACT_TARGET_BYTES).cast("int").alias("bin_id"),
+    )
+
+
+@register(
+    "mom_revenue_change",
+    oracle="""
+        WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                          round(sum(o_totalprice), 2) AS revenue,
+                          count(*)::BIGINT AS n_orders
+                   FROM orders GROUP BY 1)
+        SELECT month, revenue, n_orders,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / nullif(lag(revenue) OVER (ORDER BY month), 0), 6)
+                   AS mom_change
+        FROM m
+    """,
+    tags=("analytics", "timeseries"),
+)
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly order revenue with its
+    relative change vs the prior month — the KPI-dashboard staple. One
+    map-side-combined aggregate to |months| rows, then a lag window
+    over that metadata-sized series (rates computed from the already
+    2dp-rounded totals, so both engines divide identical numbers)."""
+    from pyspark.sql.window import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0)), 6).alias(
+            "mom_change"
+        ),
+    )
+
+
+@register(
+    "winsorize_prices_by_flag",
+    oracle="""
+        WITH b AS (SELECT l_returnflag,
+                          round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+                          round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+                   FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_clipped_low,
+               sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_clipped_high,
+               round(avg(least(greatest(l_extendedprice, lo), hi)), 2)
+                   AS winsorized_mean
+        FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+        GROUP BY 1
+    """,
+    tags=("analytics", "prep"),
+)
+def winsorize_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clamp to [p05, p95]) — the outlier
+    TRANSFORM complement of mad_outliers_by_event_type's detection:
+    exact interpolated percentiles per returnflag (3 groups), rounded
+    to 4dp for engine-stable thresholds, broadcast back onto the fact
+    table, then clip counts and the winsorized mean in one pass. Two
+    corpus scans (percentile agg + clamp agg), one broadcast join of
+    a |groups|-row bounds frame — no corpus re-shuffle for the
+    clamp."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("hi"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    p = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(p, F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(p < F.col("lo"), 1).otherwise(0)).alias("n_clipped_low"),
+        F.sum(F.when(p > F.col("hi"), 1).otherwise(0)).alias("n_clipped_high"),
+        F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "hourly_seasonal_anomalies",
+    oracle="""
+        WITH s AS (SELECT event_type, hour(ts) AS h,
+                          round(avg(value), 6) AS mu,
+                          round(stddev_samp(value), 6) AS sd
+                   FROM events GROUP BY 1, 2),
+        z AS (SELECT e.event_type,
+                     abs((e.value - s.mu) / nullif(s.sd, 0)) AS az
+              FROM events e JOIN s ON s.event_type = e.event_type
+                                  AND s.h = hour(e.ts))
+        SELECT event_type, count(*)::BIGINT AS n_obs,
+               sum(CASE WHEN az > 3 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+               round(max(az), 6) AS max_abs_z
+        FROM z GROUP BY 1
+    """,
+    tags=("analytics", "timeseries"),
+)
+def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scan: a per-(event_type, hour-of-day)
+    mean/std baseline — so a value normal at peak hours can still be
+    anomalous at 3am — then |z| > 3 counts per event type. Complements
+    mad_outliers_by_event_type (global robust MAD) with the seasonal
+    baseline every monitoring pipeline actually deploys. Baselines
+    are rounded to 6dp BEFORE the z computation in both engines, so
+    the per-row z arithmetic is identical floating-point on identical
+    inputs (order-independent); the baseline frame is |types|x24 rows
+    and broadcasts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"), "value"
+    )
+    s = ev.groupBy("event_type", "h").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = ev.join(F.broadcast(s), ["event_type", "h"]).select(
+        "event_type",
+        F.abs((F.col("value") - F.col("mu")) / F.nullif("sd", F.lit(0))).alias(
+            "az"
+        ),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("az") > 3, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(F.max("az"), 6).alias("max_abs_z"),
+    )
