@@ -447,3 +447,58 @@ def extract_video_features(media: DataFrame, sample_every: int = 2) -> DataFrame
             )
 
     return media.mapInPandas(_kernel, schema=VIDEO_STATS_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded images — the
+    classic near-duplicate-image fingerprint: downscale to a
+    ``grid`` of blocks, set bit i iff block i is brighter than the
+    image mean. All arithmetic is INTEGER (bit i = block_sum *
+    n_blocks > total_sum — no division, no float), so the hash is
+    bit-reproducible across engines and platforms; two images with
+    the same layout of light/dark regions collide regardless of
+    uniform brightness shifts in the low bits. Arrow-batched
+    mapInPandas, zero shuffle; images whose dimensions don't tile the
+    grid (or that fail decode) drop, the DROPMALFORMED policy of the
+    other kernels. Bit order is row-major (bit = row*grid_w + col)."""
+    import numpy as np
+
+    gh, gw = grid
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.content is None:
+                    continue
+                try:
+                    img = decode_image(row.content)
+                except (ValueError, NotImplementedError):
+                    continue
+                arr = np.asarray(img, dtype=np.int64)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, c = arr.shape
+                if h % gh or w % gw:
+                    continue
+                bh, bw = h // gh, w // gw
+                g = arr.reshape(gh, bh, gw, bw, c).sum(axis=(1, 3, 4))
+                total = int(g.sum())
+                hashval = 0
+                for i, bs in enumerate(g.reshape(-1)):
+                    if int(bs) * (gh * gw) > total:
+                        hashval |= 1 << i
+                out.append((row.media_id, hashval))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_kernel, schema=AHASH_SCHEMA)

@@ -1385,3 +1385,83 @@ def length_bin(text_col, width: int = 100, n_bins: int = 10):
     return F.least(
         F.floor(F.length(text_col) / width), F.lit(n_bins - 1).cast("long")
     )
+
+
+def postings_index(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Inverted-index build for the ``top_n`` highest-df terms: one
+    row per term carrying its document frequency and aligned,
+    doc-id-sorted postings arrays (doc_ids, tfs) — the batch job that
+    feeds a search/RAG serving tier. Plan shape: the same single
+    corpus-sized (id, token) count tfidf_terms uses, a vocab-sized df
+    aggregate, a TakeOrdered top-N over the vocab (never the corpus),
+    and a semi-join-filtered postings assembly whose collect_list is
+    bounded by each term's df. Ties at the df cutoff break on the
+    term itself, so the selected set is deterministic."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), "token").limit(top_n)
+    pl = (
+        tf.join(F.broadcast(top), "token")
+        .groupBy("token", "df")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("id", "tf"))).alias("__pl")
+        )
+    )
+    return pl.select(
+        "token",
+        "df",
+        F.transform("__pl", lambda x: x["id"]).alias("doc_ids"),
+        F.transform("__pl", lambda x: x["tf"]).alias("tfs"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Tokenizer-budget report: with a vocabulary of the
+    ``vocab_size`` most frequent corpus terms, what fraction of each
+    group's token OCCURRENCES is covered? The question every
+    fixed-vocab tokenizer (or stop-list, or embedding table) budget
+    decision hangs on. One corpus-sized token count (map-side
+    combined), a TakeOrdered top-K over the vocab, then the corpus
+    tokens stream once more against the BROADCAST vocabulary — the
+    corpus never shuffles for the coverage pass. Frequency ties at
+    the cutoff break on the term, so the vocabulary is
+    deterministic."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in"))
+    )
+    per = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("__in", F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -3541,3 +3541,159 @@ def collocations_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 collocations_pmi_top.__doc__ = collocations_pmi_top.__doc__.replace(
     "{TOP}", str(PMI_TOP)
 ).replace("{MINP}", str(PMI_MIN_PAIR))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal dedup: perceptual average-hash (round 5)
+# ---------------------------------------------------------------------------
+
+AHASH_IMAGE_KEYS = 60  # distinct synthetic images -> ~8 docs share each
+
+
+def _ahash_oracle() -> str:
+    """DuckDB twin of multimodal.image_ahash over the synthetic 8x8
+    PPMs: raster byte b of doc d = byte (b % 16) of
+    md5((d % KEYS) || ':' || (b // 16)); block (br, bc) of the 4x4
+    grid sums the 12 bytes of its 2x2 pixel window, bit i set iff
+    block_sum * 16 > total — integer arithmetic only, so the oracle
+    reproduces the kernel's hash exactly from hex, no decoder."""
+    md5s = " || ".join(
+        f"md5(key::VARCHAR || ':{k}')" for k in range(12)
+    )
+    blocks = []
+    for br in range(4):
+        for bc in range(4):
+            idxs = [
+                (r * 8 + c) * 3 + ch + 1  # 1-based list index
+                for r in (2 * br, 2 * br + 1)
+                for c in (2 * bc, 2 * bc + 1)
+                for ch in range(3)
+            ]
+            blocks.append(" + ".join(f"px[{i}]" for i in idxs))
+    glist = "list_value(" + ", ".join(blocks) + ")"
+    return f"""
+        WITH k AS (SELECT doc_id, (doc_id % {AHASH_IMAGE_KEYS}) AS key
+                   FROM documents),
+        h AS (SELECT doc_id, {md5s} AS hx FROM k),
+        p AS (SELECT doc_id,
+                     list_transform(range(1, 193),
+                         i -> ('0x' || substr(hx, 2*i - 1, 2))::INT) AS px
+              FROM h),
+        g AS (SELECT doc_id, {glist} AS g FROM p),
+        a AS (SELECT doc_id,
+                     list_sum(list_transform(range(0, 16),
+                         i -> CASE WHEN g[i + 1] * 16 > list_sum(g)
+                              THEN 1 << i ELSE 0 END))::BIGINT AS ahash
+              FROM g)
+        SELECT ahash, count(*)::BIGINT AS n_docs,
+               min(doc_id) AS keeper,
+               list(doc_id ORDER BY doc_id) AS doc_ids
+        FROM a GROUP BY 1
+    """
+
+
+@register(
+    "image_ahash_dedup",
+    oracle=_ahash_oracle(),
+    tags=("llm", "multimodal", "dedup"),
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection via perceptual average-hash —
+    the multimodal counterpart of the text dedup tier: one binary
+    8x8 P6 PPM per document (raster = 12 md5-derived byte blocks
+    keyed on doc_id % 60, so ~8 docs share each image and the oracle
+    can rebuild every byte from hex), REAL-decoded and hashed by
+    multimodal.image_ahash (4x4 block grid, integer-exact
+    brighter-than-mean bits), then duplicate groups assembled by one
+    hash-keyed aggregation. This is exactly how image dedup scales to
+    100 TB: the corpus-sized stage is a zero-shuffle Arrow kernel
+    emitting an 8-byte fingerprint per image; only (id, hash) pairs
+    ever shuffle, and identical-layout images land in the same
+    reducer regardless of uniform brightness shifts."""
+    docs = _t(spark, sf_dir, "documents")
+    key = (F.col("doc_id") % AHASH_IMAGE_KEYS).cast("string")
+    raster = F.concat(
+        *[F.unhex(F.md5(F.concat(key, F.lit(f":{k}")))) for k in range(12)]
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit(b"P6\n8 8\n255\n"), raster).alias("content"),
+        F.lit("ppm").alias("format"),
+        (F.length(raster) + F.lit(11)).cast("long").alias("n_bytes"),
+    )
+    ah = multimodal.image_ahash(media, grid=(4, 4))
+    return ah.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("media_id").alias("keeper"),
+        F.sort_array(F.collect_list("media_id")).alias("doc_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search-index build + tokenizer-budget report (round 5)
+# ---------------------------------------------------------------------------
+
+POSTINGS_TOP_N = 20  # < the 31-term sf vocab, so the top-N cut actually selects
+VOCAB_COVERAGE_SIZE = 12  # ~41% occurrence coverage at sf0.01 -> non-trivial per-source variation
+
+
+@register(
+    "postings_index_terms",
+    oracle=f"""
+        WITH t AS (SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS token
+                   FROM documents),
+        tf AS (SELECT token, id, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        top AS (SELECT token, df FROM dfreq
+                ORDER BY df DESC, token LIMIT {POSTINGS_TOP_N})
+        SELECT token, df::BIGINT AS df,
+               list(id ORDER BY id) AS doc_ids,
+               list(tf::BIGINT ORDER BY id) AS tfs
+        FROM tf JOIN top USING (token)
+        GROUP BY token, top.df
+    """,
+    tags=("llm", "text", "search"),
+)
+def postings_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (operators/text.postings_index):
+    doc-id-sorted postings arrays for the top-20 highest-df terms —
+    the batch build feeding the BM25 serving path. The corpus
+    shuffles once (the (id, token) count tfidf shares); the top-N cut
+    and postings assembly touch vocab-sized frames only."""
+    return text.postings_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", POSTINGS_TOP_N
+    )
+
+
+@register(
+    "vocab_coverage_report",
+    oracle=f"""
+        WITH t AS (SELECT source AS grp, unnest({_SQL_TOKENS}) AS token
+                   FROM documents),
+        vc AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+        v AS (SELECT token FROM vc
+              ORDER BY c DESC, token LIMIT {VOCAB_COVERAGE_SIZE})
+        SELECT grp AS source, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_covered,
+               round(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS coverage
+        FROM t LEFT JOIN v ON v.token = t.token
+        GROUP BY 1
+    """,
+    tags=("llm", "text"),
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage of a top-12 corpus vocabulary
+    (operators/text.vocab_coverage): the fraction of token
+    occurrences a fixed-vocab tokenizer would cover — the budget
+    number behind vocab-size decisions. Corpus shuffles once for the
+    vocab count, then streams against the broadcast vocabulary."""
+    return text.vocab_coverage(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        VOCAB_COVERAGE_SIZE,
+    )

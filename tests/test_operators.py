@@ -1727,3 +1727,26 @@ def test_simhash_auto_falls_back_when_no_capped_scheme(spark):
         if a < b and bin(sig[a] ^ sig[b]).count("1") <= 22
     }
     assert {(r.id_a, r.id_b) for r in out} == want
+
+
+def test_image_ahash_hand_computed(spark):
+    """2x2 grid over a 2x2 PPM (blocks = pixels): bit i set iff pixel
+    brightness > image mean. Gray sums 90/600/30/300, total 1020 ->
+    bits at p01 (600*4>1020) and p11 (300*4>1020): hash 0b1010 = 10.
+    A uniform +20 brightness shift must not change the hash (the
+    whole point of average-hash)."""
+    raster = bytes([30] * 3 + [200] * 3 + [10] * 3 + [100] * 3)
+    shifted = bytes(b + 20 for b in raster)
+    rows = [
+        (1, "image", b"P6\n2 2\n255\n" + raster, "ppm", 23),
+        (2, "image", b"P6\n2 2\n255\n" + shifted, "ppm", 23),
+        (3, "image", b"P3\nbad", "ppm", 7),  # undecodable -> dropped
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, format string, n_bytes long"
+    )
+    got = {
+        r.media_id: r.ahash
+        for r in multimodal.image_ahash(media, grid=(2, 2)).collect()
+    }
+    assert got == {1: 10, 2: 10}
