@@ -502,3 +502,67 @@ def image_ahash(media: DataFrame, grid: tuple[int, int] = (8, 8)) -> DataFrame:
             )
 
     return media.mapInPandas(_kernel, schema=AHASH_SCHEMA)
+
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_windows", IntegerType(), False),
+        StructField("n_voiced", IntegerType(), False),
+        StructField("voiced_ratio", DoubleType(), True),
+        StructField("max_energy", LongType(), True),
+    ]
+)
+
+
+def audio_activity_windows(
+    media: DataFrame,
+    window: int = 16,
+    energy_threshold: int = 5_700_000_000,
+) -> DataFrame:
+    """Energy-based voice-activity detection over REAL decoded PCM16:
+    split each clip into fixed ``window``-sample frames (trailing
+    partial frame dropped), mark a frame voiced iff its energy — the
+    INTEGER sum of squared samples, channels summed — exceeds
+    ``energy_threshold``, and emit per-clip counts, the voiced ratio,
+    and the loudest frame's energy. All frame energies are exact
+    int64 arithmetic (max 16 * 32768^2 * channels per frame, far
+    below 2^63), so the report is bit-reproducible. Arrow-batched
+    mapInPandas, zero shuffle; undecodable payloads drop
+    (DROPMALFORMED policy). The window segmentation here is the same
+    1-row → n-frame fan-in every diarization / speech-detect stage
+    uses before a model sees the audio."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.content is None:
+                    continue
+                try:
+                    samples, _rate = decode_audio(row.content)
+                except (ValueError, NotImplementedError):
+                    continue
+                x = samples.astype(np.int64)
+                n = (x.shape[0] // window) * window
+                if n == 0:
+                    out.append((row.media_id, 0, 0, 0.0, 0))
+                    continue
+                frames = (x[:n] ** 2).sum(axis=1).reshape(-1, window)
+                energies = frames.sum(axis=1)
+                voiced = int((energies > energy_threshold).sum())
+                out.append(
+                    (
+                        row.media_id,
+                        int(energies.shape[0]),
+                        voiced,
+                        round(voiced / energies.shape[0], 6),
+                        int(energies.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VAD_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_kernel, schema=VAD_SCHEMA)

@@ -2412,3 +2412,54 @@ def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("az") > 3, 1).otherwise(0)).alias("n_anomalies"),
         F.round(F.max("az"), 6).alias("max_abs_z"),
     )
+
+
+@register(
+    "partition_stats_skipping",
+    oracle="""
+        WITH m AS (SELECT date_trunc('month', l_shipdate)::DATE AS ship_month,
+                          count(*)::BIGINT AS n_rows,
+                          min(l_shipdate)::DATE AS min_shipdate,
+                          max(l_shipdate)::DATE AS max_shipdate,
+                          round(min(l_extendedprice), 2) AS min_price,
+                          round(max(l_extendedprice), 2) AS max_price
+                   FROM lineitem GROUP BY 1)
+        SELECT *,
+               (max_shipdate < DATE '1995-01-01'
+                OR min_shipdate > DATE '1995-12-31') AS prunable
+        FROM m
+    """,
+    tags=("analytics", "scale", "maintenance"),
+)
+def partition_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-statistics manifest + data-skipping decision — the
+    mechanism behind every lakehouse's partition pruning: one
+    map-side-combined pass computes per-partition (ship month) row
+    counts and column min/max, then the skip decision for a query
+    window (shipdate within 1995) is evaluated on the MANIFEST alone
+    — max < lo OR min > hi — without touching data. At 100 TB this
+    is the difference between scanning 84 months and scanning 12:
+    the stats table is |partitions| rows, and the planner consults
+    it instead of the corpus (compaction_plan_lineitem is the write
+    side of the same manifest discipline). Dates and 2dp-rounded
+    price bounds keep both engines' comparisons exact."""
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("l_shipdate").cast("date")).alias("min_shipdate"),
+            F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+    lo, hi = F.lit("1995-01-01").cast("date"), F.lit("1995-12-31").cast("date")
+    return m.select(
+        "*",
+        ((F.col("max_shipdate") < lo) | (F.col("min_shipdate") > hi)).alias(
+            "prunable"
+        ),
+    )

@@ -1750,3 +1750,27 @@ def test_image_ahash_hand_computed(spark):
         for r in multimodal.image_ahash(media, grid=(2, 2)).collect()
     }
     assert got == {1: 10, 2: 10}
+
+
+def test_audio_activity_windows_hand_computed(spark):
+    """window=2 over four known samples [0, 0, 100, 100]: energies
+    [0, 20000]; threshold 10000 -> exactly the second frame voiced.
+    A trailing odd sample must be dropped, not padded."""
+    import struct
+
+    samples = struct.pack("<5h", 0, 0, 100, 100, 7)  # 5th sample: partial frame
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(samples))
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", hdr + samples, "wav", len(samples) + 44)],
+        "media_id long, media_type string, content binary, format string, n_bytes long",
+    )
+    rows = multimodal.audio_activity_windows(
+        media, window=2, energy_threshold=10_000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_windows, r.n_voiced, r.voiced_ratio, r.max_energy) == (2, 1, 0.5, 20000)
