@@ -63,6 +63,8 @@ HEADLINE = {
     "q_zorder": "zorder_layout_lineitem",
     "q_equidepth": "equidepth_histogram_prices",
     "q_drift_psi": "corpus_drift_psi",
+    "q_funnel": "funnel_conversion_events",
+    "q_ahash_dedup": "image_ahash_dedup",
 }
 
 

@@ -3585,10 +3585,10 @@ def _ahash_oracle() -> str:
                          i -> CASE WHEN g[i + 1] * 16 > list_sum(g)
                               THEN 1 << i ELSE 0 END))::BIGINT AS ahash
               FROM g)
-        SELECT ahash, count(*)::BIGINT AS n_docs,
-               min(doc_id) AS keeper,
-               list(doc_id ORDER BY doc_id) AS doc_ids
-        FROM a GROUP BY 1
+        SELECT doc_id, ahash,
+               min(doc_id) OVER (PARTITION BY ahash) AS keeper,
+               doc_id <> min(doc_id) OVER (PARTITION BY ahash) AS is_dup
+        FROM a
     """
 
 
@@ -3604,8 +3604,11 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on doc_id % 60, so ~8 docs share each image and the oracle
     can rebuild every byte from hex), REAL-decoded and hashed by
     multimodal.image_ahash (4x4 block grid, integer-exact
-    brighter-than-mean bits), then duplicate groups assembled by one
-    hash-keyed aggregation. This is exactly how image dedup scales to
+    brighter-than-mean bits), then each image is assigned its
+    duplicate-group keeper (min doc id over the hash partition) in
+    one hash-keyed window — per-doc output, NO per-group list
+    materialization, so a million-member duplicate group costs the
+    same per row as a unique image. This is exactly how image dedup scales to
     100 TB: the corpus-sized stage is a zero-shuffle Arrow kernel
     emitting an 8-byte fingerprint per image; only (id, hash) pairs
     ever shuffle, and identical-layout images land in the same
@@ -3622,11 +3625,15 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ppm").alias("format"),
         (F.length(raster) + F.lit(11)).cast("long").alias("n_bytes"),
     )
+    from pyspark.sql.window import Window
+
     ah = multimodal.image_ahash(media, grid=(4, 4))
-    return ah.groupBy("ahash").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("media_id").alias("keeper"),
-        F.sort_array(F.collect_list("media_id")).alias("doc_ids"),
+    keeper = F.min("media_id").over(Window.partitionBy("ahash"))
+    return ah.select(
+        F.col("media_id").alias("doc_id"),
+        "ahash",
+        keeper.alias("keeper"),
+        (F.col("media_id") != keeper).alias("is_dup"),
     )
 
 
