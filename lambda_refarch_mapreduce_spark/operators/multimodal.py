@@ -566,3 +566,59 @@ def audio_activity_windows(
             )
 
     return media.mapInPandas(_kernel, schema=VAD_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_cuts", IntegerType(), False),
+        StructField("n_scenes", IntegerType(), False),
+        StructField("max_diff", LongType(), True),
+    ]
+)
+
+
+def video_scene_cuts(media: DataFrame, diff_threshold: int = 100) -> DataFrame:
+    """Scene-change detection over REAL decoded video: consecutive
+    frames whose absolute pixel difference — the INTEGER sum of
+    |a - b| over every subpixel — exceeds ``diff_threshold`` mark a
+    cut; scenes = cuts + 1. The shot-segmentation pass a video corpus
+    runs before per-scene captioning/embedding, reduced to its
+    engine-shaped core: 1 clip row in, 1 summary row out, all
+    arithmetic exact int64 so the report is bit-reproducible.
+    Arrow-batched mapInPandas, zero shuffle; undecodable payloads
+    drop (DROPMALFORMED), zero/one-frame clips report no cuts and
+    one scene."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.content is None:
+                    continue
+                try:
+                    _w, _h, _fps, frames = decode_video(row.content)
+                except (ValueError, NotImplementedError):
+                    continue
+                x = frames.astype(np.int64).reshape(frames.shape[0], -1)
+                if x.shape[0] < 2:
+                    out.append((row.media_id, int(x.shape[0]), 0, 1, 0))
+                    continue
+                diffs = np.abs(x[1:] - x[:-1]).sum(axis=1)
+                cuts = int((diffs > diff_threshold).sum())
+                out.append(
+                    (
+                        row.media_id,
+                        int(x.shape[0]),
+                        cuts,
+                        cuts + 1,
+                        int(diffs.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCENE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_kernel, schema=SCENE_SCHEMA)

@@ -3780,3 +3780,92 @@ def audio_vad_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_activity_windows(
         media, VAD_WINDOW, VAD_ENERGY_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene segmentation (round 5)
+# ---------------------------------------------------------------------------
+
+# RAWV header for the scene-cut clips: 2x2, fps 8, EIGHT frames in an
+# A,A,B,B,C,C,D,D pattern -> identical-pair diffs are exactly 0 and
+# scene-boundary diffs are md5-random (E ~ 1020 for 12 subpixels), so
+# threshold 100 yields 3 cuts / 4 scenes deterministically while
+# max_diff still varies per document.
+_RAWV_SCENES_HEADER = b"RAWV" + _struct.pack("<HHHH", 2, 2, 8, 8)
+SCENE_DIFF_THRESHOLD = 100
+
+
+def _scene_oracle() -> str:
+    """DuckDB twin of multimodal.video_scene_cuts over the AABBCCDD
+    clips: scene frame s of doc d = first 12 bytes of
+    md5(d || ':s' || s); the 7 consecutive diffs are [0, d01, 0, d12,
+    0, d23, 0], so cuts = how many of the three boundary diffs exceed
+    the threshold and max_diff = their maximum (identical pairs
+    contribute 0). Integer |a-b| sums reproduce the kernel exactly."""
+    def px(s: int) -> str:
+        return (
+            f"list_transform(range(1, 13), i -> ('0x' || "
+            f"substr(md5(doc_id::VARCHAR || ':s{s}'), 2*i - 1, 2))::INT)"
+        )
+
+    diffs = []
+    for s in range(3):
+        diffs.append(
+            f"list_sum(list_transform(range(1, 13), "
+            f"i -> abs(p{s}[i] - p{s + 1}[i])))"
+        )
+    return f"""
+        WITH p AS (SELECT doc_id, {px(0)} AS p0, {px(1)} AS p1,
+                          {px(2)} AS p2, {px(3)} AS p3
+                   FROM documents),
+        d AS (SELECT doc_id, {diffs[0]} AS d0, {diffs[1]} AS d1,
+                     {diffs[2]} AS d2
+              FROM p)
+        SELECT doc_id AS media_id, 8 AS n_frames,
+               ((d0 > {SCENE_DIFF_THRESHOLD})::INT
+                + (d1 > {SCENE_DIFF_THRESHOLD})::INT
+                + (d2 > {SCENE_DIFF_THRESHOLD})::INT) AS n_cuts,
+               ((d0 > {SCENE_DIFF_THRESHOLD})::INT
+                + (d1 > {SCENE_DIFF_THRESHOLD})::INT
+                + (d2 > {SCENE_DIFF_THRESHOLD})::INT + 1) AS n_scenes,
+               greatest(d0, d1, d2, 0)::BIGINT AS max_diff
+        FROM d
+    """
+
+
+@register(
+    "video_scene_cuts_report",
+    oracle=_scene_oracle(),
+    tags=("llm", "multimodal"),
+)
+def video_scene_cuts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation over REAL decoded video — the third leg of
+    the multimodal analysis trio (image aHash dedup, audio VAD, video
+    scene cuts): one 8-frame RAWV clip per document in an AABBCCDD
+    frame pattern (scene frame s = 12 md5-derived bytes, so the
+    oracle rebuilds every subpixel from hex), demuxed by
+    multimodal.decode_video and segmented by video_scene_cuts via
+    integer |a-b| frame diffs against a threshold that cleanly
+    separates identical-pair diffs (exactly 0) from scene boundaries
+    (md5-random, E~1020). Per-clip summary out, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    frames = []
+    for k in range(8):
+        scene = k // 2
+        frames.append(
+            F.unhex(
+                F.substring(
+                    F.md5(F.concat(sid, F.lit(f":s{scene}"))), 1, 24
+                )
+            )
+        )
+    payload = F.concat(F.lit(_RAWV_SCENES_HEADER), *frames)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        payload.alias("content"),
+        F.lit("rawv").alias("format"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    return multimodal.video_scene_cuts(media, SCENE_DIFF_THRESHOLD)

@@ -1774,3 +1774,30 @@ def test_audio_activity_windows_hand_computed(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_windows, r.n_voiced, r.voiced_ratio, r.max_energy) == (2, 1, 0.5, 20000)
+
+
+def test_video_scene_cuts_hand_computed(spark):
+    """2 frames of 1x1 RGB: (10,10,10) -> (10,60,10); |diff| = 50.
+    Threshold 49 -> one cut, two scenes; threshold 50 -> no cut
+    (strictly-greater gate). Single-frame clip -> 1 scene, 0 cuts."""
+    import struct
+
+    hdr2 = b"RAWV" + struct.pack("<HHHH", 1, 1, 8, 2)
+    clip2 = hdr2 + bytes([10, 10, 10]) + bytes([10, 60, 10])
+    hdr1 = b"RAWV" + struct.pack("<HHHH", 1, 1, 8, 1)
+    clip1 = hdr1 + bytes([5, 5, 5])
+    media = spark.createDataFrame(
+        [(1, "video", clip2, "rawv", len(clip2)),
+         (2, "video", clip1, "rawv", len(clip1))],
+        "media_id long, media_type string, content binary, format string, n_bytes long",
+    )
+    got = {
+        r.media_id: (r.n_frames, r.n_cuts, r.n_scenes, r.max_diff)
+        for r in multimodal.video_scene_cuts(media, diff_threshold=49).collect()
+    }
+    assert got == {1: (2, 1, 2, 50), 2: (1, 0, 1, 0)}
+    got50 = {
+        r.media_id: r.n_cuts
+        for r in multimodal.video_scene_cuts(media, diff_threshold=50).collect()
+    }
+    assert got50 == {1: 0, 2: 0}
