@@ -156,3 +156,85 @@ def running_stats_per_key_tws(
             timeMode="None",
         )
     )
+
+
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("channel", StringType(), False),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+_TOUCH_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+
+def attribute_last_touch_stream(
+    stream: DataFrame, conversion: str = "purchase"
+) -> DataFrame:
+    """Streaming last-touch attribution — the continuous twin of
+    operators/analytics.last_touch_attribution: keyed state holds one
+    row per user (the most recent non-conversion touch), each
+    conversion event emits its credited channel the moment it
+    arrives. State is O(1) per user regardless of history length —
+    the batch window's UNBOUNDED PRECEDING frame collapses to three
+    scalar fields, which is why attribution is a streaming-native
+    workload at 100 TB/day event volumes.
+
+    Within a micro-batch, a user's events are replayed in
+    (ts, event_id) order; ACROSS batches the source must deliver
+    event-time-ordered files (the append-only log contract the batch
+    twin's window provides for free). A touch later than an already
+    seen one never regresses state (the max-ordering guard), so
+    duplicate replays are idempotent."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_type, last_us, last_eid = (
+            state.get if state.exists else (None, -1, -1)
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if row.event_type == conversion:
+                    out.append(
+                        (
+                            int(key[0]),
+                            last_type if last_type is not None else "(direct)",
+                            float(row.value),
+                        )
+                    )
+                elif (int(row.us), int(row.event_id)) > (last_us, last_eid):
+                    last_type = row.event_type
+                    last_us = int(row.us)
+                    last_eid = int(row.event_id)
+        state.update((last_type, last_us, last_eid))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ATTRIBUTION_SCHEMA.fields]
+        )
+
+    return (
+        stream.selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            "unix_micros(ts) as us",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ATTRIBUTION_SCHEMA,
+            stateStructType=_TOUCH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -922,3 +922,64 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_stream_last_touch_attribution_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution (keyed O(1) state) drained
+    over time-ordered files must equal the batch window twin's
+    channel totals on the same events."""
+    import os
+    import time as _time
+
+    from lambda_refarch_mapreduce_spark.operators import analytics
+    from lambda_refarch_mapreduce_spark.streaming.stateful import (
+        attribute_last_touch_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = str(tmp_path / "ordered_events")
+    os.makedirs(d)
+    # event-time-ordered arrival: three sequential time slices, one
+    # file each, strictly increasing mtimes (the append-only log
+    # contract the operator documents)
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.parquet(
+            os.path.join(d, f"slice={i:02d}")
+        )
+        _time.sleep(0.05)
+    paths = [os.path.join(d, f"slice={i:02d}") for i in range(3)]
+    schema = spark.read.parquet(paths[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/slice=*")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribute_last_touch_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.channel, r.n, r.total)
+        for r in spark.sql(
+            f"SELECT channel, count(*) AS n, round(sum(value), 2) AS total "
+            f"FROM {name} GROUP BY channel"
+        ).collect()
+    }
+    want = {
+        (r.channel, r.conversions, r.total_value)
+        for r in analytics.last_touch_attribution(
+            spark.read.parquet(d + "/slice=*").select(*[f.name for f in ev.schema])
+        ).collect()
+    }
+    assert got == want and len(got) > 0
