@@ -2463,3 +2463,107 @@ def partition_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prunable"
         ),
     )
+
+
+CUSUM_K_SDS = 0.5  # slack, in per-series sd units
+CUSUM_H_SDS = 1.0  # alarm threshold, in per-series sd units
+
+
+@register(
+    "cusum_drift_by_event_type",
+    oracle=f"""
+        WITH daily AS (SELECT event_type,
+                              date_trunc('day', ts)::DATE AS day,
+                              round(avg(value), 6) AS x
+                       FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, list(x ORDER BY day) AS xs,
+                     round(avg(x), 6) AS mu,
+                     round(stddev_samp(x), 6) AS sd,
+                     count(*)::BIGINT AS n_days
+              FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n_days,
+                     list_reduce(
+                         list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                             list_transform(xs,
+                                 x -> [x, 0.0, 0.0, 0.0, 0.0])),
+                         (acc, e) -> [
+                           greatest(0.0, acc[1] + e[1] - mu
+                                         - {CUSUM_K_SDS} * sd),
+                           greatest(0.0, acc[2] + mu
+                                         - {CUSUM_K_SDS} * sd - e[1]),
+                           greatest(acc[3],
+                               greatest(0.0, acc[1] + e[1] - mu
+                                             - {CUSUM_K_SDS} * sd)),
+                           greatest(acc[4],
+                               greatest(0.0, acc[2] + mu
+                                             - {CUSUM_K_SDS} * sd - e[1])),
+                           acc[5] + CASE WHEN
+                               greatest(0.0, acc[1] + e[1] - mu
+                                             - {CUSUM_K_SDS} * sd)
+                                   > {CUSUM_H_SDS} * sd
+                               OR greatest(0.0, acc[2] + mu
+                                             - {CUSUM_K_SDS} * sd - e[1])
+                                   > {CUSUM_H_SDS} * sd
+                               THEN 1 ELSE 0 END
+                         ]) AS fin
+              FROM g)
+        SELECT event_type, n_days,
+               round(fin[3], 6) AS max_cusum_up,
+               round(fin[4], 6) AS max_cusum_down,
+               fin[5]::BIGINT AS n_alarms
+        FROM f
+    """,
+    tags=("analytics", "timeseries"),
+)
+def cusum_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM change-point monitor per event type (Page 1954 —
+    the sequential drift detector behind SPC dashboards): one-sided
+    upper/lower cumulative sums over the DAILY mean series with slack
+    k = 0.5 sd, alarm at h = 1 sd; emits the max excursions and alarm
+    count. Like ewma_user_value_hof / holt_linear this is a
+    pure-Catalyst sorted-array `aggregate` fold (the recursion
+    S+ = max(0, S+ + x - mu - k) admits no window form); the fold's
+    accumulator is a 5-slot LIST in both engines and every recursion
+    term recurs textually rather than referencing a sibling slot, so
+    the FP op trees are identical (see _holt_oracle for why struct
+    accumulators are unsafe in the oracle). The corpus reduces to
+    |types| x |days| rows in one map-side-combined aggregate before
+    any fold runs; per-group state is one sorted day array."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_samp("x"), 6).alias("sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    z = F.lit(0.0)
+
+    def step(acc, x):
+        mu, sd = F.col("mu"), F.col("sd")
+        up = F.greatest(z, acc[0] + x - mu - CUSUM_K_SDS * sd)
+        dn = F.greatest(z, acc[1] + mu - CUSUM_K_SDS * sd - x)
+        return F.array(
+            up,
+            dn,
+            F.greatest(acc[2], up),
+            F.greatest(acc[3], dn),
+            acc[4]
+            + F.when(
+                (up > CUSUM_H_SDS * sd) | (dn > CUSUM_H_SDS * sd), 1.0
+            ).otherwise(0.0),
+        )
+
+    fin = F.aggregate(F.col("xs"), F.array(z, z, z, z, z), step)
+    return g.select(
+        "event_type",
+        "n_days",
+        F.round(fin[2], 6).alias("max_cusum_up"),
+        F.round(fin[3], 6).alias("max_cusum_down"),
+        fin[4].cast("long").alias("n_alarms"),
+    )
