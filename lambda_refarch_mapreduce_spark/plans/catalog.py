@@ -2692,3 +2692,68 @@ def welch_t_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+@register(
+    "rolling_wau_hll_sketches",
+    # Bounded-error gate (same pattern as hll_sketch_rollup_users):
+    # every windowed estimate must land within ±5% of the exact
+    # rolling distinct; the oracle recomputes the exacts and asserts
+    # TRUE. HLL sketches are deterministic, so the verdicts are
+    # stable facts of the data.
+    oracle="""
+        WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                    FROM events),
+        ex AS (SELECT DISTINCT user_id,
+                      unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                             INTERVAL 1 DAY)) AS wend
+               FROM ud)
+        SELECT strftime(wend, '%Y-%m-%d') AS window_end_day,
+               count(DISTINCT user_id)::BIGINT AS exact_wau,
+               TRUE AS within_tol
+        FROM ex GROUP BY 1
+    """,
+)
+def rolling_wau_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users at SKETCH cost — the scale twin of
+    rolling_weekly_active_users: that entry fans every distinct
+    (user, day) row out to its 7 window ends (exact, but the fan-out
+    is 7x the user-day volume), while this one builds ONE HLL sketch
+    per day and fans out only the |days| sketch rows, deriving each
+    window's WAU by `hll_union_agg` — at 100 TB the windowed
+    re-aggregation costs |days| x 7 sketch merges instead of a
+    corpus-sized shuffle, and the same daily sketches serve any
+    window length for free. Every estimate is hard-gated within ±5%
+    of the exact rolling distinct (the exact column is the
+    verification harness, computed by the fan-out method)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    week = F.sequence(
+        F.col("d"), F.col("d") + F.expr("interval 6 days"),
+        F.expr("interval 1 day"),
+    )
+    est = (
+        daily.select(F.explode(week).alias("wend"), "sk")
+        .groupBy("wend")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_wau")
+        )
+    )
+    ex = ud.select(
+        "user_id", F.explode(week).alias("wend")
+    ).distinct()
+    exact = ex.groupBy("wend").agg(
+        F.count_distinct("user_id").alias("exact_wau")
+    )
+    return (
+        est.join(exact, "wend")
+        .select(
+            F.date_format("wend", "yyyy-MM-dd").alias("window_end_day"),
+            "exact_wau",
+            (
+                F.abs(F.col("est_wau") - F.col("exact_wau"))
+                <= 0.05 * F.col("exact_wau")
+            ).alias("within_tol"),
+        )
+    )
