@@ -3869,3 +3869,84 @@ def video_scene_cuts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
     )
     return multimodal.video_scene_cuts(media, SCENE_DIFF_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift between snapshots (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_drift_centroids",
+    oracle="""
+        WITH e AS (SELECT vec_id, label, vec_id % 2 AS p, embedding
+                   FROM embeddings),
+        x AS (SELECT label, p, i, round(avg(embedding[i]), 6) AS c,
+                     count(*) AS n
+              FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2, 3),
+        j AS (SELECT a.label, a.i, a.c AS ca, b.c AS cb,
+                     a.n AS na, b.n AS nb
+              FROM (SELECT * FROM x WHERE p = 0) a
+              JOIN (SELECT * FROM x WHERE p = 1) b USING (label, i))
+        SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+               round(sum(ca * cb)
+                     / sqrt(sum(ca * ca) * sum(cb * cb)), 6)
+                   AS centroid_cosine,
+               round(sqrt(sum((ca - cb) * (ca - cb))), 6)
+                   AS centroid_l2_shift
+        FROM j GROUP BY 1
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE drift between two corpus snapshots (even/odd
+    vec_id halves stand in for release N / release N+1) — the vector
+    counterpart of corpus_drift_psi's scalar histograms: per-label
+    centroid cosine and L2 shift, the monitor that catches an
+    embedding-model regression or a label's semantic migration before
+    it poisons ANN serving. Centroids come from
+    similarity.group_centroids' dim-fixed aggregate buffers (the
+    corpus is never exploded to row x dim; only |labels| x 2 x 64
+    centroid rows unpivot), rounded to 6dp in both engines before the
+    cosine so the drift arithmetic runs on identical numbers; the
+    comparison join and final reduction touch centroid rows only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        "vec_id",
+        F.concat_ws(
+            ":", F.col("label"), (F.col("vec_id") % 2).cast("string")
+        ).alias("grp"),
+    )
+    cents = similarity.group_centroids(
+        emb, labeled, label_id_col="vec_id", label_col="grp"
+    ).select(
+        F.split("group", ":")[0].cast("int").alias("label"),
+        F.split("group", ":")[1].cast("int").alias("p"),
+        "dim",
+        "centroid_val",
+        "n_vectors",
+    )
+    a = cents.filter(F.col("p") == 0).select(
+        "label", "dim",
+        F.col("centroid_val").alias("ca"), F.col("n_vectors").alias("na"),
+    )
+    b = cents.filter(F.col("p") == 1).select(
+        "label", "dim",
+        F.col("centroid_val").alias("cb"), F.col("n_vectors").alias("nb"),
+    )
+    j = a.join(b, ["label", "dim"])
+    return j.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / F.sqrt(
+                F.sum(F.col("ca") * F.col("ca"))
+                * F.sum(F.col("cb") * F.col("cb"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)), 6
+        ).alias("centroid_l2_shift"),
+    )
