@@ -2567,3 +2567,58 @@ def cusum_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fin[3], 6).alias("max_cusum_down"),
         fin[4].cast("long").alias("n_alarms"),
     )
+
+
+L_DIV_L = 4
+L_DIV_BAND = 2000
+
+
+@register(
+    "l_diversity_report",
+    oracle=f"""
+        WITH g AS (SELECT c_nationkey, c_mktsegment,
+                          count(DISTINCT floor(c_acctbal / {L_DIV_BAND}))
+                              AS d,
+                          count(*) AS n
+                   FROM customer GROUP BY 1, 2)
+        SELECT count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN d < {L_DIV_L} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_low_diversity,
+               sum(CASE WHEN d < {L_DIV_L} THEN n ELSE 0 END)::BIGINT
+                   AS n_rows_at_risk,
+               min(d)::BIGINT AS min_diversity
+        FROM g
+    """,
+    tags=("analytics", "quality", "privacy"),
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k_anonymity_report's stronger sibling: a
+    quasi-identifier class can be large (k-anonymous) yet still leak
+    if everyone in it shares the same SENSITIVE value, so each
+    (nation x segment) class must see >= l = {L} distinct sensitive
+    bands (account balance / {B}). Same two-tier plan: one map-side
+    combined aggregate to class-level (distinct-count) rows, then a
+    single-row rollup over |QI classes| rows — data-plane rows never
+    reach the second stage."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count_distinct(
+                F.floor(F.col("c_acctbal") / L_DIV_BAND)
+            ).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    low = F.col("d") < L_DIV_L
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(low.cast("long")).alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).alias("n_rows_at_risk"),
+        F.min("d").alias("min_diversity"),
+    )
+
+
+l_diversity_report.__doc__ = l_diversity_report.__doc__.replace(
+    "{L}", str(L_DIV_L)
+).replace("{B}", str(L_DIV_BAND))
