@@ -2622,3 +2622,86 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 l_diversity_report.__doc__ = l_diversity_report.__doc__.replace(
     "{L}", str(L_DIV_L)
 ).replace("{B}", str(L_DIV_BAND))
+
+
+@register(
+    "incremental_agg_maintenance",
+    # oracle = FULL RECOMPUTE over the net-effect applied table (same
+    # changelog as cdc_apply_orders) — proving the delta path lands on
+    # exactly the recompute answer
+    oracle="""
+        WITH keep AS (SELECT o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0),
+        upd AS (SELECT o_custkey, round(o_totalprice * 1.1, 2)
+                           AS o_totalprice
+                FROM orders
+                WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
+        ins AS (SELECT o_custkey, 1.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 9 = 0),
+        applied AS (SELECT * FROM keep
+                    UNION ALL SELECT * FROM upd
+                    UNION ALL SELECT * FROM ins)
+        SELECT (o_custkey % 50)::INT AS segment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*)::BIGINT AS n_orders
+        FROM applied GROUP BY 1
+    """,
+    tags=("analytics", "warehouse", "cdc"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh at CHANGE cost, not table cost
+    (operators/analytics.incremental_agg_update): a per-segment
+    (revenue, n_orders) view of orders is maintained under the same
+    I/U/D changelog cdc_apply_orders compacts — affected keys' old
+    rows contribute negative deltas, surviving new rows positive
+    ones, and the net delta merges into the view. The oracle does the
+    FULL recompute over the applied table, so the gate proves
+    delta maintenance lands on exactly the recompute answer. Every
+    stage is changelog-sized except one key-equi semi-join probe into
+    the base — the refresh an hourly 100 TB warehouse can actually
+    afford."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    seg = (F.col("o_custkey") % 50).cast("int").alias("segment")
+    mv = base.groupBy(seg).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter(k % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(k % 14 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    ins = base.filter(k % 9 == 0).select(
+        (k + 20_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins).withColumn(
+        "segment", (F.col("o_custkey") % 50).cast("int")
+    )
+    out = analytics.incremental_agg_update(
+        mv,
+        base.withColumn("segment", (F.col("o_custkey") % 50).cast("int")),
+        changes,
+        key_cols=["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+        group_cols=["segment"],
+        value_col="o_totalprice",
+        sum_name="revenue",
+        cnt_name="n_orders",
+    )
+    return out.select(
+        "segment", F.round("revenue", 2).alias("revenue"), "n_orders"
+    )

@@ -568,3 +568,33 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 1): (1, 0.5),
         ("2024-01-08", 0): (1, 1.0),
     }
+
+
+def test_incremental_agg_update_hand_computed(spark):
+    """Delta maintenance on a 4-row base: update k1 (10->25), delete
+    k2, insert k5 into a NEW group, update-then-delete k4 (winner by
+    seq is the delete). Group 'b' empties and must drop out."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "a", 1.0), (4, "b", 7.0)],
+        "k long, g string, v double",
+    )
+    mv = base.groupBy("g").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 25.0, 1, "U"),
+            (2, "a", 0.0, 1, "D"),
+            (4, "b", 99.0, 1, "U"),
+            (4, "b", 0.0, 2, "D"),  # later delete wins over the update
+            (5, "c", 3.0, 1, "I"),  # new group appears
+        ],
+        "k long, g string, v double, seq int, op string",
+    )
+    out = {
+        r.g: (round(r.total, 2), r.n_rows)
+        for r in analytics.incremental_agg_update(
+            mv, base, changes, ["k"], "seq", "op", ["g"], "v"
+        ).collect()
+    }
+    assert out == {"a": (26.0, 2), "c": (3.0, 1)}
