@@ -238,3 +238,74 @@ def attribute_last_touch_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", StringType(), False),
+        StructField("reached_us", LongType(), False),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage_idx", LongType()),
+        StructField("stage_us", LongType()),
+        StructField("stage_eid", LongType()),
+    ]
+)
+
+
+def funnel_stages_stream(stream: DataFrame, stages: list[str]) -> DataFrame:
+    """Streaming strict-order funnel — the continuous twin of
+    operators/analytics.funnel: per-user state is (current stage,
+    reach time), a user advances to stage i+1 the moment an event of
+    that type arrives strictly after their stage-i reach, and each
+    advance emits a row. Greedy earliest-advance over time-ordered
+    events reproduces the batch funnel's min-chaining exactly, so
+    drained per-stage counts equal the batch summary. State is O(1)
+    per user (three scalars) however long the history — the property
+    that makes funnels streaming-native at event-firehose scale.
+    Same ordering contract as attribute_last_touch_stream: in-batch
+    replay is (ts, event_id)-sorted, across batches the source must
+    deliver event-time-ordered files."""
+    first = stages[0]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        idx, s_us, s_eid = state.get if state.exists else (0, -1, -1)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if idx >= len(stages):
+                    break
+                # stage 1 needs only its event type; later stages need
+                # theirs strictly after the previous reach
+                if idx == 0:
+                    if row.event_type == first:
+                        idx, s_us, s_eid = 1, int(row.us), int(row.event_id)
+                        out.append((int(key[0]), f"1_{first}", s_us))
+                elif row.event_type == stages[idx] and int(row.us) > s_us:
+                    idx, s_us, s_eid = idx + 1, int(row.us), int(row.event_id)
+                    out.append((int(key[0]), f"{idx}_{stages[idx - 1]}", s_us))
+        state.update((idx, s_us, s_eid))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in FUNNEL_SCHEMA.fields]
+        )
+
+    return (
+        stream.selectExpr(
+            "user_id", "event_id", "event_type", "unix_micros(ts) as us"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -983,3 +983,62 @@ def test_stream_last_touch_attribution_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_funnel_matches_batch_summary(spark, tmp_path):
+    """Streaming strict-order funnel drained over time-ordered files:
+    per-stage reach counts must equal the batch funnel's user
+    counts."""
+    import os
+    import time as _time
+
+    from lambda_refarch_mapreduce_spark.operators import analytics
+    from lambda_refarch_mapreduce_spark.streaming.stateful import (
+        funnel_stages_stream,
+    )
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = str(tmp_path / "ordered_events_f")
+    os.makedirs(d)
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.parquet(
+            os.path.join(d, f"slice={i:02d}")
+        )
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(d, "slice=00")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/slice=*")
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stages_stream(stream, stages)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stage, r.n)
+        for r in spark.sql(
+            f"SELECT stage, count(*) AS n FROM {name} GROUP BY stage"
+        ).collect()
+    }
+    want = {
+        (r.stage, r.users)
+        for r in analytics.funnel(
+            spark.read.parquet(d + "/slice=*").select(*[f.name for f in ev.schema]),
+            stages,
+        ).collect()
+        if r.users > 0
+    }
+    assert got == want and len(got) == 3
