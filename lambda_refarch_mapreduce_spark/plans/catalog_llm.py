@@ -3950,3 +3950,47 @@ def embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)), 6
         ).alias("centroid_l2_shift"),
     )
+
+
+@register(
+    "release_manifest_digests",
+    oracle="""
+        SELECT coalesce(source, 'ALL') AS source,
+               count(*)::BIGINT AS n_docs,
+               bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                   AS fingerprint
+        FROM documents
+        GROUP BY ROLLUP (source)
+    """,
+    tags=("llm", "text", "release"),
+)
+def release_manifest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed release manifest — the dataset-versioning
+    primitive a reproducible training run pins its corpus to: per
+    source (and corpus-wide via ROLLUP) a document count and an
+    order-independent fingerprint, the bit-XOR of each document's
+    60-bit md5 prefix. XOR is commutative/associative, so the
+    aggregate is map-side combinable with NO sort and NO overflow at
+    any corpus size (unlike summed hashes), any single changed,
+    added, or dropped document flips the fingerprint, and two
+    releases diff by comparing |sources|+1 rows instead of re-hashing
+    corpora (corpus_diff_snapshots is the row-level drill-down when
+    they differ). One map-side-combined pass; digests never leave
+    their partitions un-aggregated."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+            ).alias("fingerprint"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "fingerprint",
+        )
+    )
