@@ -2705,3 +2705,95 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "segment", F.round("revenue", 2).alias("revenue"), "n_orders"
     )
+
+
+PATH_TOP_N = 10
+
+
+@register(
+    "session_path_trigrams",
+    oracle=f"""
+        WITH o AS (SELECT user_id, ts, event_id, event_type,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                   FROM events),
+        m AS (SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN prev IS NULL
+                               OR epoch_us(ts) - epoch_us(prev)
+                                  > {{GAP}} * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM o),
+        s AS (SELECT user_id, ts, event_id, event_type,
+                     sum(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+        seq AS (SELECT user_id, sid,
+                       list(event_type ORDER BY ts, event_id) AS types
+                FROM s GROUP BY 1, 2),
+        tri AS (SELECT unnest(list_transform(range(1, len(types) - 1),
+                    i -> types[i] || '>' || types[i + 1]
+                         || '>' || types[i + 2])) AS path
+                FROM seq WHERE len(types) >= 3)
+        SELECT path, count(*)::BIGINT AS n
+        FROM tri GROUP BY 1
+        ORDER BY n DESC, path LIMIT {PATH_TOP_N}
+    """.replace("{GAP}", str(SESSION_GAP_S)),
+    tags=("analytics", "product"),
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top in-session behavior paths — the third leg of the
+    product-analytics tier (funnel: do users convert; attribution:
+    what drove it; paths: HOW they move): 30-min gap sessionization
+    (same lag+running-sum shape as sessionize_events), each session's
+    ordered event-type sequence slides into trigram paths, and the
+    corpus-wide top-10 paths emerge from a vocab-sized count. One
+    user-keyed hash shuffle carries the whole query (both windows and
+    the per-session collect partition identically); per-session
+    arrays are bounded by session length, the trigram aggregate by
+    |types|^3, and the final cut is a TakeOrdered top-10 — the corpus
+    never re-shuffles after the session pass. Markov transitions
+    (markov_event_transitions) are the 1-step special case; trigrams
+    capture the multi-step motifs a UX funnel review actually reads."""
+    from pyspark.sql.window import Window
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "__is_new",
+        F.when(
+            prev.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("__is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seq = sess.groupBy("user_id", "sid").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("types")
+    )
+    tri = seq.filter(F.size("types") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(types) - 2), "
+                "i -> concat_ws('>', slice(types, i, 3)))"
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_N)
+    )
