@@ -332,3 +332,23 @@ def test_registry_wide_no_cartesian_product(spark):
         "theta/broadcast shape is intentional, add the entry to bnlj_ok "
         "with a comment"
     )
+
+
+def test_round5_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-5 scale claims: winsorize's
+    percentile bounds must BROADCAST back onto the fact table (never a
+    shuffle join of a 3-row frame); the aHash dedup must shuffle only
+    the (id, hash) window exchange — the decode kernel side of the
+    plan carries no exchange at all; vocab coverage streams the corpus
+    against a BROADCAST vocabulary."""
+    from lambda_refarch_mapreduce_spark.plans import catalog
+
+    p = _plan(catalog.REGISTRY["winsorize_prices_by_flag"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = _plan(catalog.REGISTRY["image_ahash_dedup"].spark(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in p and "SortMergeJoin" not in p
+
+    p = _plan(catalog.REGISTRY["vocab_coverage_report"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
