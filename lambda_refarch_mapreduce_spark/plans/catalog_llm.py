@@ -3994,3 +3994,83 @@ def release_manifest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint",
         )
     )
+
+
+NB_TOP_TOKENS = 25
+
+
+@register(
+    "train_token_quality_model",
+    oracle=f"""
+        WITH med AS (SELECT median(n_chars) AS m FROM documents),
+        d AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos,
+                     unnest(list_distinct({_SQL_TOKENS})) AS token
+              FROM documents),
+        tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM (SELECT DISTINCT doc_id, pos FROM d)),
+        t AS (SELECT token,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+              FROM d GROUP BY 1)
+        SELECT token, dp::BIGINT AS docs_pos, dn::BIGINT AS docs_neg,
+               round(ln((dp + 1.0) / (np + 2.0))
+                     - ln((dn + 1.0) / (nn + 2.0)), 6) AS log_odds
+        FROM t CROSS JOIN tot
+        ORDER BY abs(ln((dp + 1.0) / (np + 2.0))
+                     - ln((dn + 1.0) / (nn + 2.0))) DESC, token
+        LIMIT {NB_TOP_TOKENS}
+    """,
+    tags=("llm", "text", "training"),
+)
+def train_token_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a quality-filter model on the engine — the closed-form
+    counterpart of text_classifier_quality's inference: Bernoulli
+    Naive Bayes per-token log-odds learned from a weak label (doc
+    length above the corpus median), add-1 smoothed, top tokens by
+    |log-odds|. Training IS aggregation here: one corpus-sized
+    (doc, distinct-token) shuffle, vocab-sized count tables, a
+    single-row class-prior broadcast — the whole fit is one pass, no
+    gradient loop, which is why bag-of-words filter models (fastText
+    and friends) train comfortably at 100 TB while neural scorers
+    sample. The learned weights feed exactly the map-literal scoring
+    seam text_classifier_quality demonstrates."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        tokenize as _tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.median("n_chars").alias("m"))
+    d = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("n_chars") > F.col("m")).alias("pos"),
+        F.explode(
+            F.array_distinct(_tokenize(F.col("text")))
+        ).alias("token"),
+    )
+    tot = (
+        d.select("doc_id", "pos")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+        )
+    )
+    t = d.groupBy("token").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("dn"),
+    )
+    j = t.crossJoin(F.broadcast(tot))
+    lo = F.log((F.col("dp") + 1.0) / (F.col("np") + 2.0)) - F.log(
+        (F.col("dn") + 1.0) / (F.col("nn") + 2.0)
+    )
+    return (
+        j.select(
+            "token",
+            F.col("dp").alias("docs_pos"),
+            F.col("dn").alias("docs_neg"),
+            F.round(lo, 6).alias("log_odds"),
+        )
+        .orderBy(F.abs(lo).desc(), "token")
+        .limit(NB_TOP_TOKENS)
+    )

@@ -288,6 +288,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "text_unigram_logprob",        # single-row floor/total rows
         "text_bigram_logprob",         # single-row (V,) row
         "text_tfidf_terms",            # single-row N row
+        "train_token_quality_model",   # single-row median + class priors
         "text_bm25_search",            # single-row stats row
         "corpus_stats_report",         # single-row grand total
         "corpus_drift_psi",            # single-row snapshot-totals term
