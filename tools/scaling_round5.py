@@ -95,6 +95,43 @@ def ahash_dedup(docs):
     )
 
 
+def vad_report(docs):
+    from lambda_refarch_mapreduce_spark.operators import multimodal
+
+    sid = (F.col("doc_id") % 1_000_000).cast("string")
+    raster = F.concat(
+        *[F.unhex(F.md5(F.concat(sid, F.lit(f":w{k}")))) for k in range(16)]
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(catalog_llm._WAV_HEADER_128), raster).alias("content"),
+    )
+    return multimodal.audio_activity_windows(
+        media, catalog_llm.VAD_WINDOW, catalog_llm.VAD_ENERGY_THRESHOLD
+    )
+
+
+def scene_report(docs):
+    from lambda_refarch_mapreduce_spark.operators import multimodal
+
+    sid = (F.col("doc_id") % 1_000_000).cast("string")
+    frames = [
+        F.unhex(
+            F.substring(F.md5(F.concat(sid, F.lit(f":s{k // 2}"))), 1, 24)
+        )
+        for k in range(8)
+    ]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(catalog_llm._RAWV_SCENES_HEADER), *frames).alias(
+            "content"
+        ),
+    )
+    return multimodal.video_scene_cuts(
+        media, catalog_llm.SCENE_DIFF_THRESHOLD
+    )
+
+
 def main() -> None:
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_round5"
     spark = get_spark(
@@ -103,6 +140,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, dict[str, float]]] = {
         "image_ahash_dedup": {},
+        "audio_vad": {},
+        "video_scenes": {},
         "funnel": {},
         "attribution": {},
     }
@@ -121,6 +160,8 @@ def main() -> None:
             spark, os.path.join(workdir, f"docs_{scale}x"), scale
         )
         run("image_ahash_dedup", scale, lambda: ahash_dedup(docs))
+        run("audio_vad", scale, lambda: vad_report(docs))
+        run("video_scenes", scale, lambda: scene_report(docs))
 
     for scale in SCALES:
         ev = build_events(
