@@ -2797,3 +2797,67 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_N)
     )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+        WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        s AS (SELECT sum(n) AS total, count(*) AS n_keys,
+                     max(n) AS mx, min(n) AS mn,
+                     median(n) AS med
+              FROM k),
+        e AS (SELECT round(-sum((n * 1.0 / s.total)
+                               * ln(n * 1.0 / s.total)), 6) AS ent
+              FROM k CROSS JOIN s)
+        SELECT s.total::BIGINT AS n_rows, s.n_keys::BIGINT AS n_keys,
+               s.mx::BIGINT AS max_count, s.mn::BIGINT AS min_count,
+               round(s.mx * 1.0 / s.total, 6) AS max_key_share,
+               round(s.mx * 1.0 / s.med, 6) AS skew_ratio,
+               e.ent AS key_entropy
+        FROM s CROSS JOIN e
+    """,
+    tags=("analytics", "scale"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew DIAGNOSIS — the measurement that decides between
+    a plain shuffle join, AQE skew split, and the explicit salted
+    join (skew_join_salted_revenue is the remedy; this is the
+    check-first): per-key counts reduce to max/median share, the
+    hot-key ratio, and the key-distribution entropy. One
+    map-side-combined count to |keys| rows, then single-row rollups —
+    at 100 TB the report costs one aggregation and reads like a plan
+    review: skew_ratio near 1 and entropy near ln(n_keys) means hash
+    partitioning will balance; a hot key shows up here before it
+    shows up as a straggler."""
+    k = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = k.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("mx"),
+        F.min("n").alias("mn"),
+        F.median("n").alias("med"),
+    )
+    e = (
+        k.crossJoin(F.broadcast(s.select("total")))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("total"))
+                    * F.log(F.col("n") / F.col("total"))
+                ),
+                6,
+            ).alias("key_entropy")
+        )
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        F.col("total").alias("n_rows"),
+        "n_keys",
+        F.col("mx").alias("max_count"),
+        F.col("mn").alias("min_count"),
+        F.round(F.col("mx") / F.col("total"), 6).alias("max_key_share"),
+        F.round(F.col("mx") / F.col("med"), 6).alias("skew_ratio"),
+        "key_entropy",
+    )

@@ -289,6 +289,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "text_bigram_logprob",         # single-row (V,) row
         "text_tfidf_terms",            # single-row N row
         "train_token_quality_model",   # single-row median + class priors
+        "join_key_skew_report",        # single-row totals + entropy terms
         "text_bm25_search",            # single-row stats row
         "corpus_stats_report",         # single-row grand total
         "corpus_drift_psi",            # single-row snapshot-totals term
