@@ -2861,3 +2861,58 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mx") / F.col("med"), 6).alias("skew_ratio"),
         "key_entropy",
     )
+
+
+@register(
+    "quantile_binning_events",
+    oracle="""
+        WITH b AS (SELECT event_type,
+                          round(quantile_cont(value, 0.25), 6) AS q1,
+                          round(quantile_cont(value, 0.50), 6) AS q2,
+                          round(quantile_cont(value, 0.75), 6) AS q3
+                   FROM events GROUP BY 1),
+        a AS (SELECT e.event_type,
+                     (CASE WHEN e.value > b.q1 THEN 1 ELSE 0 END
+                      + CASE WHEN e.value > b.q2 THEN 1 ELSE 0 END
+                      + CASE WHEN e.value > b.q3 THEN 1 ELSE 0 END) AS bin,
+                     e.value
+              FROM events e JOIN b USING (event_type))
+        SELECT event_type, bin, count(*)::BIGINT AS n,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM a GROUP BY 1, 2
+    """,
+    tags=("analytics", "prep"),
+)
+def quantile_binning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile discretization (the QuantileDiscretizer
+    feature-prep shape, done scale-right): per-event-type quartile
+    CUT POINTS come from one exact-percentile aggregate (3 numbers
+    per group, rounded 6dp in both engines), broadcast back, and each
+    row's bin is the row-LOCAL count of cut points it exceeds —
+    never a percent_rank window, which would sort an entire group
+    through one reducer at corpus scale. Two corpus scans (percentile
+    agg + assignment agg), one |groups|x3 broadcast; at 100 TB the
+    cut points would come from approx_percentile at sketch cost with
+    the same assignment plan."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"q{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    bin_ = sum(
+        F.when(F.col("value") > F.col(f"q{i}"), 1).otherwise(0)
+        for i in (1, 2, 3)
+    )
+    return (
+        j.select("event_type", bin_.alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
