@@ -266,7 +266,9 @@ def funnel(
     )
     counts = [
         reached.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(f"1_{stages[0]}").alias("stage"), "users"
+            F.lit(1).alias("__idx"),
+            F.lit(f"1_{stages[0]}").alias("stage"),
+            "users",
         )
     ]
     for i, s in enumerate(stages[1:], start=2):
@@ -279,13 +281,18 @@ def funnel(
         )
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(f"{i}_{s}").alias("stage"), "users"
+                F.lit(i).alias("__idx"),
+                F.lit(f"{i}_{s}").alias("stage"),
+                "users",
             )
         )
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    w = Window.orderBy("stage")
+    # order the rate window on the numeric stage index, NOT the
+    # display label: "10_x" < "2_x" lexicographically, so a string
+    # order miswires lag/first for funnels of 10+ stages
+    w = Window.orderBy("__idx")
     prev = F.lag("users").over(w)
     top = F.first("users").over(w)
     rate = lambda num, den: F.round(  # noqa: E731
@@ -326,17 +333,21 @@ def cohort_retention(
     activity = df.select(
         user_col, trunc(F.col(ts_col)).alias("active_period")
     ).distinct()
-    days = {"week": 7, "month": 30}  # month offsets only label buckets
-    per_days = days.get(period, 7)
+    if period == "month":
+        # calendar months are not 30 days: datediff/30 merges or skips
+        # offsets beyond ~a year; months_between on the truncated
+        # period starts is exact (both are firsts-of-month)
+        offset = F.months_between("active_period", "cohort_period")
+    else:
+        days = {"week": 7}
+        offset = F.datediff("active_period", "cohort_period") / days.get(
+            period, 7
+        )
     g = (
         activity.join(cohort, user_col)
         .groupBy(
             "cohort_period",
-            (
-                F.datediff("active_period", "cohort_period") / per_days
-            )
-            .cast("int")
-            .alias("period_offset"),
+            offset.cast("int").alias("period_offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )

@@ -596,13 +596,21 @@ def simhash_near_pairs(
             n = n_docs
         else:
             # Size the scheme from the signature frame itself, not a
-            # second raw-corpus scan: persisting sig makes the sizing
-            # count the ONLY md5 pass — the candidate self-join below
-            # reads the cached signatures for both sides instead of
-            # recomputing the per-token hashing twice. (Callers that
-            # know the corpus size pass ``n_docs`` and skip the
-            # materialization entirely.)
-            sig = sig.persist()
+            # second raw-corpus scan: materializing sig makes the
+            # sizing count the ONLY md5 pass — the candidate self-join
+            # below reads the stored signatures for both sides instead
+            # of recomputing the per-token hashing twice. (Callers
+            # that know the corpus size pass ``n_docs`` and skip the
+            # materialization entirely.) localCheckpoint, not
+            # persist(): a lazy return can never unpersist at the
+            # right moment, and CacheManager pins persisted plans for
+            # the session's lifetime — checkpoint blocks are
+            # ContextCleaner-managed and freed when the plan is GC'd,
+            # so repeated calls in a long-lived session don't
+            # accumulate executor cache. Tradeoff: lineage is
+            # truncated, so a lost executor fails the job instead of
+            # recomputing — acceptable for the sizing path only.
+            sig = sig.localCheckpoint(eager=True)
             n = sig.count()
         simple_bands = max_hamming + 1
         width = bits // simple_bands

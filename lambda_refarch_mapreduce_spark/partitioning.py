@@ -120,27 +120,3 @@ def z_value(a, b, bits: int = 10):
             1 << (2 * j + 1)
         )
     return z
-
-
-def z_value(a, b, bits: int = 10):
-    """Morton/Z-order key: interleave the low ``bits`` bits of two
-    non-negative integer columns (a -> even bit positions, b -> odd).
-
-    Sorting/range-partitioning a table by this key co-locates rows
-    that are close in BOTH dimensions, so per-file min/max column
-    statistics become tight on both columns at once — the multi-
-    dimensional data-skipping layout (Z-ordering) that single-column
-    sort can only give one dimension. Row-local bit arithmetic, fully
-    inside codegen; the layout job itself is one range exchange.
-    """
-    from pyspark.sql import functions as F
-
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        z = z + F.shiftright(a, j).bitwiseAND(F.lit(1)).cast("long") * F.lit(
-            1 << (2 * j)
-        )
-        z = z + F.shiftright(b, j).bitwiseAND(F.lit(1)).cast("long") * F.lit(
-            1 << (2 * j + 1)
-        )
-    return z

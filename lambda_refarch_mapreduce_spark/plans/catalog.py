@@ -1615,7 +1615,13 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id").alias("sk"),
             F.count_distinct("user_id").alias("exact_users"),
         )
-        .persist()  # consumed by both branches; sketches are tiny
+        # consumed by both branches; sketches are tiny. localCheckpoint
+        # instead of persist(): checkpoint blocks are ContextCleaner-
+        # freed when the plan is GC'd, where persist() pins the plan in
+        # CacheManager until an unpersist a lazy return can never
+        # correctly issue — repeated bench runs in one session would
+        # accumulate cache (ADVICE r5).
+        .localCheckpoint(eager=True)
     )
     within = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))

@@ -3654,22 +3654,35 @@ VOCAB_COVERAGE_SIZE = 12  # ~41% occurrence coverage at sf0.01 -> non-trivial pe
         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         top AS (SELECT token, df FROM dfreq
                 ORDER BY df DESC, token LIMIT {POSTINGS_TOP_N})
-        SELECT token, df::BIGINT AS df,
-               list(id ORDER BY id) AS doc_ids,
-               list(tf::BIGINT ORDER BY id) AS tfs
+        SELECT token, top.df::BIGINT AS df,
+               id AS doc_id, tf.tf::BIGINT AS tf
         FROM tf JOIN top USING (token)
-        GROUP BY token, top.df
     """,
     tags=("llm", "text", "search"),
 )
 def postings_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the corpus (operators/text.postings_index):
-    doc-id-sorted postings arrays for the top-20 highest-df terms —
-    the batch build feeding the BM25 serving path. The corpus
-    shuffles once (the (id, token) count tfidf shares); the top-N cut
-    and postings assembly touch vocab-sized frames only."""
-    return text.postings_index(
+    postings for the top-20 highest-df terms — the batch build
+    feeding the BM25 serving path. The corpus shuffles once (the
+    (id, token) count tfidf shares); the top-N cut and postings
+    assembly touch vocab-sized frames only. The operator API returns
+    aligned postings arrays (doc_ids, tfs) for programmatic
+    consumers; this entry explodes them to scalar (token, df, doc_id,
+    tf) rows because the driver's conformance canonicalization only
+    hashes scalar top-level columns (arrays are unhashable in its
+    pandas factorize step — see tests/test_entry_contract.py)."""
+    pl = text.postings_index(
         _t(spark, sf_dir, "documents"), "doc_id", "text", POSTINGS_TOP_N
+    )
+    return pl.select(
+        "token",
+        "df",
+        F.explode(F.arrays_zip("doc_ids", "tfs")).alias("__p"),
+    ).select(
+        "token",
+        "df",
+        F.col("__p.doc_ids").alias("doc_id"),
+        F.col("__p.tfs").alias("tf"),
     )
 
 

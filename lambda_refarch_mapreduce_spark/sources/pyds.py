@@ -230,9 +230,16 @@ def register_jsonl_manifest_sink(spark) -> None:
     spark.dataSource.register(JsonlManifestSink)
 
 
-def read_committed_jsonl(spark, path: str):
+def read_committed_jsonl(spark, path: str, schema=None):
     """Read back ONLY manifest-committed rows of a jsonl_manifest sink
-    (staged parts from uncommitted/aborted batches are invisible)."""
+    (staged parts from uncommitted/aborted batches are invisible).
+
+    Pass ``schema`` (DDL string or StructType) so the empty and
+    non-empty cases agree: without it, zero committed batches used to
+    return a placeholder single-column frame whose schema differed
+    from the inferred non-empty one, breaking downstream column
+    selection only in the empty case (ADVICE r5). With no schema and
+    no committed parts, an empty zero-column frame is returned."""
     import glob
     import json
     import os
@@ -242,5 +249,12 @@ def read_committed_jsonl(spark, path: str):
         with open(mf) as fh:
             parts.extend(p["path"] for p in json.load(fh)["parts"])
     if not parts:
-        return spark.createDataFrame([], "dummy string").limit(0)
-    return spark.read.json(parts)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType([]))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(parts)

@@ -526,6 +526,74 @@ def test_funnel_strict_order_semantics(spark):
     assert got["3_purchase"] == (1, 1.0, round(1 / 3, 6))
 
 
+def test_funnel_ten_plus_stages_numeric_order(spark):
+    """Regression (ADVICE r5 medium): the rate window used to order by
+    the string stage label, and "10_x" < "2_x" lexicographically —
+    with 10+ stages lag/first picked the wrong neighbor. One user
+    walks all 11 stages in order, a second drops out after stage 1:
+    every conv_from_prev from stage 2 on must be 1.0 for the walker
+    (0.5 at stage 2), and conv_from_top must be monotone non-
+    increasing — the string order made stage "10_" take "1_" as its
+    predecessor and "11_" slot between "1_" and "2_"."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    stages = [f"s{chr(ord('a') + i)}" for i in range(11)]
+    rows = [(1, s, t0 + dt.timedelta(seconds=i)) for i, s in enumerate(stages)]
+    rows.append((2, stages[0], t0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = analytics.funnel(df, stages).collect()
+    got = {r.stage: (r.users, r.conv_from_prev, r.conv_from_top) for r in out}
+    assert got[f"1_{stages[0]}"] == (2, 1.0, 1.0)
+    assert got[f"2_{stages[1]}"] == (1, 0.5, 0.5)
+    for i in range(3, 12):
+        assert got[f"{i}_{stages[i - 1]}"] == (1, 1.0, 0.5), i
+
+
+def test_cohort_retention_month_offsets_are_calendar_exact(spark):
+    """Regression (ADVICE r5): period="month" used datediff/30, so 13
+    calendar months (e.g. Jan 2024 -> Feb 2025 = 396 days) landed in
+    offset 13 only by luck and long spans drifted (two months merging
+    into one offset). months_between on the truncated firsts-of-month
+    is exact: 2024-01 -> 2025-02 must be offset 13, and 2024-01 ->
+    2026-01 exactly 24."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 15)),
+        (1, dt.datetime(2025, 2, 3)),   # 13 calendar months
+        (1, dt.datetime(2026, 1, 28)),  # 24 calendar months (731 days!)
+        (2, dt.datetime(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_period), r.period_offset): r.active_users
+        for r in analytics.cohort_retention(df, period="month").collect()
+    }
+    # datediff/30 would put 731 days at offset 24 only by accident of
+    # rounding (731/30 = 24.37 -> 24 here, but 2024-01->2025-12 =
+    # 700 days -> 23.3 -> 23 == 2025-11's offset, a merge).
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 13): 1,
+        ("2024-01-01", 24): 1,
+    }
+    # the documented merge case: Nov and Dec 2025 are distinct offsets
+    rows2 = [
+        (1, dt.datetime(2024, 1, 15)),
+        (1, dt.datetime(2025, 11, 20)),
+        (1, dt.datetime(2025, 12, 20)),
+    ]
+    df2 = spark.createDataFrame(rows2, "user_id long, ts timestamp")
+    offs = sorted(
+        r.period_offset
+        for r in analytics.cohort_retention(df2, period="month").collect()
+    )
+    assert offs == [0, 22, 23]
+
+
 def test_last_touch_attribution_direct_and_channel(spark):
     import datetime as dt
 

@@ -134,3 +134,39 @@ def test_driver_window_reopens_when_entry_gains_oracle(tmp_path):
     assert "approx_distinct_users" not in verified
     assert "dedup_minhash_lsh" not in verified
     assert "substr_groupby_sum" not in verified
+
+
+def test_every_entry_output_schema_is_driver_canonicalizable(spark):
+    """Registry-wide output-schema lint (VERDICT r5 'next round' #2):
+    the round driver canonicalizes entry output through pandas
+    sort_values/factorize, which raises `TypeError: unhashable type`
+    on list-valued cells — so an entry whose TOP-LEVEL output schema
+    contains Array/Map/Struct columns is correct-yet-unverifiable by
+    the only gate that counts (this killed postings_index_terms for
+    two rounds). Every entry must emit scalar top-level columns:
+    explode collections to rows or serialize with F.to_json, keeping
+    list-typed APIs in operators/ for programmatic users. This guard
+    fails at build (schema analysis) time, before the driver does."""
+    from pyspark.sql import types as T
+
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+        catalog_llm,
+    )
+
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    offenders = {}
+    for name, qd in sorted(catalog.REGISTRY.items()):
+        schema = qd.spark(spark, "/root/testdata/sf0.001").schema
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, banned)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"driver-uncanonicalizable top-level columns: {offenders} — "
+        "explode to rows or F.to_json before registering"
+    )

@@ -375,3 +375,29 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires an explicit schema"):
         read_json(spark, p, corrupt_col="_bad")
+
+
+def test_read_committed_jsonl_empty_schema_agrees(spark, tmp_path):
+    """Regression (ADVICE r5): with zero committed batches the reader
+    used to return a placeholder `dummy string` frame whose schema
+    differed from the inferred non-empty case, so downstream column
+    selection broke only when the sink was empty. With a caller
+    schema, the empty read must carry exactly that schema (and
+    selecting sink columns must analyze); without one, it must be a
+    zero-column empty frame, never a phantom `dummy` column."""
+    from lambda_refarch_mapreduce_spark.sources.pyds import (
+        read_committed_jsonl,
+    )
+
+    empty_sink = str(tmp_path / "never_written")
+    ddl = "event_id long, user_id long, event_type string"
+    df = read_committed_jsonl(spark, empty_sink, schema=ddl)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "event_id",
+        "user_id",
+        "event_type",
+    ]
+    df.select("event_id", "event_type")  # must analyze in the empty case
+    bare = read_committed_jsonl(spark, empty_sink)
+    assert bare.count() == 0 and bare.schema.fields == []
