@@ -32,7 +32,13 @@ HEADLINE = {
     "q_dedup_minhash": "dedup_minhash_lsh",
     "q_dedup_simhash": "dedup_simhash",
     "q_similarity_topk": "similarity_topk",
-    "q_similarity_ivf": "similarity_ivf_topk",
+    # serving-mode A/B keys (renamed in round 6 from q_similarity_ivf /
+    # q_pq_topk, same catalog entries — see BENCH_NOTES): *_broadcast
+    # measures the operators' DEFAULT serving mode; *_literal pins the
+    # plan-literal mode those entries held through rounds 3-5 so the
+    # bench series stays comparable. Broadcast-first so the default
+    # path leads the report.
+    "q_ivf_literal": "similarity_ivf_topk",
     "q_text_quality": "text_quality",
     "q_dedup_paragraphs": "dedup_paragraphs_corpus",
     "q_unigram_logprob": "text_unigram_logprob",
@@ -43,7 +49,7 @@ HEADLINE = {
     "q_jobspec": "jobspec_filter_groupby",
     # round 3 additions
     "q_c4_clean": "text_c4_line_clean",
-    "q_pq_topk": "similarity_pq_topk",
+    "q_pq_literal": "similarity_pq_topk",
     "q_dedup_spans": "dedup_substring_spans",
     "q_bigram_logprob": "text_bigram_logprob",
     "q_corpus_report": "corpus_stats_report",
@@ -156,8 +162,8 @@ def _trained_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         lambda: similarity.ivf_centroids(emb, "vec_id", "embedding", 16, 1)
     )
     for key, strategy in (
-        ("q_similarity_ivf", "literal"),
-        ("q_ivf_broadcast", "broadcast"),
+        ("q_ivf_broadcast", "broadcast"),  # the operator default
+        ("q_ivf_literal", "literal"),
     ):
         s = best2(
             lambda: similarity.ivf_topk(
@@ -171,8 +177,8 @@ def _trained_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         lambda: similarity.pq_codebooks(emb, "vec_id", "embedding", 8, 16)
     )
     for key, strategy in (
-        ("q_pq_topk", "literal"),
-        ("q_pq_broadcast", "broadcast"),
+        ("q_pq_broadcast", "broadcast"),  # the operator default
+        ("q_pq_literal", "literal"),
     ):
         s = best2(
             lambda: similarity.pq_topk(

@@ -85,6 +85,31 @@ class JobSpec:
     #     Ed-Join candidates, never all-pairs).
     sessionize: dict | None = None
     fuzzy_join: dict | None = None
+    # Warehouse-maintenance clauses (applied after filter, before
+    # sessionize; df is the BASE snapshot). Mutually exclusive — the
+    # refresh needs the PRE-apply base, so chaining them in one spec
+    # is a contradiction:
+    #   cdc_apply={"changes": <source dict>, "keys": [cols],
+    #              "seq": "seq", "op": "op"}
+    #     -> replaces df with the net-effect applied table
+    #        (operators.analytics.apply_cdc: per key the highest-seq
+    #        change wins, a trailing 'D' deletes). Downstream clauses
+    #        see the new snapshot — aggregate it and you have the
+    #        full-recompute view; sink it and you have published the
+    #        hourly table.
+    #   mv_refresh={"changes": <source dict>, "keys": [cols],
+    #               "seq": "seq", "op": "op", "group_by": [cols],
+    #               "value": col, "sum_name": "total",
+    #               "cnt_name": "n_rows", "derive": {alias: SQL},
+    #               "mv": <source dict>?}
+    #     -> replaces df with the refreshed per-group (sum, count)
+    #        view at CHANGE cost (operators.analytics.
+    #        incremental_agg_update); the prior view is derived from
+    #        the base when "mv" is omitted. "derive" adds computed
+    #        grouping columns (SQL strings, same dialect as select)
+    #        to base AND changes before the refresh.
+    cdc_apply: dict | None = None
+    mv_refresh: dict | None = None
     select: dict[str, str] | None = None  # alias -> SQL expression
     group_by: list[str] = field(default_factory=list)
     aggs: dict[str, str] | None = None  # alias -> SQL aggregate expression
@@ -273,6 +298,56 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         df = _apply_prep(df, step)
     if spec.filter:
         df = df.filter(F.expr(spec.filter))
+    if spec.cdc_apply and spec.mv_refresh:
+        raise ValueError(
+            "JobSpec is ambiguous: 'cdc_apply' and 'mv_refresh' are both "
+            "set — the refresh needs the PRE-apply base, so run them as "
+            "two specs (publish the snapshot; refresh the view)"
+        )
+    if spec.cdc_apply:
+        from lambda_refarch_mapreduce_spark.operators.analytics import (
+            apply_cdc,
+        )
+
+        c = spec.cdc_apply
+        df = apply_cdc(
+            df,
+            _read(spark, c["changes"]),
+            c["keys"],
+            c.get("seq", "seq"),
+            c.get("op", "op"),
+        )
+    if spec.mv_refresh:
+        from lambda_refarch_mapreduce_spark.operators.analytics import (
+            incremental_agg_update,
+        )
+
+        m = spec.mv_refresh
+        base, changes = df, _read(spark, m["changes"])
+        for a, e in (m.get("derive") or {}).items():
+            base = base.withColumn(a, F.expr(e))
+            changes = changes.withColumn(a, F.expr(e))
+        sum_name = m.get("sum_name", "total")
+        cnt_name = m.get("cnt_name", "n_rows")
+        if "mv" in m:
+            mv = _read(spark, m["mv"])
+        else:
+            mv = base.groupBy(*m["group_by"]).agg(
+                F.sum(m["value"]).alias(sum_name),
+                F.count(F.lit(1)).alias(cnt_name),
+            )
+        df = incremental_agg_update(
+            mv,
+            base,
+            changes,
+            m["keys"],
+            m.get("seq", "seq"),
+            m.get("op", "op"),
+            m["group_by"],
+            m["value"],
+            sum_name,
+            cnt_name,
+        )
     if spec.sessionize:
         from lambda_refarch_mapreduce_spark.operators.relational import (
             gap_sessionize,

@@ -324,3 +324,80 @@ def test_fuzzy_join_clause_filters_then_pairs(spark):
     )
     got = {(r.id_a, r.id_b, r.dist) for r in run_jobspec(spark, spec).collect()}
     assert got == {(1, 3, 1)}
+
+
+def test_cdc_apply_clause_hand_computed(spark):
+    """cdc_apply replaces the base with the net-effect snapshot: the
+    highest-seq change wins per key (k2's update loses to its later
+    delete), inserts appear, untouched rows pass through."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, g string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 11.0, 1, "U"),
+            (2, "b", 99.0, 1, "U"),
+            (2, "b", 0.0, 2, "D"),  # later delete wins
+            (4, "d", 40.0, 1, "I"),
+        ],
+        "k long, g string, v double, seq int, op string",
+    )
+    spec = JobSpec(
+        source={"df": base},
+        cdc_apply={"changes": {"df": changes}, "keys": ["k"]},
+    )
+    got = {(r.k, r.g, r.v) for r in run_jobspec(spark, spec).collect()}
+    assert got == {(1, "a", 11.0), (3, "c", 30.0), (4, "d", 40.0)}
+
+
+def test_mv_refresh_clause_equals_full_recompute(spark):
+    """mv_refresh lands on exactly the recompute answer, with the
+    grouping column derived in the spec's SQL dialect, and a group
+    whose count reaches zero drops out."""
+    base = spark.createDataFrame(
+        [(1, 10, 10.0), (2, 10, 5.0), (3, 11, 7.0)],
+        "k long, cust long, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, 25.0, 1, "U"),
+            (3, 11, 0.0, 1, "D"),  # group cust%2==1 empties out
+            (5, 12, 3.0, 1, "I"),
+        ],
+        "k long, cust long, v double, seq int, op string",
+    )
+    spec = JobSpec(
+        source={"df": base},
+        mv_refresh={
+            "changes": {"df": changes},
+            "keys": ["k"],
+            "derive": {"seg": "cast(cust % 2 as int)"},
+            "group_by": ["seg"],
+            "value": "v",
+            "sum_name": "total",
+            "cnt_name": "n",
+        },
+    )
+    got = {r.seg: (r.total, r.n) for r in run_jobspec(spark, spec).collect()}
+    assert got == {0: (33.0, 3)}
+
+
+def test_cdc_apply_and_mv_refresh_together_raise(spark):
+    import pytest
+
+    from lambda_refarch_mapreduce_spark.plans.jobspec import build
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    spec = JobSpec(
+        source={"df": base},
+        cdc_apply={"changes": {"df": base}, "keys": ["k"]},
+        mv_refresh={
+            "changes": {"df": base},
+            "keys": ["k"],
+            "group_by": ["k"],
+            "value": "v",
+        },
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        build(spark, spec)
