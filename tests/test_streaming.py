@@ -1042,3 +1042,96 @@ def test_stream_funnel_matches_batch_summary(spark, tmp_path):
         if r.users > 0
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_mv_maintenance_matches_full_recompute(spark, tmp_path):
+    """Continuous MV maintenance (streaming/warehouse.py): a 3-slice
+    CDC changelog drained one file per trigger must leave the live
+    view EQUAL to the full recompute over the fully-applied base —
+    including a key updated in slice 0, re-updated in slice 1 (the
+    overlay-negation path: the second refresh must negate the
+    post-first-change value, not the original), and deleted in slice
+    2; a group that empties must drop out. Then a restart with a LOST
+    checkpoint replays every file — the batch_id watermark must make
+    that a no-op (a double-applied changelog would double the
+    deltas)."""
+    import os
+    import time as _time
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import apply_cdc
+    from lambda_refarch_mapreduce_spark.streaming import warehouse as wh
+
+    base = spark.createDataFrame(
+        [(1, 10, 10.0), (2, 10, 5.0), (3, 11, 7.0), (4, 12, 2.0)],
+        "k long, cust long, v double",
+    ).withColumn("seg", (F.col("cust") % 2).cast("int"))
+    slices = [
+        # slice 0: update k1, insert k5
+        [(1, 10, 20.0, 1, "U"), (5, 13, 4.0, 1, "I")],
+        # slice 1: RE-update k1 (overlay negation), delete k3 (its
+        # group seg=1 still holds k5 via cust=13)
+        [(1, 10, 30.0, 2, "U"), (3, 11, 0.0, 2, "D")],
+        # slice 2: delete k1, delete k5 -> group seg=1 empties out
+        [(1, 10, 0.0, 3, "D"), (5, 13, 0.0, 3, "D")],
+    ]
+    d = str(tmp_path / "changelog")
+    os.makedirs(d)
+    sch = "k long, cust long, v double, seq long, op string"
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(rows, sch).withColumn(
+            "seg", (F.col("cust") % 2).cast("int")
+        ).coalesce(1).write.parquet(os.path.join(d, f"slice={i:02d}"))
+        _time.sleep(0.05)
+    view_dir = str(tmp_path / "view")
+    wh.init_view(spark, view_dir, base, ["seg"], "v")
+    schema = spark.read.parquet(os.path.join(d, "slice=00")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/slice=*")
+    )
+    q = wh.maintain_view_stream(
+        stream, view_dir, base, str(tmp_path / "ckpt"),
+        ["k"], ["seg"], "v",
+    ).start()
+    q.awaitTermination(120)
+    assert wh.current_generation(view_dir) == 4  # init + 3 batches
+
+    all_changes = spark.read.parquet(d + "/slice=*").select(
+        "k", "cust", "v", "seg", "seq", "op"
+    )
+    applied = apply_cdc(base.select(all_changes.columns[:4]),
+                        all_changes, ["k"], "seq")
+    want = {
+        (r.seg, round(r.total, 6), r.n_rows)
+        for r in applied.groupBy("seg")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    got = {
+        (r.seg, round(r.total, 6), r.n_rows)
+        for r in wh.read_view(spark, view_dir).collect()
+    }
+    assert got == want and len(got) == 1  # seg=1 emptied and dropped
+    # the merge-on-read effective base equals the applied table
+    eff = {
+        tuple(r)
+        for r in wh.effective_base(spark, view_dir, base, ["k"])
+        .select("k", "cust", "v", "seg")
+        .collect()
+    }
+    assert eff == {tuple(r) for r in applied.collect()}
+
+    # lost-checkpoint restart: every file replays with batch ids
+    # starting at 0 again — the watermark must skip them all
+    q2 = wh.maintain_view_stream(
+        stream, view_dir, base, str(tmp_path / "ckpt2"),
+        ["k"], ["seg"], "v",
+    ).start()
+    q2.awaitTermination(120)
+    assert wh.current_generation(view_dir) == 4  # unchanged
+    got2 = {
+        (r.seg, round(r.total, 6), r.n_rows)
+        for r in wh.read_view(spark, view_dir).collect()
+    }
+    assert got2 == want
