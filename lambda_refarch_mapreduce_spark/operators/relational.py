@@ -338,3 +338,52 @@ def global_rank(
         .withColumn(rank_col, F.col("__local_rn") + F.col("__offset"))
         .drop("__pid", "__local_rn")
     )
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_cols: list[str],
+    partitions: int = 32,
+) -> DataFrame:
+    """Running (inclusive) sums of ``sum_cols`` under a TOTAL order
+    (callers include a tie-break key) without a single-partition
+    window — global_rank's two-phase shape generalized from ranks to
+    arbitrary additive measures: range-partitioned sort, per-partition
+    local cumulative sums, then add per-partition offset totals (one
+    tiny broadcast row per partition; the data never moves again).
+    Each ``c`` in sum_cols gains a ``c_cum`` column. This is the
+    distributed prefix-sum every CDF/packing computation needs where
+    `sum() over (order by ...)` would serialize the world."""
+    ranked = (
+        df.repartitionByRange(partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranked
+    for c in sum_cols:
+        local = local.withColumn(f"__local_{c}", F.sum(c).over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = local.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    for c in sum_cols:
+        offsets = offsets.withColumn(
+            f"__off_{c}",
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)),
+        )
+    offsets = offsets.select("__pid", *[f"__off_{c}" for c in sum_cols])
+    out = local.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum", F.col(f"__local_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop(
+        "__pid", *[f"__local_{c}" for c in sum_cols],
+        *[f"__off_{c}" for c in sum_cols],
+    )

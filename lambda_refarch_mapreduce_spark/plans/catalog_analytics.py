@@ -3066,3 +3066,199 @@ def quantile_binning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: distributed two-sample KS test, market-basket pairs,
+# smoothed target encoding
+# ---------------------------------------------------------------------------
+
+KS_ALPHA_C = 1.3581  # c(alpha) for alpha = 0.05, asymptotic two-sample KS
+
+
+@register(
+    "ks_test_click_vs_error",
+    oracle=f"""
+        WITH s AS (SELECT value AS v,
+                          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+                          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ib
+                   FROM events WHERE event_type IN ('click', 'error')),
+        g AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY 1),
+        t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+        c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+                     sum(cb) OVER (ORDER BY v) AS ccb
+              FROM g)
+        SELECT na::BIGINT AS n_click, nb::BIGINT AS n_error,
+               round(max(abs(cca * 1.0 / na - ccb * 1.0 / nb)), 6) AS ks_d,
+               (max(abs(cca * 1.0 / na - ccb * 1.0 / nb))
+                > {KS_ALPHA_C} * sqrt((na + nb) * 1.0 / (na * nb)))
+                   AS significant
+        FROM c CROSS JOIN t GROUP BY na, nb
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def ks_test_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between two event groups
+    — the distribution-level A/B readout beside the mean-level Welch
+    entry. D = max over observed values of |CDF_a - CDF_b|. The naive
+    plan is a cumulative window `sum() over (order by value)` — a
+    single-partition sort of the union at scale. Here: one grouped
+    count per distinct value, then operators.relational.prefix_sums
+    (range exchange + per-partition cumsums + per-partition offset
+    broadcast — global_rank's two-phase shape generalized to additive
+    measures), one single-row totals broadcast, and a single-row max.
+    The oracle computes the same CDFs with DuckDB's window; the
+    significance verdict uses the asymptotic alpha=0.05 threshold on
+    both sides."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("cb"),
+    )
+    cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
+    totals = g.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    d = F.abs(
+        F.col("ca_cum") / F.col("na") - F.col("cb_cum") / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("na").alias("__na"),
+            F.first("nb").alias("__nb"),
+            F.max(d).alias("__d"),
+        )
+        .select(
+            F.col("__na").alias("n_click"),
+            F.col("__nb").alias("n_error"),
+            F.round("__d", 6).alias("ks_d"),
+            (
+                F.col("__d")
+                > KS_ALPHA_C
+                * F.sqrt(
+                    (F.col("__na") + F.col("__nb"))
+                    / (F.col("__na") * F.col("__nb"))
+                )
+            ).alias("significant"),
+        )
+    )
+
+
+BASKET_MIN_SUPPORT = 20  # a part must appear in >= 20 baskets to pair
+BASKET_MAX_ITEMS = 20  # drop degenerate mega-baskets before the self-join
+BASKET_PAIR_TOP_N = 15
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+        sized AS (SELECT o FROM items GROUP BY o
+                  HAVING count(*) <= {BASKET_MAX_ITEMS}),
+        kept AS (SELECT items.o, items.p FROM items JOIN sized USING (o)),
+        freq AS (SELECT p FROM kept GROUP BY p
+                 HAVING count(*) >= {BASKET_MIN_SUPPORT}),
+        fi AS (SELECT o, p FROM kept JOIN freq USING (p)),
+        pairs AS (SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_baskets
+                  FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2)
+        SELECT p_a, p_b, n_baskets::BIGINT AS n_baskets
+        FROM pairs
+        ORDER BY n_baskets DESC, p_a, p_b LIMIT {BASKET_PAIR_TOP_N}
+    """,
+    tags=("analytics", "product", "scale"),
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket affinity) with
+    the two prunings that make pair counting survive 100 TB: (1) the
+    apriori support filter — a part below min-support cannot be in a
+    frequent pair, so infrequent parts are semi-joined out against a
+    broadcast frequent-part set BEFORE the self-join; (2) a basket
+    size cap — one degenerate mega-basket (a crawler account, a
+    default order id) contributes |basket|^2 pairs and skews one
+    reducer, so baskets over the cap are dropped (and reported
+    separately in production). The pair join itself is co-keyed on
+    the basket id (the exchange both sides already share), the pair
+    count is map-side combinable, and the top-N cut is a TakeOrdered
+    over pair aggregates with a deterministic (n desc, p_a, p_b)
+    tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sized = (
+        li.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") <= BASKET_MAX_ITEMS)
+        .select("o")
+    )
+    kept = li.join(sized, "o", "left_semi")
+    freq = (
+        kept.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= BASKET_MIN_SUPPORT)
+        .select("p")
+    )
+    fi = kept.join(F.broadcast(freq), "p", "left_semi")
+    a = fi.select(F.col("o"), F.col("p").alias("p_a"))
+    b = fi.select(F.col("o"), F.col("p").alias("p_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.col("n_baskets").desc(), "p_a", "p_b"
+    ).limit(BASKET_PAIR_TOP_N)
+
+
+TARGET_ENCODE_M = 50.0  # m-estimate smoothing pseudo-count
+
+
+@register(
+    "target_encode_priority",
+    oracle=f"""
+        WITH g AS (SELECT o_orderpriority AS category,
+                          count(*) AS n, sum(o_totalprice) AS s
+                   FROM orders GROUP BY 1),
+        t AS (SELECT sum(n) AS tn, sum(s) AS ts FROM g)
+        SELECT category, n::BIGINT AS n,
+               round(s / n, 6) AS raw_mean,
+               round((s + {TARGET_ENCODE_M} * ts / tn)
+                     / (n + {TARGET_ENCODE_M}), 6) AS encoded
+        FROM g CROSS JOIN t
+    """,
+    tags=("analytics", "mlprep"),
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    m-estimate every tabular-ML pipeline applies before training:
+    encoded = (sum_cat + m * global_mean) / (n_cat + m), shrinking
+    rare categories toward the global mean. One grouped aggregate
+    (|categories| rows) plus a single-row global-stats broadcast —
+    the category table this emits is itself broadcast back onto the
+    fact table at feature-build time, so nothing here ever exceeds
+    metadata size."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "category",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("raw_mean"),
+        F.round(
+            (F.col("s") + TARGET_ENCODE_M * F.col("ts") / F.col("tn"))
+            / (F.col("n") + TARGET_ENCODE_M),
+            6,
+        ).alias("encoded"),
+    )

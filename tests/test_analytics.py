@@ -666,3 +666,33 @@ def test_incremental_agg_update_hand_computed(spark):
         ).collect()
     }
     assert out == {"a": (26.0, 2), "c": (3.0, 1)}
+
+
+def test_prefix_sums_crosses_partition_boundaries(spark):
+    """prefix_sums (two-phase distributed cumsum): inclusive running
+    sums under a total order must be exact across range-partition
+    boundaries — compare against the single-partition-window answer
+    on a frame large enough to span several partitions."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    )
+    got = {
+        r.k: (r.a_cum, r.b_cum)
+        for r in prefix_sums(df, [F.col("k")], ["a", "b"], partitions=8).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: (r.a_cum, r.b_cum)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("a_cum"), F.sum("b").over(w).alias("b_cum")
+        ).collect()
+    }
+    assert got == want and len(got) == 1000

@@ -424,3 +424,33 @@ def test_mv_refresh_shuffles_are_changelog_keyed(spark, tmp_path):
     assert p.count(base_p) == 1, "base must be scanned exactly once (probe)"
     assert p.count(mv_p) == 1
     assert p.count("Exchange hashpartitioning") == 5, p
+
+
+def test_round6_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-6 scale claims: the KS test's
+    cumulative CDFs must come from the two-phase prefix sum (range
+    exchange), never a single-partition window over the data — the
+    only partitionless windows allowed are over per-partition offset
+    rows (bounded by the partition count); the market-basket pair
+    join must be co-keyed on the basket id with the frequent-part
+    filter BROADCAST, the top-N a TakeOrdered, and no cartesian
+    anywhere."""
+    from lambda_refarch_mapreduce_spark.plans import catalog
+
+    p = _plan(catalog.REGISTRY["ks_test_click_vs_error"].spark(spark, SF_SMOKE))
+    assert "rangepartitioning" in p, p  # the balanced CDF exchange
+    assert "CartesianProduct" not in p
+    # every Window in the plan must involve __pid — either partitioned
+    # BY it (the per-partition local cumsums) or ordering the
+    # |partitions|-row offsets frame; a data-level `sum over (order by
+    # v)` regression would plan a __pid-free Window and fail here
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "__pid" in ln, ln
+
+    p = _plan(
+        catalog.REGISTRY["market_basket_part_pairs"].spark(spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # frequent-part semi-join broadcast
