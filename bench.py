@@ -71,6 +71,10 @@ HEADLINE = {
     "q_drift_psi": "corpus_drift_psi",
     "q_funnel": "funnel_conversion_events",
     "q_ahash_dedup": "image_ahash_dedup",
+    # round 6 additions
+    "q_ks_test": "ks_test_click_vs_error",
+    "q_basket_pairs": "market_basket_part_pairs",
+    "q_mv_refresh": "jobspec_mv_refresh_hourly",
 }
 
 
