@@ -336,7 +336,10 @@ def global_rank(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, F.col("__local_rn") + F.col("__offset"))
-        .drop("__pid", "__local_rn")
+        # drop __offset too: leaking it made a second global_rank call
+        # on the same frame ambiguous (caught by rfm_customer_segments,
+        # which chains three ranks)
+        .drop("__pid", "__local_rn", "__offset")
     )
 
 

@@ -3262,3 +3262,84 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded"),
     )
+
+
+RFM_BINS = 5
+
+
+@register(
+    "rfm_customer_segments",
+    # quintile arithmetic is the same exact-integer ((rank-1)*5 div n)
+    # form as equidepth_histogram_prices, so both engines agree with
+    # no float boundary; recency ranks DESC on (last order date, key)
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_d,
+                   count(*) AS freq,
+                   sum(round(o_totalprice * 100)::BIGINT) AS monet_cents
+            FROM orders GROUP BY 1),
+        r AS (SELECT o_custkey,
+                     row_number() OVER (ORDER BY last_d DESC, o_custkey)
+                         AS r_rnk,
+                     row_number() OVER (ORDER BY freq DESC, o_custkey)
+                         AS f_rnk,
+                     row_number() OVER (ORDER BY monet_cents DESC, o_custkey)
+                         AS m_rnk,
+                     count(*) OVER () AS n
+              FROM per_cust)
+        SELECT (((r_rnk - 1) * {RFM_BINS}) // n + 1)::INT AS r_score,
+               (((f_rnk - 1) * {RFM_BINS}) // n + 1)::INT AS f_score,
+               (((m_rnk - 1) * {RFM_BINS}) // n + 1)::INT AS m_score,
+               count(*)::BIGINT AS n_customers
+        FROM r GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "product", "scale"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    warehouse-standard customer scoring: quintile each customer on
+    last-order recency, order count, and lifetime spend, then count
+    the (r, f, m) segment grid (<= 125 rows). The naive plan is three
+    ntile() windows over ONE partition of all customers — data-plane
+    at 100 TB; here each score reuses operators.relational.global_rank
+    (range exchange + per-partition offsets) with the exact-integer
+    ((rank-1)*B div n) bucket arithmetic equidepth_histogram_prices
+    established, so both engines agree with no float boundary. Spend
+    ranks on exact integer cents (order-free across engines); all
+    three ranks tie-break on the customer key. One aggregate over
+    orders, three bounded range exchanges over |customers| rows, one
+    125-row grid count."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monet_cents"
+        ),
+    )
+    ranked = per_cust
+    for score, keys in (
+        ("r_rnk", [F.col("last_d").desc(), F.col("o_custkey")]),
+        ("f_rnk", [F.col("freq").desc(), F.col("o_custkey")]),
+        ("m_rnk", [F.col("monet_cents").desc(), F.col("o_custkey")]),
+    ):
+        ranked = global_rank(ranked, keys, rank_col=score)
+    n = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    score = lambda c: F.expr(  # noqa: E731
+        f"cast((({c} - 1) * {RFM_BINS}) div __n + 1 as int)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            score("r_rnk").alias("r_score"),
+            score("f_rnk").alias("f_score"),
+            score("m_rnk").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -315,6 +315,10 @@ def test_registry_wide_no_cartesian_product(spark):
         "dedup_minhash_lsh",
         "jobspec_training_prep",
         "training_data_prep_pipeline",
+        # round 6
+        "ks_test_click_vs_error",      # single-row (na, nb) totals term
+        "target_encode_priority",      # single-row global-mean term
+        "rfm_customer_segments",       # single-row customer-count term
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
