@@ -313,7 +313,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    o_orderdate, o_orderpriority
             FROM orders WHERE o_orderkey % 7 = 0
             UNION ALL
-            SELECT o_orderkey + 10000000, o_custkey, 'N',
+            SELECT -o_orderkey - 1, o_custkey, 'N',
                    o_totalprice, o_orderdate, o_orderpriority
             FROM orders WHERE o_orderkey % 7 = 3),
         m AS (
@@ -340,7 +340,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     upd_new = orders.filter(F.col("o_orderkey") % 7 == 3).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
@@ -369,7 +369,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        round(o_totalprice * 1.1, 2) AS o_totalprice
                 FROM orders
                 WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
-        ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+        ins AS (SELECT -o_orderkey - 1 AS o_orderkey, o_custkey,
                        'N' AS o_orderstatus, 1.0 AS o_totalprice
                 FROM orders WHERE o_orderkey % 9 = 0)
         SELECT * FROM keep
@@ -389,33 +389,9 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    k = F.col("o_orderkey")
-    upd = base.filter(k % 7 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.lit("U1").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-        F.lit(1).alias("seq"),
-        F.lit("U").alias("op"),
+    out = analytics.apply_cdc(
+        base, _orders_changelog(base), ["o_orderkey"], "seq"
     )
-    dele = base.filter(k % 14 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit(2).alias("seq"),
-        F.lit("D").alias("op"),
-    )
-    ins = base.filter(k % 9 == 0).select(
-        (k + 20_000_000).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        F.lit(1.0).alias("o_totalprice"),
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-    )
-    changes = upd.unionByName(dele).unionByName(ins)
-    out = analytics.apply_cdc(base, changes, ["o_orderkey"], "seq")
     return out.select(
         "o_orderkey",
         "o_custkey",
@@ -1900,8 +1876,10 @@ def _orders_changelog(base: DataFrame) -> DataFrame:
     """The catalog's shared synthetic I/U/D changelog over orders
     (same net effect as cdc_apply_orders / incremental_agg_maintenance
     build inline): seq1 'U' re-prices every 7th key, seq2 'D' deletes
-    every 14th (overriding its update), seq1 'I' inserts a new key
-    (+20M) for every 9th. ``base`` must carry
+    every 14th (overriding its update), seq1 'I' inserts a NEW key
+    (-k-1: negative keys cannot collide with real order keys at ANY
+    scale factor, where a fixed +20M offset would from sf~3.3 up) for
+    every 9th. ``base`` must carry
     (o_orderkey, o_custkey, o_orderstatus, o_totalprice)."""
     k = F.col("o_orderkey")
     upd = base.filter(k % 7 == 0).select(
@@ -1921,7 +1899,7 @@ def _orders_changelog(base: DataFrame) -> DataFrame:
         F.lit("D").alias("op"),
     )
     ins = base.filter(k % 9 == 0).select(
-        (k + 20_000_000).alias("o_orderkey"),
+        (-k - 1).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         F.lit(1.0).alias("o_totalprice"),
@@ -2000,7 +1978,7 @@ def jobspec_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     UNION ALL SELECT * FROM upd
                     UNION ALL SELECT * FROM ins)
         SELECT (o_custkey % 25)::INT AS segment,
-               round(sum(o_totalprice), 2) AS revenue,
+               sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents,
                count(*)::BIGINT AS n_orders
         FROM applied GROUP BY 1
     """,
@@ -2031,15 +2009,23 @@ def jobspec_mv_refresh_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keys": ["o_orderkey"],
             "seq": "seq",
             "op": "op",
-            "derive": {"segment": "cast(o_custkey % 25 as int)"},
+            # derive applies to base AND changes: the grouping column
+            # plus the value in exact integer cents, so the gate is
+            # summation-order-free (the float round(sum, 2) form is
+            # probabilistic at a .xx5 boundary — the sibling snapshot
+            # entry set the cents precedent)
+            "derive": {
+                "segment": "cast(o_custkey % 25 as int)",
+                "cents": "cast(round(o_totalprice * 100) as bigint)",
+            },
             "group_by": ["segment"],
-            "value": "o_totalprice",
-            "sum_name": "revenue",
+            "value": "cents",
+            "sum_name": "revenue_cents",
             "cnt_name": "n_orders",
         },
         select={
             "segment": "segment",
-            "revenue": "round(revenue, 2)",
+            "revenue_cents": "cast(round(revenue_cents) as bigint)",
             "n_orders": "n_orders",
         },
     )
@@ -2818,26 +2804,9 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    k = F.col("o_orderkey")
-    upd = base.filter(k % 7 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-        F.lit(1).alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    dele = base.filter(k % 14 == 0).select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        F.lit(2).alias("seq"), F.lit("D").alias("op"),
-    )
-    ins = base.filter(k % 9 == 0).select(
-        (k + 20_000_000).alias("o_orderkey"),
-        "o_custkey",
-        F.lit(1.0).alias("o_totalprice"),
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-    )
-    changes = upd.unionByName(dele).unionByName(ins).withColumn(
+    changes = _orders_changelog(
+        base.withColumn("o_orderstatus", F.lit(""))
+    ).drop("o_orderstatus").withColumn(
         "segment", (F.col("o_custkey") % 50).cast("int")
     )
     out = analytics.incremental_agg_update(
@@ -3091,7 +3060,8 @@ KS_ALPHA_C = 1.3581  # c(alpha) for alpha = 0.05, asymptotic two-sample KS
         SELECT na::BIGINT AS n_click, nb::BIGINT AS n_error,
                round(max(abs(cca * 1.0 / na - ccb * 1.0 / nb)), 6) AS ks_d,
                (max(abs(cca * 1.0 / na - ccb * 1.0 / nb))
-                > {KS_ALPHA_C} * sqrt((na + nb) * 1.0 / (na * nb)))
+                > {KS_ALPHA_C} * sqrt((na + nb) * 1.0
+                                      / (na * 1.0 * nb)))
                    AS significant
         FROM c CROSS JOIN t GROUP BY na, nb
     """,
@@ -3142,9 +3112,13 @@ def ks_test_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("__d")
                 > KS_ALPHA_C
+                # na * nb as DOUBLE: the int64 product overflows past
+                # ~3e9 rows per side, wrapping negative -> sqrt NaN ->
+                # a silently NULL verdict at exactly the scale this
+                # tier claims to serve
                 * F.sqrt(
                     (F.col("__na") + F.col("__nb"))
-                    / (F.col("__na") * F.col("__nb"))
+                    / (F.col("__na").cast("double") * F.col("__nb"))
                 )
             ).alias("significant"),
         )

@@ -1051,10 +1051,15 @@ def test_stream_mv_maintenance_matches_full_recompute(spark, tmp_path):
     including a key updated in slice 0, re-updated in slice 1 (the
     overlay-negation path: the second refresh must negate the
     post-first-change value, not the original), and deleted in slice
-    2; a group that empties must drop out. Then a restart with a LOST
-    checkpoint replays every file — the batch_id watermark must make
-    that a no-op (a double-applied changelog would double the
-    deltas)."""
+    2; a group that empties must drop out. Then the hard restart
+    case: the checkpoint is LOST and a slice-3 file (one genuinely
+    new insert plus a STALE lower-seq update of the deleted key) has
+    landed — the restart packs replayed AND new files into one
+    micro-batch, and the content-based freshness rule must apply
+    exactly the new insert: replayed changes and the stale update
+    drop (a batch-id watermark would have dropped the whole batch,
+    new insert included). Old generations must be pruned to
+    keep_generations."""
     import os
     import time as _time
 
@@ -1077,41 +1082,57 @@ def test_stream_mv_maintenance_matches_full_recompute(spark, tmp_path):
     d = str(tmp_path / "changelog")
     os.makedirs(d)
     sch = "k long, cust long, v double, seq long, op string"
-    for i, rows in enumerate(slices):
+
+    def write_slice(i, rows):
         spark.createDataFrame(rows, sch).withColumn(
             "seg", (F.col("cust") % 2).cast("int")
         ).coalesce(1).write.parquet(os.path.join(d, f"slice={i:02d}"))
         _time.sleep(0.05)
+
+    for i, rows in enumerate(slices):
+        write_slice(i, rows)
     view_dir = str(tmp_path / "view")
     wh.init_view(spark, view_dir, base, ["seg"], "v")
     schema = spark.read.parquet(os.path.join(d, "slice=00")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d + "/slice=*")
-    )
-    q = wh.maintain_view_stream(
-        stream, view_dir, base, str(tmp_path / "ckpt"),
-        ["k"], ["seg"], "v",
-    ).start()
-    q.awaitTermination(120)
+
+    def drain(ckpt, per_file):
+        stream = spark.readStream.schema(schema)
+        if per_file:
+            stream = stream.option("maxFilesPerTrigger", 1)
+        stream = stream.parquet(d + "/slice=*")
+        q = wh.maintain_view_stream(
+            stream, view_dir, base, str(tmp_path / ckpt),
+            ["k"], ["seg"], "v",
+        ).start()
+        q.awaitTermination(120)
+
+    drain("ckpt", per_file=True)
     assert wh.current_generation(view_dir) == 4  # init + 3 batches
 
-    all_changes = spark.read.parquet(d + "/slice=*").select(
-        "k", "cust", "v", "seg", "seq", "op"
-    )
-    applied = apply_cdc(base.select(all_changes.columns[:4]),
-                        all_changes, ["k"], "seq")
+    def recompute():
+        all_changes = spark.read.parquet(d + "/slice=*").select(
+            "k", "cust", "v", "seg", "seq", "op"
+        )
+        # the recompute honors the same rule the maintainer does: the
+        # stale slice-3 update of k1 (seq 2 < the delete's seq 3)
+        # loses the per-key compaction inside apply_cdc
+        return apply_cdc(
+            base.select("k", "cust", "v", "seg"), all_changes, ["k"], "seq"
+        )
+
+    def view_rows():
+        return {
+            (r.seg, round(r.total, 6), r.n_rows)
+            for r in wh.read_view(spark, view_dir).collect()
+        }
+
     want = {
         (r.seg, round(r.total, 6), r.n_rows)
-        for r in applied.groupBy("seg")
+        for r in recompute().groupBy("seg")
         .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
         .collect()
     }
-    got = {
-        (r.seg, round(r.total, 6), r.n_rows)
-        for r in wh.read_view(spark, view_dir).collect()
-    }
+    got = view_rows()
     assert got == want and len(got) == 1  # seg=1 emptied and dropped
     # the merge-on-read effective base equals the applied table
     eff = {
@@ -1120,18 +1141,37 @@ def test_stream_mv_maintenance_matches_full_recompute(spark, tmp_path):
         .select("k", "cust", "v", "seg")
         .collect()
     }
-    assert eff == {tuple(r) for r in applied.collect()}
+    assert eff == {tuple(r) for r in recompute().collect()}
+    # read_live hands back a consistent pair with one CURRENT resolve
+    gen, live_view, live_ov = wh.read_live(spark, view_dir)
+    assert gen == 4 and live_view.count() == 1 and live_ov.count() == 3
 
-    # lost-checkpoint restart: every file replays with batch ids
-    # starting at 0 again — the watermark must skip them all
-    q2 = wh.maintain_view_stream(
-        stream, view_dir, base, str(tmp_path / "ckpt2"),
-        ["k"], ["seg"], "v",
-    ).start()
-    q2.awaitTermination(120)
-    assert wh.current_generation(view_dir) == 4  # unchanged
-    got2 = {
+    # hard restart: checkpoint lost AND a new slice landed — one new
+    # insert (k6, passes) and a STALE lower-seq update of deleted k1
+    # (seq 2 < overlay's delete at seq 3, must drop for view AND
+    # overlay). The restart drains with NO per-file trigger, so the
+    # single micro-batch mixes all replayed files with the new one.
+    write_slice(3, [(6, 14, 9.0, 1, "I"), (1, 10, 99.0, 2, "U")])
+    drain("ckpt2", per_file=False)
+    assert wh.current_generation(view_dir) == 5  # exactly one refresh
+    want2 = {
         (r.seg, round(r.total, 6), r.n_rows)
-        for r in wh.read_view(spark, view_dir).collect()
+        for r in recompute().groupBy("seg")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
     }
-    assert got2 == want
+    assert view_rows() == want2
+    # k1 stays deleted (stale update dropped everywhere)
+    assert not (
+        wh.effective_base(spark, view_dir, base, ["k"])
+        .filter(F.col("k") == 1)
+        .head(1)
+    )
+    # retention: only the live generation and keep-1 predecessors stay
+    gens = sorted(
+        p for p in os.listdir(view_dir) if p.startswith("gen-")
+    )
+    assert gens == ["gen-000004", "gen-000005"]
+    # a second lost-checkpoint drain with nothing new: no generation
+    drain("ckpt3", per_file=False)
+    assert wh.current_generation(view_dir) == 5
