@@ -3317,3 +3317,56 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+WEIGHTED_PCTS = (25, 50, 75)
+
+
+@register(
+    "weighted_percentiles_price",
+    oracle=f"""
+        WITH g AS (SELECT l_extendedprice AS v,
+                          sum(l_quantity)::BIGINT AS w
+                   FROM lineitem GROUP BY 1),
+        c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM g),
+        t AS (SELECT sum(w) AS tw FROM g),
+        q AS (SELECT unnest([{", ".join(map(str, WEIGHTED_PCTS))}]) AS pct)
+        SELECT pct::INT AS pct, round(min(v), 2) AS value
+        FROM c CROSS JOIN t JOIN q ON cw * 100 >= pct * tw
+        GROUP BY 1
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def weighted_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles (lower weighted median and
+    quartiles) of line price, weighted by quantity — the
+    inventory-weighted price statistic percentile_approx cannot
+    express. Definition: the smallest value whose cumulative weight
+    reaches pct% of total, decided in pure integer arithmetic
+    (cw * 100 >= pct * tw on int64 weight sums — exact on both
+    engines, headroom to ~1e16 total units). Same scale shape as the
+    KS entry: per-value weight aggregate, then
+    operators.relational.prefix_sums for the cumulative weights
+    (range exchange, never a single-partition window), a single-row
+    total broadcast, a 3-row percentile-grid broadcast fan-out, and a
+    map-side-combinable min per percentile."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["w"])
+    tot = g.agg(F.sum("w").alias("tw"))
+    pcts = spark.createDataFrame(
+        [(p,) for p in WEIGHTED_PCTS], "pct int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("w_cum") * 100 >= F.col("pct") * F.col("tw"))
+        .groupBy("pct")
+        .agg(F.round(F.min("v"), 2).alias("value"))
+    )

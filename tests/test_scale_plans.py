@@ -319,6 +319,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "ks_test_click_vs_error",      # single-row (na, nb) totals term
         "target_encode_priority",      # single-row global-mean term
         "rfm_customer_segments",       # single-row customer-count term
+        "weighted_percentiles_price",  # single-row total + 3-row grid
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
