@@ -320,6 +320,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "target_encode_priority",      # single-row global-mean term
         "rfm_customer_segments",       # single-row customer-count term
         "weighted_percentiles_price",  # single-row total + 3-row grid
+        "kmv_sketch_part_overlap",     # single-row sketch-stats terms
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
