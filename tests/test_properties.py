@@ -244,3 +244,46 @@ def test_z_value_matches_reference_interleave(spark, pairs):
     }
     want = {i: _py_z(a, b, 10) for i, (a, b) in enumerate(pairs)}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order key
+            st.integers(min_value=-50, max_value=50),      # weight a
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    partitions=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_prefix_sums_and_global_rank_match_reference(spark, rows, partitions):
+    """The two-phase distributed machinery must be EXACTLY the
+    single-machine answer on arbitrary inputs and partition counts:
+    global_rank = 1..n under the (k, uid) total order, prefix_sums =
+    the inclusive running sum — including duplicate keys (tie-broken
+    by uid), negative weights, and partition counts exceeding the row
+    count."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        prefix_sums,
+    )
+
+    data = [(i, k, w) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid int, k int, w int")
+    order = [F.col("k"), F.col("uid")]
+    got_rank = {
+        r.uid: r.global_rank
+        for r in global_rank(df, order, partitions=partitions).collect()
+    }
+    got_cum = {
+        r.uid: r.w_cum
+        for r in prefix_sums(df, order, ["w"], partitions=partitions).collect()
+    }
+    ref = sorted(data, key=lambda t: (t[1], t[0]))
+    run = 0
+    for rank, (uid, _k, w) in enumerate(ref, start=1):
+        run += w
+        assert got_rank[uid] == rank, (uid, rank)
+        assert got_cum[uid] == run, (uid, run)
