@@ -401,3 +401,23 @@ def test_cdc_apply_and_mv_refresh_together_raise(spark):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         build(spark, spec)
+
+
+def test_select_supports_window_expressions(spark):
+    """The spec's one-dialect promise covers analytic functions: a
+    select expression may be a SQL window function (F.expr compiles
+    it), so per-group ranks/running sums need no dedicated clause."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "k long, g string, v double",
+    )
+    spec = JobSpec(
+        source={"df": df},
+        select={
+            "k": "k",
+            "rnk": "row_number() over (partition by g order by v desc, k)",
+            "g_total": "sum(v) over (partition by g)",
+        },
+    )
+    got = {r.k: (r.rnk, r.g_total) for r in run_jobspec(spark, spec).collect()}
+    assert got == {1: (1, 15.0), 2: (2, 15.0), 3: (1, 7.0)}
