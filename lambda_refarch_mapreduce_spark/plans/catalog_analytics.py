@@ -3499,3 +3499,185 @@ def kmv_sketch_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.t0
+              GROUP BY 1),
+        d AS (SELECT round((epoch_us(t1) - epoch_us(t0)) / 1000000.0, 3)
+                         AS secs
+              FROM v JOIN p USING (user_id))
+        SELECT count(*)::BIGINT AS n_converted,
+               round(min(secs), 3) AS min_s,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY secs), 3)
+                   AS p50_s,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY secs), 3)
+                   AS p90_s,
+               round(max(secs), 3) AS max_s
+        FROM d
+    """,
+    tags=("analytics", "product"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency for the view→purchase funnel step —
+    the metric beside the conversion RATE the funnel entries report:
+    per user, the gap from first view to the first strictly-later
+    purchase, summarized as exact latency percentiles. Both per-user
+    aggregates and the join are keyed on user_id (one exchange AQE
+    can reuse); the percentile aggregate runs over |converted users|
+    rows — bounded metadata next to the event log. Exact-microsecond
+    arithmetic before the final 3dp rounding keeps both engines
+    bit-identical."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    secs = F.round(
+        (
+            F.unix_micros(F.col("t1")) - F.unix_micros(F.col("t0"))
+        )
+        / 1_000_000.0,
+        3,
+    )
+    d = v.join(p, "user_id").select(secs.alias("secs"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.min("secs"), 3).alias("min_s"),
+        F.round(F.percentile("secs", F.lit(0.5)), 3).alias("p50_s"),
+        F.round(F.percentile("secs", F.lit(0.9)), 3).alias("p90_s"),
+        F.round(F.max("secs"), 3).alias("max_s"),
+    )
+
+
+PARETO_BINS = 10
+
+
+@register(
+    "pareto_revenue_by_part",
+    oracle=f"""
+        WITH g AS (SELECT l_partkey AS p,
+                          sum(round(l_extendedprice * 100)::BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT cents,
+                     row_number() OVER (ORDER BY cents DESC, p) AS rnk,
+                     count(*) OVER () AS n
+              FROM g),
+        c AS (SELECT rnk, n,
+                     sum(cents) OVER (ORDER BY rnk) AS cum,
+                     sum(cents) OVER () AS total
+              FROM r)
+        SELECT (((rnk - 1) * {PARETO_BINS}) // n + 1)::INT AS decile,
+               count(*)::BIGINT AS n_parts,
+               round(max(cum) * 1.0 / max(total), 6) AS cum_revenue_share
+        FROM c GROUP BY 1
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def pareto_revenue_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto / concentration curve ("do 20% of parts make 80% of
+    revenue?"): parts ranked by revenue descending, cumulative
+    revenue share at each rank decile. Revenue aggregates in exact
+    integer cents; the rank comes from operators.relational.
+    global_rank and the running total from prefix_sums — the same
+    two-phase range-exchange machinery, never a single-partition
+    window over all parts; the decile cut is the exact-integer
+    ((rank-1)*10 div n) arithmetic. Output: 10 rows of
+    (decile, n_parts, cum_revenue_share at the decile's end)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        prefix_sums,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = global_rank(g, [F.col("cents").desc(), F.col("p")], rank_col="rnk")
+    cum = prefix_sums(ranked, [F.col("rnk")], ["cents"])
+    tot = g.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"cast(((rnk - 1) * {PARETO_BINS}) div __n + 1 as int)")
+            .alias("decile"),
+            "cents_cum",
+            "total",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.max("cents_cum") * 1.0 / F.max("total"), 6
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    # closed-form rank formula: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    # with x sorted ASC — every term integer until the final division
+    oracle="""
+        WITH g AS (SELECT o_custkey,
+                          sum(round(o_totalprice * 100)::BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+        r AS (SELECT cents,
+                     row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                     count(*) OVER () AS n
+              FROM g)
+        SELECT max(n)::BIGINT AS n_customers,
+               round(2.0 * sum(i * cents) / (max(n) * sum(cents))
+                     - (max(n) + 1.0) / max(n), 6) AS gini
+        FROM r
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    concentration metric a marketplace watches (0 = equal spend,
+    →1 = one whale). Closed-form rank formula on ascending-sorted
+    exact integer cents: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — the rank
+    comes from the distributed global_rank (range exchange, no
+    one-reducer sort) and everything after is one
+    map-side-combinable aggregate; every term stays integer until
+    the final division, so both engines agree at 6dp exactly."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = global_rank(
+        g, [F.col("cents"), F.col("o_custkey")], rank_col="i"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("cents"))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

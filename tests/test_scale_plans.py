@@ -321,6 +321,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "rfm_customer_segments",       # single-row customer-count term
         "weighted_percentiles_price",  # single-row total + 3-row grid
         "kmv_sketch_part_overlap",     # single-row sketch-stats terms
+        "pareto_revenue_by_part",      # single-row total-revenue term
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
