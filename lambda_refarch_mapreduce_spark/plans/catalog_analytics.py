@@ -3681,3 +3681,297 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6b: statistical-inference tier — rank tests, digit audits,
+# closed-form regression, proportion intervals. Each entry shares its
+# floating-point formula TEXT between the Spark selectExpr and the
+# DuckDB oracle, so both engines execute the identical IEEE op tree on
+# identical integer-valued inputs and agree bit-for-bit before rounding.
+# ---------------------------------------------------------------------------
+
+# Mann-Whitney z with tie correction; inputs are exact integer sums cast
+# to double. Textually shared between engines (see tier note above).
+_MW_Z = (
+    "((u2 / 2e0 - n1 * 1e0 * n2 / 2e0)"
+    " / sqrt((n1 * 1e0 * n2 / 12e0)"
+    "        * ((n1 + n2 + 1) - ties * 1e0"
+    "           / ((n1 + n2) * 1e0 * (n1 + n2 - 1)))))"
+)
+
+
+@register(
+    "mann_whitney_auc_value",
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                              END AS ip,
+                          CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                              END AS ic
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ip) AS cp, sum(ic) AS cc FROM s GROUP BY 1),
+        c AS (SELECT v, cp, cc, sum(cc) OVER (ORDER BY v) AS cc_cum FROM g),
+        a AS (SELECT sum(cp) AS n1, sum(cc) AS n2,
+                     sum(cp * (2 * (cc_cum - cc) + cc)) AS u2,
+                     sum((cp + cc) * (cp + cc) * (cp + cc) - (cp + cc))
+                         AS ties
+              FROM c)
+        SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_click,
+               round(u2 / (2e0 * n1 * n2), 6) AS auc,
+               round({_MW_Z}, 6) AS z,
+               (abs({_MW_Z}) > 1.96e0) AS significant
+        FROM a
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def mann_whitney_auc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test (with its AUC reading) between two
+    event groups' value distributions — the nonparametric A/B readout
+    beside Welch (means) and KS (max CDF gap): U counts
+    purchase-beats-click pairs with half-credit ties, and U/(n1*n2)
+    IS the ROC AUC of "value predicts purchase vs click". The naive
+    plan ranks the union in one window; here values collapse to
+    per-distinct-value group counts (exact integer cents keys), the
+    tie-side CDF comes from operators.relational.prefix_sums (range
+    exchange + per-partition cumsums + offset broadcast, no
+    single-partition window), and the pair count 2U = sum(cp * (2
+    * cc_below + cc_ties)) stays integer until the final divisions.
+    The tie-corrected normal z uses a formula string shared verbatim
+    with the oracle, so both engines fold the same IEEE tree."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = e.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("cp"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("cc"),
+    )
+    cum = prefix_sums(g, [F.col("v")], ["cc"])
+    t = F.col("cp") + F.col("cc")
+    a = cum.agg(
+        F.sum("cp").alias("n1"),
+        F.sum("cc").alias("n2"),
+        F.sum(
+            F.col("cp")
+            * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
+        ).alias("u2"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    return a.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_purchase",
+        "CAST(n2 AS BIGINT) AS n_click",
+        "round(u2 / (2e0 * n1 * n2), 6) AS auc",
+        f"round({_MW_Z}, 6) AS z",
+        f"(abs({_MW_Z}) > 1.96e0) AS significant",
+    )
+
+
+@register(
+    "benford_first_digit_prices",
+    oracle="""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                                 AS BIGINT) AS VARCHAR),
+                                      1, 1) AS INT) AS digit
+                   FROM orders),
+        g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM g)
+        SELECT digit, n::BIGINT AS n_orders,
+               round(n * 1e0 / total, 6) AS obs_share,
+               round(log10(1 + 1e0 / digit), 6) AS benford_share,
+               round((n - total * log10(1 + 1e0 / digit))
+                     * (n - total * log10(1 + 1e0 / digit))
+                     / (total * log10(1 + 1e0 / digit)), 6) AS chi2_term
+        FROM g CROSS JOIN t
+    """,
+    tags=("analytics", "stats", "quality"),
+)
+def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fraud / synthetic-data smell test: observed digit
+    shares vs the log10(1 + 1/d) expectation, with per-digit
+    chi-square terms (sum them for the 8-df statistic). The digit
+    extracts as pure integer/string arithmetic on exact cents (no
+    floor(log10(x)) float edge at powers of ten), the digit rollup is
+    a 9-row map-side-combinable aggregate, and the single-row total
+    joins back as a broadcast — nothing here scales with more than
+    the digit alphabet."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).selectExpr(
+        "digit",
+        "CAST(n AS BIGINT) AS n_orders",
+        "round(n * 1e0 / total, 6) AS obs_share",
+        "round(log10(1 + 1e0 / digit), 6) AS benford_share",
+        "round((n - total * log10(1 + 1e0 / digit))"
+        " * (n - total * log10(1 + 1e0 / digit))"
+        " / (total * log10(1 + 1e0 / digit)), 6) AS chi2_term",
+    )
+
+
+# Cramer's-rule solve of the 3x3 normal equations for
+# y ~ b0 + b1*q + b2*d, over the nine exact-integer moment sums cast to
+# double. Shared verbatim between the Spark selectExpr and the oracle.
+_OLS_DET = (
+    "(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)"
+    " + sd * (sq * sqd - sqq * sd))"
+)
+_OLS_B0 = (
+    "((sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)"
+    f" + sd * (sqy * sqd - sqq * sdy)) / {_OLS_DET})"
+)
+_OLS_B1 = (
+    "((n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)"
+    f" + sd * (sq * sdy - sqy * sd)) / {_OLS_DET})"
+)
+_OLS_B2 = (
+    "((n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)"
+    f" + sy * (sq * sqd - sqq * sd)) / {_OLS_DET})"
+)
+_OLS_R2 = (
+    f"(1 - (syy - ({_OLS_B0} * sy + {_OLS_B1} * sqy + {_OLS_B2} * sdy))"
+    " / (syy - sy * sy / n))"
+)
+_OLS_MOMENTS_SQL = """
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(q) AS DOUBLE) AS sq,
+                   CAST(sum(d) AS DOUBLE) AS sd,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(q * q) AS DOUBLE) AS sqq,
+                   CAST(sum(d * d) AS DOUBLE) AS sdd,
+                   CAST(sum(q * d) AS DOUBLE) AS sqd,
+                   CAST(sum(q * y) AS DOUBLE) AS sqy,
+                   CAST(sum(d * y) AS DOUBLE) AS sdy,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+"""
+
+
+@register(
+    "ols_price_qty_discount",
+    oracle=f"""
+        WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(round(l_discount * 100) AS BIGINT) AS d,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        a AS ({_OLS_MOMENTS_SQL} FROM s)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round({_OLS_B0} / 100.0, 4) AS intercept_usd,
+               round({_OLS_B1} / 100.0, 4) AS coef_qty_usd,
+               round({_OLS_B2} / 100.0, 4) AS coef_disc_pct_usd,
+               round({_OLS_R2}, 6) AS r2
+        FROM a
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (extendedprice ~
+    quantity + discount) by the normal equations — the distributed-ML
+    primitive behind every "fit a line at 100 TB" ask: ONE map-side-
+    combinable aggregate accumulates the nine moment sums (XtX and
+    Xty), and the 3x3 solve is driver-free constant arithmetic via
+    Cramer's rule in the projection. No iteration, no collect, no
+    second pass; at any scale the job is exactly one scan + one
+    single-row exchange. Inputs quantize to exact integers (quantity,
+    discount percent, price cents) so the moments are exact (the y^2
+    sum rides a 38-digit decimal — the one term that overflows int64
+    past ~1e5 rows of 5-digit prices); the solve text is shared
+    verbatim with the oracle for an identical IEEE tree. R^2 comes
+    from the same sums: SSE = yty - b.Xty, SST = yty - (sum y)^2/n.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    a = s.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("sdy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    return a.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"round({_OLS_B0} / 100.0, 4) AS intercept_usd",
+        f"round({_OLS_B1} / 100.0, 4) AS coef_qty_usd",
+        f"round({_OLS_B2} / 100.0, 4) AS coef_disc_pct_usd",
+        f"round({_OLS_R2}, 6) AS r2",
+    )
+
+
+# Wilson 95% score interval on a count pair (x successes of n); 1.96^2
+# = 3.8416e0 appears literally so both engines fold the same constants.
+_WILSON_CENTER = "((x / (n * 1e0) + 3.8416e0 / (2 * n)) / (1 + 3.8416e0 / n))"
+_WILSON_HALF = (
+    "(1.96e0 * sqrt((x / (n * 1e0)) * (1 - x / (n * 1e0)) / n"
+    " + 3.8416e0 / (4e0 * n * n)) / (1 + 3.8416e0 / n))"
+)
+
+
+@register(
+    "wilson_ci_purchase_by_dow",
+    oracle=f"""
+        WITH g AS (SELECT ((ts::DATE - DATE '1970-01-01') + 4) % 7
+                       AS dow_idx,
+                          count(*) AS n,
+                          sum(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS x
+                   FROM events GROUP BY 1)
+        SELECT dow_idx::INT AS dow_idx,
+               n::BIGINT AS n_events, x::BIGINT AS n_purchases,
+               round(x * 1e0 / n, 6) AS purchase_share,
+               round({_WILSON_CENTER} - {_WILSON_HALF}, 6) AS wilson_lo,
+               round({_WILSON_CENTER} + {_WILSON_HALF}, 6) AS wilson_hi
+        FROM g
+    """,
+    tags=("analytics", "stats", "product"),
+)
+def wilson_ci_purchase_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for the purchase share by day of
+    week — the error bars a conversion dashboard should draw instead
+    of the Wald +-1.96*sqrt(p(1-p)/n) interval that collapses to a
+    point at p=0 and escapes [0,1] near the edges. One row-local
+    day-of-week key (integer epoch-day arithmetic, immune to the
+    engines' dayofweek() numbering disagreement), one 7-group
+    aggregate, and a closed-form projection per group; the interval
+    formula text is shared verbatim with the oracle. Scale cost: one
+    scan, one 7-key exchange."""
+    e = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) + 4,
+        F.lit(7),
+    ).cast("int")
+    g = e.groupBy(dow.alias("dow_idx")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+    )
+    return g.selectExpr(
+        "dow_idx",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(x AS BIGINT) AS n_purchases",
+        "round(x * 1e0 / n, 6) AS purchase_share",
+        f"round({_WILSON_CENTER} - {_WILSON_HALF}, 6) AS wilson_lo",
+        f"round({_WILSON_CENTER} + {_WILSON_HALF}, 6) AS wilson_hi",
+    )

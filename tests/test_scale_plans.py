@@ -322,6 +322,7 @@ def test_registry_wide_no_cartesian_product(spark):
         "weighted_percentiles_price",  # single-row total + 3-row grid
         "kmv_sketch_part_overlap",     # single-row sketch-stats terms
         "pareto_revenue_by_part",      # single-row total-revenue term
+        "benford_first_digit_prices",  # single-row total over a 9-row grid
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
