@@ -696,3 +696,147 @@ def test_prefix_sums_crosses_partition_boundaries(spark):
         ).collect()
     }
     assert got == want and len(got) == 1000
+
+
+# ---------------------------------------------------------------------------
+# Round 6b: statistical-inference tier — the shared formula strings the
+# catalog entries feed to selectExpr, cross-validated against numpy /
+# brute force / hand-computed references on data the entries never see.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=100, max_value=10_000_000),
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_ols_cramer_matches_numpy_lstsq(spark, rows):
+    """The Cramer-rule solve (the exact text ols_price_qty_discount
+    feeds to selectExpr) must agree with numpy's least-squares on
+    arbitrary integer designs — unless the design is (near-)singular,
+    which hypothesis can produce (e.g. constant quantity); those are
+    filtered by a determinant floor."""
+    import numpy as np
+
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        _OLS_B0,
+        _OLS_B1,
+        _OLS_B2,
+        _OLS_DET,
+    )
+
+    q = np.array([r[0] for r in rows], dtype=float)
+    d = np.array([r[1] for r in rows], dtype=float)
+    y = np.array([r[2] for r in rows], dtype=float)
+    X = np.column_stack([np.ones_like(q), q, d])
+    # scale-aware singularity floor: det of XtX relative to its trace
+    xtx = X.T @ X
+    if abs(np.linalg.det(xtx)) < 1e-9 * (np.trace(xtx) / 3) ** 3:
+        return
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in rows], "q long, d long, y long"
+    )
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("sdy"),
+    )
+    got = a.selectExpr(
+        f"{_OLS_DET} AS det",
+        f"{_OLS_B0} AS b0",
+        f"{_OLS_B1} AS b1",
+        f"{_OLS_B2} AS b2",
+    ).collect()[0]
+    scale = max(1.0, abs(ref[0]), abs(ref[1]), abs(ref[2]))
+    assert math.isclose(got.b0, ref[0], abs_tol=1e-5 * scale), (got, ref)
+    assert math.isclose(got.b1, ref[1], abs_tol=1e-5 * scale), (got, ref)
+    assert math.isclose(got.b2, ref[2], abs_tol=1e-5 * scale), (got, ref)
+
+
+@given(
+    pos=st.lists(st.integers(min_value=0, max_value=8), min_size=2, max_size=25),
+    neg=st.lists(st.integers(min_value=0, max_value=8), min_size=2, max_size=25),
+)
+@settings(**_PROP_SETTINGS)
+def test_mann_whitney_2u_equals_bruteforce_pairs(spark, pos, neg):
+    """2U from the grouped-counts + prefix-sums plan (the exact shape
+    mann_whitney_auc_value runs) must equal the brute-force pair count
+    2 * (wins + ties/2) over all (pos, neg) pairs — the tiny value
+    alphabet forces heavy ties, the hard case."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    brute2u = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    rows = [(v, 1, 0) for v in pos] + [(v, 0, 1) for v in neg]
+    df = spark.createDataFrame(rows, "v long, ip long, ic long")
+    g = df.groupBy("v").agg(
+        F.sum("ip").alias("cp"), F.sum("ic").alias("cc")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["cc"])
+    got = cum.agg(
+        F.sum(
+            F.col("cp") * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
+        ).alias("u2")
+    ).collect()[0].u2
+    assert got == brute2u, (got, brute2u)
+
+
+def test_wilson_interval_known_value_and_bounds(spark):
+    """Wilson 95% interval for x=1, n=10 is the textbook [0.0179,
+    0.4042] (Brown-Cai-DasGupta); and on a sweep of (x, n) the
+    interval must bracket the point estimate inside [0, 1]."""
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        _WILSON_CENTER,
+        _WILSON_HALF,
+    )
+
+    cases = [(1, 10)] + [
+        (x, n) for n in (1, 2, 7, 10, 100) for x in range(0, n + 1, max(1, n // 4))
+    ]
+    df = spark.createDataFrame(cases, "x long, n long")
+    rows = df.selectExpr(
+        "x",
+        "n",
+        f"{_WILSON_CENTER} - {_WILSON_HALF} AS lo",
+        f"{_WILSON_CENTER} + {_WILSON_HALF} AS hi",
+    ).collect()
+    by = {(r.x, r.n): r for r in rows}
+    r = by[(1, 10)]
+    assert math.isclose(r.lo, 0.01787621, abs_tol=5e-4), r
+    assert math.isclose(r.hi, 0.40415482, abs_tol=5e-4), r
+    eps = 1e-12  # x=0 / x=n leave ~1e-17 of FP residue around the ends
+    for r in rows:
+        p = r.x / r.n
+        assert -eps <= r.lo <= p + eps and p - eps <= r.hi <= 1.0 + eps, r
+
+
+def test_benford_digit_extraction_crafted_cents(spark):
+    """First-digit extraction on exact cents must survive the values
+    that break floor(log10(x)) float tricks: exact powers of ten,
+    9.99... boundaries, and single-cent amounts."""
+    vals = [0.01, 0.09, 0.10, 1.00, 9.99, 10.00, 99.99, 100.00, 1000.00]
+    want = [1, 9, 1, 1, 9, 1, 9, 1, 1]
+    df = spark.createDataFrame([(v,) for v in vals], "price double")
+    digit = F.substring(
+        F.round(F.col("price") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    got = [r.d for r in df.select(digit.alias("d")).collect()]
+    assert got == want, (got, want)
