@@ -75,6 +75,8 @@ HEADLINE = {
     "q_ks_test": "ks_test_click_vs_error",
     "q_basket_pairs": "market_basket_part_pairs",
     "q_mv_refresh": "jobspec_mv_refresh_hourly",
+    "q_ols": "ols_price_qty_discount",
+    "q_mann_whitney": "mann_whitney_auc_value",
 }
 
 
