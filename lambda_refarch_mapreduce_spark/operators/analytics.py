@@ -459,3 +459,58 @@ def incremental_agg_update(
         ).alias(cnt_name),
     )
     return merged.filter(F.col(cnt_name) > 0)
+
+
+# Mann-Whitney tie-corrected normal z over the aggregate columns
+# (n1, n2, u2, ties) — exact integer sums cast to double. The catalog
+# entry's DuckDB oracle interpolates this SAME string, so both engines
+# fold the identical IEEE op tree (double literals in e0 notation: a
+# plain `2.0` is a DECIMAL literal in both engines, with divergent
+# division-scale rules).
+MW_Z_EXPR = (
+    "((u2 / 2e0 - n1 * 1e0 * n2 / 2e0)"
+    " / sqrt((n1 * 1e0 * n2 / 12e0)"
+    "        * ((n1 + n2 + 1) - ties * 1e0"
+    "           / ((n1 + n2) * 1e0 * (n1 + n2 - 1)))))"
+)
+
+
+def mann_whitney_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "cp",
+    cb: str = "cc",
+) -> DataFrame:
+    """Mann-Whitney U / ROC-AUC / tie-corrected z from a per-distinct-
+    value count frame ``(v, ca, cb)`` — the shared kernel behind the
+    batch catalog entry (mann_whitney_auc_value) and the streaming A/B
+    monitor (streaming/abtest.py), which maintains exactly this frame
+    as committed state. The pair count 2U = sum(ca * (2 * cb_below +
+    cb_ties)) stays integer until the final divisions; the tie-side
+    CDF comes from relational.prefix_sums (range exchange, never a
+    single-partition window). Returns one row: (n_a, n_b, auc, z,
+    significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    g = counts.select(
+        F.col(v).alias("v"), F.col(ca).alias("cp"), F.col(cb).alias("cc")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["cc"])
+    t = F.col("cp") + F.col("cc")
+    a = cum.agg(
+        F.sum("cp").alias("n1"),
+        F.sum("cc").alias("n2"),
+        F.sum(
+            F.col("cp") * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
+        ).alias("u2"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    return a.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        "round(u2 / (2e0 * n1 * n2), 6) AS auc",
+        f"round({MW_Z_EXPR}, 6) AS z",
+        f"(abs({MW_Z_EXPR}) > 1.96e0) AS significant",
+    )

@@ -3691,14 +3691,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical integer-valued inputs and agree bit-for-bit before rounding.
 # ---------------------------------------------------------------------------
 
-# Mann-Whitney z with tie correction; inputs are exact integer sums cast
-# to double. Textually shared between engines (see tier note above).
-_MW_Z = (
-    "((u2 / 2e0 - n1 * 1e0 * n2 / 2e0)"
-    " / sqrt((n1 * 1e0 * n2 / 12e0)"
-    "        * ((n1 + n2 + 1) - ties * 1e0"
-    "           / ((n1 + n2) * 1e0 * (n1 + n2 - 1)))))"
-)
+# Mann-Whitney z with tie correction — the kernel (and this formula
+# string, shared so both engines fold the same IEEE tree) lives in
+# operators.analytics beside its streaming twin (streaming/abtest.py).
+_MW_Z = analytics.MW_Z_EXPR
 
 
 @register(
@@ -3739,11 +3735,10 @@ def mann_whitney_auc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window), and the pair count 2U = sum(cp * (2
     * cc_below + cc_ties)) stays integer until the final divisions.
     The tie-corrected normal z uses a formula string shared verbatim
-    with the oracle, so both engines fold the same IEEE tree."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
+    with the oracle, so both engines fold the same IEEE tree. The
+    count-frame → statistic step is operators.analytics.
+    mann_whitney_from_value_counts — the same kernel the streaming A/B
+    monitor (streaming/abtest.py) serves from its committed state."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -3753,23 +3748,12 @@ def mann_whitney_auc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("cp"),
         F.sum((F.col("event_type") == "click").cast("long")).alias("cc"),
     )
-    cum = prefix_sums(g, [F.col("v")], ["cc"])
-    t = F.col("cp") + F.col("cc")
-    a = cum.agg(
-        F.sum("cp").alias("n1"),
-        F.sum("cc").alias("n2"),
-        F.sum(
-            F.col("cp")
-            * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
-        ).alias("u2"),
-        F.sum(t * t * t - t).alias("ties"),
-    )
-    return a.selectExpr(
-        "CAST(n1 AS BIGINT) AS n_purchase",
-        "CAST(n2 AS BIGINT) AS n_click",
-        "round(u2 / (2e0 * n1 * n2), 6) AS auc",
-        f"round({_MW_Z}, 6) AS z",
-        f"(abs({_MW_Z}) > 1.96e0) AS significant",
+    return analytics.mann_whitney_from_value_counts(g).select(
+        F.col("n_a").alias("n_purchase"),
+        F.col("n_b").alias("n_click"),
+        "auc",
+        "z",
+        "significant",
     )
 
 

@@ -1,0 +1,130 @@
+"""Continuous (sequential) A/B monitoring: events stream in, each
+micro-batch folds its per-distinct-value (group-A count, group-B
+count) frame into committed running state, and the Mann-Whitney U /
+ROC-AUC / tie-corrected z between the two groups is computable at any
+moment from that alphabet-sized state — the event log itself is never
+retained or rescanned.
+
+This is the streaming twin of the catalog's mann_whitney_auc_value
+entry (plans/catalog_analytics.py) and serves through the SAME kernel
+(operators.analytics.mann_whitney_from_value_counts), so the two are
+cross-validated in tests/test_streaming.py: the monitor's statistic
+after streaming the events in chunks equals the batch entry on the
+union, exactly.
+
+Idempotence under at-least-once foreachBatch follows drift.py's
+scheme: per-batch count rows land under ``counts/_batch_id=N/`` as an
+overwrite, the commit log is appended LAST, and readers semi-join the
+log — a replayed attempt can never double-count a batch.
+
+Scale posture: per-batch state is |batch value alphabet| rows; the
+running frame read at serve time is bounded by |alphabet| x |batches|
+rows of integers — metadata, not data-plane (and the batch entry's
+scaling run shows the alphabet-keyed shuffle SATURATES under row
+growth, SCALING.md round-6b addendum). The monitor adds one grouped
+count to each micro-batch; the O(|alphabet| log |alphabet|) rank step
+runs only when the statistic is served.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators.analytics import (
+    mann_whitney_from_value_counts,
+)
+from lambda_refarch_mapreduce_spark.streaming.corpus import (
+    _committed,
+    _read_or_empty,
+)
+
+_COUNTS_SCHEMA = "v bigint, ca bigint, cb bigint"
+
+
+def batch_value_counts(
+    events: DataFrame,
+    group_a: str,
+    group_b: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(v, ca, cb) per distinct exact-cents value — the monitor's state
+    unit, and exactly the frame the batch catalog entry aggregates."""
+    return (
+        events.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.round(F.col(value_col) * 100).cast("long").alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+
+
+def ingest_value_counts(
+    stream_events: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    group_a: str,
+    group_b: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """foreachBatch pipeline: reduce the micro-batch to its value-count
+    frame and commit it idempotently. Returns the DataStreamWriter
+    (caller starts it)."""
+    counts_path = os.path.join(index_dir, "counts")
+    commits_path = os.path.join(index_dir, "commits")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        commits = _committed(spark, commits_path)
+        if commits.filter(F.col("batch_id") == batch_id).limit(1).count():
+            return
+        counts = batch_value_counts(
+            batch_df, group_a, group_b, group_col, value_col
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"_batch_id={batch_id}")
+        )
+        spark.createDataFrame([(batch_id,)], "batch_id bigint").write.mode(
+            "append"
+        ).parquet(commits_path)
+
+    writer = stream_events.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def running_value_counts(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(v, ca, cb) summed over every COMMITTED micro-batch."""
+    commits = _committed(spark, os.path.join(index_dir, "commits")).select(
+        F.col("batch_id").alias("_batch_id")
+    )
+    counts = _read_or_empty(
+        spark,
+        os.path.join(index_dir, "counts"),
+        _COUNTS_SCHEMA + ", _batch_id bigint",
+    )
+    return (
+        counts.join(F.broadcast(commits), "_batch_id", "left_semi")
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+
+
+def mann_whitney_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The monitor's readout: one row (n_a, n_b, auc, z, significant)
+    for everything committed so far — identical arithmetic to the
+    batch catalog entry (shared kernel)."""
+    return mann_whitney_from_value_counts(
+        running_value_counts(spark, index_dir), ca="ca", cb="cb"
+    )

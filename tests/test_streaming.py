@@ -1175,3 +1175,74 @@ def test_stream_mv_maintenance_matches_full_recompute(spark, tmp_path):
     # a second lost-checkpoint drain with nothing new: no generation
     drain("ckpt3", per_file=False)
     assert wh.current_generation(view_dir) == 5
+
+
+def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
+    """Streaming A/B monitor (streaming/abtest.py): purchase/click
+    events arrive in chunks, each micro-batch folds its per-value
+    count frame into committed state, and the served Mann-Whitney
+    statistic must equal the batch mann_whitney_auc_value entry on the
+    union EXACTLY (shared kernel, integer state). Replayed batches
+    must not double-count."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog_analytics,
+    )
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.streaming import abtest
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+
+    src = str(tmp_path / "ev_src")
+    events.withColumn(
+        "_chunk", F.pmod(F.col("event_id"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "ab_idx")
+    q = abtest.ingest_value_counts(
+        stream, index_dir, str(tmp_path / "ckpt"), "purchase", "click"
+    ).start()
+    q.awaitTermination(120)
+
+    # running state == the batch count frame on the union
+    want_counts = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.batch_value_counts(
+            events, "purchase", "click"
+        ).collect()
+    }
+    got_counts = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.running_value_counts(spark, index_dir).collect()
+    }
+    assert got_counts == want_counts
+
+    got = abtest.mann_whitney_now(spark, index_dir).collect()[0]
+    want = REGISTRY["mann_whitney_auc_value"].spark(spark, sf).collect()[0]
+    assert (got.n_a, got.n_b) == (want.n_purchase, want.n_click)
+    assert got.auc == want.auc and got.z == want.z
+    assert got.significant == want.significant
+
+    # replay idempotence (foreachBatch is at-least-once): a fresh
+    # checkpoint replays every batch from 0 against the same index;
+    # the commit log must make the replay a no-op.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    q2 = abtest.ingest_value_counts(
+        stream2, index_dir, str(tmp_path / "ckpt2"), "purchase", "click"
+    ).start()
+    q2.awaitTermination(120)
+    got_after_replay = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.running_value_counts(spark, index_dir).collect()
+    }
+    assert got_after_replay == want_counts

@@ -222,7 +222,9 @@ def mann_whitney(spark, workdir: str) -> dict:
             big = big.unionByName(rep)
         return big
 
-    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import _MW_Z
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        MW_Z_EXPR as _MW_Z,
+    )
 
     out = {}
     for scale, p in _replicated(spark, workdir, "mw", build).items():
