@@ -462,3 +462,48 @@ def test_round6_entry_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # frequent-part semi-join broadcast
+
+
+def test_round6b_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-6b SCALING.md claims:
+
+    - ols_price_qty_discount is ONE aggregate pass: exactly one
+      exchange in the whole plan, and it is the SinglePartition
+      final-agg exchange (one row of moment sums) — no data-sized
+      shuffle, no join, no window. The measured 0.0 MB shuffle at
+      60M rows depends on exactly this shape.
+    - mann_whitney_auc_value shuffles only alphabet-keyed frames: the
+      corpus-sized input reaches the first (value-keyed) exchange
+      through a partial aggregate (map-side combine absorbs rows —
+      the measured shuffle SATURATION), and no single-partition
+      window ever sees more than per-partition offset metadata.
+    - gini / pareto rank machinery: the range exchange
+      (rangepartitioning) is present and every window is
+      __pid-partitioned (per-partition local ranks), never a global
+      unpartitioned window over the data."""
+    from lambda_refarch_mapreduce_spark.plans import catalog
+
+    p = _plan(catalog.REGISTRY["ols_price_qty_discount"].spark(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1 and "SinglePartition" in p, p
+    assert "partial_sum" in p  # map-side moment accumulation
+    assert "Join" not in p and "Window" not in p
+
+    p = _plan(
+        catalog.REGISTRY["mann_whitney_auc_value"].spark(spark, SF_SMOKE)
+    )
+    assert "partial_sum" in p  # rows collapse before the v-keyed exchange
+    # the corpus-sized input reaches exactly one hash exchange: the
+    # (inlined) value-cents grouping key of the partial aggregate
+    assert "hashpartitioning(_groupingexpression" in p, p
+    assert "rangepartitioning(v#" in p  # prefix_sums' range exchange
+    # prefix_sums windows are __pid-partitioned (local), never global
+    for line in p.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+
+    for name in ("gini_revenue_concentration", "pareto_revenue_by_part"):
+        p = _plan(catalog.REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "rangepartitioning" in p, name
+        for line in p.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, (name, line)
