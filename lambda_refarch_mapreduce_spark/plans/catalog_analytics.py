@@ -3876,13 +3876,27 @@ def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim with the oracle for an identical IEEE tree. R^2 comes
     from the same sums: SSE = yty - b.Xty, SST = yty - (sum y)^2/n.
     """
+    a = _lineitem_moment_sums(spark, sf_dir)
+    return a.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"round({_OLS_B0} / 100.0, 4) AS intercept_usd",
+        f"round({_OLS_B1} / 100.0, 4) AS coef_qty_usd",
+        f"round({_OLS_B2} / 100.0, 4) AS coef_disc_pct_usd",
+        f"round({_OLS_R2}, 6) AS r2",
+    )
+
+
+def _lineitem_moment_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass (q, d, y) moment aggregate shared by the OLS and
+    correlation-matrix entries: exact-integer sums of the quantized
+    inputs, cast to double only in the single output row."""
     li = _t(spark, sf_dir, "lineitem")
     s = li.select(
         F.col("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_discount") * 100).cast("long").alias("d"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    a = s.agg(
+    return s.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("q").cast("double").alias("sq"),
         F.sum("d").cast("double").alias("sd"),
@@ -3896,12 +3910,49 @@ def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("syy"),
     )
+
+
+def _corr_expr(a: str, b: str) -> str:
+    """Pearson r of two quantized columns from their double-cast moment
+    sums — pure double arithmetic, shared verbatim with the oracle."""
+    return (
+        f"((n * s{a}{b} - s{a} * s{b})"
+        f" / sqrt((n * s{a}{a} - s{a} * s{a})"
+        f" * (n * s{b}{b} - s{b} * s{b})))"
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=f"""
+        WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(round(l_discount * 100) AS BIGINT) AS d,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        a AS ({_OLS_MOMENTS_SQL} FROM s)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round({_corr_expr('q', 'd')}, 6) AS r_qty_disc,
+               round({_corr_expr('q', 'y')}, 6) AS r_qty_price,
+               round({_corr_expr('d', 'y')}, 6) AS r_disc_price
+        FROM a
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns — the EDA staple, computed from the SAME one-pass moment
+    aggregate as the OLS entry (`_lineitem_moment_sums`): one scan,
+    one single-row exchange, and every pairwise r is projection
+    arithmetic over the exact-integer sums. At 100 TB the correlation
+    matrix costs exactly one pass regardless of how many column pairs
+    are reported (moments grow quadratically in columns, not rows).
+    The r formula text is shared verbatim with the oracle."""
+    a = _lineitem_moment_sums(spark, sf_dir)
     return a.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
-        f"round({_OLS_B0} / 100.0, 4) AS intercept_usd",
-        f"round({_OLS_B1} / 100.0, 4) AS coef_qty_usd",
-        f"round({_OLS_B2} / 100.0, 4) AS coef_disc_pct_usd",
-        f"round({_OLS_R2}, 6) AS r2",
+        f"round({_corr_expr('q', 'd')}, 6) AS r_qty_disc",
+        f"round({_corr_expr('q', 'y')}, 6) AS r_qty_price",
+        f"round({_corr_expr('d', 'y')}, 6) AS r_disc_price",
     )
 
 

@@ -4087,3 +4087,72 @@ def train_token_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(lo).desc(), "token")
         .limit(NB_TOP_TOKENS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf / power-law tail fit over the token frequency distribution
+# (round 6b)
+# ---------------------------------------------------------------------------
+
+ZIPF_KMIN = 5  # tail threshold: fit tokens with frequency >= kmin
+
+# discrete power-law MLE (Clauset-Shalizi-Newman continuous
+# approximation): alpha = 1 + n / sum(ln(k / (kmin - 1/2))). The log
+# sum collapses to per-distinct-frequency terms (m tokens share
+# frequency k), so both engines sum the SAME few-hundred products and
+# the float sum is short; e0 literals keep both engines in DOUBLE.
+_ZIPF_ALPHA = "(1 + n / slog)"
+_ZIPF_SE = "((n / slog) / sqrt(n * 1e0))"
+
+
+@register(
+    "zipf_alpha_tokens",
+    oracle=f"""
+        WITH t AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+        vc AS (SELECT token, count(*) AS k FROM t GROUP BY 1),
+        byk AS (SELECT k, count(*) AS m FROM vc
+                WHERE k >= {ZIPF_KMIN} GROUP BY 1),
+        a AS (SELECT sum(m) AS n,
+                     sum(m * ln(k / {ZIPF_KMIN - 0.5}e0)) AS slog
+              FROM byk)
+        SELECT {ZIPF_KMIN} AS kmin,
+               CAST(n AS BIGINT) AS n_tail_tokens,
+               round({_ZIPF_ALPHA}, 6) AS alpha,
+               round({_ZIPF_SE}, 6) AS alpha_se
+        FROM a
+    """,
+    tags=("llm", "text", "stats"),
+)
+def zipf_alpha_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) exponent of the corpus token-frequency tail by
+    maximum likelihood — the vocabulary heavy-tail statistic behind
+    tokenizer-budget and coverage decisions (natural corpora sit near
+    alpha ~= 2; synthetic or templated text drifts away, making this a
+    cheap corpus-authenticity signal beside the quality filters).
+    Plan: one token-count shuffle (map-side combined), then the
+    frequency-of-frequencies rollup — a few-hundred-row frame — and a
+    single-row MLE projection. The log-sum collapses to per-distinct-
+    frequency terms so the float sum is short and engine-stable; the
+    alpha / stderr formula text is shared verbatim with the oracle."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= ZIPF_KMIN)
+    )
+    byk = counts.groupBy("k").agg(F.count(F.lit(1)).alias("m"))
+    a = byk.agg(
+        F.sum("m").alias("n"),
+        F.sum(
+            F.col("m") * F.expr(f"ln(k / {ZIPF_KMIN - 0.5}e0)")
+        ).alias("slog"),
+    )
+    return a.selectExpr(
+        f"{ZIPF_KMIN} AS kmin",
+        "CAST(n AS BIGINT) AS n_tail_tokens",
+        f"round({_ZIPF_ALPHA}, 6) AS alpha",
+        f"round({_ZIPF_SE}, 6) AS alpha_se",
+    )
