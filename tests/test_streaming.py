@@ -1246,3 +1246,56 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
         for r in abtest.running_value_counts(spark, index_dir).collect()
     }
     assert got_after_replay == want_counts
+
+
+def test_statestore_offline_inspection_matches_batch(spark, tmp_path):
+    """Spark 4 offline streaming-state inspection — the ops capability
+    behind state audits (is a forgotten user really gone from state?)
+    and stuck-pipeline debugging without stopping the query: the
+    `state-metadata` source lists each stateful operator's stores and
+    batch range from the checkpoint alone, and the `statestore` source
+    reads the keyed state itself as a DataFrame. The inspected state
+    of a grouped running aggregate must equal the batch aggregate of
+    everything ingested."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(i, i % 5, float(i * 7 % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    df.coalesce(1).write.parquet(src + "/f1")
+
+    stream = spark.readStream.schema("id long, k long, v double").parquet(
+        src + "/f*"
+    )
+    agg = stream.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    m = meta.collect()
+    assert len(m) == 1 and m[0].operatorName == "stateStoreSave"
+    assert m[0].minBatchId == 0
+
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .selectExpr("key.k AS k", "value.sum AS total", "value.count AS n")
+    )
+    got = {(r.k, r.total, r.n) for r in state.collect()}
+    want = {
+        (r.k, r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
