@@ -3079,11 +3079,11 @@ def ks_test_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures), one single-row totals broadcast, and a single-row max.
     The oracle computes the same CDFs with DuckDB's window; the
     significance verdict uses the asymptotic alpha=0.05 threshold on
-    both sides."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
+    both sides. The count-frame → statistic step is operators.
+    analytics.ks_from_value_counts — the same kernel the declarative
+    JobSpec stats_test clause lowers onto (grouping here is by RAW
+    value, order-isomorphic to the kernel's cents key on this 2dp
+    column)."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "error")
     )
@@ -3091,37 +3091,11 @@ def ks_test_click_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("cb"),
     )
-    cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
-    totals = g.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
-    d = F.abs(
-        F.col("ca_cum") / F.col("na") - F.col("cb_cum") / F.col("nb")
-    )
-    return (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("na").alias("__na"),
-            F.first("nb").alias("__nb"),
-            F.max(d).alias("__d"),
-        )
-        .select(
-            F.col("__na").alias("n_click"),
-            F.col("__nb").alias("n_error"),
-            F.round("__d", 6).alias("ks_d"),
-            (
-                F.col("__d")
-                > KS_ALPHA_C
-                # na * nb as DOUBLE: the int64 product overflows past
-                # ~3e9 rows per side, wrapping negative -> sqrt NaN ->
-                # a silently NULL verdict at exactly the scale this
-                # tier claims to serve
-                * F.sqrt(
-                    (F.col("__na") + F.col("__nb"))
-                    / (F.col("__na").cast("double") * F.col("__nb"))
-                )
-            ).alias("significant"),
-        )
+    return analytics.ks_from_value_counts(g, alpha_c=KS_ALPHA_C).select(
+        F.col("n_a").alias("n_click"),
+        F.col("n_b").alias("n_error"),
+        "ks_d",
+        "significant",
     )
 
 
@@ -4010,3 +3984,53 @@ def wilson_ci_purchase_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_WILSON_CENTER} - {_WILSON_HALF}, 6) AS wilson_lo",
         f"round({_WILSON_CENTER} + {_WILSON_HALF}, 6) AS wilson_hi",
     )
+
+
+@register(
+    "jobspec_ab_test_value",
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                              END AS ia,
+                          CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                              END AS ib
+                   FROM events
+                   WHERE event_type IN ('signup', 'error')),
+        g AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY 1),
+        c AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cb_cum FROM g),
+        a AS (SELECT sum(ca) AS n1, sum(cb) AS n2,
+                     sum(ca * (2 * (cb_cum - cb) + cb)) AS u2,
+                     sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                         AS ties
+              FROM c)
+        SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+               round(u2 / (2e0 * n1 * n2), 6) AS auc,
+               round({analytics.MW_Z_EXPR}, 6) AS z,
+               (abs({analytics.MW_Z_EXPR}) > 1.96e0) AS significant
+        FROM a
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_ab_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative layer composing the statistical-inference tier:
+    a JobSpec ``stats_test`` clause — "compare these two groups'
+    value distributions" as a spec, lowering onto
+    operators.analytics.group_value_counts +
+    mann_whitney_from_value_counts (the same kernels behind the batch
+    catalog entry and the streaming A/B monitor). This entry runs the
+    signup-vs-error contrast (a different pair than the base
+    mann_whitney_auc_value entry, so the gate exercises the clause's
+    parameter plumbing, not a memorized answer)."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "mann_whitney",
+            "group_col": "event_type",
+            "group_a": "signup",
+            "group_b": "error",
+            "value": "value",
+        },
+    )
+    return build(spark, spec)

@@ -83,8 +83,20 @@ class JobSpec:
     #     -> (id_a, id_b, dist): all pairs within Levenshtein k
     #     (operators.linkage.fuzzy_self_join: deletion-signature /
     #     Ed-Join candidates, never all-pairs).
+    #   stats_test={"method": "mann_whitney" | "ks",
+    #               "group_col": col, "group_a": v, "group_b": v,
+    #               "value": col}
+    #     -> ONE row: the two-sample statistic between the groups'
+    #     value distributions (mann_whitney: n_a, n_b, auc, z,
+    #     significant; ks: n_a, n_b, ks_d, significant). Lowers onto
+    #     operators.analytics.group_value_counts + the matching
+    #     *_from_value_counts kernel — the SAME kernels behind the
+    #     catalog entries and the streaming A/B monitor, so rows
+    #     collapse map-side into the value alphabet before any
+    #     exchange.
     sessionize: dict | None = None
     fuzzy_join: dict | None = None
+    stats_test: dict | None = None
     # Warehouse-maintenance clauses (applied after filter, before
     # sessionize; df is the BASE snapshot). Mutually exclusive — the
     # refresh needs the PRE-apply base, so chaining them in one spec
@@ -375,6 +387,31 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             block_col=fj.get("block"),
             strategy=fj.get("strategy", "auto"),
         )
+    if spec.stats_test:
+        from lambda_refarch_mapreduce_spark.operators.analytics import (
+            group_value_counts,
+            ks_from_value_counts,
+            mann_whitney_from_value_counts,
+        )
+
+        t = spec.stats_test
+        method = t.get("method", "mann_whitney")
+        counts = group_value_counts(
+            df,
+            t["group_a"],
+            t["group_b"],
+            t.get("group_col", "event_type"),
+            t.get("value", "value"),
+        )
+        if method == "mann_whitney":
+            df = mann_whitney_from_value_counts(counts, ca="ca", cb="cb")
+        elif method == "ks":
+            df = ks_from_value_counts(counts)
+        else:
+            raise ValueError(
+                f"stats_test method {method!r} not supported "
+                "(mann_whitney, ks)"
+            )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])
     if spec.map_udf is not None:

@@ -52,15 +52,13 @@ def batch_value_counts(
     value_col: str = "value",
 ) -> DataFrame:
     """(v, ca, cb) per distinct exact-cents value — the monitor's state
-    unit, and exactly the frame the batch catalog entry aggregates."""
-    return (
-        events.filter(F.col(group_col).isin(group_a, group_b))
-        .groupBy(F.round(F.col(value_col) * 100).cast("long").alias("v"))
-        .agg(
-            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
-            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
-        )
+    unit: operators.analytics.group_value_counts, the same frame the
+    batch entries and the JobSpec stats_test clause consume."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        group_value_counts,
     )
+
+    return group_value_counts(events, group_a, group_b, group_col, value_col)
 
 
 def ingest_value_counts(

@@ -421,3 +421,45 @@ def test_select_supports_window_expressions(spark):
     )
     got = {r.k: (r.rnk, r.g_total) for r in run_jobspec(spark, spec).collect()}
     assert got == {1: (1, 15.0), 2: (2, 15.0), 3: (1, 7.0)}
+
+
+def test_stats_test_clause_ks_matches_catalog_entry(spark):
+    """The stats_test clause's KS path must equal the hand-built
+    catalog entry on the same (click, error) pair — same kernel, so
+    exact equality (only the count-frame key differs: the clause
+    groups by exact cents, order-isomorphic to the entry's raw 2dp
+    values)."""
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog_analytics,
+    )
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spec = JobSpec(
+        source={"df": load_table(spark, sf, "events")},
+        stats_test={
+            "method": "ks",
+            "group_a": "click",
+            "group_b": "error",
+        },
+    )
+    got = build(spark, spec).collect()[0]
+    want = REGISTRY["ks_test_click_vs_error"].spark(spark, sf).collect()[0]
+    assert (got.n_a, got.n_b) == (want.n_click, want.n_error)
+    assert got.ks_d == want.ks_d and got.significant == want.significant
+
+
+def test_stats_test_clause_rejects_unknown_method(spark):
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    import pytest
+
+    spec = JobSpec(
+        source={"df": load_table(spark, "/root/testdata/sf0.001", "events")},
+        stats_test={"method": "anova", "group_a": "a", "group_b": "b"},
+    )
+    with pytest.raises(ValueError, match="anova"):
+        build(spark, spec)
