@@ -594,3 +594,49 @@ def ks_from_value_counts(
             ).alias("significant"),
         )
     )
+
+
+def welch_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "ca",
+    cb: str = "cb",
+) -> DataFrame:
+    """Welch's t between two groups from the shared per-distinct-value
+    count frame: the moment sums (n, sum v*c, sum v^2*c) are EXACT
+    integers per side (the squared sum rides a 38-digit decimal — v is
+    cents, so v^2 * count overflows int64 near billion-row groups),
+    and the t statistic is scale-invariant so computing in cents
+    changes nothing. Means are reported in original units (cents /
+    100). One aggregate over the alphabet-sized frame — a single-row
+    exchange; ``significant`` uses the large-sample |t| > 1.96
+    threshold (at the row counts this tier targets, Welch df is
+    effectively infinite). Returns one row: (n_a, n_b, mean_a,
+    mean_b, mean_diff, t_stat, significant)."""
+    vc = F.col(v)
+    a = counts.agg(
+        F.sum(ca).cast("double").alias("n1"),
+        F.sum(vc * F.col(ca)).cast("double").alias("s1"),
+        F.sum(vc.cast("decimal(38,0)") * vc * F.col(ca))
+        .cast("double")
+        .alias("q1"),
+        F.sum(cb).cast("double").alias("n2"),
+        F.sum(vc * F.col(cb)).cast("double").alias("s2"),
+        F.sum(vc.cast("decimal(38,0)") * vc * F.col(cb))
+        .cast("double")
+        .alias("q2"),
+    )
+    return a.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        "round(s1 / n1 / 100.0, 6) AS mean_a",
+        "round(s2 / n2 / 100.0, 6) AS mean_b",
+        "round((s1 / n1 - s2 / n2) / 100.0, 6) AS mean_diff",
+        "round((s1 / n1 - s2 / n2)"
+        " / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+        "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat",
+        "(abs((s1 / n1 - s2 / n2)"
+        " / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+        "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)) > 1.96e0)"
+        " AS significant",
+    )

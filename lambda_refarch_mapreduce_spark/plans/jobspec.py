@@ -83,12 +83,13 @@ class JobSpec:
     #     -> (id_a, id_b, dist): all pairs within Levenshtein k
     #     (operators.linkage.fuzzy_self_join: deletion-signature /
     #     Ed-Join candidates, never all-pairs).
-    #   stats_test={"method": "mann_whitney" | "ks",
+    #   stats_test={"method": "mann_whitney" | "ks" | "welch",
     #               "group_col": col, "group_a": v, "group_b": v,
     #               "value": col}
     #     -> ONE row: the two-sample statistic between the groups'
     #     value distributions (mann_whitney: n_a, n_b, auc, z,
-    #     significant; ks: n_a, n_b, ks_d, significant). Lowers onto
+    #     significant; ks: n_a, n_b, ks_d, significant; welch: n_a,
+    #     n_b, mean_a, mean_b, mean_diff, t_stat, significant). Lowers onto
     #     operators.analytics.group_value_counts + the matching
     #     *_from_value_counts kernel — the SAME kernels behind the
     #     catalog entries and the streaming A/B monitor, so rows
@@ -407,10 +408,16 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             df = mann_whitney_from_value_counts(counts, ca="ca", cb="cb")
         elif method == "ks":
             df = ks_from_value_counts(counts)
+        elif method == "welch":
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                welch_from_value_counts,
+            )
+
+            df = welch_from_value_counts(counts)
         else:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
-                "(mann_whitney, ks)"
+                "(mann_whitney, ks, welch)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

@@ -463,3 +463,32 @@ def test_stats_test_clause_rejects_unknown_method(spark):
     )
     with pytest.raises(ValueError, match="anova"):
         build(spark, spec)
+
+
+def test_stats_test_clause_welch_matches_catalog_entry(spark):
+    """The stats_test clause's Welch path computes from EXACT integer
+    moment sums over the cents alphabet; the hand-built catalog entry
+    computes from raw-double avg/var_samp. The t statistic is
+    scale-invariant, so the two must agree to float accumulation
+    error (~1e-9), far inside a 1e-5 gate."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spec = JobSpec(
+        source={"df": load_table(spark, sf, "events")},
+        stats_test={
+            "method": "welch",
+            "group_a": "click",
+            "group_b": "error",
+        },
+    )
+    got = build(spark, spec).collect()[0]
+    want = REGISTRY["welch_t_click_vs_error"].spark(spark, sf).collect()[0]
+    assert (got.n_a, got.n_b) == (want.n_click, want.n_error)
+    assert math.isclose(got.mean_diff, want.mean_diff, abs_tol=1e-5)
+    assert math.isclose(got.t_stat, want.t_stat, abs_tol=1e-5)
+    assert got.significant == (abs(want.t_stat) > 1.96)
