@@ -126,3 +126,22 @@ def mann_whitney_now(spark: SparkSession, index_dir: str) -> DataFrame:
     return mann_whitney_from_value_counts(
         running_value_counts(spark, index_dir), ca="ca", cb="cb"
     )
+
+
+def ks_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """KS readout over the same committed state — the count frame is
+    test-agnostic, so one monitor serves every two-sample statistic."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ks_from_value_counts,
+    )
+
+    return ks_from_value_counts(running_value_counts(spark, index_dir))
+
+
+def welch_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Welch readout over the same committed state (see ks_now)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        welch_from_value_counts,
+    )
+
+    return welch_from_value_counts(running_value_counts(spark, index_dir))

@@ -840,3 +840,38 @@ def test_benford_digit_extraction_crafted_cents(spark):
     ).cast("int")
     got = [r.d for r in df.select(digit.alias("d")).collect()]
     assert got == want, (got, want)
+
+
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=30),
+    b_vals=st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=30),
+)
+@settings(**_PROP_SETTINGS)
+def test_ks_from_value_counts_equals_bruteforce_cdf(spark, a_vals, b_vals):
+    """KS D from the grouped-counts + prefix-sums kernel must equal
+    the brute-force max CDF gap over the union of observed values —
+    tiny alphabet, heavy ties, both CDFs step at shared points."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ks_from_value_counts,
+    )
+
+    pts = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    brute = max(
+        abs(
+            sum(1 for x in a_vals if x <= p) / na
+            - sum(1 for x in b_vals if x <= p) / nb
+        )
+        for p in pts
+    )
+    rows = [(v, 1, 0) for v in a_vals] + [(v, 0, 1) for v in b_vals]
+    df = spark.createDataFrame(rows, "v long, ia long, ib long")
+    g = df.groupBy("v").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    got = ks_from_value_counts(g).collect()[0]
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert math.isclose(got.ks_d, round(brute, 6), abs_tol=1e-6), (
+        got.ks_d,
+        brute,
+    )

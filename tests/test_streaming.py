@@ -1247,6 +1247,24 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     }
     assert got_after_replay == want_counts
 
+    # the count frame is test-agnostic: the same committed state
+    # serves KS and Welch readouts, each matching its batch kernel on
+    # the union exactly
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        group_value_counts,
+        ks_from_value_counts,
+        welch_from_value_counts,
+    )
+
+    batch_counts = group_value_counts(events, "purchase", "click")
+    for now_fn, kernel in (
+        (abtest.ks_now, ks_from_value_counts),
+        (abtest.welch_now, welch_from_value_counts),
+    ):
+        got_row = now_fn(spark, index_dir).collect()[0]
+        want_row = kernel(batch_counts).collect()[0]
+        assert tuple(got_row) == tuple(want_row), (got_row, want_row)
+
 
 def test_statestore_offline_inspection_matches_batch(spark, tmp_path):
     """Spark 4 offline streaming-state inspection — the ops capability
