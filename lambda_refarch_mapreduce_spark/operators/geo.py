@@ -1,0 +1,156 @@
+"""Geospatial operators, Spark-first: grid-bucketed radius joins.
+
+The naive "all points within R km of each other" query is a theta
+join — O(n²) comparisons and a CartesianProduct plan, dead at any
+scale. The scalable shape is the pigeonhole every spatial engine uses
+(the same exact-once bucketing as relational.interval_self_join, in
+two dimensions): hash every point to a lat/lon grid cell sized so that
+any pair within R km must land in the same or an adjacent cell, explode
+ONE side to its 3x3 cell neighborhood (a fixed 9x fan-out of keys, not
+data), equi-join on the cell key, then keep only candidates passing the
+exact haversine predicate. Candidate volume is bounded by per-cell
+occupancy — a density property of the data, not n² — and the join is a
+plain hash-partitioned equi-join Catalyst can plan and AQE can rebalance.
+
+At 100 TB this is the plan you'd run: one exchange keyed on grid cells,
+skew handled by AQE (a hot city = a hot cell = a split-able partition),
+and the 9x key fan-out amortized map-side. For k-NN-style workloads the
+same grid serves as the coarse quantizer (see similarity.py's IVF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean
+
+# Worst-case km per degree over a latitude band: one degree of latitude
+# is >= ~110.57 km everywhere; one degree of longitude is
+# 111.32 * cos(lat) km, smallest at the band's max |latitude|. Cells
+# sized by these floors guarantee any pair within R km spans at most
+# one cell boundary per axis, so the 3x3 neighborhood is exact-once
+# complete.
+_KM_PER_LAT_DEG_MIN = 110.57
+
+
+def haversine_km(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Great-circle distance in km (haversine form — numerically stable
+    for the short distances a radius join filters, where the spherical
+    law of cosines loses precision)."""
+    dlat = F.radians(lat_b - lat_a)
+    dlon = F.radians(lon_b - lon_a)
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat_a))
+        * F.cos(F.radians(lat_b))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(h))
+
+
+def radius_self_join(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All point pairs within ``radius_km`` (great-circle), id_a < id_b,
+    with the exact distance — via the 3x3 grid-cell pigeonhole, never a
+    theta join.
+
+    ``max_abs_lat`` bounds the data's latitude band (default 66° keeps
+    cells sane outside polar regions; lon cell width is sized by the
+    band's WORST-CASE cos(lat), so correctness never depends on where
+    points actually sit inside the band). Input latitudes beyond the
+    band would shrink km-per-lon-degree below the cell size — callers
+    with polar data pass a tighter band and/or a coarser radius.
+
+    Plan: one projection computing (cell_lat, cell_lon), a 9x key
+    explode on the left side, a hash equi-join on the cell pair, the
+    exact haversine filter, and the id_a < id_b dedup — each candidate
+    pair is generated exactly once because the right side keeps its
+    single home cell."""
+    import math as _math
+
+    cell_lat_deg = radius_km / _KM_PER_LAT_DEG_MIN
+    km_per_lon_deg_min = 111.32 * _math.cos(_math.radians(max_abs_lat))
+    cell_lon_deg = radius_km / km_per_lon_deg_min
+
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    ).withColumns(
+        {
+            "__clat": F.floor(F.col("__lat") / cell_lat_deg).cast("long"),
+            "__clon": F.floor(F.col("__lon") / cell_lon_deg).cast("long"),
+        }
+    )
+    neighbors = pts.select(
+        F.col("__id").alias("__id_a"),
+        F.col("__lat").alias("__lat_a"),
+        F.col("__lon").alias("__lon_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("__dlat"),
+        "__clat",
+        "__clon",
+    ).select(
+        "__id_a",
+        "__lat_a",
+        "__lon_a",
+        (F.col("__clat") + F.col("__dlat")).alias("__jlat"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("__dlon"),
+        "__clon",
+    ).select(
+        "__id_a",
+        "__lat_a",
+        "__lon_a",
+        "__jlat",
+        (F.col("__clon") + F.col("__dlon")).alias("__jlon"),
+    )
+    right = pts.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__lat").alias("__lat_b"),
+        F.col("__lon").alias("__lon_b"),
+        F.col("__clat").alias("__jlat"),
+        F.col("__clon").alias("__jlon"),
+    )
+    d = haversine_km(
+        F.col("__lat_a"), F.col("__lon_a"), F.col("__lat_b"), F.col("__lon_b")
+    )
+    return (
+        neighbors.join(right, ["__jlat", "__jlon"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select(
+            F.col("__id_a").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            d.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )
+
+
+def grid_density(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_deg: float,
+) -> DataFrame:
+    """Point count per ``cell_deg``-degree grid cell — the density
+    rollup behind heatmaps and the occupancy statistic that predicts
+    the radius join's candidate volume. One map-side-combinable
+    aggregate."""
+    return (
+        df.select(
+            F.floor(F.col(lat_col) / cell_deg).cast("long").alias("cell_lat"),
+            F.floor(F.col(lon_col) / cell_deg).cast("long").alias("cell_lon"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

@@ -4034,3 +4034,115 @@ def jobspec_ab_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return build(spark, spec)
+
+
+# ---------------------------------------------------------------------------
+# Round 6b: geospatial tier — grid-bucketed radius join, grid density.
+# Coordinates are md5-derived from the customer key (the multimodal
+# tier's deterministic-payload trick applied to geography), so both
+# engines see bit-identical doubles: uint32 / 2^32 is exact in double,
+# and the placement formula text is shared verbatim.
+# ---------------------------------------------------------------------------
+
+GEO_RADIUS_KM = 50.0
+# contiguous-US-ish band: lat 25..49, lon -124..-67
+_GEO_LAT = "(25 + 24 * (ulat / 4294967296e0))"
+_GEO_LON = "(-124 + 57 * (ulon / 4294967296e0))"
+# haversine with the operand order geo.haversine_km produces
+_GEO_DIST = (
+    "(2 * 6371.0088e0 * asin(sqrt("
+    "pow(sin(radians(lat_b - lat_a) / 2), 2)"
+    " + cos(radians(lat_a)) * cos(radians(lat_b))"
+    " * pow(sin(radians(lon_b - lon_a) / 2), 2))))"
+)
+
+
+@register(
+    "geo_radius_pairs_customers",
+    oracle=f"""
+        WITH u AS (SELECT c_custkey AS id,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          1, 8))::BIGINT AS ulat,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          9, 8))::BIGINT AS ulon
+                   FROM customer),
+        p AS (SELECT id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM u),
+        d AS (SELECT a.id AS id_a, b.id AS id_b,
+                     (SELECT {_GEO_DIST} FROM (SELECT a.lat AS lat_a,
+                                                      a.lon AS lon_a,
+                                                      b.lat AS lat_b,
+                                                      b.lon AS lon_b))
+                         AS dist
+              FROM p a JOIN p b ON a.id < b.id)
+        SELECT id_a, id_b, round(dist, 3) AS dist_km
+        FROM d WHERE dist <= {GEO_RADIUS_KM}
+    """,
+    tags=("analytics", "geo", "scale"),
+)
+def geo_radius_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 50 great-circle km of each other —
+    the spatial self-join, via operators.geo.radius_self_join's
+    3x3 grid-cell pigeonhole: cells sized by the latitude band's
+    worst-case km-per-degree, a 9x key explode on one side, a hash
+    equi-join on the cell pair, then the exact haversine filter.
+    Candidate volume is bounded by per-cell occupancy (a density
+    property), never n² — the ORACLE is the O(n²) theta join this
+    plan refuses to run. Coordinates derive from md5(custkey) as
+    exact uint32/2^32 fractions of the band, so both engines place
+    every point bit-identically."""
+    from lambda_refarch_mapreduce_spark.operators import geo
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(
+        "c_custkey AS id",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) AS ulat",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)"
+        " AS BIGINT) AS ulon",
+    ).selectExpr("id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon")
+    pairs = geo.radius_self_join(
+        pts, "id", "lat", "lon", GEO_RADIUS_KM, max_abs_lat=49.0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+GEO_DENSITY_CELL_DEG = 4.0
+
+
+@register(
+    "geo_grid_density_customers",
+    oracle=f"""
+        WITH u AS (SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          1, 8))::BIGINT AS ulat,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          9, 8))::BIGINT AS ulon
+                   FROM customer),
+        p AS (SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM u)
+        SELECT CAST(floor(lat / {GEO_DENSITY_CELL_DEG}e0) AS BIGINT)
+                   AS cell_lat,
+               CAST(floor(lon / {GEO_DENSITY_CELL_DEG}e0) AS BIGINT)
+                   AS cell_lon,
+               count(*)::BIGINT AS n_points
+        FROM p GROUP BY 1, 2
+    """,
+    tags=("analytics", "geo"),
+)
+def geo_grid_density_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count per 4-degree grid cell (operators.geo.
+    grid_density) — the heatmap rollup, and the occupancy statistic
+    that predicts the radius join's candidate volume (sum of per-cell
+    n² over the 3x3 neighborhoods). One map-side-combinable
+    aggregate; same bit-identical md5-derived placement as the
+    radius-join entry."""
+    from lambda_refarch_mapreduce_spark.operators import geo
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) AS ulat",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)"
+        " AS BIGINT) AS ulon",
+    ).selectExpr(f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon")
+    return geo.grid_density(pts, "lat", "lon", GEO_DENSITY_CELL_DEG)

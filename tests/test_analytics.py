@@ -875,3 +875,57 @@ def test_ks_from_value_counts_equals_bruteforce_cdf(spark, a_vals, b_vals):
         got.ks_d,
         brute,
     )
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=25.0, max_value=49.0, allow_nan=False),
+            st.floats(min_value=-124.0, max_value=-67.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    radius=st.sampled_from([5.0, 50.0, 300.0]),
+)
+@settings(**_PROP_SETTINGS)
+def test_geo_radius_join_equals_bruteforce(spark, pts, radius):
+    """The grid-cell pigeonhole radius join must return EXACTLY the
+    brute-force haversine pairs — the 3x3 neighborhood claim is
+    'no pair within R can span more than one cell boundary per axis',
+    and a missed neighbor would silently drop pairs near cell edges
+    (clustered duplicates at identical coordinates are the degenerate
+    hot-cell case)."""
+    import math as m
+
+    from lambda_refarch_mapreduce_spark.operators.geo import (
+        radius_self_join,
+    )
+
+    def hav(a, b):
+        dlat = m.radians(b[0] - a[0])
+        dlon = m.radians(b[1] - a[1])
+        h = (
+            m.sin(dlat / 2) ** 2
+            + m.cos(m.radians(a[0])) * m.cos(m.radians(b[0]))
+            * m.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0088 * m.asin(m.sqrt(h))
+
+    want = {
+        (i, j)
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if hav(pts[i], pts[j]) <= radius
+    }
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in radius_self_join(
+            df, "id", "lat", "lon", radius, max_abs_lat=49.0
+        ).collect()
+    }
+    assert got == want, (got ^ want)
