@@ -267,9 +267,58 @@ def main() -> None:
         ("pareto", pareto),
         ("ols", ols),
         ("mann_whitney", mann_whitney),
+        ("geo_radius", geo_radius),
     ]:
         print(json.dumps({"experiment": name, "scales": fn(spark, workdir)}))
 
 
 if __name__ == "__main__":
     main()
+
+
+def geo_radius(spark, workdir: str) -> dict:
+    """Radius join at 1x/10x/100x points with radius shrunk by
+    sqrt(scale): expected PAIR OUTPUT stays ~constant (pair count per
+    area ~ density^2 * R^2), so the measurement isolates the grid
+    machinery — point placement, 9x key explode, cell equi-join —
+    which must scale ~linearly in points. The quadratic term the plan
+    does NOT pay is candidate volume across cells (bounded per-cell)."""
+    import math as _math
+
+    from lambda_refarch_mapreduce_spark.operators.geo import (
+        radius_self_join,
+    )
+
+    def build(scale):
+        c0 = load_table(spark, SF_DIR, "customer").select("c_custkey")
+        reps = [
+            c0.select(
+                (F.col("c_custkey") + r * 10_000_000).alias("id")
+            )
+            for r in range(scale)
+        ]
+        big = reps[0]
+        for rep in reps[1:]:
+            big = big.unionByName(rep)
+        return big.selectExpr(
+            "id",
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) AS ulat",
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 9, 8), 16, 10)"
+            " AS BIGINT) AS ulon",
+        ).selectExpr(
+            "id",
+            "(25 + 24 * (ulat / 4294967296e0)) AS lat",
+            "(-124 + 57 * (ulon / 4294967296e0)) AS lon",
+        )
+
+    out = {}
+    for scale, p in _replicated(spark, workdir, "geo", build).items():
+        pts = spark.read.parquet(p)
+        r_km = 50.0 / _math.sqrt(scale)
+        pairs = radius_self_join(
+            pts, "id", "lat", "lon", r_km, max_abs_lat=49.0
+        )
+        out[f"{scale}x"] = {"radius_km": round(r_km, 2), **_measure(spark, pairs)}
+        print(f"  geo {scale}x: {out[f'{scale}x']}", file=sys.stderr)
+    return out
