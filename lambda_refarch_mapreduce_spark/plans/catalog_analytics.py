@@ -4146,3 +4146,75 @@ def geo_grid_density_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS ulon",
     ).selectExpr(f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon")
     return geo.grid_density(pts, "lat", "lon", GEO_DENSITY_CELL_DEG)
+
+
+GEO_NN_MAX_KM = 100.0
+
+
+@register(
+    "geo_nearest_customer",
+    oracle=f"""
+        WITH u AS (SELECT c_custkey AS id,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          1, 8))::BIGINT AS ulat,
+                          ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                          9, 8))::BIGINT AS ulon
+                   FROM customer),
+        p AS (SELECT id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM u),
+        d AS (SELECT a.id AS id, b.id AS nn,
+                     (SELECT {_GEO_DIST} FROM (SELECT a.lat AS lat_a,
+                                                      a.lon AS lon_a,
+                                                      b.lat AS lat_b,
+                                                      b.lon AS lon_b))
+                         AS dist
+              FROM p a JOIN p b ON a.id <> b.id),
+        f AS (SELECT id, nn, dist FROM d WHERE dist <= {GEO_NN_MAX_KM}),
+        m AS (SELECT id, min(dist) AS best FROM f GROUP BY 1)
+        SELECT f.id, min(f.nn)::BIGINT AS nearest_id,
+               round(min(f.dist), 3) AS dist_km
+        FROM f JOIN m ON f.id = m.id AND f.dist = m.best
+        GROUP BY f.id
+    """,
+    tags=("analytics", "geo", "scale"),
+)
+def geo_nearest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within 100 km for every customer that has one
+    — the bounded-radius kNN (k=1) every store-assignment / coverage
+    query needs, composed from the SAME grid pigeonhole: the radius
+    join emits each qualifying pair once (id_a < id_b), both
+    directions are restored by a cheap union (a projection, not a
+    second join), and the per-id argmin is a map-side-combinable
+    struct-MIN — never a window over all points. Ties on distance
+    break to the smallest neighbor id deterministically (exact: the
+    tie struct compares the id after the bit-identical distance).
+    Points with no neighbor inside the radius are absent (isolated
+    points need an expanding-ring search — out of scope for the
+    bounded variant, and at 100 TB you want the bound anyway)."""
+    from lambda_refarch_mapreduce_spark.operators import geo
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(
+        "c_custkey AS id",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) AS ulat",
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)"
+        " AS BIGINT) AS ulon",
+    ).selectExpr("id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon")
+    pairs = geo.radius_self_join(
+        pts, "id", "lat", "lon", GEO_NN_MAX_KM, max_abs_lat=49.0
+    )
+    both = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nn"), "dist_km"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nn"), "dist_km"
+        )
+    )
+    best = both.groupBy("id").agg(
+        F.min(F.struct("dist_km", "nn")).alias("b")
+    )
+    return best.select(
+        "id",
+        F.col("b.nn").alias("nearest_id"),
+        F.round(F.col("b.dist_km"), 3).alias("dist_km"),
+    )
