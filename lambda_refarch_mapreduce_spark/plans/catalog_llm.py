@@ -4156,3 +4156,134 @@ def zipf_alpha_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_ZIPF_ALPHA}, 6) AS alpha",
         f"round({_ZIPF_SE}, 6) AS alpha_se",
     )
+
+
+# ---------------------------------------------------------------------------
+# NB filter evaluation: confusion matrix / precision / recall / F1 of
+# the trained model against its weak labels (round 6b)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nb_filter_confusion_eval",
+    oracle=f"""
+        WITH med AS (SELECT median(n_chars) AS m FROM documents),
+        lab AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos
+                FROM documents),
+        d AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos,
+                     unnest(list_distinct({_SQL_TOKENS})) AS token
+              FROM documents),
+        tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM lab),
+        t AS (SELECT token,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+              FROM d GROUP BY 1),
+        model AS (SELECT token,
+                         CAST(round((ln((dp + 1.0) / (np + 2.0))
+                                     - ln((dn + 1.0) / (nn + 2.0)))
+                                    * 1000000) AS BIGINT) AS lo_int
+                  FROM t CROSS JOIN tot
+                  ORDER BY abs(ln((dp + 1.0) / (np + 2.0))
+                               - ln((dn + 1.0) / (nn + 2.0))) DESC, token
+                  LIMIT {NB_TOP_TOKENS}),
+        sc AS (SELECT d.doc_id, sum(model.lo_int) AS score_int
+               FROM d JOIN model ON d.token = model.token
+               GROUP BY 1),
+        pred AS (SELECT lab.doc_id, lab.pos,
+                        (coalesce(sc.score_int, 0) > 0) AS phat
+                 FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id),
+        c AS (SELECT
+                sum(CASE WHEN pos AND phat THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN NOT pos AND phat THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN pos AND NOT phat THEN 1 ELSE 0 END) AS fn,
+                sum(CASE WHEN NOT pos AND NOT phat THEN 1 ELSE 0 END) AS tn
+              FROM pred)
+        SELECT tp::BIGINT AS tp, fp::BIGINT AS fp,
+               fn::BIGINT AS fn, tn::BIGINT AS tn,
+               round(tp * 1e0 / (tp + fp), 6) AS precision_,
+               round(tp * 1e0 / (tp + fn), 6) AS recall_,
+               round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1,
+               round((tp + tn) * 1e0 / (tp + fp + fn + tn), 6) AS accuracy
+        FROM c
+    """,
+    tags=("llm", "training", "stats"),
+)
+def nb_filter_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train→eval loop for the on-engine NB quality filter:
+    score every document with the trained top-25 log-odds model
+    (presence scoring, the text_classifier_quality seam) and report
+    the confusion matrix + precision/recall/F1/accuracy against the
+    weak labels — the IN-SAMPLE fit diagnostics a filter owner reads
+    before trusting the model on held-out data (pair with
+    dataset_split_counts for a real holdout). Scoring quantizes each
+    log-odds weight to integer micro-units BEFORE summing, so the
+    per-doc score is an order-free integer sum and the sign threshold
+    is engine-exact — a float sum could flip a near-zero doc between
+    engines. Plan: the training pass (one corpus shuffle, vocab
+    tables), a broadcast of the 25-token model back onto the same
+    (doc, token) frame, one doc-keyed aggregate, one confusion-count
+    aggregate."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        tokenize as _tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.median("n_chars").alias("m"))
+    lab = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id", (F.col("n_chars") > F.col("m")).alias("pos")
+    )
+    d = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("n_chars") > F.col("m")).alias("pos"),
+        F.explode(F.array_distinct(_tokenize(F.col("text")))).alias("token"),
+    )
+    tot = lab.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    t = d.groupBy("token").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("dn"),
+    )
+    lo = F.log((F.col("dp") + 1.0) / (F.col("np") + 2.0)) - F.log(
+        (F.col("dn") + 1.0) / (F.col("nn") + 2.0)
+    )
+    model = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(lo * 1_000_000).cast("long").alias("lo_int"),
+            F.abs(lo).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), "token")
+        .limit(NB_TOP_TOKENS)
+        .drop("__a")
+    )
+    sc = (
+        d.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("lo_int").alias("score_int"))
+    )
+    pred = lab.join(sc, "doc_id", "left").select(
+        "pos", (F.coalesce(F.col("score_int"), F.lit(0)) > 0).alias("phat")
+    )
+    c = pred.agg(
+        F.sum(F.when(F.col("pos") & F.col("phat"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("pos") & F.col("phat"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("pos") & ~F.col("phat"), 1).otherwise(0)).alias("fn"),
+        F.sum(
+            F.when(~F.col("pos") & ~F.col("phat"), 1).otherwise(0)
+        ).alias("tn"),
+    )
+    return c.selectExpr(
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(tn AS BIGINT) AS tn",
+        "round(tp * 1e0 / (tp + fp), 6) AS precision_",
+        "round(tp * 1e0 / (tp + fn), 6) AS recall_",
+        "round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1",
+        "round((tp + tn) * 1e0 / (tp + fp + fn + tn), 6) AS accuracy",
+    )
