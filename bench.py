@@ -77,6 +77,7 @@ HEADLINE = {
     "q_mv_refresh": "jobspec_mv_refresh_hourly",
     "q_ols": "ols_price_qty_discount",
     "q_mann_whitney": "mann_whitney_auc_value",
+    "q_geo_radius": "geo_radius_pairs_customers",
 }
 
 

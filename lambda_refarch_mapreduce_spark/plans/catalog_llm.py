@@ -4287,3 +4287,149 @@ def nb_filter_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1",
         "round((tp + tn) * 1e0 / (tp + fp + fn + tn), 6) AS accuracy",
     )
+
+
+LIFT_BINS = 10
+
+
+@register(
+    "nb_filter_lift_deciles",
+    oracle=f"""
+        WITH med AS (SELECT median(n_chars) AS m FROM documents),
+        lab AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos
+                FROM documents),
+        d AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos,
+                     unnest(list_distinct({_SQL_TOKENS})) AS token
+              FROM documents),
+        tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM lab),
+        t AS (SELECT token,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+              FROM d GROUP BY 1),
+        model AS (SELECT token,
+                         CAST(round((ln((dp + 1.0) / (np + 2.0))
+                                     - ln((dn + 1.0) / (nn + 2.0)))
+                                    * 1000000) AS BIGINT) AS lo_int
+                  FROM t CROSS JOIN tot
+                  ORDER BY abs(ln((dp + 1.0) / (np + 2.0))
+                               - ln((dn + 1.0) / (nn + 2.0))) DESC, token
+                  LIMIT {NB_TOP_TOKENS}),
+        sc AS (SELECT d.doc_id, sum(model.lo_int) AS score_int
+               FROM d JOIN model ON d.token = model.token
+               GROUP BY 1),
+        scored AS (SELECT lab.doc_id, lab.pos,
+                          coalesce(sc.score_int, 0) AS score_int
+                   FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id),
+        r AS (SELECT pos,
+                     row_number() OVER (ORDER BY score_int DESC, doc_id)
+                         AS rnk,
+                     count(*) OVER () AS n
+              FROM scored),
+        base AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tot_pos,
+                        count(*) AS tot_n
+                 FROM r)
+        SELECT (((rnk - 1) * {LIFT_BINS}) // n + 1)::INT AS decile,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+               round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1e0 / count(*),
+                     6) AS pos_rate,
+               round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1e0 / count(*))
+                     / (max(tot_pos) * 1e0 / max(tot_n)), 6) AS lift
+        FROM r CROSS JOIN base GROUP BY 1
+    """,
+    tags=("llm", "training", "stats", "scale"),
+)
+def nb_filter_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gains/lift table for the trained NB filter: documents
+    ranked by model score descending, per score-decile positive rate
+    vs the base rate — the chart a filter owner reads to pick a
+    keep-fraction ("the top 20% of scores holds 1.7x the base-rate
+    positives"). The rank comes from the distributed global_rank over
+    the integer fixed-point scores (never a one-reducer ntile), the
+    decile cut is exact-integer arithmetic (the pareto entry's
+    machinery applied to model scores), and the base-rate term is a
+    single-row broadcast. The oracle replays training, scoring,
+    ranking, and the lift arithmetic in SQL."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        tokenize as _tokenize,
+    )
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.median("n_chars").alias("m"))
+    lab = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id", (F.col("n_chars") > F.col("m")).alias("pos")
+    )
+    d = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("n_chars") > F.col("m")).alias("pos"),
+        F.explode(F.array_distinct(_tokenize(F.col("text")))).alias("token"),
+    )
+    tot = lab.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    t = d.groupBy("token").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("dn"),
+    )
+    lo = F.log((F.col("dp") + 1.0) / (F.col("np") + 2.0)) - F.log(
+        (F.col("dn") + 1.0) / (F.col("nn") + 2.0)
+    )
+    model = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(lo * 1_000_000).cast("long").alias("lo_int"),
+            F.abs(lo).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), "token")
+        .limit(NB_TOP_TOKENS)
+        .drop("__a")
+    )
+    sc = (
+        d.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("lo_int").alias("score_int"))
+    )
+    scored = lab.join(sc, "doc_id", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("score_int"), F.lit(0)).alias("score_int"),
+    )
+    ranked = global_rank(
+        scored,
+        [F.col("score_int").desc(), F.col("doc_id")],
+        rank_col="rnk",
+    )
+    base = scored.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("tot_pos"),
+        F.count(F.lit(1)).alias("tot_n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .selectExpr(
+            f"CAST(((rnk - 1) * {LIFT_BINS}) div tot_n + 1 AS INT)"
+            " AS decile",
+            "pos",
+            "tot_pos",
+            "tot_n",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+            F.expr(
+                "round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1e0"
+                " / count(1), 6)"
+            ).alias("pos_rate"),
+            F.expr(
+                "round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1e0"
+                " / count(1)) / (max(tot_pos) * 1e0 / max(tot_n)), 6)"
+            ).alias("lift"),
+        )
+    )

@@ -929,3 +929,30 @@ def test_geo_radius_join_equals_bruteforce(spark, pts, radius):
         ).collect()
     }
     assert got == want, (got ^ want)
+
+
+def test_haversine_known_distances(spark):
+    """Sanity pins for the haversine kernel: LA–SF is ~559 km; a
+    degenerate zero-distance pair is exactly 0; antipodal-ish
+    east-west at the equator ~ 111.32 km/deg."""
+    from lambda_refarch_mapreduce_spark.operators.geo import haversine_km
+
+    df = spark.createDataFrame(
+        [
+            (34.0522, -118.2437, 37.7749, -122.4194),  # LA -> SF
+            (40.0, -100.0, 40.0, -100.0),  # same point
+            (0.0, 0.0, 0.0, 1.0),  # 1 deg lon at equator
+        ],
+        "lat_a double, lon_a double, lat_b double, lon_b double",
+    )
+    got = [
+        r.d
+        for r in df.select(
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ).alias("d")
+        ).collect()
+    ]
+    assert math.isclose(got[0], 559.12, abs_tol=1.0), got[0]
+    assert got[1] == 0.0
+    assert math.isclose(got[2], 111.19, abs_tol=0.3), got[2]

@@ -323,6 +323,8 @@ def test_registry_wide_no_cartesian_product(spark):
         "kmv_sketch_part_overlap",     # single-row sketch-stats terms
         "pareto_revenue_by_part",      # single-row total-revenue term
         "benford_first_digit_prices",  # single-row total over a 9-row grid
+        "nb_filter_confusion_eval",    # single-row median + prior terms
+        "nb_filter_lift_deciles",      # single-row median/prior/base terms
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
