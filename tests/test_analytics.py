@@ -956,3 +956,74 @@ def test_haversine_known_distances(spark):
     assert math.isclose(got[0], 559.12, abs_tol=1.0), got[0]
     assert got[1] == 0.0
     assert math.isclose(got[2], 111.19, abs_tol=0.3), got[2]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=100, max_value=1_000_000),
+        ),
+        min_size=5,
+        max_size=30,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_corr_expr_matches_numpy_corrcoef(spark, rows):
+    """The shared Pearson-r formula text (what corr_matrix_lineitem
+    feeds to selectExpr) must agree with numpy.corrcoef on arbitrary
+    integer data; constant columns (zero variance) are skipped — the
+    formula divides by zero there, as does the definition."""
+    import numpy as np
+
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        _corr_expr,
+    )
+
+    q = np.array([r[0] for r in rows], dtype=float)
+    d = np.array([r[1] for r in rows], dtype=float)
+    if q.std() == 0 or d.std() == 0:
+        return
+    ref = np.corrcoef(q, d)[0, 1]
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b, _ in rows], "q long, d long"
+    )
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+    )
+    got = a.selectExpr(f"{_corr_expr('q', 'd')} AS r").collect()[0].r
+    assert math.isclose(got, ref, abs_tol=1e-9), (got, ref)
+
+
+def test_zipf_mle_matches_python_reference(spark):
+    """The Zipf alpha MLE over a crafted frequency table must equal
+    the plain-Python computation of 1 + n / sum(ln(k / (kmin-0.5)))."""
+    import math as m
+
+    from lambda_refarch_mapreduce_spark.plans.catalog_llm import (
+        ZIPF_KMIN,
+        _ZIPF_ALPHA,
+    )
+
+    # (frequency k, token count m) pairs, tail-only (k >= kmin)
+    byk = [(5, 40), (6, 21), (8, 9), (13, 4), (40, 1)]
+    n = sum(mm for _, mm in byk)
+    slog = sum(mm * m.log(k / (ZIPF_KMIN - 0.5)) for k, mm in byk)
+    ref = 1 + n / slog
+
+    df = spark.createDataFrame(byk, "k long, m long")
+    a = df.agg(
+        F.sum("m").alias("n"),
+        F.sum(
+            F.col("m") * F.expr(f"ln(k / {ZIPF_KMIN - 0.5}e0)")
+        ).alias("slog"),
+    )
+    got = a.selectExpr(f"{_ZIPF_ALPHA} AS alpha").collect()[0].alpha
+    assert math.isclose(got, ref, rel_tol=1e-12), (got, ref)
