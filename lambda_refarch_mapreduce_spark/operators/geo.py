@@ -51,6 +51,93 @@ def haversine_km(
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(h))
 
 
+def radius_join(
+    left: DataFrame,
+    left_id: str,
+    right: DataFrame,
+    right_id: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Two-table radius join — the point-to-POI assignment query
+    ("customers within R km of each store"): every (left, right) pair
+    within ``radius_km``, via the same 3x3 grid pigeonhole as
+    radius_self_join (the left side explodes to its cell neighborhood,
+    the right side keeps its single home cell, so each qualifying pair
+    is generated exactly once). Both inputs must share the coordinate
+    column names. Returns (left_id, right_id, dist_km)."""
+    import math as _math
+
+    cell_lat_deg = radius_km / _KM_PER_LAT_DEG_MIN
+    km_per_lon_deg_min = 111.32 * _math.cos(_math.radians(max_abs_lat))
+    cell_lon_deg = radius_km / km_per_lon_deg_min
+
+    def cells(df, id_col, suffix):
+        return df.select(
+            F.col(id_col).alias(f"__id_{suffix}"),
+            F.col(lat_col).cast("double").alias(f"__lat_{suffix}"),
+            F.col(lon_col).cast("double").alias(f"__lon_{suffix}"),
+            F.floor(F.col(lat_col) / cell_lat_deg)
+            .cast("long")
+            .alias("__clat"),
+            F.floor(F.col(lon_col) / cell_lon_deg)
+            .cast("long")
+            .alias("__clon"),
+        )
+
+    lt = cells(left, left_id, "a")
+    neighbors = (
+        lt.select(
+            "__id_a",
+            "__lat_a",
+            "__lon_a",
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias(
+                "__dlat"
+            ),
+            "__clat",
+            "__clon",
+        )
+        .select(
+            "__id_a",
+            "__lat_a",
+            "__lon_a",
+            (F.col("__clat") + F.col("__dlat")).alias("__jlat"),
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias(
+                "__dlon"
+            ),
+            "__clon",
+        )
+        .select(
+            "__id_a",
+            "__lat_a",
+            "__lon_a",
+            "__jlat",
+            (F.col("__clon") + F.col("__dlon")).alias("__jlon"),
+        )
+    )
+    rt = cells(right, right_id, "b").select(
+        "__id_b",
+        "__lat_b",
+        "__lon_b",
+        F.col("__clat").alias("__jlat"),
+        F.col("__clon").alias("__jlon"),
+    )
+    d = haversine_km(
+        F.col("__lat_a"), F.col("__lon_a"), F.col("__lat_b"), F.col("__lon_b")
+    )
+    return (
+        neighbors.join(rt, ["__jlat", "__jlon"])
+        .select(
+            F.col("__id_a").alias(left_id),
+            F.col("__id_b").alias(right_id),
+            d.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )
+
+
 def radius_self_join(
     df: DataFrame,
     id_col: str,

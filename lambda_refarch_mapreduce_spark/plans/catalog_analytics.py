@@ -4218,3 +4218,84 @@ def geo_nearest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.nn").alias("nearest_id"),
         F.round(F.col("b.dist_km"), 3).alias("dist_km"),
     )
+
+
+GEO_COVERAGE_KM = 150.0
+
+
+@register(
+    "geo_supplier_coverage",
+    oracle=f"""
+        WITH cu AS (SELECT c_custkey AS id,
+                           ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                           1, 8))::BIGINT AS ulat,
+                           ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                           9, 8))::BIGINT AS ulon
+                    FROM customer),
+        cp AS (SELECT id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM cu),
+        su AS (SELECT s_suppkey AS id,
+                      ('0x' || substr(md5('s' ||
+                                          CAST(s_suppkey AS VARCHAR)),
+                                      1, 8))::BIGINT AS ulat,
+                      ('0x' || substr(md5('s' ||
+                                          CAST(s_suppkey AS VARCHAR)),
+                                      9, 8))::BIGINT AS ulon
+               FROM supplier),
+        sp AS (SELECT id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM su),
+        d AS (SELECT sp.id AS s_suppkey, cp.id AS cust,
+                     (SELECT {_GEO_DIST} FROM (SELECT sp.lat AS lat_a,
+                                                      sp.lon AS lon_a,
+                                                      cp.lat AS lat_b,
+                                                      cp.lon AS lon_b))
+                         AS dist
+              FROM sp JOIN cp ON TRUE)
+        SELECT s_suppkey, count(*)::BIGINT AS n_customers,
+               round(min(dist), 3) AS nearest_km
+        FROM d WHERE dist <= {GEO_COVERAGE_KM}
+        GROUP BY 1
+    """,
+    tags=("analytics", "geo", "scale"),
+)
+def geo_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-POI assignment — "how many customers does each
+    supplier cover within 150 km, and how close is the nearest": the
+    TWO-table radius join (operators.geo.radius_join — suppliers
+    explode to their 3x3 cell neighborhood, customers keep their home
+    cell, exactly-once pairs) followed by one supplier-keyed
+    aggregate. Supplier coordinates salt the md5 input ('s' || key)
+    so shared key values with customers don't collapse to identical
+    points. The oracle is the full cross join the plan refuses to
+    run. Suppliers covering zero customers are absent (coverage
+    report semantics)."""
+    from lambda_refarch_mapreduce_spark.operators import geo
+
+    def place(df, key, salt):
+        src = (
+            f"concat('{salt}', CAST({key} AS STRING))"
+            if salt
+            else f"CAST({key} AS STRING)"
+        )
+        return df.selectExpr(
+            f"{key} AS id",
+            f"CAST(conv(substring(md5({src}), 1, 8), 16, 10)"
+            " AS BIGINT) AS ulat",
+            f"CAST(conv(substring(md5({src}), 9, 8), 16, 10)"
+            " AS BIGINT) AS ulon",
+        ).selectExpr("id", f"{_GEO_LAT} AS lat", f"{_GEO_LON} AS lon")
+
+    cust = place(_t(spark, sf_dir, "customer"), "c_custkey", "")
+    supp = place(_t(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    pairs = geo.radius_join(
+        supp.withColumnRenamed("id", "s_suppkey"),
+        "s_suppkey",
+        cust.withColumnRenamed("id", "cust"),
+        "cust",
+        "lat",
+        "lon",
+        GEO_COVERAGE_KM,
+        max_abs_lat=49.0,
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("dist_km"), 3).alias("nearest_km"),
+    )

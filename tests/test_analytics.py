@@ -1027,3 +1027,65 @@ def test_zipf_mle_matches_python_reference(spark):
     )
     got = a.selectExpr(f"{_ZIPF_ALPHA} AS alpha").collect()[0].alpha
     assert math.isclose(got, ref, rel_tol=1e-12), (got, ref)
+
+
+@given(
+    lpts=st.lists(
+        st.tuples(
+            st.floats(min_value=25.0, max_value=49.0, allow_nan=False),
+            st.floats(min_value=-124.0, max_value=-67.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rpts=st.lists(
+        st.tuples(
+            st.floats(min_value=25.0, max_value=49.0, allow_nan=False),
+            st.floats(min_value=-124.0, max_value=-67.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    radius=st.sampled_from([20.0, 200.0]),
+)
+@settings(**_PROP_SETTINGS)
+def test_geo_two_table_radius_join_equals_bruteforce(
+    spark, lpts, rpts, radius
+):
+    """The two-table grid radius join must return EXACTLY the
+    brute-force cross-product pairs within R."""
+    import math as m
+
+    from lambda_refarch_mapreduce_spark.operators.geo import radius_join
+
+    def hav(a, b):
+        dlat = m.radians(b[0] - a[0])
+        dlon = m.radians(b[1] - a[1])
+        h = (
+            m.sin(dlat / 2) ** 2
+            + m.cos(m.radians(a[0])) * m.cos(m.radians(b[0]))
+            * m.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0088 * m.asin(m.sqrt(h))
+
+    want = {
+        (i, j)
+        for i, a in enumerate(lpts)
+        for j, b in enumerate(rpts)
+        if hav(a, b) <= radius
+    }
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(lpts)],
+        "lid long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(j, la, lo) for j, (la, lo) in enumerate(rpts)],
+        "rid long, lat double, lon double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in radius_join(
+            left, "lid", right, "rid", "lat", "lon", radius, max_abs_lat=49.0
+        ).collect()
+    }
+    assert got == want, (got ^ want)
