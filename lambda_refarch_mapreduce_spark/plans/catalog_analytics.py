@@ -359,14 +359,15 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_apply_orders",
     # deterministic synthetic changelog: seq1 'U' re-prices every
     # 7th order, seq2 'D' deletes every 14th (overriding its update),
-    # seq1 'I' inserts a new key (+20M) for every 9th — the oracle
+    # seq1 'I' inserts a new key (-k-1) for every 9th — the oracle
     # states the net effect per key class
     oracle="""
         WITH keep AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                              round(o_totalprice, 2) AS o_totalprice
                       FROM orders WHERE o_orderkey % 7 <> 0),
         upd AS (SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
-                       round(o_totalprice * 1.1, 2) AS o_totalprice
+                       ((round(o_totalprice * 100)::BIGINT * 11 + 5)
+                        // 10) / 100.0 AS o_totalprice
                 FROM orders
                 WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
         ins AS (SELECT -o_orderkey - 1 AS o_orderkey, o_custkey,
@@ -1880,13 +1881,28 @@ def _orders_changelog(base: DataFrame) -> DataFrame:
     (-k-1: negative keys cannot collide with real order keys at ANY
     scale factor, where a fixed +20M offset would from sf~3.3 up) for
     every 9th. ``base`` must carry
-    (o_orderkey, o_custkey, o_orderstatus, o_totalprice)."""
+    (o_orderkey, o_custkey, o_orderstatus, o_totalprice).
+
+    The 10% reprice is INTEGER-CENTS arithmetic — HALF_UP on the exact
+    cent count, ``(cents * 11 + 5) div 10``, then back to a double via
+    one exact division by 100 — never ``round(double * 1.1, 2)``: at a
+    ``.xx5`` representation boundary the latter's result depends on
+    each engine's double-rounding convention (Spark's BigDecimal
+    shortest-repr vs DuckDB's scaled-double), which is version luck.
+    Integer ops are exact on every engine; the oracle twins use the
+    same cents formula (``//`` spelling for DuckDB's integer div)."""
     k = F.col("o_orderkey")
     upd = base.filter(k % 7 == 0).select(
         "o_orderkey",
         "o_custkey",
         F.lit("U1").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (
+            F.expr(
+                "(cast(round(o_totalprice * 100) as bigint) * 11 + 5)"
+                " div 10"
+            )
+            / 100.0
+        ).alias("o_totalprice"),
         F.lit(1).alias("seq"),
         F.lit("U").alias("op"),
     )
@@ -1919,12 +1935,15 @@ def _orders_changelog(base: DataFrame) -> DataFrame:
             SELECT o_orderstatus, o_totalprice FROM orders
             WHERE o_orderkey % 7 <> 0
             UNION ALL
-            SELECT 'U1', round(o_totalprice * 1.1, 2) FROM orders
+            SELECT 'U1', ((round(o_totalprice * 100)::BIGINT * 11 + 5)
+                          // 10) / 100.0
+            FROM orders
             WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
             UNION ALL
             SELECT 'N', 1.0 FROM orders WHERE o_orderkey % 9 = 0)
         SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
-               sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents
         FROM applied GROUP BY 1
     """,
     tags=("analytics", "jobspec", "warehouse", "cdc"),
@@ -1968,8 +1987,9 @@ def jobspec_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH keep AS (SELECT o_custkey, o_totalprice
                       FROM orders WHERE o_orderkey % 7 <> 0),
-        upd AS (SELECT o_custkey, round(o_totalprice * 1.1, 2)
-                           AS o_totalprice
+        upd AS (SELECT o_custkey,
+                       ((round(o_totalprice * 100)::BIGINT * 11 + 5)
+                        // 10) / 100.0 AS o_totalprice
                 FROM orders
                 WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
         ins AS (SELECT o_custkey, 1.0 AS o_totalprice
@@ -1978,7 +1998,8 @@ def jobspec_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     UNION ALL SELECT * FROM upd
                     UNION ALL SELECT * FROM ins)
         SELECT (o_custkey % 25)::INT AS segment,
-               sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents,
                count(*)::BIGINT AS n_orders
         FROM applied GROUP BY 1
     """,
@@ -2768,8 +2789,9 @@ l_diversity_report.__doc__ = l_diversity_report.__doc__.replace(
     oracle="""
         WITH keep AS (SELECT o_custkey, o_totalprice
                       FROM orders WHERE o_orderkey % 7 <> 0),
-        upd AS (SELECT o_custkey, round(o_totalprice * 1.1, 2)
-                           AS o_totalprice
+        upd AS (SELECT o_custkey,
+                       ((round(o_totalprice * 100)::BIGINT * 11 + 5)
+                        // 10) / 100.0 AS o_totalprice
                 FROM orders
                 WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0),
         ins AS (SELECT o_custkey, 1.0 AS o_totalprice

@@ -170,3 +170,46 @@ def test_every_entry_output_schema_is_driver_canonicalizable(spark):
         f"driver-uncanonicalizable top-level columns: {offenders} — "
         "explode to rows or F.to_json before registering"
     )
+
+
+def test_every_oracle_result_type_is_driver_portable():
+    """Oracle-side twin of the Spark-side output-schema lint (VERDICT
+    r6 'next round' #2): the round driver materializes each oracle's
+    DuckDB result through pandas (`.df()`), where HUGEINT (int128)
+    converts to float64 — so an oracle whose TOP-LEVEL result type is
+    HUGEINT hashes `N.0` against Spark's int64 `N` and fails the gate
+    even though every value matches (this killed the two jobspec
+    warehouse rows in r6: DuckDB's `sum(BIGINT)` widens to HUGEINT).
+    The repo's local gate uses fetchall (exact Python ints) and can't
+    see it. Every oracle must outer-cast integer aggregates —
+    `sum(...)::BIGINT` — at its output. Binding only (`relation
+    .types`); nothing executes, so the whole registry lints in
+    seconds. DECIMAL is allowed only where the Spark side is decimal
+    too (decimal_exact_totals, driver-green since r2)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    banned = {"HUGEINT", "UHUGEINT"}
+    offenders = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = con.sql(sql)
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if str(t) in banned
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"pandas-unportable oracle result types: {offenders} — "
+        "outer-cast the aggregate (sum(...)::BIGINT) in the oracle SQL"
+    )
