@@ -183,8 +183,9 @@ DRIVER_WINDOW_FIRST: list[str] = [
 DRIVER_WINDOW_LAST: list[str] = []
 
 
-def _driver_verified_names(artifact_dir=None) -> set[str]:
-    """Entry names with a green row in any CORRECTNESS_r*.json artifact.
+def _driver_green_rounds(artifact_dir=None) -> dict[str, int]:
+    """Map entry name -> the LATEST round whose CORRECTNESS_r*.json
+    artifact carries a green row for it.
 
     Green = the driver compared the query and it matched (hash_match true)
     or recorded the by-construction rows-only result (err == "no_oracle")
@@ -197,15 +198,18 @@ def _driver_verified_names(artifact_dir=None) -> set[str]:
     nothing (fresh checkouts stay stable).
     """
     import json
+    import re
     from pathlib import Path
 
-    verified: set[str] = set()
+    rounds: dict[str, int] = {}
     repo_root = (
         Path(artifact_dir)
         if artifact_dir is not None
         else Path(__file__).resolve().parents[2]
     )
     for artifact in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", artifact.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(artifact.read_text())
         except (OSError, ValueError):
@@ -216,25 +220,39 @@ def _driver_verified_names(artifact_dir=None) -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                verified.add(name)
+                rounds[name] = max(rounds.get(name, 0), rnd)
             elif row.get("err") == "no_oracle" and (
                 name not in REGISTRY or REGISTRY[name].oracle is None
             ):
-                verified.add(name)
-    return verified
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
-def ordered_registry() -> dict[str, QueryDef]:
+def _driver_verified_names(artifact_dir=None) -> set[str]:
+    """Entry names with a green row in any CORRECTNESS_r*.json artifact
+    (see _driver_green_rounds for what counts as green)."""
+    return set(_driver_green_rounds(artifact_dir))
+
+
+def ordered_registry(artifact_dir=None) -> dict[str, QueryDef]:
     """REGISTRY reordered so driver-unverified entries lead.
 
     Order: (1) unverified entries named in DRIVER_WINDOW_FIRST, in that
     order; (2) remaining unverified entries in registration order,
     except (3) unverified DRIVER_WINDOW_LAST entries (weak rows-only
-    checks) behind them; (4) verified entries in registration order.
+    checks) behind them; (4) verified entries LEAST-RECENTLY-VERIFIED
+    first (ascending round of their last green row, registration order
+    as the tiebreak) — so when the driver's finite window has slots
+    left after the unverified entries, they re-sample the stalest
+    green rows instead of re-confirming the same round-1-era block
+    every round (VERDICT r6 "next round" #4: r6 burned 28 window
+    slots re-confirming r1 entries while r2/r3-era dedup/similarity
+    tiers went four rounds unrefreshed).
     Names in the priority lists that are not registered (e.g. an
     optional module failed to import) are skipped rather than raising.
     """
-    verified = _driver_verified_names()
+    green_rounds = _driver_green_rounds(artifact_dir)
+    verified = set(green_rounds)
     out: dict[str, QueryDef] = {}
     for name in DRIVER_WINDOW_FIRST:
         if name in REGISTRY and name not in verified:
@@ -246,9 +264,13 @@ def ordered_registry() -> dict[str, QueryDef]:
     for name in DRIVER_WINDOW_LAST:
         if name in REGISTRY and name not in out and name not in verified:
             out[name] = REGISTRY[name]
-    for name, qd in REGISTRY.items():
-        if name not in out:
-            out[name] = qd
+    reg_pos = {name: i for i, name in enumerate(REGISTRY)}
+    stalest = sorted(
+        (n for n in REGISTRY if n not in out),
+        key=lambda n: (green_rounds.get(n, 0), reg_pos[n]),
+    )
+    for name in stalest:
+        out[name] = REGISTRY[name]
     return out
 
 

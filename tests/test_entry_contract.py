@@ -213,3 +213,43 @@ def test_every_oracle_result_type_is_driver_portable():
         f"pandas-unportable oracle result types: {offenders} — "
         "outer-cast the aggregate (sum(...)::BIGINT) in the oracle SQL"
     )
+
+
+def test_driver_window_rotates_stalest_verified_entries(tmp_path):
+    """Window-freshness rotation (VERDICT r6 'next round' #4): after
+    the unverified entries, ordered_registry must emit verified
+    entries LEAST-recently-verified first — ascending round of each
+    entry's last green row — so the driver's leftover window slots
+    re-sample stale green rows instead of re-confirming the same
+    early-registration block every round. A red row in a later round
+    does not advance the entry's green round (it un-verifies it)."""
+    import json
+
+    from lambda_refarch_mapreduce_spark.plans import catalog
+
+    names = list(catalog.REGISTRY)
+    a, b, c, d = names[:4]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({a: {"hash_match": True}, b: {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                a: {"hash_match": True},  # re-verified in r3
+                c: {"hash_match": True},
+                d: {"hash_match": False},  # red: d stays unverified
+            }
+        )
+    )
+    rounds = catalog._driver_green_rounds(tmp_path)
+    assert rounds[a] == 3 and rounds[b] == 1 and rounds[c] == 3
+    assert d not in rounds
+
+    ordered = list(catalog.ordered_registry(tmp_path))
+    # d is unverified -> somewhere in the leading unverified block
+    assert ordered.index(d) < ordered.index(a)
+    # among verified: b (r1) precedes a and c (r3)
+    assert ordered.index(b) < ordered.index(a)
+    assert ordered.index(b) < ordered.index(c)
+    # registration-order tiebreak within the same round
+    assert ordered.index(a) < ordered.index(c)
