@@ -498,12 +498,20 @@ def mann_whitney_from_value_counts(
         F.col(v).alias("v"), F.col(ca).alias("cp"), F.col(cb).alias("cc")
     )
     cum = prefix_sums(g, [F.col("v")], ["cc"])
-    t = F.col("cp") + F.col("cc")
+    # Widen the per-row products to decimal(38,0) BEFORE multiplying
+    # (mirroring welch_from_value_counts' v^2 guard): in int64 the tie
+    # cube t^3 wraps silently past t ~ 2.1M rows sharing one cents
+    # value, and the pair product cp * cc_cum past ~3e9 rows per side —
+    # both well inside this tier's claimed scale. Exact integers fit
+    # decimal(38,0) to 1e38 (t < 4.6e12 rows per value); the DuckDB
+    # twin needs no guard because its sum() already widens to HUGEINT.
+    t = (F.col("cp") + F.col("cc")).cast("decimal(38,0)")
     a = cum.agg(
         F.sum("cp").alias("n1"),
         F.sum("cc").alias("n2"),
         F.sum(
-            F.col("cp") * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
+            F.col("cp").cast("decimal(38,0)")
+            * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
         ).alias("u2"),
         F.sum(t * t * t - t).alias("ties"),
     )
@@ -640,3 +648,69 @@ def welch_from_value_counts(
         "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)) > 1.96e0)"
         " AS significant",
     )
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_items: int,
+    top_n: int,
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
+    """Frequent co-occurring item pairs (market-basket affinity) with
+    the two prunings that make pair counting survive 100 TB: (1) the
+    apriori support filter — an item below ``min_support`` cannot be
+    in a frequent pair, so infrequent items are semi-joined out
+    against the frequent-item set BEFORE the self-join; (2) the
+    ``max_basket_items`` cap — one degenerate mega-basket contributes
+    |basket|^2 pairs to one reducer, so oversized baskets are dropped
+    (report them separately in production). The pair join is co-keyed
+    on the basket id, the pair count is map-side combinable, and the
+    ``top_n`` cut is a TakeOrdered with a deterministic
+    (n desc, item_a, item_b) tie-break.
+
+    The frequent-set semi-join is broadcast ADAPTIVELY (VERDICT r6
+    'next round' #6 — a forced hint overflows the broadcast limit at
+    very low support on a wide catalog): the set is materialized once
+    via localCheckpoint (it is re-read by the join anyway, and
+    persist() would pin the session's CacheManager forever), counted,
+    and hinted only when it fits ``broadcast_threshold`` rows;
+    otherwise the semi-join falls back to the ordinary shuffled plan
+    AQE can still re-plan. ``broadcast_threshold=None`` skips the
+    probe and never hints (pure-lazy mode — also what plan-shape
+    tests use to pin the fallback). Returns (item_a, item_b,
+    n_baskets)."""
+    items = df.select(
+        F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
+    ).distinct()
+    sized = (
+        items.groupBy("__o")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") <= max_basket_items)
+        .select("__o")
+    )
+    kept = items.join(sized, "__o", "left_semi")
+    freq = (
+        kept.groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= min_support)
+        .select("__p")
+    )
+    if broadcast_threshold is not None:
+        freq = freq.localCheckpoint(eager=True)
+        if freq.count() <= broadcast_threshold:
+            freq = F.broadcast(freq)
+    fi = kept.join(freq, "__p", "left_semi")
+    a = fi.select(F.col("__o"), F.col("__p").alias("item_a"))
+    b = fi.select(F.col("__o"), F.col("__p").alias("item_b"))
+    pairs = (
+        a.join(b, "__o")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.col("n_baskets").desc(), "item_a", "item_b"
+    ).limit(top_n)

@@ -17,6 +17,20 @@ scheme: per-batch count rows land under ``counts/_batch_id=N/`` as an
 overwrite, the commit log is appended LAST, and readers semi-join the
 log — a replayed attempt can never double-count a batch.
 
+CAVEAT — the checkpoint and ``index_dir`` share ONE lifecycle: the
+batch-id-keyed commit log is sound exactly while Spark's checkpoint
+assigns each micro-batch a fresh id. If the checkpoint is lost or
+deleted while ``index_dir`` survives, the restarted query numbers its
+batches from 0 again, colliding with the existing log, and genuinely
+NEW micro-batches are silently skipped as "already committed"
+(undercount). Recover by starting BOTH fresh (new index_dir + new
+checkpoint) and re-streaming the source. streaming/warehouse.py keys
+its commits by CONTENT digest instead, which survives a lost
+checkpoint at the cost of dropping any legitimately identical batch;
+for count frames (where value-identical batches are common under
+availableNow re-chunking) the batch-id key is the correct choice —
+hence the shared-lifecycle contract rather than a digest.
+
 Scale posture: per-batch state is |batch value alphabet| rows; the
 running frame read at serve time is bounded by |alphabet| x |batches|
 rows of integers — metadata, not data-plane (and the batch entry's

