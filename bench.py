@@ -78,6 +78,11 @@ HEADLINE = {
     "q_ols": "ols_price_qty_discount",
     "q_mann_whitney": "mann_whitney_auc_value",
     "q_geo_radius": "geo_radius_pairs_customers",
+    # round 7 additions
+    "q_chi2": "chi2_independence_event_dow",
+    "q_acf": "acf_daily_revenue",
+    "q_countmin": "countmin_heavy_users",
+    "q_item_cosine": "item_cosine_parts",
 }
 
 

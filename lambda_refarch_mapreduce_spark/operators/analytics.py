@@ -682,6 +682,34 @@ def market_basket_pairs(
     probe and never hints (pure-lazy mode — also what plan-shape
     tests use to pin the fallback). Returns (item_a, item_b,
     n_baskets)."""
+    fi, _freq, _bc = _frequent_basket_items(
+        df,
+        basket_col,
+        item_col,
+        min_support,
+        max_basket_items,
+        broadcast_threshold,
+    )
+    pairs = _basket_pair_counts(fi)
+    return pairs.orderBy(
+        F.col("n_baskets").desc(), "item_a", "item_b"
+    ).limit(top_n)
+
+
+def _frequent_basket_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_items: int,
+    broadcast_threshold: int | None,
+):
+    """Shared pruning stage of the basket tier: distinct
+    (basket, item) pairs, mega-baskets dropped, infrequent items
+    apriori-filtered. Returns (fi, freq, broadcast_used): the kept
+    frame (__o, __p), the frequent-item support frame (__p, __sup) —
+    localCheckpointed when the adaptive broadcast probe ran — and
+    whether the probe chose to broadcast."""
     items = df.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
     ).distinct()
@@ -696,21 +724,350 @@ def market_basket_pairs(
         kept.groupBy("__p")
         .agg(F.count(F.lit(1)).alias("__sup"))
         .filter(F.col("__sup") >= min_support)
-        .select("__p")
     )
+    use_broadcast = False
     if broadcast_threshold is not None:
         freq = freq.localCheckpoint(eager=True)
-        if freq.count() <= broadcast_threshold:
-            freq = F.broadcast(freq)
-    fi = kept.join(freq, "__p", "left_semi")
+        use_broadcast = freq.count() <= broadcast_threshold
+    sel = freq.select("__p")
+    fi = kept.join(
+        F.broadcast(sel) if use_broadcast else sel, "__p", "left_semi"
+    )
+    return fi, freq, use_broadcast
+
+
+def _basket_pair_counts(fi: DataFrame) -> DataFrame:
+    """Co-keyed pair counting over the pruned (__o, __p) frame:
+    self-join on the basket id (the exchange both sides already
+    share), item_a < item_b, map-side-combinable count."""
     a = fi.select(F.col("__o"), F.col("__p").alias("item_a"))
     b = fi.select(F.col("__o"), F.col("__p").alias("item_b"))
-    pairs = (
+    return (
         a.join(b, "__o")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
-    return pairs.orderBy(
-        F.col("n_baskets").desc(), "item_a", "item_b"
+
+
+# Co-occurrence cosine over exact integer counts: co / sqrt(na * nb).
+ITEM_COSINE_EXPR = "(co * 1e0 / sqrt(na * 1e0 * nb))"
+
+
+def item_item_cosine(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_basket_items: int,
+    min_pair_count: int,
+    top_n: int,
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
+    """Item-item cosine affinity from basket co-occurrence — the
+    "customers who bought X also bought Y" recommender primitive:
+    cos(a, b) = co(a, b) / sqrt(n_a * n_b) over the SAME pruned
+    basket frame as market_basket_pairs (shared _frequent_basket_items
+    stage: apriori min-support + mega-basket cap + adaptive broadcast),
+    normalizing raw co-counts so a universally popular item stops
+    dominating every pair. ``min_pair_count`` floors the co-count so a
+    single shared basket between two rare items cannot fake a perfect
+    score. All counts exact integers; the cosine is one shared float
+    expression; top_n cut is a TakeOrdered with a deterministic
+    (cosine desc, item_a, item_b) tie-break. Returns
+    (item_a, item_b, n_baskets, n_a, n_b, cosine)."""
+    fi, freq, bc = _frequent_basket_items(
+        df,
+        basket_col,
+        item_col,
+        min_support,
+        max_basket_items,
+        broadcast_threshold,
+    )
+    pairs = _basket_pair_counts(fi).filter(
+        F.col("n_baskets") >= min_pair_count
+    )
+    na = freq.select(F.col("__p").alias("item_a"), F.col("__sup").alias("na"))
+    nb = freq.select(F.col("__p").alias("item_b"), F.col("__sup").alias("nb"))
+    if bc:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    scored = (
+        pairs.withColumnRenamed("n_baskets", "co")
+        .join(na, "item_a")
+        .join(nb, "item_b")
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "CAST(co AS BIGINT) AS n_baskets",
+            "CAST(na AS BIGINT) AS n_a",
+            "CAST(nb AS BIGINT) AS n_b",
+            f"round({ITEM_COSINE_EXPR}, 6) AS cosine",
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "item_a", "item_b"
     ).limit(top_n)
+
+
+def sorted_fold_sum(key_cols: list[str], term_col: str) -> Column:
+    """Order-DETERMINISTIC float sum as an aggregate expression:
+    collect (key..., term) structs, array_sort, fold acc + term — so
+    both engines (Spark `aggregate` HOF, DuckDB `list_reduce` over
+    `list(term ORDER BY key...)`) add the identical sequence of
+    doubles and the result is bit-identical, where a plain SUM() of
+    floats depends on each engine's partial-aggregation order (the
+    round-6b CUSUM/Holt sorted-array-fold convention, generalized to
+    cross-cell statistic totals). Only for ALPHABET-sized frames —
+    the array materializes in one agg buffer; corpus-sized sums
+    belong in exact-integer SUMs with a closed-form projection."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in key_cols], term_col))
+    )
+    return F.aggregate(
+        F.transform(arr, lambda s: s[term_col]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# Per-cell Pearson chi-square term over a contingency frame
+# (n, ra, cb, total — all exact integers); shared verbatim with the
+# DuckDB oracles so both engines fold the same IEEE tree.
+CHI2_CELL_TERM = (
+    "((n * 1e0 - ra * 1e0 * cb / total)"
+    " * (n * 1e0 - ra * 1e0 * cb / total)"
+    " / (ra * 1e0 * cb / total))"
+)
+
+# Wilson-Hilferty normal approximation of the upper chi-square tail
+# over (chi2, dof) — closed-form significance without the incomplete
+# gamma; accurate to ~1e-3 for dof >= 2 (Wilson & Hilferty 1931).
+WH_CHI2_Z = (
+    "((pow(chi2 / dof, 1e0 / 3e0) - (1e0 - 2e0 / (9e0 * dof)))"
+    " / sqrt(2e0 / (9e0 * dof)))"
+)
+
+CRAMERS_V_EXPR = "sqrt(chi2 / (n_total * 1e0 * least(ka - 1, kb - 1)))"
+
+# Per-cell mutual-information term n * ln(n*N / (ra*cb)) (nats) and
+# per-margin entropy term — both over exact integer counts.
+MI_CELL_TERM = "(n * 1e0 * ln(n * 1e0 * total / (ra * 1e0 * cb)))"
+ENTROPY_TERM = "(- (m * 1e0 / total) * ln(m * 1e0 / total))"
+
+
+def contingency_counts(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """The contingency frame every categorical-association statistic
+    consumes: one row per observed (a, b) cell with its count and the
+    EXACT integer margins — (a, b, n, ra, cb, total). Rows collapse
+    map-side into the |A| x |B| cell alphabet before any exchange
+    (the group_value_counts posture, two-dimensional); margins and
+    the grand total are alphabet-sized aggregates broadcast back.
+    The frame is DENSE — the full |A| x |B| margin cross with n = 0
+    for unobserved cells — because Pearson chi-square requires every
+    cell's (0 - e)^2 / e contribution; MI consumers filter n > 0
+    (the 0*ln(0) terms are exactly 0 in the limit). Shared by
+    chi2_from_contingency and mutual_info_from_contingency (one cell
+    frame, several statistics)."""
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ra = cells.groupBy("a").agg(F.sum("n").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("n").alias("cb"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    dense = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    return dense.crossJoin(F.broadcast(tot))
+
+
+def chi2_from_contingency(cells: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence + Cramér's V from a
+    contingency frame (contingency_counts): per-cell terms from exact
+    integer counts, totaled by the order-deterministic sorted fold,
+    significance via the Wilson-Hilferty closed form at alpha=.05.
+    Returns one row: (ka, kb, n_total, dof, chi2, cramers_v, z_wh,
+    significant)."""
+    t = cells.withColumn("__term", F.expr(CHI2_CELL_TERM))
+    agg = t.agg(
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+        F.max("total").alias("n_total"),
+        sorted_fold_sum(["a", "b"], "__term").alias("chi2"),
+    ).selectExpr(
+        "CAST(ka AS BIGINT) AS ka",
+        "CAST(kb AS BIGINT) AS kb",
+        "CAST(n_total AS BIGINT) AS n_total",
+        "CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof",
+        "chi2",
+    )
+    return agg.selectExpr(
+        "ka",
+        "kb",
+        "n_total",
+        "dof",
+        "round(chi2, 6) AS chi2",
+        f"round({CRAMERS_V_EXPR}, 6) AS cramers_v",
+        f"round({WH_CHI2_Z}, 6) AS z_wh",
+        f"({WH_CHI2_Z} > 1.645e0) AS significant",
+    )
+
+
+def mutual_info_from_contingency(cells: DataFrame) -> DataFrame:
+    """Mutual information (nats) + marginal entropies + the
+    min-entropy-normalized MI from the same contingency frame — the
+    feature-selection / dependency-strength reading beside chi2's
+    significance reading. Every float sum is a sorted fold over an
+    alphabet-sized term list. Returns one row:
+    (n_total, mi_nats, h_a, h_b, nmi)."""
+    mi = (
+        cells.filter(F.col("n") > 0)
+        .withColumn("__term", F.expr(MI_CELL_TERM))
+        .agg(
+            F.max("total").alias("total"),
+            sorted_fold_sum(["a", "b"], "__term").alias("s"),
+        )
+        .selectExpr("total", "s / total AS mi")
+    )
+    ha = (
+        cells.select(F.col("a").alias("k"), F.col("ra").alias("m"), "total")
+        .distinct()
+        .withColumn("__term", F.expr(ENTROPY_TERM))
+        .agg(sorted_fold_sum(["k"], "__term").alias("h_a"))
+    )
+    hb = (
+        cells.select(F.col("b").alias("k"), F.col("cb").alias("m"), "total")
+        .distinct()
+        .withColumn("__term", F.expr(ENTROPY_TERM))
+        .agg(sorted_fold_sum(["k"], "__term").alias("h_b"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .selectExpr(
+            "CAST(total AS BIGINT) AS n_total",
+            "round(mi, 6) AS mi_nats",
+            "round(h_a, 6) AS h_a",
+            "round(h_b, 6) AS h_b",
+            "round(mi / least(h_a, h_b), 6) AS nmi",
+        )
+    )
+
+
+# One-way ANOVA F over per-group exact moment sums (g, n, s, q):
+# SSB = sum_g s_g^2/n_g - S^2/N (the per-group terms folded in sorted
+# order), SSW = Q - sum_g s_g^2/n_g.
+ANOVA_GROUP_TERM = "(s * 1e0 * s / n)"
+ANOVA_F_EXPR = (
+    "(((sbp - st * 1e0 * st / nt) / (k - 1))"
+    " / ((qt - sbp) / (nt - k)))"
+)
+
+
+def anova_f_from_groups(groups: DataFrame) -> DataFrame:
+    """One-way ANOVA F from a per-group moment frame ``(g, n, s, q)``
+    — n rows, sum of values, sum of squared values, all EXACT
+    integers (callers quantize to cents; q rides decimal(38,0) like
+    the welch kernel) — the k-sample generalization of Welch's
+    two-sample mean test. The between/within split is closed-form
+    over the moments, the only float sum is the k-term sorted fold,
+    and significance uses the large-N chi-square limit
+    ((k-1)*F ~ chi2_{k-1}) through the Wilson-Hilferty normal form.
+    Returns one row: (k_groups, n_total, f_stat, z_wh,
+    significant)."""
+    t = groups.withColumn("__term", F.expr(ANOVA_GROUP_TERM))
+    agg = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("st"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("qt"),
+        sorted_fold_sum(["g"], "__term").alias("sbp"),
+    )
+    f = agg.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nt AS BIGINT) AS n_total",
+        f"{ANOVA_F_EXPR} AS f_stat",
+        "CAST(k AS BIGINT) AS ka",  # unused, keeps selectExpr simple
+    ).selectExpr(
+        "k_groups",
+        "n_total",
+        "round(f_stat, 6) AS f_stat",
+        "(k_groups - 1) * 1e0 AS dof",
+        "(k_groups - 1) * f_stat AS chi2",
+    )
+    return f.selectExpr(
+        "k_groups",
+        "n_total",
+        "f_stat",
+        f"round({WH_CHI2_Z}, 6) AS z_wh",
+        f"({WH_CHI2_Z} > 1.645e0) AS significant",
+    )
+
+
+# Lag-k autocorrelation over exact integer aggregates of the series:
+# pk = sum y_t*y_(t-k), sa/sb = the two truncated sums, (n, s, q) the
+# full-series count/sum/sum-of-squares; ybar = s/n enters through one
+# shared expression so both engines fold the same IEEE tree.
+ACF_EXPR = (
+    "((pk * 1e0 - (sa * 1e0 + sb) * (s * 1e0 / n)"
+    " + cnt * (s * 1e0 / n) * (s * 1e0 / n))"
+    " / (q * 1e0 - s * 1e0 * s / n))"
+)
+
+
+def acf_lags(
+    series: DataFrame, key_col: str, y_col: str, max_lag: int
+) -> DataFrame:
+    """Autocorrelation function at lags 1..max_lag of an AGGREGATED
+    series ``(key, y)`` (unique keys, y exact integer — cents): the
+    sequence index comes from relational.global_rank (range exchange,
+    never a single-partition window over raw data), each lag is an
+    equi-join of the indexed series against itself shifted by k (the
+    series is bounded metadata after aggregation — |days|, not rows),
+    and every statistic reduces to exact integer sums entering one
+    shared float expression. Returns (lag, n_obs, acf) rows."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    spark = series.sparkSession
+    s = global_rank(
+        series.select(F.col(key_col).alias("__k"), F.col(y_col).alias("__y")),
+        [F.col("__k")],
+        rank_col="__t",
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("s"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y"))
+        .cast("double")
+        .alias("q"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = s.select(F.col("__t").alias("__ta"), F.col("__y").alias("__ya"))
+    b = s.select(F.col("__t").alias("__tb"), F.col("__y").alias("__yb"))
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("__want", F.col("__ta") - F.col("lag"))
+        .join(b, F.col("__want") == F.col("__tb"))
+    )
+    per_lag = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("__ya").cast("decimal(38,0)") * F.col("__yb"))
+        .cast("double")
+        .alias("pk"),
+        F.sum("__ya").alias("sa"),
+        F.sum("__yb").alias("sb"),
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(lag AS INT) AS lag",
+            "CAST(cnt AS BIGINT) AS n_obs",
+            f"round({ACF_EXPR}, 6) AS acf",
+        )
+        .orderBy("lag")
+    )

@@ -994,7 +994,10 @@ def chi_square_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ONE map-side-combined count table (|types|x7 rows) — the corpus
     is scanned once; every join after that is on bounded metadata.
     Spark's dayofweek == DuckDB's dayofweek + 1 (Sun=1 vs Sun=0),
-    which cancels in the statistic; the oracle uses its own encoding."""
+    which cancels in the statistic; the oracle uses its own encoding.
+    This is the minimal chi2+dof readout; the full-test variant over
+    the shared dense-contingency kernel (zero cells, Cramér's V,
+    significance) is `chi2_independence_event_dow`."""
     ev = _t(spark, sf_dir, "events")
     obs = (
         ev.select("event_type", F.dayofweek("ts").alias("wd"))
@@ -4308,4 +4311,525 @@ def geo_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("dist_km"), 3).alias("nearest_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: categorical association (contingency / chi2 / MI), one-way
+# ANOVA, autocorrelation, count-min sketch, item-item cosine, and the
+# percentile-sketch rank gate. The float-total convention throughout is
+# operators.analytics.sorted_fold_sum / DuckDB list_reduce over an
+# ORDER BY'd list — both engines add the identical term sequence.
+
+# engine-neutral day-of-week key (epoch-day arithmetic; the dayofweek()
+# builtins number days differently across engines) — the wilson entry's
+# convention, shared by the association tier
+_DOW_SQL = "((ts::DATE - DATE '1970-01-01') + 4) % 7"
+
+
+def _dow_col():
+    return F.pmod(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) + 4,
+        F.lit(7),
+    ).cast("long")
+
+
+_CONTINGENCY_SQL = f"""
+        s AS (SELECT event_type AS a, {_DOW_SQL} AS b FROM events),
+        cells0 AS (SELECT a, b, count(*) AS n FROM s GROUP BY 1, 2),
+        ram AS (SELECT a, sum(n)::BIGINT AS ra FROM cells0 GROUP BY 1),
+        cbm AS (SELECT b, sum(n)::BIGINT AS cb FROM cells0 GROUP BY 1),
+        tt AS (SELECT sum(n)::BIGINT AS total FROM cells0),
+        cells AS (SELECT ram.a, cbm.b, ra, cb,
+                         coalesce(n, 0)::BIGINT AS n, total
+                  FROM ram CROSS JOIN cbm
+                  LEFT JOIN cells0 ON cells0.a = ram.a AND cells0.b = cbm.b
+                  CROSS JOIN tt)
+"""
+
+
+@register(
+    "contingency_event_dow",
+    oracle=f"""
+        WITH {_CONTINGENCY_SQL}
+        SELECT a AS event_type, b::BIGINT AS dow_idx,
+               n AS n_events, ra AS n_type, cb AS n_dow,
+               round(ra * 1e0 * cb / total, 6) AS expected,
+               round(n * 1e0 * total / (ra * 1e0 * cb), 6) AS lift
+        FROM cells
+    """,
+    tags=("analytics", "stats"),
+)
+def contingency_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSE contingency table of event type x day-of-week with
+    expected counts and observed/expected lift — the crosstab every
+    categorical-association statistic reads from
+    (operators.analytics.contingency_counts): rows collapse map-side
+    into the |types| x 7 cell alphabet before any exchange, margins
+    broadcast back, and unobserved cells appear with n = 0 (chi-square
+    needs their (0-e)^2/e contribution; this entry shows them as lift
+    0). The dow key is engine-neutral epoch-day arithmetic."""
+    cells = analytics.contingency_counts(
+        _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("a"), _dow_col().alias("b")
+        ),
+        "a",
+        "b",
+    )
+    return cells.selectExpr(
+        "a AS event_type",
+        "CAST(b AS BIGINT) AS dow_idx",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(ra AS BIGINT) AS n_type",
+        "CAST(cb AS BIGINT) AS n_dow",
+        "round(ra * 1e0 * cb / total, 6) AS expected",
+        "round(n * 1e0 * total / (ra * 1e0 * cb), 6) AS lift",
+    )
+
+
+@register(
+    "chi2_independence_event_dow",
+    oracle=f"""
+        WITH {_CONTINGENCY_SQL},
+        j AS (SELECT a, b, n, ra, cb, total,
+                     {analytics.CHI2_CELL_TERM} AS term
+              FROM cells),
+        f AS (SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+                     max(total) AS n_total,
+                     list_reduce(
+                         list_prepend(0e0, list(term ORDER BY a, b)),
+                         (acc, x) -> acc + x) AS chi2
+              FROM j),
+        g AS (SELECT ka::BIGINT AS ka, kb::BIGINT AS kb,
+                     n_total::BIGINT AS n_total,
+                     ((ka - 1) * (kb - 1))::BIGINT AS dof, chi2
+              FROM f)
+        SELECT ka, kb, n_total, dof, round(chi2, 6) AS chi2,
+               round({analytics.CRAMERS_V_EXPR}, 6) AS cramers_v,
+               round({analytics.WH_CHI2_Z}, 6) AS z_wh,
+               ({analytics.WH_CHI2_Z} > 1.645e0) AS significant
+        FROM g
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def chi2_independence_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (+ Cramér's V effect
+    size) between event type and day-of-week — the CATEGORICAL
+    association test beside the value-distribution tier (Welch / KS /
+    Mann-Whitney), superseding `chi_square_event_weekday`'s minimal
+    chi2+dof readout: per-cell (n-e)^2/e terms over exact integer counts
+    and margins, dense zero cells included, totaled by the
+    order-deterministic sorted fold (a
+    plain float SUM() would differ across engines by partial-agg
+    order), significance via the closed-form Wilson-Hilferty normal
+    approximation of the chi-square tail. Shuffle cost is the cell
+    alphabet — at 100 TB the corpus collapses map-side into
+    |types| x 7 cells and nothing larger ever crosses the wire."""
+    cells = analytics.contingency_counts(
+        _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("a"), _dow_col().alias("b")
+        ),
+        "a",
+        "b",
+    )
+    return analytics.chi2_from_contingency(cells)
+
+
+@register(
+    "mutual_info_event_dow",
+    oracle=f"""
+        WITH {_CONTINGENCY_SQL},
+        nz AS (SELECT * FROM cells WHERE n > 0),
+        mi AS (SELECT max(total) AS total,
+                      list_reduce(
+                          list_prepend(
+                              0e0,
+                              list({analytics.MI_CELL_TERM}
+                                   ORDER BY a, b)),
+                          (acc, x) -> acc + x) AS s
+               FROM nz),
+        ha AS (SELECT list_reduce(
+                          list_prepend(
+                              0e0,
+                              list({analytics.ENTROPY_TERM.replace("m", "ra")}
+                                   ORDER BY a)),
+                          (acc, x) -> acc + x) AS h_a
+               FROM (SELECT DISTINCT a, ra, total FROM cells)),
+        hb AS (SELECT list_reduce(
+                          list_prepend(
+                              0e0,
+                              list({analytics.ENTROPY_TERM.replace("m", "cb")}
+                                   ORDER BY b)),
+                          (acc, x) -> acc + x) AS h_b
+               FROM (SELECT DISTINCT b, cb, total FROM cells))
+        SELECT total::BIGINT AS n_total,
+               round(s / total, 6) AS mi_nats,
+               round(h_a, 6) AS h_a,
+               round(h_b, 6) AS h_b,
+               round(s / total / least(h_a, h_b), 6) AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    tags=("analytics", "stats"),
+)
+def mutual_info_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week,
+    with marginal entropies and the min-entropy-normalized MI — the
+    dependency-STRENGTH reading beside chi2's significance reading
+    and the feature-selection screen for categorical pairs. Same
+    shared contingency frame (one cell-alphabet shuffle), zero cells
+    excluded exactly (0*ln(0) -> 0), every float total an
+    order-deterministic sorted fold mirrored by the oracle's
+    list_reduce."""
+    cells = analytics.contingency_counts(
+        _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("a"), _dow_col().alias("b")
+        ),
+        "a",
+        "b",
+    )
+    return analytics.mutual_info_from_contingency(cells)
+
+
+@register(
+    "anova_f_price_by_priority",
+    oracle=f"""
+        WITH g AS (SELECT o_orderpriority AS g, count(*) AS n,
+                          sum(round(o_totalprice * 100)::BIGINT)
+                              AS s,
+                          sum(round(o_totalprice * 100)::BIGINT
+                              * round(o_totalprice * 100)::BIGINT)
+                              AS q
+                   FROM orders GROUP BY 1),
+        f AS (SELECT count(*) AS k, sum(n) AS nt,
+                     sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+                     list_reduce(
+                         list_prepend(
+                             0e0,
+                             list({analytics.ANOVA_GROUP_TERM}
+                                  ORDER BY g)),
+                         (acc, x) -> acc + x) AS sbp
+              FROM g),
+        r AS (SELECT k::BIGINT AS k_groups, nt::BIGINT AS n_total,
+                     {analytics.ANOVA_F_EXPR} AS f_stat
+              FROM f),
+        z AS (SELECT k_groups, n_total, round(f_stat, 6) AS f_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     (k_groups - 1) * f_stat AS chi2
+              FROM r)
+        SELECT k_groups, n_total, f_stat,
+               round({analytics.WH_CHI2_Z}, 6) AS z_wh,
+               ({analytics.WH_CHI2_Z} > 1.645e0) AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def anova_f_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of order value across the five order
+    priorities — the k-SAMPLE generalization of the Welch two-sample
+    entry (operators.analytics.anova_f_from_groups): each group
+    reduces map-side to exact integer moments (n, sum cents, sum
+    cents² riding decimal(38,0) past int64), the between/within split
+    is closed-form over those moments (the only float sum is the
+    k-term sorted fold), and significance uses the large-N
+    (k-1)*F ~ chi-square limit through the Wilson-Hilferty form. At
+    100 TB: one scan, one 5-key exchange, one single-row projection."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    groups = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("g"), cents.alias("__v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__v").alias("s"),
+            F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__v")).alias(
+                "q"
+            ),
+        )
+    )
+    return analytics.anova_f_from_groups(groups)
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+        WITH daily AS (SELECT o_orderdate AS d,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS y
+                       FROM orders GROUP BY 1),
+        idx AS (SELECT y, row_number() OVER (ORDER BY d) AS t
+                FROM daily),
+        tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS s,
+                       sum(y * y)::DOUBLE AS q
+                FROM idx),
+        lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+        j AS (SELECT lags.lag, a.y AS ya, b.y AS yb
+              FROM idx a CROSS JOIN lags
+              JOIN idx b ON b.t = a.t - lags.lag),
+        p AS (SELECT lag, count(*) AS cnt, sum(ya * yb)::DOUBLE AS pk,
+                     sum(ya)::BIGINT AS sa, sum(yb)::BIGINT AS sb
+              FROM j GROUP BY 1)
+        SELECT lag::INT AS lag, cnt::BIGINT AS n_obs,
+               round({analytics.ACF_EXPR}, 6) AS acf
+        FROM p CROSS JOIN tot
+    """,
+    tags=("analytics", "timeseries", "scale"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7 — the
+    seasonality/memory diagnostic behind forecasting-model choice
+    (a weekly cycle shows as a lag-7 peak): the corpus collapses
+    map-side into one row per DAY (exact integer cents), the sequence
+    index comes from relational.global_rank (range exchange — never a
+    single-partition window over data), and each lag is an equi-join
+    of the day series against itself shifted by k. Every ACF input is
+    an exact integer sum (lag products ride decimal(38,0)); the mean
+    enters through one formula string shared with the oracle
+    (operators.analytics.ACF_EXPR). At 100 TB the post-aggregation
+    series is |days| rows — bounded metadata."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "y"
+            )
+        )
+    )
+    return analytics.acf_lags(daily, "d", "y", ACF_MAX_LAG)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 5
+
+
+@register(
+    "countmin_heavy_users",
+    # deterministic seeded-md5 hashing -> the oracle REPLAYS the whole
+    # sketch in SQL (the KMV full-replay gate pattern), alongside the
+    # exact counts and the sketch's own error-contract verdicts
+    oracle=f"""
+        WITH per_item AS (SELECT user_id AS item, count(*) AS n
+                          FROM events GROUP BY 1),
+        tot AS (SELECT sum(n)::BIGINT AS total FROM per_item),
+        seeds AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
+        cells AS (SELECT d,
+                         ('0x' || substr(md5('cms' || d::VARCHAR || ':'
+                                             || item::VARCHAR), 1, 8))
+                             ::BIGINT % {CMS_WIDTH} AS bucket,
+                         sum(n) AS c
+                  FROM per_item CROSS JOIN seeds GROUP BY 1, 2),
+        top AS (SELECT item, n FROM per_item
+                ORDER BY n DESC, item LIMIT {CMS_TOP_K}),
+        probes AS (SELECT item, n, d,
+                          ('0x' || substr(md5('cms' || d::VARCHAR || ':'
+                                              || item::VARCHAR), 1, 8))
+                              ::BIGINT % {CMS_WIDTH} AS bucket
+                   FROM top CROSS JOIN seeds),
+        est AS (SELECT item, max(n) AS exact_n, min(c) AS est_n
+                FROM probes JOIN cells USING (d, bucket) GROUP BY 1)
+        SELECT item AS user_id, exact_n::BIGINT AS exact_n,
+               est_n::BIGINT AS est_n,
+               (est_n >= exact_n) AS no_underestimate,
+               (est_n <= exact_n + (2 * total // {CMS_WIDTH}))
+                   AS within_bound
+        FROM est CROSS JOIN tot
+    """,
+    tags=("analytics", "sketch", "scale"),
+)
+def countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top heavy-hitter
+    users (operators/sketch.py) — the mergeable fixed-size counter
+    grid that answers "how often did X occur" over any stream without
+    per-key state: d={CMS_DEPTH} seeded-md5 hash rows x w={CMS_WIDTH}
+    buckets, estimates never undercount and overcount by at most
+    ~2N/w per query. Rows pre-aggregate to per-item exact counts
+    before the depth-way explode (the only corpus-sized stage is one
+    map-side-combinable exchange); the sketch is d*w integer cells —
+    two sketches MERGE by adding cells, so per-day/per-source
+    sketches union for free. The gate checks both one-sided error
+    contracts per probed user; deterministic hashing makes the oracle
+    a full SQL replay."""
+    from lambda_refarch_mapreduce_spark.operators import sketch
+
+    e = _t(spark, sf_dir, "events")
+    sk = sketch.countmin_build(e, "user_id", CMS_DEPTH, CMS_WIDTH)
+    per_item = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = per_item.orderBy(F.col("n").desc(), "user_id").limit(CMS_TOP_K)
+    est = sketch.countmin_lookup(sk, top, "user_id", CMS_DEPTH, CMS_WIDTH)
+    tot = per_item.agg(F.sum("n").alias("total"))
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "user_id",
+            "CAST(n AS BIGINT) AS exact_n",
+            "CAST(est_n AS BIGINT) AS est_n",
+            "(est_n >= n) AS no_underestimate",
+            f"(est_n <= n + (2 * total div {CMS_WIDTH})) AS within_bound",
+        )
+    )
+
+
+countmin_heavy_users.__doc__ = countmin_heavy_users.__doc__.replace(
+    "{CMS_DEPTH}", str(CMS_DEPTH)
+).replace("{CMS_WIDTH}", str(CMS_WIDTH))
+
+
+COS_MIN_PAIR = 3
+COS_TOP_N = 15
+
+
+@register(
+    "item_cosine_parts",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+        sized AS (SELECT o FROM items GROUP BY o
+                  HAVING count(*) <= {BASKET_MAX_ITEMS}),
+        kept AS (SELECT items.o, items.p FROM items JOIN sized USING (o)),
+        freq AS (SELECT p, count(*)::BIGINT AS sup FROM kept GROUP BY p
+                 HAVING count(*) >= {BASKET_MIN_SUPPORT}),
+        fi AS (SELECT o, kept.p FROM kept JOIN freq USING (p)),
+        pairs AS (SELECT a.p AS item_a, b.p AS item_b,
+                         count(*)::BIGINT AS co
+                  FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= {COS_MIN_PAIR}),
+        sc AS (SELECT item_a, item_b, co, fa.sup AS na, fb.sup AS nb
+               FROM pairs
+               JOIN freq fa ON fa.p = item_a
+               JOIN freq fb ON fb.p = item_b)
+        SELECT item_a, item_b, co AS n_baskets,
+               na AS n_a, nb AS n_b,
+               round({analytics.ITEM_COSINE_EXPR}, 6) AS cosine
+        FROM sc
+        ORDER BY cosine DESC, item_a, item_b LIMIT {COS_TOP_N}
+    """,
+    tags=("analytics", "product", "scale"),
+)
+def item_cosine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine affinity over part co-purchases — the
+    "bought X, also bought Y" recommender primitive
+    (operators.analytics.item_item_cosine): the SAME pruned basket
+    frame as market_basket_part_pairs (shared apriori + mega-basket +
+    adaptive-broadcast stage), with raw co-counts normalized by
+    sqrt(n_a * n_b) so a universally popular part stops dominating
+    every pair, and a co-count floor so one shared basket between two
+    rare parts cannot fake a perfect score. Exact integer counts,
+    one shared float expression, deterministic TakeOrdered top-N."""
+    return analytics.item_item_cosine(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=BASKET_MIN_SUPPORT,
+        max_basket_items=BASKET_MAX_ITEMS,
+        min_pair_count=COS_MIN_PAIR,
+        top_n=COS_TOP_N,
+    )
+
+
+PCTL_BPS = (5000, 9000, 9900)  # probed percentiles in basis points
+PCTL_ACCURACY = 100  # percentile_approx accuracy: rank err <= N/100
+
+
+@register(
+    "percentile_sketch_rank_gate",
+    # the sketch value itself is not SQL-replayable (GK interior
+    # state), so the gate follows the bounded-error sketch pattern:
+    # the entry emits the EXACT percentiles plus Spark-side verdicts
+    # that the sketch met its rank contract; the oracle recomputes
+    # the exacts and asserts the verdicts TRUE
+    oracle=f"""
+        WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS v
+                   FROM orders),
+        vc AS (SELECT v, count(*) AS cnt FROM c GROUP BY 1),
+        t AS (SELECT sum(cnt)::BIGINT AS n FROM vc),
+        cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM vc),
+        ps AS (SELECT unnest([{", ".join(str(p) for p in PCTL_BPS)}])
+                   AS p_bp),
+        sel AS (SELECT p_bp, min(v) AS exact_cents
+                FROM ps CROSS JOIN t
+                JOIN cum ON cc * 10000 >= p_bp * n
+                GROUP BY 1)
+        SELECT p_bp::INT AS p_bp, exact_cents::BIGINT AS exact_cents,
+               TRUE AS rank_ok
+        FROM sel
+    """,
+    tags=("analytics", "sketch"),
+)
+def percentile_sketch_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx's Greenwald-Khanna sketch held to its rank
+    CONTRACT: for each probed percentile p the sketch's answer must
+    occupy a rank within N/accuracy of p*N — the deterministic
+    guarantee GK gives regardless of partitioning — checked exactly
+    against the value-count frame in pure integer arithmetic
+    (rank * 10000 vs p_bp * N, no float ranks). The entry also emits
+    the EXACT percentile (smallest value whose inclusive cumulative
+    count covers p, via relational.prefix_sums — range exchange, no
+    single-partition CDF window). This is the distributed-percentile
+    serving decision in one table: the sketch's one-pass mergeable
+    answer, the exact two-phase answer, and proof the sketch stayed
+    inside its error budget."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    vc = o.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("n"))
+    cum = prefix_sums(vc, [F.col("v")], ["cnt"])
+    ps = spark.createDataFrame(
+        [(p,) for p in PCTL_BPS], "p_bp long"
+    )
+    exact = (
+        ps.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cnt_cum") * 10000 >= F.col("p_bp") * F.col("n"))
+        .groupBy("p_bp")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    fracs = [p / 10000.0 for p in PCTL_BPS]
+    ap = o.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(x) for x in fracs]), F.lit(PCTL_ACCURACY)
+        ).alias("ap")
+    ).select(
+        F.posexplode("ap").alias("i", "approx_v")
+    ).withColumn(
+        "p_bp",
+        F.element_at(
+            F.array(*[F.lit(p) for p in PCTL_BPS]), F.col("i") + 1
+        ).cast("long"),
+    )
+    ranks = (
+        ap.crossJoin(vc)
+        .groupBy("p_bp", "approx_v")
+        .agg(
+            F.sum(
+                F.when(F.col("v") < F.col("approx_v"), F.col("cnt")).otherwise(
+                    0
+                )
+            ).alias("rank_lo"),
+            F.sum(
+                F.when(
+                    F.col("v") <= F.col("approx_v"), F.col("cnt")
+                ).otherwise(0)
+            ).alias("rank_hi"),
+        )
+    )
+    eps_bp = 10000 // PCTL_ACCURACY
+    return (
+        exact.join(ranks, "p_bp")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(p_bp AS INT) AS p_bp",
+            "CAST(exact_cents AS BIGINT) AS exact_cents",
+            f"(rank_hi * 10000 >= (p_bp - {eps_bp}) * n"
+            f" AND (rank_lo + 1) * 10000 <= (p_bp + {eps_bp}) * n)"
+            " AS rank_ok",
+        )
     )

@@ -1208,3 +1208,237 @@ def test_geo_radius_join_rejects_out_of_band_inputs(spark):
 
     with pytest.raises(ValueError, match="third of the longitude"):
         radius_self_join(bad_lat, "id", "lat", "lon", 6000.0)
+
+
+def test_chi2_and_mi_match_python_reference(spark):
+    """chi2_from_contingency / mutual_info_from_contingency vs a plain
+    Python recomputation of the textbook formulas on a crafted 3x3
+    table with one structurally ABSENT cell — the dense frame must
+    materialize it for chi2 ((0-e)^2/e contributes) and MI must skip
+    it exactly (0*ln(0) -> 0). The Python reference folds terms in
+    the same sorted order, so agreement is to float-print precision,
+    not statistical tolerance."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        chi2_from_contingency,
+        contingency_counts,
+        mutual_info_from_contingency,
+    )
+
+    raw = [("x", 0)] * 30 + [("x", 1)] * 10 + [("x", 2)] * 5 \
+        + [("y", 0)] * 8 + [("y", 1)] * 22 + [("y", 2)] * 4 \
+        + [("z", 0)] * 6 + [("z", 1)] * 15  # (z, 2) absent
+    df = spark.createDataFrame(raw, "a string, b long")
+    cells = contingency_counts(df, "a", "b")
+
+    # python reference over the dense table
+    from collections import Counter
+
+    obs = Counter(raw)
+    a_vals, b_vals = sorted({a for a, _ in raw}), sorted({b for _, b in raw})
+    ra = {a: sum(obs[(a, b)] for b in b_vals) for a in a_vals}
+    cb = {b: sum(obs[(a, b)] for a in a_vals) for b in b_vals}
+    n = sum(obs.values())
+    chi2 = 0.0
+    for a in a_vals:
+        for b in b_vals:
+            e = ra[a] * 1.0 * cb[b] / n
+            chi2 += (obs[(a, b)] * 1.0 - e) ** 2 / e
+    dof = (len(a_vals) - 1) * (len(b_vals) - 1)
+    v = math.sqrt(chi2 / (n * 1.0 * min(len(a_vals) - 1, len(b_vals) - 1)))
+
+    row = chi2_from_contingency(cells).collect()[0]
+    assert row.n_total == n and row.dof == dof
+    assert abs(row.chi2 - chi2) < 1e-6, (row.chi2, chi2)
+    assert abs(row.cramers_v - v) < 1e-6
+
+    mi = sum(
+        obs[(a, b)] * 1.0 * math.log(obs[(a, b)] * 1.0 * n / (ra[a] * 1.0 * cb[b]))
+        for a in a_vals
+        for b in b_vals
+        if obs[(a, b)] > 0
+    ) / n
+    h_a = -sum(ra[a] / n * math.log(ra[a] * 1.0 / n) for a in a_vals)
+    h_b = -sum(cb[b] / n * math.log(cb[b] * 1.0 / n) for b in b_vals)
+    m = mutual_info_from_contingency(cells).collect()[0]
+    assert abs(m.mi_nats - mi) < 1e-6 and abs(m.h_a - h_a) < 1e-6
+    assert abs(m.nmi - mi / min(h_a, h_b)) < 1e-6
+
+
+def test_anova_f_matches_python_reference(spark):
+    """anova_f_from_groups vs the textbook SSB/SSW computation on
+    integer-valued groups with clearly different means (F must be
+    large and significant) and on identical groups (F ~ 0)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anova_f_from_groups,
+    )
+
+    groups = {"a": [10, 12, 11, 13], "b": [20, 22, 21, 23], "c": [30, 29, 31, 32]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    gm = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+    )
+    row = anova_f_from_groups(gm).collect()[0]
+
+    allv = [v for vs in groups.values() for v in vs]
+    nt, k = len(allv), len(groups)
+    mean = sum(allv) / nt
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - mean) ** 2 for vs in groups.values()
+    )
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2
+        for vs in groups.values()
+        for v in vs
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert row.k_groups == k and row.n_total == nt
+    assert abs(row.f_stat - f_ref) < 1e-4, (row.f_stat, f_ref)
+    assert row.significant
+
+    same = spark.createDataFrame(
+        [(g, v) for g in "abc" for v in (5, 6, 7)], "g string, v long"
+    )
+    gm2 = same.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+    )
+    row2 = anova_f_from_groups(gm2).collect()[0]
+    assert abs(row2.f_stat) < 1e-9 and not row2.significant
+
+
+def test_acf_matches_numpy_reference(spark):
+    """acf_lags vs the standard sample-ACF formula computed with
+    numpy (full-series variance denominator) on a deterministic
+    series with a strong period-3 component — lag 3 must dominate."""
+    import numpy as np
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import acf_lags
+
+    y = [int(100 + 50 * ((i % 3) - 1) + (i * 7) % 5) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(y)], "k long, y long"
+    )
+    got = {r.lag: r.acf for r in acf_lags(df, "k", "y", 5).collect()}
+
+    arr = np.array(y, dtype=float)
+    c = arr - arr.mean()
+    denom = (c * c).sum()
+    for k in range(1, 6):
+        ref = (c[k:] * c[:-k]).sum() / denom
+        assert abs(got[k] - ref) < 1e-6, (k, got[k], ref)
+    assert got[3] == max(got.values())
+
+
+def test_countmin_never_underestimates_any_item(spark):
+    """The CMS one-sided error contract must hold for EVERY item, not
+    just the probed heavy hitters: est >= exact for all, and est is
+    the min over depth rows (so narrower width only ever inflates)."""
+    from lambda_refarch_mapreduce_spark.operators.sketch import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    rows = [(f"u{i % 37}",) for i in range(1500)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "item string")
+    exact = {
+        r.item: r.n
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for width in (16, 64):
+        sk = countmin_build(df, "item", depth=3, width=width)
+        est = {
+            r.item: r.est_n
+            for r in countmin_lookup(
+                sk, df.select("item").distinct(), "item", 3, width
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for item, n in exact.items():
+            assert est[item] >= n, (width, item, est[item], n)
+    # the hot item stays well-estimated even in the tiny sketch
+    assert est["hot"] >= 400
+
+
+def test_item_cosine_equals_bruteforce(spark):
+    """item_item_cosine vs a brute-force Python recomputation on a
+    small basket set (no pruning in effect: support 1, no cap), with
+    the min_pair_count floor and cosine ordering checked."""
+    import itertools
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        item_item_cosine,
+    )
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["a", "c"],
+        4: ["b", "c", "d"],
+        5: ["a", "b"],
+        6: ["d"],
+    }
+    rows = [(o, i) for o, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "o long, i string")
+    got = item_item_cosine(
+        df, "o", "i", min_support=1, max_basket_items=10,
+        min_pair_count=2, top_n=100,
+    ).collect()
+
+    sup = {}
+    co = {}
+    for items in baskets.values():
+        for x in items:
+            sup[x] = sup.get(x, 0) + 1
+        for x, yy in itertools.combinations(sorted(items), 2):
+            co[(x, yy)] = co.get((x, yy), 0) + 1
+    want = {
+        pair: (c, sup[pair[0]], sup[pair[1]],
+               round(c / math.sqrt(sup[pair[0]] * sup[pair[1]]), 6))
+        for pair, c in co.items()
+        if c >= 2
+    }
+    assert {(r.item_a, r.item_b) for r in got} == set(want)
+    for r in got:
+        c, na, nb, cos = want[(r.item_a, r.item_b)]
+        assert (r.n_baskets, r.n_a, r.n_b) == (c, na, nb)
+        assert abs(r.cosine - cos) < 1e-9
+    # ordering: cosine desc, then item_a, item_b
+    keys = [(-r.cosine, r.item_a, r.item_b) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_percentile_sketch_gate_exact_matches_sorted_list(spark):
+    """The entry's EXACT percentile definition (smallest value whose
+    inclusive cumulative count covers p) vs a sorted Python list at
+    sf0.001, and every rank verdict TRUE — the GK contract holds by
+    construction, so a False here means the rank accounting broke."""
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+    )
+
+    rows = catalog.REGISTRY["percentile_sketch_rank_gate"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    vals = sorted(
+        v
+        for (v,) in duckdb.sql(
+            "SELECT round(o_totalprice * 100)::BIGINT FROM "
+            "'/root/testdata/sf0.001/orders.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    for r in rows:
+        # smallest index i (1-based) with i*10000 >= p_bp*n
+        idx = -(-r.p_bp * n // 10000)  # ceil
+        assert r.exact_cents == vals[idx - 1], (r.p_bp, r.exact_cents)
+        assert r.rank_ok

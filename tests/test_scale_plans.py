@@ -325,6 +325,14 @@ def test_registry_wide_no_cartesian_product(spark):
         "benford_first_digit_prices",  # single-row total over a 9-row grid
         "nb_filter_confusion_eval",    # single-row median + prior terms
         "nb_filter_lift_deciles",      # single-row median/prior/base terms
+        # round 7 — all alphabet-sized margin crosses / single-row
+        # totals / bounded probe grids, never two data-sized sides
+        "contingency_event_dow",       # |A| x 7 margin cross + 1-row total
+        "chi2_independence_event_dow",  # same dense-cell frame
+        "mutual_info_event_dow",        # same dense-cell frame
+        "acf_daily_revenue",           # 7-row lag grid + 1-row moments
+        "countmin_heavy_users",        # single-row total term
+        "percentile_sketch_rank_gate",  # 3-row probe grid + 1-row total
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
@@ -548,3 +556,53 @@ def test_market_basket_broadcast_is_adaptive(spark):
         assert rows  # non-vacuous at this sf
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round7_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-7 scale claims:
+
+    - the association tier (chi2 / MI / contingency) collapses the
+      corpus map-side into the cell alphabet: the corpus-sized input
+      reaches its first exchange through a partial aggregate, and no
+      Window appears anywhere (the float totals are agg-buffer folds,
+      not running windows);
+    - acf_daily_revenue indexes the day series via global_rank's
+      range exchange (never a single-partition window over data: all
+      Windows are __pid-scoped) and collapses orders to days through
+      a partial aggregate;
+    - countmin_heavy_users pre-aggregates per item before the
+      depth-way explode (partial_count present) and never windows;
+    - percentile_sketch_rank_gate's exact side runs on prefix_sums'
+      range exchange with only __pid-scoped windows."""
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+    )
+
+    for name in (
+        "chi2_independence_event_dow",
+        "mutual_info_event_dow",
+        "contingency_event_dow",
+    ):
+        p = _plan(catalog.REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "partial_count" in p, name
+        assert "Window" not in p, name
+
+    p = _plan(catalog.REGISTRY["acf_daily_revenue"].spark(spark, SF_SMOKE))
+    assert "rangepartitioning" in p
+    assert "partial_sum" in p  # orders collapse to days map-side
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "__pid" in ln, ln
+
+    p = _plan(catalog.REGISTRY["countmin_heavy_users"].spark(spark, SF_SMOKE))
+    assert "partial_count" in p
+    assert "Window" not in p
+
+    p = _plan(
+        catalog.REGISTRY["percentile_sketch_rank_gate"].spark(spark, SF_SMOKE)
+    )
+    assert "rangepartitioning" in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "__pid" in ln, ln
