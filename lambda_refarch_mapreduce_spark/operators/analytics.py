@@ -1071,3 +1071,104 @@ def acf_lags(
         )
         .orderBy("lag")
     )
+
+
+def contingency_from_weighted(long: DataFrame) -> DataFrame:
+    """contingency_counts for a PRE-COUNTED long frame ``(a, b, n)``
+    (n exact integer cell counts, one row per observed cell): same
+    dense output contract (a, b, n, ra, cb, total) — the adapter that
+    lets an existing count frame (e.g. the A/B monitor's committed
+    (v, ca, cb) state) feed the chi2/MI kernels without rescanning
+    rows."""
+    ra = long.groupBy("a").agg(F.sum("n").alias("ra"))
+    cb = long.groupBy("b").agg(F.sum("n").alias("cb"))
+    tot = long.agg(F.sum("n").alias("total"))
+    dense = (
+        ra.crossJoin(cb)
+        .join(long.select("a", "b", "n"), ["a", "b"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    return dense.crossJoin(F.broadcast(tot))
+
+
+def chi2_from_group_value_counts(
+    counts: DataFrame, ca: str = "ca", cb: str = "cb"
+) -> DataFrame:
+    """Chi-square HOMOGENEITY test between two groups' value
+    distributions from the shared ``(v, ca, cb)`` count frame — the
+    categorical-association reading over the SAME state the
+    Mann-Whitney / KS / Welch kernels consume (group_value_counts,
+    the streaming A/B monitor's committed frame, the JobSpec
+    stats_test clause): unpivot to a 2 x |alphabet| contingency and
+    run the independence kernel. ka = 2 groups, kb = the value
+    alphabet."""
+    base = counts.select(
+        F.col("v").alias("b"),
+        F.col(ca).alias("na"),
+        F.col(cb).alias("nb"),
+    )
+    long = base.selectExpr(
+        "'a' AS a", "b", "CAST(na AS BIGINT) AS n"
+    ).unionAll(base.selectExpr("'b' AS a", "b", "CAST(nb AS BIGINT) AS n"))
+    return chi2_from_contingency(contingency_from_weighted(long))
+
+
+def kaplan_meier(
+    subjects: DataFrame, t_col: str = "t", event_col: str = "event"
+) -> DataFrame:
+    """Kaplan-Meier survival curve from one row per subject
+    ``(t, event)`` — t integer time units, event 1 = observed at t,
+    0 = right-censored at t (Kaplan & Meier 1958). Subjects collapse
+    map-side into the TIME alphabet (per-t death/censor counts — the
+    group_value_counts posture); the at-risk count is an exact-integer
+    distributed prefix sum over that alphabet
+    (operators.relational.prefix_sums — no single-partition window);
+    and the survival product folds LEFT-TO-RIGHT over the sorted
+    event-time array in one agg buffer, so both engines multiply the
+    identical factor sequence (the sorted-fold convention, as a
+    product) — no exp(sum(ln)) libm seam. O(k^2) slice-folds over the
+    k event times are driver-free and trivially cheap for any
+    alphabet that fits an agg buffer. Returns one row per event time:
+    (t, n_risk, n_events, n_censored, survival)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    per_t = subjects.groupBy(F.col(t_col).alias("t")).agg(
+        F.sum(F.col(event_col)).alias("d"),
+        F.sum(1 - F.col(event_col)).alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_all"))
+    cum = prefix_sums(
+        per_t.withColumn("dc", F.col("d") + F.col("c")),
+        [F.col("t")],
+        ["dc"],
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (F.col("n_all") - (F.col("dc_cum") - F.col("dc"))).alias("n_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0)
+    arr = ev.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c", "n_risk"))
+        ).alias("a")
+    )
+    exploded = arr.select(
+        F.posexplode(F.col("a")).alias("i", "s"), F.col("a")
+    )
+    surv = F.aggregate(
+        F.slice(F.col("a"), 1, F.col("i") + 1),
+        F.lit(1.0),
+        lambda acc, x: acc
+        * (F.lit(1.0) - x["d"] * F.lit(1e0) / x["n_risk"]),
+    )
+    return exploded.select(
+        F.col("s.t").alias("t"),
+        F.col("s.n_risk").cast("long").alias("n_risk"),
+        F.col("s.d").cast("long").alias("n_events"),
+        F.col("s.c").cast("long").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )

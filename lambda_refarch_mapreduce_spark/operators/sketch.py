@@ -1,4 +1,6 @@
-"""Count-min sketch: mergeable heavy-hitter counts in O(d*w) space.
+"""Mergeable frequency/membership sketches: count-min and Bloom.
+
+Count-min: heavy-hitter counts in O(d*w) space.
 
 The frequency-estimation sibling of the catalog's KMV (set overlap)
 and HLL (distinct count) sketches: a d x w grid of counters where
@@ -98,3 +100,105 @@ def countmin_lookup(
     return joined.groupBy("__item").agg(F.min("c").alias("est_n")).select(
         F.col("__item").alias(item_col), "est_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership in n_bits of space, NO false
+# negatives (Bloom 1970). The shuffle-elimination sketch: a build-side
+# key set too large to ship as an IN-list compresses into a bit array
+# small enough to BROADCAST AS A PLAN LITERAL, so the probe side
+# prefilters ROW-LOCALLY inside the scan — no exchange touches the
+# probe corpus until the (much smaller) candidate set reaches the
+# exact join. False positives only cost wasted candidates; the exact
+# join downstream removes them, so results are always exact.
+#
+# Hashing reuses the count-min scheme (seeded md5, engine-portable),
+# so a DuckDB oracle replays the whole filter in SQL: same set bits,
+# same candidate set, bit for bit. Merge = bitwise OR of the word
+# arrays == union of the set-bit frames (groupBy pos), so per-source /
+# per-day filters compose like the count-min cells do.
+
+
+def _bit_pos(key, seed, n_bits: int):
+    """Bit index in [0, n_bits) for hash row ``seed`` — DuckDB twin:
+    ('0x' || substr(md5('bloom' || seed || ':' || key), 1, 8))::BIGINT
+    % n_bits."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bloom"),
+                    seed.cast("string"),
+                    F.lit(":"),
+                    key.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_bits)).cast("long")
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 13, k: int = 2
+) -> DataFrame:
+    """Build the filter as its set-bit frame ``(pos)``: DISTINCT bit
+    positions over k hashes of each distinct key — at most
+    min(k*|keys|, n_bits) rows. Keys dedupe BEFORE the k-way explode,
+    so the fan-out runs over the key alphabet, not the rows; two
+    filters merge by union + distinct on this frame (== bitwise OR)."""
+    keys = df.select(F.col(key_col).alias("__key")).distinct()
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    return (
+        keys.select("__key", seeds)
+        .select(_bit_pos(F.col("__key"), F.col("seed"), n_bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_words(bits: DataFrame, n_bits: int) -> list[int]:
+    """Pack the set-bit frame into ``n_bits / 64`` int64 words (the
+    broadcastable literal form). The collect is the point: the whole
+    filter is n_bits / 8 BYTES of metadata — 1 MiB covers 8M bits —
+    which is what lets the probe side test membership row-locally
+    inside its scan instead of joining. shiftleft wraps at bit 63
+    into the sign bit, which is fine: words are opaque bit patterns,
+    read back with shiftrightunsigned."""
+    n_words = (n_bits + 63) // 64
+    rows = (
+        bits.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.shiftleft(F.lit(1).cast("long"), (F.pmod(F.col("pos"), F.lit(64))).cast("int"))
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(key, words: list[int], n_bits: int, k: int):
+    """Row-local membership predicate over the literal word array:
+    AND over the k hash positions of (word >> bit) & 1. Never false
+    for a key that was inserted (no false negatives); true for a
+    non-member with probability ~ (1 - e^{-k n / n_bits})^k."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for i in range(k):
+        pos = _bit_pos(key, F.lit(i), n_bits)
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.pmod(pos, F.lit(64)).cast("int")
+        checks.append(
+            F.shiftrightunsigned(word, bit).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
