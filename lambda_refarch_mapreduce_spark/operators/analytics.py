@@ -504,7 +504,10 @@ def mann_whitney_from_value_counts(
     # value, and the pair product cp * cc_cum past ~3e9 rows per side —
     # both well inside this tier's claimed scale. Exact integers fit
     # decimal(38,0) to 1e38 (t < 4.6e12 rows per value); the DuckDB
-    # twin needs no guard because its sum() already widens to HUGEINT.
+    # twin's per-row products ride int128 because its cp/cc are sum()
+    # outputs (HUGEINT — verified: the product/cube expressions type as
+    # HUGEINT), and the oracle now casts ::HUGEINT explicitly anyway so
+    # the guarantee survives a DuckDB sum()-typing change.
     t = (F.col("cp") + F.col("cc")).cast("decimal(38,0)")
     a = cum.agg(
         F.sum("cp").alias("n1"),

@@ -3697,9 +3697,9 @@ _MW_Z = analytics.MW_Z_EXPR
         g AS (SELECT v, sum(ip) AS cp, sum(ic) AS cc FROM s GROUP BY 1),
         c AS (SELECT v, cp, cc, sum(cc) OVER (ORDER BY v) AS cc_cum FROM g),
         a AS (SELECT sum(cp) AS n1, sum(cc) AS n2,
-                     sum(cp * (2 * (cc_cum - cc) + cc)) AS u2,
-                     sum((cp + cc) * (cp + cc) * (cp + cc) - (cp + cc))
-                         AS ties
+                     sum(cp::HUGEINT * (2 * (cc_cum - cc) + cc)) AS u2,
+                     sum((cp + cc)::HUGEINT * (cp + cc) * (cp + cc)
+                         - (cp + cc)) AS ties
               FROM c)
         SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_click,
                round(u2 / (2e0 * n1 * n2), 6) AS auc,
@@ -4012,9 +4012,9 @@ def wilson_ci_purchase_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         g AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM s GROUP BY 1),
         c AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cb_cum FROM g),
         a AS (SELECT sum(ca) AS n1, sum(cb) AS n2,
-                     sum(ca * (2 * (cb_cum - cb) + cb)) AS u2,
-                     sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
-                         AS ties
+                     sum(ca::HUGEINT * (2 * (cb_cum - cb) + cb)) AS u2,
+                     sum((ca + cb)::HUGEINT * (ca + cb) * (ca + cb)
+                         - (ca + cb)) AS ties
               FROM c)
         SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
                round(u2 / (2e0 * n1 * n2), 6) AS auc,
@@ -4562,13 +4562,14 @@ ACF_MAX_LAG = 7
         idx AS (SELECT y, row_number() OVER (ORDER BY d) AS t
                 FROM daily),
         tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS s,
-                       sum(y * y)::DOUBLE AS q
+                       sum(y::HUGEINT * y)::DOUBLE AS q
                 FROM idx),
         lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
         j AS (SELECT lags.lag, a.y AS ya, b.y AS yb
               FROM idx a CROSS JOIN lags
               JOIN idx b ON b.t = a.t - lags.lag),
-        p AS (SELECT lag, count(*) AS cnt, sum(ya * yb)::DOUBLE AS pk,
+        p AS (SELECT lag, count(*) AS cnt,
+                     sum(ya::HUGEINT * yb)::DOUBLE AS pk,
                      sum(ya)::BIGINT AS sa, sum(yb)::BIGINT AS sb
               FROM j GROUP BY 1)
         SELECT lag::INT AS lag, cnt::BIGINT AS n_obs,
