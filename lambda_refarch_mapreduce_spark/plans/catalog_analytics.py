@@ -3162,11 +3162,14 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basket id (the exchange both sides already share), the pair
     count is map-side combinable, and the top-N cut is a TakeOrdered
     over pair aggregates with a deterministic (n desc, p_a, p_b)
-    tie-break. The frequent-set broadcast is ADAPTIVE (operators.
-    analytics.market_basket_pairs, VERDICT r6 #6): the set is counted
-    once and the hint applied only under the row threshold, so a
-    very-low-support run on a wide catalog degrades to the shuffled
-    semi-join instead of overflowing the broadcast limit."""
+    tie-break. The frequent-set broadcast is ADAPTIVE via AQE
+    (operators.analytics.market_basket_pairs, VERDICT r6 #6 / r7 #2):
+    the set is an aggregation output, so AQE reads its true
+    post-shuffle byte size and converts the semi-join to a broadcast
+    exactly when it fits — a very-low-support run on a wide catalog
+    degrades to the shuffled semi-join instead of overflowing the
+    broadcast limit, and no driver-side probe jobs run ahead of the
+    timed plan."""
     return analytics.market_basket_pairs(
         _t(spark, sf_dir, "lineitem"),
         "l_orderkey",
@@ -4715,8 +4718,9 @@ def item_cosine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item cosine affinity over part co-purchases — the
     "bought X, also bought Y" recommender primitive
     (operators.analytics.item_item_cosine): the SAME pruned basket
-    frame as market_basket_part_pairs (shared apriori + mega-basket +
-    adaptive-broadcast stage), with raw co-counts normalized by
+    frame as market_basket_part_pairs (shared apriori + mega-basket
+    stage; the frequent-set broadcast is AQE's runtime byte-size
+    call), with raw co-counts normalized by
     sqrt(n_a * n_b) so a universally popular part stops dominating
     every pair, and a co-count floor so one shared basket between two
     rare parts cannot fake a perfect score. Exact integer counts,

@@ -520,42 +520,74 @@ def test_round6b_entry_plan_shapes(spark):
 
 
 def test_market_basket_broadcast_is_adaptive(spark):
-    """The frequent-set semi-join hint must be GATED on cardinality
-    (VERDICT r6 'next round' #6 — a forced F.broadcast overflows the
-    broadcast limit at very low support on a wide catalog): under the
-    row threshold the plan broadcasts; over it (or with the probe
-    disabled) the semi-join falls back to the shuffled plan — asserted
-    with the static broadcast threshold pinned off so only the HINT
-    can produce a broadcast — and both modes return identical rows."""
+    """The frequent-set semi-join broadcast must be ADAPTIVE (VERDICT
+    r6 'next round' #6 — a forced F.broadcast overflows the broadcast
+    limit at very low support on a wide catalog) and must cost no
+    driver-side probe jobs (VERDICT r7 'what's wrong' #2 — the r7
+    localCheckpoint+count probe paid ~0.65 s/call at sf0.1 for a plan
+    AQE picks anyway). The adaptivity now lives where Spark puts it:
+    AQE reads the aggregate's true post-shuffle byte size at runtime
+    and converts the semi-join to a broadcast exactly when it fits
+    spark.sql.adaptive.autoBroadcastJoinThreshold. Asserted in both
+    regimes, with the STATIC threshold pinned off so only AQE's
+    runtime decision can produce the broadcast: (a) adaptive
+    threshold open -> the executed plan broadcasts the frequent set;
+    (b) adaptive threshold -1 -> it stays a shuffled join; both
+    return identical rows, and building either plan runs zero jobs."""
     from lambda_refarch_mapreduce_spark.operators.analytics import (
         market_basket_pairs,
     )
 
     li = load_table(spark, SF_SMOKE, "lineitem")
     kw = dict(min_support=3, max_basket_items=20, top_n=10)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    static_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    adapt_old = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+
+    def _restore():
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static_old)
+        if adapt_old is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", adapt_old
+            )
+
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        hinted = market_basket_pairs(
-            li, "l_orderkey", "l_partkey", **kw
-        )  # default threshold: probe says small -> hint
-        fallback = market_basket_pairs(
-            li, "l_orderkey", "l_partkey", **kw, broadcast_threshold=0
-        )  # probe says too big -> no hint
-        lazy = market_basket_pairs(
-            li, "l_orderkey", "l_partkey", **kw, broadcast_threshold=None
-        )  # no probe, no hint, no checkpoint
-        assert "BroadcastHashJoin" in _plan(hinted)
-        for df in (fallback, lazy):
-            p = _plan(df)
-            assert "BroadcastHashJoin" not in p, p
-            assert "CartesianProduct" not in p
-        rows = sorted(map(tuple, hinted.collect()))
-        assert rows == sorted(map(tuple, fallback.collect()))
-        assert rows == sorted(map(tuple, lazy.collect()))
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10m"
+        )
+        # plan construction is lazy: no probe, no checkpoint, no jobs
+        sc = spark.sparkContext
+        sc.setJobGroup("basket-plan-build", "r7 probe regression guard")
+        try:
+            adaptive = market_basket_pairs(
+                li, "l_orderkey", "l_partkey", **kw
+            )
+            _ = adaptive.schema  # forces analysis, must not run jobs
+            built_jobs = sc.statusTracker().getJobIdsForGroup(
+                "basket-plan-build"
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert not built_jobs, "building the basket plan ran Spark jobs"
+        rows = sorted(map(tuple, adaptive.collect()))
+        assert "BroadcastHashJoin" in _plan(adaptive)  # AQE converted
+
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        shuffled = market_basket_pairs(li, "l_orderkey", "l_partkey", **kw)
+        rows2 = sorted(map(tuple, shuffled.collect()))
+        p = _plan(shuffled)
+        assert "BroadcastHashJoin" not in p, p
+        assert "CartesianProduct" not in p
+        assert rows == rows2
         assert rows  # non-vacuous at this sf
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        _restore()
 
 
 def test_round7_entry_plan_shapes(spark):
