@@ -83,6 +83,8 @@ HEADLINE = {
     "q_acf": "acf_daily_revenue",
     "q_countmin": "countmin_heavy_users",
     "q_item_cosine": "item_cosine_parts",
+    "q_bloom_prefilter": "bloom_prefilter_orders",
+    "q_kaplan_meier": "kaplan_meier_customer_churn",
 }
 
 

@@ -168,11 +168,17 @@ def bloom_words(bits: DataFrame, n_bits: int) -> list[int]:
     into the sign bit, which is fine: words are opaque bit patterns,
     read back with shiftrightunsigned."""
     n_words = (n_bits + 63) // 64
+    # call_function: the shift amount is a COLUMN here, and the typed
+    # F.shiftleft wrapper only accepts a Python int for numBits
     rows = (
         bits.groupBy((F.col("pos") / 64).cast("long").alias("w"))
         .agg(
             F.bit_or(
-                F.shiftleft(F.lit(1).cast("long"), (F.pmod(F.col("pos"), F.lit(64))).cast("int"))
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(F.col("pos"), F.lit(64)).cast("int"),
+                )
             ).alias("bits")
         )
         .collect()
@@ -194,8 +200,12 @@ def bloom_might_contain(key, words: list[int], n_bits: int, k: int):
         pos = _bit_pos(key, F.lit(i), n_bits)
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
         bit = F.pmod(pos, F.lit(64)).cast("int")
+        # call_function: the shift amount is a COLUMN (the typed
+        # F.shiftrightunsigned wrapper only takes a Python int)
         checks.append(
-            F.shiftrightunsigned(word, bit).bitwiseAND(F.lit(1).cast("long"))
+            F.call_function("shiftrightunsigned", word, bit).bitwiseAND(
+                F.lit(1).cast("long")
+            )
             == 1
         )
     out = checks[0]

@@ -831,14 +831,18 @@ def window_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: TakeOrderedAndProject (per-partition heaps; only
-    k rows cross to the driver stage)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    """Global top-k (operators.relational.top_k_global):
+    TakeOrderedAndProject (per-partition heaps; only k rows cross to
+    the driver stage)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        top_k_global,
     )
+
+    return top_k_global(
+        _t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
 
 
 @register(

@@ -1442,3 +1442,100 @@ def test_percentile_sketch_gate_exact_matches_sorted_list(spark):
         idx = -(-r.p_bp * n // 10000)  # ceil
         assert r.exact_cents == vals[idx - 1], (r.p_bp, r.exact_cents)
         assert r.rank_ok
+
+
+def test_bloom_filter_no_false_negatives_and_sql_replayable(spark):
+    """The Bloom membership predicate (operators/sketch.py) can NEVER
+    be false for an inserted key (Bloom 1970's one guarantee — the
+    exact join downstream only ever removes false POSITIVES), and the
+    seeded-md5 bit positions replay exactly in plain Python/SQL — the
+    property the catalog entry's full-replay oracle rests on. Also
+    pins the merge law: bits(A ∪ B) == bits(A) ∪ bits(B) as set-bit
+    frames (== bitwise OR of the packed words)."""
+    import hashlib
+
+    from lambda_refarch_mapreduce_spark.operators import sketch
+
+    n_bits, k = 1 << 10, 3
+    keys = spark.range(0, 200).select((F.col("id") * 7 + 3).alias("k"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("x"))
+
+    bits = sketch.bloom_bits(keys, "k", n_bits, k)
+    words = sketch.bloom_words(bits, n_bits)
+    cand = probe.filter(
+        sketch.bloom_might_contain(F.col("x"), words, n_bits, k)
+    )
+
+    key_vals = {r.k for r in keys.collect()}
+    cand_set = {r.x for r in cand.collect()}
+    exact = key_vals & {r.x for r in probe.collect()}
+    assert exact, "vacuous: no true members in the probe range"
+    assert exact <= cand_set, sorted(exact - cand_set)[:5]
+    # candidates stay a small superset: the filter actually filters
+    assert len(cand_set) < 3000 / 2
+
+    # bit positions replay from the documented recipe, bit for bit
+    def pos(seed: int, key: int) -> int:
+        h = hashlib.md5(f"bloom{seed}:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % n_bits
+
+    py_bits = {pos(s, kk) for kk in key_vals for s in range(k)}
+    assert py_bits == {r.pos for r in bits.collect()}
+    # packed words match a python packing of the same positions
+    py_words = [0] * ((n_bits + 63) // 64)
+    for p in py_bits:
+        py_words[p // 64] |= 1 << (p % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in py_words]
+    assert signed == words
+
+    # merge law: the union's set-bit frame is the union of frames
+    half_a = keys.filter(F.col("k") < 700)
+    half_b = keys.filter(F.col("k") >= 700)
+    merged = (
+        sketch.bloom_bits(half_a, "k", n_bits, k)
+        .unionAll(sketch.bloom_bits(half_b, "k", n_bits, k))
+        .distinct()
+    )
+    assert {r.pos for r in merged.collect()} == py_bits
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    """operators.analytics.kaplan_meier vs a hand-rolled Python KM on
+    a small cohort with tied event times, tied censor times, and a
+    censor sharing a death's time (the standard convention: subjects
+    censored AT t are still at risk for the deaths at t — they leave
+    after). Checks every output column including the running survival
+    product."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    # (t, event): deaths at 2 (x2), 4, 7 (x3); censors at 3, 4, 9, 9
+    subjects = [
+        (2, 1), (2, 1), (3, 0), (4, 1), (4, 0),
+        (7, 1), (7, 1), (7, 1), (9, 0), (9, 0), (12, 1),
+    ]
+    df = spark.createDataFrame(subjects, "t long, event int")
+    got = {r.t: r for r in kaplan_meier(df, "t", "event").collect()}
+
+    # python reference
+    n = len(subjects)
+    times = sorted({t for t, e in subjects if e == 1})
+    surv, want = 1.0, {}
+    for t in times:
+        d = sum(1 for tt, e in subjects if tt == t and e == 1)
+        c = sum(1 for tt, e in subjects if tt == t and e == 0)
+        at_risk = sum(1 for tt, _ in subjects if tt >= t)
+        surv *= 1.0 - d / at_risk
+        want[t] = (at_risk, d, c, surv)
+
+    assert set(got) == set(want)
+    for t, (at_risk, d, c, s) in want.items():
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.n_censored) == (at_risk, d, c), t
+        # the operator rounds survival to 6dp (the catalog convention)
+        assert abs(r.survival - round(s, 6)) < 1e-12, (t, r.survival, s)
+    # the curve is monotone non-increasing and ends below 1
+    vals = [got[t].survival for t in sorted(got)]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[-1] < 1.0

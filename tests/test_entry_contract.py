@@ -253,3 +253,59 @@ def test_driver_window_rotates_stalest_verified_entries(tmp_path):
     assert ordered.index(b) < ordered.index(c)
     # registration-order tiebreak within the same round
     assert ordered.index(a) < ordered.index(c)
+
+
+def test_every_public_operator_function_is_referenced():
+    """Dead-code guard (VERDICT r7 'next round' #3): every PUBLIC
+    top-level function in operators/* must be referenced somewhere
+    beyond its own def — a catalog entry, a streaming module, another
+    operator, a tool, bench, or a test — so an operator can never
+    again land without a consumer the way the round-7 Bloom half of
+    sketch.py did (it shipped with a latent PySpark-4 shiftleft bug
+    that its first consumer found immediately). References are
+    collected from the ASTs of every repo .py file (Name loads and
+    Attribute accesses), so a docstring or comment mention cannot
+    fake a reference."""
+    import ast
+    import glob
+
+    root = "/root/repo"
+    op_files = sorted(
+        glob.glob(f"{root}/lambda_refarch_mapreduce_spark/operators/*.py")
+    )
+    all_files = [
+        p
+        for p in glob.glob(f"{root}/**/*.py", recursive=True)
+        if "/spark-warehouse/" not in p and "/.git/" not in p
+    ]
+
+    public = {}  # function name -> defining file
+    refs = set()
+    for path in all_files:
+        tree = ast.parse(open(path).read())
+        if path in op_files and not path.endswith("__init__.py"):
+            for node in tree.body:
+                if isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ) and not node.name.startswith("_"):
+                    public.setdefault(node.name, path)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                refs.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                refs.add(node.attr)
+            elif isinstance(node, ast.ImportFrom):
+                # "from x import name" re-exports don't count as USE;
+                # but aliases do appear as Names at their call sites,
+                # so nothing to add here — this branch documents the
+                # decision.
+                pass
+
+    # a def alone contributes no Name/Attribute node, so a function
+    # referenced nowhere (not even by a same-module caller) is dead
+    dead = sorted(name for name in public if name not in refs)
+    assert not dead, (
+        f"public operators with no reference anywhere in the repo: "
+        f"{[(n, public[n]) for n in dead]} — gate each with a catalog "
+        "entry/test or delete it"
+    )

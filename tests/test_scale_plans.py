@@ -333,6 +333,9 @@ def test_registry_wide_no_cartesian_product(spark):
         "acf_daily_revenue",           # 7-row lag grid + 1-row moments
         "countmin_heavy_users",        # single-row total term
         "percentile_sketch_rank_gate",  # 3-row probe grid + 1-row total
+        # round 8
+        "chi2_homogeneity_value_bins",  # 2 x |bins| dense margin cross
+        "kaplan_meier_customer_churn",  # 1-row horizon + 1-row n_all
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
@@ -638,3 +641,21 @@ def test_round7_entry_plan_shapes(spark):
     for ln in p.splitlines():
         if "Window [" in ln:
             assert "__pid" in ln, ln
+
+
+def test_round8_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-8 scale claims:
+
+    - bloom_prefilter_orders: the probe side (orders) is filtered
+      ROW-LOCALLY inside its scan stage by the literal word array
+      (shiftrightunsigned against a plan literal — no join, no
+      exchange) and reaches the exact join as a broadcast; the ONLY
+      exchange in the plan is the final per-priority aggregate."""
+    p = _plan(
+        catalog.REGISTRY["bloom_prefilter_orders"].spark(spark, SF_SMOKE)
+    )
+    assert "shiftrightunsigned" in p  # row-local literal membership test
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
