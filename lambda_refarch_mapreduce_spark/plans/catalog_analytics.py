@@ -5121,3 +5121,61 @@ kaplan_meier_customer_churn.__doc__ = (
         "{KM_CHURN_GAP_DAYS}", str(KM_CHURN_GAP_DAYS)
     )
 )
+
+
+@register(
+    "jobspec_bloom_prefilter",
+    # the clause ends in an EXACT semi-join (the bloom only prunes),
+    # so the oracle is the plain semantics — high-balance customers'
+    # orders, aggregated; the bit-level replay gate lives on
+    # bloom_prefilter_orders
+    oracle=f"""
+        SELECT o_orderpriority AS priority,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > {BLOOM_ACCTBAL})
+        GROUP BY 1
+    """,
+    tags=("analytics", "jobspec", "sketch", "scale"),
+)
+def jobspec_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative surface over the Bloom prefilter (VERDICT r7
+    'next round' #7): a JobSpec ``prefilter`` clause lowers onto
+    operators/sketch.py exactly as bloom_prefilter_orders does by hand
+    — build-side keys pack into a plan-literal bit array, the orders
+    probe side is membership-tested row-locally inside its scan, and
+    the default exact semi-join strips the false positives — so the
+    spec author writes "only rows whose key the other table has" and
+    the engine picks the shuffle-eliminating shape. Results are EXACT
+    (the sketch only prunes), which is why this oracle is the plain
+    IN-subquery semantics; the bit-replay gate is the companion
+    entry's job."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+        prefilter={
+            "keys": {
+                "format": "parquet",
+                "path": f"{sf_dir}/customer.parquet",
+            },
+            "filter": f"c_acctbal > {BLOOM_ACCTBAL}",
+            "key": "c_custkey",
+            "probe": "o_custkey",
+            "n_bits": BLOOM_N_BITS,
+            "k": BLOOM_K,
+        },
+        select={
+            "priority": "o_orderpriority",
+            "cents": "cast(round(o_totalprice * 100) as bigint)",
+        },
+        group_by=["priority"],
+        aggs={
+            "n_orders": "count(1)",
+            "revenue_cents": "sum(cents)",
+        },
+    )
+    return build(spark, spec)

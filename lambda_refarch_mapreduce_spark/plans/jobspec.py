@@ -71,6 +71,26 @@ class JobSpec:
     # domain_cap are one keyed window shuffle each; dedup_spans adds
     # the span-excision shuffles (digest window + rebuild).
     prep: list[dict] = field(default_factory=list)
+    # Sketch-prefiltered semi-join (applied right after joins, before
+    # prep/filter, so the row-local membership test sits in the probe
+    # side's scan stage) — the declarative surface over
+    # operators/sketch.py's Bloom filter, completing the sketch tier's
+    # declarative story the way stats_test did for inference:
+    #   prefilter={"keys": <source dict>, "key": "c_custkey",
+    #              "probe": "o_custkey", "filter": "SQL over keys"?,
+    #              "n_bits": 8192, "k": 2, "exact": True}
+    # lowers to: build bloom_bits over the (optionally filtered,
+    # deduplicated) build-side keys, pack to an n_bits/8-byte word
+    # array that ships as a PLAN LITERAL, filter df row-locally with
+    # bloom_might_contain, then (exact=True, the default) strip the
+    # false positives with a semi-join against the real key set —
+    # whose broadcast decision is AQE's, from runtime size. The build
+    # is one bounded side job over the key alphabet; no exchange
+    # touches the probe corpus before the candidate join.
+    #   exact=False keeps the raw candidates (no semi-join): the mode
+    # for when the consumer tolerates the ~(1-e^{-kn/m})^k false-
+    # positive rate in exchange for zero joins.
+    prefilter: dict | None = None
     filter: str | None = None
     # Reshaping stages (applied after filter, before select) — each
     # REPLACES the row shape, so downstream select/aggs see the new
@@ -300,6 +320,28 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         on = j["on"]
         cond = F.expr(on) if isinstance(on, str) else on
         df = df.join(other, cond, j.get("how", "inner"))
+    if spec.prefilter:
+        from lambda_refarch_mapreduce_spark.operators import sketch
+
+        p = spec.prefilter
+        keys = _read(spark, p["keys"])
+        if p.get("filter"):
+            keys = keys.filter(F.expr(p["filter"]))
+        keyframe = keys.select(F.col(p["key"]).alias("__k")).distinct()
+        n_bits = p.get("n_bits", 1 << 13)
+        n_hashes = p.get("k", 2)
+        words = sketch.bloom_words(
+            sketch.bloom_bits(keyframe, "__k", n_bits, n_hashes), n_bits
+        )
+        df = df.filter(
+            sketch.bloom_might_contain(
+                F.col(p["probe"]), words, n_bits, n_hashes
+            )
+        )
+        if p.get("exact", True):
+            df = df.join(
+                keyframe, df[p["probe"]] == F.col("__k"), "left_semi"
+            )
     if spec.prep:
         # prep gates are CPU-bound row-local text expressions: spread a
         # few-split scan across the cluster first (no-op when the input

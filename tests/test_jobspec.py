@@ -492,3 +492,57 @@ def test_stats_test_clause_welch_matches_catalog_entry(spark):
     assert math.isclose(got.mean_diff, want.mean_diff, abs_tol=1e-5)
     assert math.isclose(got.t_stat, want.t_stat, abs_tol=1e-5)
     assert got.significant == (abs(want.t_stat) > 1.96)
+
+
+def test_prefilter_clause_exact_and_candidate_modes(spark):
+    """The ``prefilter`` clause (VERDICT r7 #7 — the sketch tier's
+    declarative surface): exact mode (default) must equal the plain
+    semi-join semantics EXACTLY (the Bloom filter only prunes, never
+    drops a member — no false negatives); exact=False must yield a
+    superset of the exact rows (candidates keep the false positives);
+    and the candidate filter must sit in the probe scan stage as a
+    row-local predicate (shiftrightunsigned in the plan, no join for
+    the membership test itself)."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import build
+
+    src = {"format": "parquet", "path": f"{SF_CORRECT}/orders.parquet"}
+    keys = {"format": "parquet", "path": f"{SF_CORRECT}/customer.parquet"}
+    pf = {
+        "keys": keys,
+        "filter": "c_acctbal > 9000",
+        "key": "c_custkey",
+        "probe": "o_custkey",
+        "n_bits": 1 << 12,
+        "k": 2,
+    }
+    exact = build(
+        spark, JobSpec(source=src, prefilter=pf, select={"k": "o_orderkey"})
+    )
+    cand = build(
+        spark,
+        JobSpec(
+            source=src,
+            prefilter={**pf, "exact": False},
+            select={"k": "o_orderkey"},
+        ),
+    )
+    want = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+            .filter("c_acctbal > 9000")
+            .select(F.col("c_custkey").alias("k")),
+            F.col("o_custkey") == F.col("k"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .collect()
+    }
+    got_exact = {r.k for r in exact.collect()}
+    got_cand = {r.k for r in cand.collect()}
+    assert got_exact == want
+    assert want <= got_cand  # no false negatives, FPs allowed
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "shiftrightunsigned" in plan
+    assert "Join" not in plan  # candidate mode: zero joins
