@@ -1169,3 +1169,340 @@ def kaplan_meier(
         F.col("s.c").cast("long").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+# Log-rank (Mantel-Haenszel) per-event-time terms over the dense
+# two-group risk table (dt deaths total, nat/nbt at risk per group,
+# nt = nat + nbt — all exact integers): expected group-A deaths and
+# the hypergeometric variance. Shared verbatim with the DuckDB oracle
+# so both engines fold the same IEEE tree; the nt = 1 terminal case
+# (variance denominator nt - 1 = 0) contributes 0 by convention in
+# BOTH strings instead of NaN-poisoning the sum.
+LOGRANK_E_TERM = "(dt * 1e0 * nat / nt)"
+LOGRANK_V_TERM = (
+    "(CASE WHEN nt > 1 THEN"
+    " dt * 1e0 * nat / nt * (nbt * 1e0 / nt)"
+    " * ((nt - dt) * 1e0 / (nt - 1e0))"
+    " ELSE 0e0 END)"
+)
+LOGRANK_Z_EXPR = "((o1 - e1) / sqrt(v1))"
+
+
+def log_rank_from_subjects(
+    subjects: DataFrame,
+    t_col: str = "t",
+    event_col: str = "event",
+    group_col: str = "g",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """Log-rank test between two groups' survival curves from one row
+    per subject ``(t, event, g)`` (Mantel & Haenszel 1959; the
+    KM-companion significance test: "do these two cohorts churn at
+    the same rate?"). At each distinct event time the observed
+    group-A deaths are compared against the hypergeometric
+    expectation given the pooled at-risk table; O - E sums over event
+    times and normalizes by the summed variance. Spark-first shape:
+    subjects collapse map-side into the (group x time) alphabet, the
+    at-risk counts are relational.prefix_sums over the DENSE time
+    alphabet (range exchange — never a single-partition window), and
+    the three float totals (e1, v1 — o1 stays integer) are
+    order-deterministic sorted folds over the event-time alphabet,
+    mirrored by the oracle's ordered list_reduce. Returns one row:
+    (n_a, n_b, obs_a, exp_a, z_lr, significant) at alpha = .05."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    s = subjects.select(
+        F.col(t_col).alias("t"),
+        F.col(event_col).cast("long").alias("ev"),
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .when(F.col(group_col) == group_b, F.lit("b"))
+        .alias("g"),
+    ).filter(F.col("g").isNotNull())
+    per_gt = s.groupBy("g", "t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+    )
+    # dense per-t two-group frame: a time observed in one group only
+    # still consumes at-risk mass from both
+    dense = (
+        per_gt.groupBy("t")
+        .pivot("g", ["a", "b"])
+        .agg(
+            F.coalesce(F.first(F.col("d") + F.col("c")), F.lit(0)).alias(
+                "dc"
+            ),
+            F.coalesce(F.first("d"), F.lit(0)).alias("d"),
+        )
+        .select(
+            "t",
+            F.coalesce("a_dc", F.lit(0)).alias("dca"),
+            F.coalesce("b_dc", F.lit(0)).alias("dcb"),
+            F.coalesce("a_d", F.lit(0)).alias("da"),
+            F.coalesce("b_d", F.lit(0)).alias("db"),
+        )
+    )
+    cum = prefix_sums(dense, [F.col("t")], ["dca", "dcb"])
+    tot = dense.agg(
+        F.sum("dca").alias("na"), F.sum("dcb").alias("nb")
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "da",
+        "db",
+        (F.col("na") - (F.col("dca_cum") - F.col("dca"))).alias("nat"),
+        (F.col("nb") - (F.col("dcb_cum") - F.col("dcb"))).alias("nbt"),
+        "na",
+        "nb",
+    )
+    ev = risk.withColumn("dt", F.col("da") + F.col("db")).filter(
+        F.col("dt") > 0
+    ).withColumn("nt", F.col("nat") + F.col("nbt"))
+    # attach the shared per-time terms, then fold them sorted by t
+    ev = ev.withColumn("__e", F.expr(LOGRANK_E_TERM)).withColumn(
+        "__v", F.expr(LOGRANK_V_TERM)
+    )
+    agg = ev.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum("da").alias("o1"),
+        sorted_fold_sum(["t"], "__e").alias("e1"),
+        sorted_fold_sum(["t"], "__v").alias("v1"),
+    )
+    return agg.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(o1 AS BIGINT) AS obs_a",
+        "round(e1, 6) AS exp_a",
+        f"round({LOGRANK_Z_EXPR}, 6) AS z_lr",
+        f"(abs({LOGRANK_Z_EXPR}) > 1.96e0) AS significant",
+    )
+
+
+# CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+# 2013): regression-adjust each unit's metric y by its pre-period
+# covariate x — y' = y - theta (x - xbar), theta = cov(x, y)/var(x)
+# pooled — shrinking A/B variance by the squared x/y correlation
+# without biasing the diff (group assignment is independent of x).
+# Every input below is an exact-integer moment sum cast to DOUBLE once
+# (int -> double is correctly rounded on both engines), and the whole
+# statistic is these shared strings, so both engines fold the same
+# IEEE tree. Columns: n/sx/sy/sxx/sxy/syy pooled; na/nb/sya/syb/
+# sxa/sxb per group; metric units are cents, reported in dollars.
+CUPED_THETA_EXPR = "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+CUPED_DIFF_RAW_EXPR = "((sya * 1e0 / na - syb * 1e0 / nb) / 1e2)"
+CUPED_DIFF_ADJ_EXPR = (
+    "((sya * 1e0 / na - syb * 1e0 / nb"
+    f" - {CUPED_THETA_EXPR} * (sxa * 1e0 / na - sxb * 1e0 / nb)) / 1e2)"
+)
+CUPED_VAR_REDUCTION_EXPR = (
+    "((sxy - sx * sy / n) * (sxy - sx * sy / n)"
+    " / ((sxx - sx * sx / n) * (syy - sy * sy / n)))"
+)
+
+
+def cuped_adjusted_diff(
+    units: DataFrame,
+    y_col: str = "y",
+    x_col: str = "x",
+    group_col: str = "g",
+    group_a: str = "a",
+    group_b: str = "b",
+) -> DataFrame:
+    """CUPED-adjusted A/B mean difference from one row per
+    experimental unit ``(y, x, g)`` — y the in-experiment metric, x
+    the pre-experiment covariate, both exact integer cents. ONE
+    map-side-combinable aggregate accumulates the six pooled moments
+    (the y², x², xy products ride decimal(38,0) past int64 — the OLS
+    entry's guard) plus the per-group sums; theta, both diffs, and
+    the variance-reduction factor (= the pooled x/y r²) are a
+    driver-free single-row projection of shared formula strings. At
+    100 TB: one scan, one single-row exchange. Returns one row:
+    (n_a, n_b, theta, diff_raw, diff_cuped, var_reduction)."""
+    s = units.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("long").alias("x"),
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .when(F.col(group_col) == group_b, F.lit("b"))
+        .alias("g"),
+    ).filter(F.col("g").isNotNull())
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("x").alias("sx_i"),
+        F.sum("y").alias("sy_i"),
+        F.sum(d("x") * F.col("x")).alias("sxx_i"),
+        F.sum(d("x") * F.col("y")).alias("sxy_i"),
+        F.sum(d("y") * F.col("y")).alias("syy_i"),
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("g") == "a", F.col("y")).otherwise(0)).alias(
+            "sya"
+        ),
+        F.sum(F.when(F.col("g") == "b", F.col("y")).otherwise(0)).alias(
+            "syb"
+        ),
+        F.sum(F.when(F.col("g") == "a", F.col("x")).otherwise(0)).alias(
+            "sxa"
+        ),
+        F.sum(F.when(F.col("g") == "b", F.col("x")).otherwise(0)).alias(
+            "sxb"
+        ),
+    ).selectExpr(
+        "CAST(n_i AS DOUBLE) AS n",
+        "CAST(sx_i AS DOUBLE) AS sx",
+        "CAST(sy_i AS DOUBLE) AS sy",
+        "CAST(sxx_i AS DOUBLE) AS sxx",
+        "CAST(sxy_i AS DOUBLE) AS sxy",
+        "CAST(syy_i AS DOUBLE) AS syy",
+        "na",
+        "nb",
+        "sya",
+        "syb",
+        "sxa",
+        "sxb",
+    )
+    return agg.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        f"round({CUPED_THETA_EXPR}, 6) AS theta",
+        f"round({CUPED_DIFF_RAW_EXPR}, 6) AS diff_raw",
+        f"round({CUPED_DIFF_ADJ_EXPR}, 6) AS diff_cuped",
+        f"round({CUPED_VAR_REDUCTION_EXPR}, 6) AS var_reduction",
+    )
+
+
+# Per-lag Pearson cross-correlation from exact-integer pair sums over
+# the lag's overlap window (cnt pairs; sa/sb sums, pab cross product,
+# qa/qb squares — all cast to DOUBLE once). Shared verbatim with the
+# DuckDB oracle.
+CCF_EXPR = (
+    "((cnt * pab - sa * sb)"
+    " / (sqrt(cnt * qa - sa * sa) * sqrt(cnt * qb - sb * sb)))"
+)
+
+
+def ccf_lags(
+    series: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation function between two aligned integer series
+    at lags -max_lag..max_lag — the lead/lag-discovery diagnostic
+    beside acf_lags' self-memory reading (ccf(k) = corr(a_t, b_{t-k}):
+    a peak at positive k means b LEADS a by k steps). ``series`` is
+    one row per key with both values (caller densifies/zero-fills).
+    Same posture as acf_lags: the sequence index comes from
+    relational.global_rank (range exchange), each lag is an equi-join
+    of the metadata-sized indexed series against itself shifted, all
+    moments are exact integer sums (products on decimal(38,0)) cast
+    to DOUBLE once, and the correlation is one shared formula string.
+    Returns (lag, n_obs, ccf) ordered by lag."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    spark = series.sparkSession
+    s = global_rank(
+        series.select(
+            F.col(key_col).alias("__k"),
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        ),
+        [F.col("__k")],
+        rank_col="__t",
+    )
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    left = s.select(F.col("__t").alias("__ta"), F.col("__a").alias("a"))
+    right = s.select(F.col("__t").alias("__tb"), F.col("__b").alias("b"))
+    joined = (
+        left.crossJoin(F.broadcast(lags))
+        .withColumn("__want", F.col("__ta") - F.col("lag"))
+        .join(right, F.col("__want") == F.col("__tb"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_lag = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("cnt_i"),
+        F.sum("a").alias("sa_i"),
+        F.sum("b").alias("sb_i"),
+        F.sum(d("a") * F.col("b")).alias("pab_i"),
+        F.sum(d("a") * F.col("a")).alias("qa_i"),
+        F.sum(d("b") * F.col("b")).alias("qb_i"),
+    ).selectExpr(
+        "lag",
+        "CAST(cnt_i AS DOUBLE) AS cnt",
+        "CAST(sa_i AS DOUBLE) AS sa",
+        "CAST(sb_i AS DOUBLE) AS sb",
+        "CAST(pab_i AS DOUBLE) AS pab",
+        "CAST(qa_i AS DOUBLE) AS qa",
+        "CAST(qb_i AS DOUBLE) AS qb",
+    )
+    return (
+        per_lag.selectExpr(
+            "CAST(lag AS INT) AS lag",
+            "CAST(cnt AS BIGINT) AS n_obs",
+            f"round({CCF_EXPR}, 6) AS ccf",
+        )
+        .orderBy("lag")
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed snapshot diff — the publish-gate regression report for a
+    warehouse rebuild ("what did this run change?"): every key is
+    classified added / removed / changed / unchanged, with per-column
+    change counts so a schema-wide accidental rewrite is
+    distinguishable from the intended delta. Plan: ONE full outer
+    join on the keys (both sides hash-partitioned once — at scale
+    this is the single co-partitioned shuffle; a small side
+    broadcasts via AQE), row-local null-safe comparisons, one
+    map-side-combinable aggregate to a single row. Keys must be
+    unique per side (snapshots, not logs). Returns one row:
+    (n_added, n_removed, n_changed, n_unchanged, chg_<col>...)."""
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = [
+        o[f"__ko_{k}"].eqNullSafe(n[f"__kn_{k}"]) for k in key_cols
+    ]
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ko_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__kn_{key_cols[0]}").isNotNull()
+    col_changed = {
+        c: in_old
+        & in_new
+        & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        for c in compare_cols
+    }
+    any_changed = None
+    for expr in col_changed.values():
+        any_changed = expr if any_changed is None else (any_changed | expr)
+    flag = lambda e: F.sum(F.when(e, 1).otherwise(0))  # noqa: E731
+    return j.agg(
+        flag(~in_old).cast("long").alias("n_added"),
+        flag(~in_new).cast("long").alias("n_removed"),
+        flag(any_changed).cast("long").alias("n_changed"),
+        flag(in_old & in_new & ~any_changed).cast("long").alias(
+            "n_unchanged"
+        ),
+        *[
+            flag(e).cast("long").alias(f"chg_{c}")
+            for c, e in col_changed.items()
+        ],
+    )

@@ -5179,3 +5179,375 @@ def jobspec_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return build(spark, spec)
+
+
+LOGRANK_SEG_A = "BUILDING"
+LOGRANK_SEG_B = "MACHINERY"
+
+
+@register(
+    "log_rank_churn_by_segment",
+    oracle=f"""
+        WITH pu AS (SELECT o_custkey,
+                           min(o_orderdate::DATE) AS f,
+                           max(o_orderdate::DATE) AS l
+                    FROM orders GROUP BY 1),
+        hz AS (SELECT max(o_orderdate::DATE) AS h FROM orders),
+        subj AS (SELECT (date_diff('day', f, l) + 1)::BIGINT AS t,
+                        CASE WHEN date_diff('day', l, h)
+                                  >= {KM_CHURN_GAP_DAYS}
+                             THEN 1 ELSE 0 END AS ev,
+                        CASE WHEN c_mktsegment = '{LOGRANK_SEG_A}'
+                             THEN 'a' ELSE 'b' END AS g
+                 FROM pu
+                 JOIN customer ON c_custkey = o_custkey
+                 CROSS JOIN hz
+                 WHERE c_mktsegment IN ('{LOGRANK_SEG_A}',
+                                        '{LOGRANK_SEG_B}')),
+        per AS (SELECT t,
+                       sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT
+                           AS dca,
+                       sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT
+                           AS dcb,
+                       sum(CASE WHEN g = 'a' THEN ev ELSE 0 END)::BIGINT
+                           AS da,
+                       sum(CASE WHEN g = 'b' THEN ev ELSE 0 END)::BIGINT
+                           AS db
+                FROM subj GROUP BY 1),
+        tot AS (SELECT sum(dca)::BIGINT AS na, sum(dcb)::BIGINT AS nb
+                FROM per),
+        cum AS (SELECT t, da, db, dca, dcb,
+                       sum(dca) OVER (ORDER BY t)::BIGINT AS ca,
+                       sum(dcb) OVER (ORDER BY t)::BIGINT AS cb
+                FROM per),
+        risk AS (SELECT t, da, db,
+                        (na - (ca - dca))::BIGINT AS nat,
+                        (nb - (cb - dcb))::BIGINT AS nbt,
+                        na, nb
+                 FROM cum CROSS JOIN tot),
+        evt AS (SELECT t, da, (da + db)::BIGINT AS dt, nat, nbt,
+                       (nat + nbt)::BIGINT AS nt, na, nb
+                FROM risk WHERE da + db > 0),
+        fin AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                       sum(da)::BIGINT AS o1,
+                       list_reduce(
+                           list_prepend(
+                               0e0,
+                               list({analytics.LOGRANK_E_TERM}
+                                    ORDER BY t)),
+                           (acc, x) -> acc + x) AS e1,
+                       list_reduce(
+                           list_prepend(
+                               0e0,
+                               list({analytics.LOGRANK_V_TERM}
+                                    ORDER BY t)),
+                           (acc, x) -> acc + x) AS v1
+                FROM evt)
+        SELECT n_a, n_b, o1 AS obs_a, round(e1, 6) AS exp_a,
+               round({analytics.LOGRANK_Z_EXPR}, 6) AS z_lr,
+               (abs({analytics.LOGRANK_Z_EXPR}) > 1.96e0) AS significant
+        FROM fin
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def log_rank_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Haenszel) test of whether two market segments'
+    customers churn at the same rate — the significance companion to
+    kaplan_meier_customer_churn's curve
+    (operators.analytics.log_rank_from_subjects): same subjects (days
+    from first to last order; censored within {KM_CHURN_GAP_DAYS}
+    days of the horizon), grouped by segment, observed group-A churn
+    compared against the pooled hypergeometric expectation at every
+    event time. Subjects collapse map-side into the (group x time)
+    alphabet; at-risk counts ride prefix_sums' range exchange; the
+    float totals are sorted folds the oracle mirrors with ordered
+    list_reduce. The nt = 1 terminal-time variance term is pinned to
+    0 in ONE shared formula string on both engines (it would
+    otherwise be IEEE 0/0 = NaN)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    hz = o.agg(F.max("d").alias("h"))
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    subj = (
+        pu.join(seg, "o_custkey")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            (F.datediff("l", "f") + 1).cast("long").alias("t"),
+            (F.datediff("h", "l") >= KM_CHURN_GAP_DAYS)
+            .cast("int")
+            .alias("event"),
+            F.col("c_mktsegment").alias("g"),
+        )
+    )
+    return analytics.log_rank_from_subjects(
+        subj, "t", "event", "g", LOGRANK_SEG_A, LOGRANK_SEG_B
+    )
+
+
+log_rank_churn_by_segment.__doc__ = log_rank_churn_by_segment.__doc__.replace(
+    "{KM_CHURN_GAP_DAYS}", str(KM_CHURN_GAP_DAYS)
+)
+
+
+CUPED_SPLIT_DAYS = 15  # first half of the window = pre-period covariate
+
+
+@register(
+    "cuped_ab_user_value",
+    oracle=f"""
+        WITH e AS (SELECT user_id, ts::DATE AS dd, event_type,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events),
+        mn AS (SELECT min(dd) AS m FROM e),
+        pu AS (SELECT user_id,
+                      sum(CASE WHEN date_diff('day', m, dd)
+                                    < {CUPED_SPLIT_DAYS}
+                               THEN cents ELSE 0 END)::BIGINT AS x,
+                      sum(CASE WHEN date_diff('day', m, dd)
+                                    >= {CUPED_SPLIT_DAYS}
+                                    AND event_type = 'purchase'
+                               THEN cents ELSE 0 END)::BIGINT AS y
+               FROM e CROSS JOIN mn GROUP BY 1),
+        u AS (SELECT y, x,
+                     CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+              FROM pu),
+        m2 AS (SELECT count(*)::DOUBLE AS n,
+                      sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                      sum(x::HUGEINT * x)::DOUBLE AS sxx,
+                      sum(x::HUGEINT * y)::DOUBLE AS sxy,
+                      sum(y::HUGEINT * y)::DOUBLE AS syy,
+                      sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT
+                          AS na,
+                      sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT
+                          AS nb,
+                      sum(CASE WHEN g = 'a' THEN y ELSE 0 END)::BIGINT
+                          AS sya,
+                      sum(CASE WHEN g = 'b' THEN y ELSE 0 END)::BIGINT
+                          AS syb,
+                      sum(CASE WHEN g = 'a' THEN x ELSE 0 END)::BIGINT
+                          AS sxa,
+                      sum(CASE WHEN g = 'b' THEN x ELSE 0 END)::BIGINT
+                          AS sxb
+               FROM u)
+        SELECT na AS n_a, nb AS n_b,
+               round({analytics.CUPED_THETA_EXPR}, 6) AS theta,
+               round({analytics.CUPED_DIFF_RAW_EXPR}, 6) AS diff_raw,
+               round({analytics.CUPED_DIFF_ADJ_EXPR}, 6) AS diff_cuped,
+               round({analytics.CUPED_VAR_REDUCTION_EXPR}, 6)
+                   AS var_reduction
+        FROM m2
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def cuped_ab_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (operators.analytics.cuped_adjusted_diff — Deng et al. 2013, the
+    industry-standard experiment sensitivity booster): each user's
+    in-experiment purchase value (second half of the window) is
+    regression-adjusted by their pre-period activity (first half, all
+    event types), with assignment by user-id parity, removing the
+    between-user spending variance that group assignment didn't
+    cause. diff_cuped estimates the same effect as diff_raw at
+    var_reduction (= pooled pre/post r²) less variance. Users collapse
+    map-side to one (y, x, g) row each; ONE aggregate accumulates
+    every moment (products on decimal(38,0) / HUGEINT); the statistic
+    is a single-row projection of formula strings shared verbatim
+    with the oracle. At 100 TB: one scan, one user-keyed exchange,
+    one single-row exchange."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("dd"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mn = e.agg(F.min("dd").alias("m"))
+    pre = F.datediff("dd", "m") < CUPED_SPLIT_DAYS
+    pu = (
+        e.crossJoin(F.broadcast(mn))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(
+                F.when(
+                    (~pre) & (F.col("event_type") == "purchase"),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    units = pu.select(
+        "y",
+        "x",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+    )
+    return analytics.cuped_adjusted_diff(units, "y", "x", "g", "a", "b")
+
+
+CCF_MAX_LAG = 7
+
+
+@register(
+    "ccf_purchase_vs_clicks",
+    oracle=f"""
+        WITH e AS (SELECT ts::DATE AS dd, event_type,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events),
+        a AS (SELECT dd, sum(cents)::BIGINT AS rev FROM e
+              WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT dd, count(*)::BIGINT AS clicks FROM e
+              WHERE event_type = 'click' GROUP BY 1),
+        days AS (SELECT dd FROM a UNION SELECT dd FROM b),
+        s AS (SELECT days.dd,
+                     coalesce(rev, 0)::BIGINT AS rev,
+                     coalesce(clicks, 0)::BIGINT AS clicks
+              FROM days LEFT JOIN a USING (dd) LEFT JOIN b USING (dd)),
+        idx AS (SELECT rev, clicks,
+                       row_number() OVER (ORDER BY dd) AS t
+                FROM s),
+        lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1))
+                     AS lag),
+        j AS (SELECT lags.lag, x.rev AS a, y.clicks AS b
+              FROM idx x CROSS JOIN lags
+              JOIN idx y ON y.t = x.t - lags.lag),
+        p AS (SELECT lag,
+                     count(*)::DOUBLE AS cnt,
+                     sum(a)::DOUBLE AS sa, sum(b)::DOUBLE AS sb,
+                     sum(a::HUGEINT * b)::DOUBLE AS pab,
+                     sum(a::HUGEINT * a)::DOUBLE AS qa,
+                     sum(b::HUGEINT * b)::DOUBLE AS qb
+              FROM j GROUP BY 1)
+        SELECT lag::INT AS lag, cnt::BIGINT AS n_obs,
+               round({analytics.CCF_EXPR}, 6) AS ccf
+        FROM p
+    """,
+    tags=("analytics", "timeseries", "scale"),
+)
+def ccf_purchase_vs_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily purchase revenue and daily
+    click volume at lags -{CCF_MAX_LAG}..{CCF_MAX_LAG}
+    (operators.analytics.ccf_lags) — the lead/lag-discovery companion
+    to acf_daily_revenue's self-memory reading: a peak at positive
+    lag k reads "clicks lead revenue by k days", the marketing-mix /
+    demand-sensing primitive. The corpus collapses map-side into one
+    row per DAY per series (exact integer cents / counts), days are
+    densified by a metadata-sized outer join with zero fill, the
+    index is global_rank's range exchange, and every moment is an
+    exact integer sum cast to DOUBLE once inside a formula string
+    shared with the oracle. At 100 TB the post-collapse series is
+    |days| rows — bounded metadata."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("dd"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("dd")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    dense = (
+        a.join(b, "dd", "full_outer")
+        .select(
+            "dd",
+            F.coalesce("rev", F.lit(0)).alias("rev"),
+            F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        )
+    )
+    return analytics.ccf_lags(dense, "dd", "rev", "clicks", CCF_MAX_LAG)
+
+
+ccf_purchase_vs_clicks.__doc__ = ccf_purchase_vs_clicks.__doc__.replace(
+    "{CCF_MAX_LAG}", str(CCF_MAX_LAG)
+)
+
+
+@register(
+    "table_diff_cdc_snapshot",
+    # the oracle rebuilds the applied snapshot from the shared
+    # changelog rules (see _orders_changelog: deletes are the %14
+    # subset of the %7 updates; inserts get negative keys) and diffs
+    # it against the base in plain SQL
+    oracle="""
+        WITH applied AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'U1',
+                   ((round(o_totalprice * 100)::BIGINT * 11 + 5) // 10)
+                       / 100.0
+            FROM orders
+            WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
+            UNION ALL
+            SELECT -o_orderkey - 1, o_custkey, 'N', 1.0
+            FROM orders WHERE o_orderkey % 9 = 0),
+        j AS (SELECT o.o_orderkey AS ko, a.o_orderkey AS kn,
+                     o.o_custkey AS c1, a.o_custkey AS c2,
+                     o.o_orderstatus AS s1, a.o_orderstatus AS s2,
+                     o.o_totalprice AS p1, a.o_totalprice AS p2
+              FROM orders o
+              FULL OUTER JOIN applied a ON o.o_orderkey = a.o_orderkey)
+        SELECT
+            sum(CASE WHEN ko IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_added,
+            sum(CASE WHEN kn IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_removed,
+            sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                          AND (c1 IS DISTINCT FROM c2
+                               OR s1 IS DISTINCT FROM s2
+                               OR p1 IS DISTINCT FROM p2)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+            sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                          AND c1 IS NOT DISTINCT FROM c2
+                          AND s1 IS NOT DISTINCT FROM s2
+                          AND p1 IS NOT DISTINCT FROM p2
+                     THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+            sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                          AND c1 IS DISTINCT FROM c2
+                     THEN 1 ELSE 0 END)::BIGINT AS chg_o_custkey,
+            sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                          AND s1 IS DISTINCT FROM s2
+                     THEN 1 ELSE 0 END)::BIGINT AS chg_o_orderstatus,
+            sum(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                          AND p1 IS DISTINCT FROM p2
+                     THEN 1 ELSE 0 END)::BIGINT AS chg_o_totalprice
+        FROM j
+    """,
+    tags=("analytics", "warehouse", "scale"),
+)
+def table_diff_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators.analytics.table_diff) between
+    the orders base and its CDC-applied successor — the publish-gate
+    regression report a warehouse runs before swapping a rebuilt
+    table in: adds/removes/changes counted per key, plus PER-COLUMN
+    change counts so "the reprice touched exactly status and price,
+    never custkey" is a checkable assertion rather than a hope. New
+    snapshot = analytics.apply_cdc over the catalog's shared
+    integer-cents changelog (the same net effect the CDC/MV entries
+    gate). One full-outer co-partitioned join + one aggregate; at
+    100 TB both snapshots shuffle once on the key and nothing else
+    moves."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = analytics.apply_cdc(
+        base, _orders_changelog(base), ["o_orderkey"], "seq", "op"
+    )
+    return analytics.table_diff(
+        base,
+        new,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )

@@ -336,6 +336,9 @@ def test_registry_wide_no_cartesian_product(spark):
         # round 8
         "chi2_homogeneity_value_bins",  # 2 x |bins| dense margin cross
         "kaplan_meier_customer_churn",  # 1-row horizon + 1-row n_all
+        "log_rank_churn_by_segment",   # 1-row horizon + 1-row totals
+        "cuped_ab_user_value",         # 1-row min-date split point
+        "ccf_purchase_vs_clicks",      # 15-row lag grid cross
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
@@ -659,3 +662,37 @@ def test_round8_entry_plan_shapes(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+    # log-rank / KM: subjects collapse through partial aggregates, the
+    # at-risk prefix sums ride the range exchange, and every Window is
+    # __pid-scoped (never a single-partition window over data)
+    for name in ("log_rank_churn_by_segment", "kaplan_meier_customer_churn"):
+        p = _plan(catalog.REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "rangepartitioning" in p, name
+        assert "partial_" in p, name
+        for ln in p.splitlines():
+            if "Window [" in ln and "windowspecdefinition" in ln:
+                assert "__pid" in ln, (name, ln)
+
+    # CUPED: one corpus scan into a user-keyed partial aggregate, then
+    # a single-row statistic — no windows anywhere
+    p = _plan(catalog.REGISTRY["cuped_ab_user_value"].spark(spark, SF_SMOKE))
+    assert "partial_" in p
+    assert "Window" not in p
+
+    # CCF: the day series is indexed by global_rank's range exchange
+    # and the corpus collapses to days through a partial aggregate
+    p = _plan(
+        catalog.REGISTRY["ccf_purchase_vs_clicks"].spark(spark, SF_SMOKE)
+    )
+    assert "rangepartitioning" in p
+    assert "partial_" in p
+
+    # snapshot diff: one co-partitioned full-outer join, one aggregate,
+    # and the membership flags never become a nested-loop shape
+    p = _plan(
+        catalog.REGISTRY["table_diff_cdc_snapshot"].spark(spark, SF_SMOKE)
+    )
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
