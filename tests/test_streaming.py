@@ -1368,3 +1368,63 @@ def test_statestore_offline_inspection_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_countmin_merge_equals_batch_sketch(spark, tmp_path):
+    """Streaming count-min (streaming/sketch.py): events arrive in
+    chunks, each micro-batch commits its own d x w cell frame, and the
+    MERGED sketch (cell addition == groupBy sum) must equal the batch
+    sketch built over the union CELL FOR CELL — the mergeability law
+    that makes per-batch/per-day sketches free to combine. Estimates
+    served from the merged sketch therefore match the batch entry's
+    kernel exactly, and the one-sided no-undercount contract holds."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators.sketch import (
+        countmin_build,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import sketch as ssk
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_src")
+    events.withColumn(
+        "_chunk", F.pmod(F.col("event_id"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "cms_idx")
+    q = ssk.ingest_countmin(
+        stream, index_dir, str(tmp_path / "ckpt"), "user_id", 4, 64
+    ).start()
+    q.awaitTermination(120)
+
+    merged = {
+        (r.d, r.bucket): r.c
+        for r in ssk.running_sketch(spark, index_dir).collect()
+    }
+    batch = {
+        (r.d, r.bucket): r.c
+        for r in countmin_build(events, "user_id", 4, 64).collect()
+    }
+    assert merged == batch  # cell-for-cell merge law
+
+    exact = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probes = events.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_n
+        for r in ssk.lookup_now(
+            spark, index_dir, probes, "user_id", 4, 64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for u, n in exact.items():
+        assert est[u] >= n, (u, est[u], n)  # never undercounts
