@@ -4433,3 +4433,112 @@ def nb_filter_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: MMR diversity re-ranking — the post-retrieval pass that
+# stops near-duplicate neighbors from crowding out coverage.
+# ---------------------------------------------------------------------------
+
+MMR_K = 5
+MMR_CAND_N = 20
+MMR_LAMBDA = 0.7
+MMR_QUERY_ID = 0
+
+
+def _mmr_oracle(k: int, cand_n: int, lam: float, qid: int) -> str:
+    """Unrolled greedy-MMR SQL (the pagerank unrolled-iteration gate
+    pattern): one (rescore, argmax, accumulate) CTE trio per pick,
+    with the score expression textually identical to the operator's
+    (operators.similarity._mmr_score_expr) so both engines fold the
+    same IEEE tree over the same 6dp-rounded rel / pairwise sims."""
+    lam_sql = f"{lam!r}e0"
+    score0 = f"({lam_sql} * rel - (1e0 - {lam_sql}) * 0e0)"
+    score_n = f"({lam_sql} * rel - (1e0 - {lam_sql}) * ms)"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),",
+        "sc AS (SELECT e.vec_id AS id,"
+        f" round({_COSINE_SQL.format(a='qv', b='e.v')}, 6) AS rel"
+        f" FROM e CROSS JOIN q WHERE e.vec_id <> {qid}),",
+        f"cand AS (SELECT id, rel FROM sc ORDER BY rel DESC, id"
+        f" LIMIT {cand_n}),",
+        "cv AS (SELECT c.id, c.rel, e.v FROM cand c"
+        " JOIN e ON e.vec_id = c.id),",
+        "sims AS (SELECT a.id AS ia, b.id AS ib,"
+        f" round({_COSINE_SQL.format(a='a.v', b='b.v')}, 6) AS sim"
+        " FROM cv a JOIN cv b ON a.id <> b.id),",
+        f"s0 AS (SELECT id, rel, {score0} AS score FROM cand"
+        " ORDER BY score DESC, id LIMIT 1),",
+        "sel0 AS (SELECT id FROM s0),",
+    ]
+    for i in range(1, k):
+        p = i - 1
+        parts.append(
+            f"r{i} AS (SELECT c.id, c.rel, max(s.sim) AS ms"
+            f" FROM cand c JOIN sims s ON s.ia = c.id"
+            f" JOIN sel{p} ON s.ib = sel{p}.id"
+            f" WHERE c.id NOT IN (SELECT id FROM sel{p})"
+            " GROUP BY c.id, c.rel),"
+        )
+        parts.append(
+            f"s{i} AS (SELECT id, rel, {score_n} AS score FROM r{i}"
+            " ORDER BY score DESC, id LIMIT 1),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT id FROM sel{p}"
+            f" UNION ALL SELECT id FROM s{i}),"
+        )
+    sql = "\n".join(parts).rstrip().rstrip(",")
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i}::INT AS pick, id AS neighbor_id, rel,"
+        f" round(score, 6) AS mmr_score FROM s{i}"
+        for i in range(k)
+    )
+    return sql + "\n" + final
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(MMR_K, MMR_CAND_N, MMR_LAMBDA, MMR_QUERY_ID),
+    tags=("llm", "similarity"),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking
+    (operators.similarity.mmr_rerank) over the exact top-20 cosine
+    candidates of one query vector — the serving-side pass between
+    retrieval and the consumer (RAG context building, deduped search
+    results) that trades pure relevance for coverage: each of the 5
+    picks maximizes λ·rel − (1−λ)·max-sim-to-already-picked at
+    λ={MMR_LAMBDA}. The candidate stage is the scalable part (any of
+    the catalog's top-k retrievals); the rerank itself touches only
+    the |C| candidate rows and their |C|² pairwise sims — serving
+    metadata, no collect, no corpus access. Wall time at any sf is
+    dominated by SCHEDULING, not data: the greedy is inherently
+    sequential (pick i needs pick i-1), so it runs as k+2 tiny
+    localCheckpointed jobs of fixed local-mode overhead — a
+    latency-critical server would run this last hop client-side on
+    the same candidate metadata. The oracle replays the greedy loop
+    as unrolled SQL with the score expression shared textually, so
+    the whole selection order is gated, not just the final set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID)
+    cand = similarity.brute_force_topk(
+        emb, q, "vec_id", "embedding", MMR_CAND_N
+    )
+    withv = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        "neighbor_id",
+    )
+    return similarity.mmr_rerank(
+        withv, "neighbor_id", "cv", "cosine", MMR_K, MMR_LAMBDA
+    )
+
+
+similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.replace(
+    "{MMR_LAMBDA}", str(MMR_LAMBDA)
+)

@@ -1715,3 +1715,61 @@ def test_table_diff_hand_computed(spark):
     assert (got.n_added, got.n_removed) == (1, 1)
     assert (got.n_changed, got.n_unchanged) == (3, 2)
     assert (got.chg_s, got.chg_v) == (1, 3)
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """operators.similarity.mmr_rerank vs a hand-rolled greedy MMR on
+    a candidate set engineered so pure relevance and diversified
+    orders DIFFER (two near-identical top candidates): the operator
+    must reproduce the python greedy's exact pick order and scores,
+    and must NOT pick both near-duplicates early the way plain top-k
+    would."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # 4-dim unit-ish vectors: c0 and c1 nearly identical (both highly
+    # relevant), c2 orthogonal-ish, c3 in between
+    cands = {
+        0: ([1.0, 0.0, 0.0, 0.0], 0.95),
+        1: ([0.999, 0.04, 0.0, 0.0], 0.94),
+        2: ([0.0, 1.0, 0.0, 0.0], 0.80),
+        3: ([0.5, 0.5, 0.7, 0.0], 0.85),
+    }
+    rows = [(i, v, rel) for i, (v, rel) in cands.items()]
+    df = spark.createDataFrame(
+        rows, "neighbor_id long, cv array<double>, cosine double"
+    )
+    lam, k = 0.7, 3
+    got = [
+        (r.pick, r.neighbor_id, r.rel, r.mmr_score)
+        for r in sorted(
+            mmr_rerank(df, "neighbor_id", "cv", "cosine", k, lam).collect()
+        )
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    sel, remaining = [], dict(cands)
+    want = []
+    for i in range(k):
+        best = None
+        for cid, (v, rel) in sorted(remaining.items()):
+            ms = max((cos(v, cands[s][0]) for s in sel), default=0.0)
+            score = lam * rel - (1.0 - lam) * ms
+            if best is None or score > best[1] + 1e-12:
+                best = (cid, score, rel)
+        want.append((i, best[0], best[2], round(best[1], 6)))
+        sel.append(best[0])
+        del remaining[best[0]]
+
+    assert got == want
+    # diversity actually happened: the near-duplicate of pick 0 was
+    # NOT taken second (plain relevance order would be 0, 1, ...)
+    assert got[0][1] == 0 and got[1][1] != 1
