@@ -85,6 +85,10 @@ HEADLINE = {
     "q_item_cosine": "item_cosine_parts",
     "q_bloom_prefilter": "bloom_prefilter_orders",
     "q_kaplan_meier": "kaplan_meier_customer_churn",
+    "q_log_rank": "log_rank_churn_by_segment",
+    "q_cuped": "cuped_ab_user_value",
+    "q_ccf": "ccf_purchase_vs_clicks",
+    "q_table_diff": "table_diff_cdc_snapshot",
 }
 
 
