@@ -1773,3 +1773,72 @@ def test_mmr_rerank_matches_python_greedy(spark):
     # diversity actually happened: the near-duplicate of pick 0 was
     # NOT taken second (plain relevance order would be 0, 1, ...)
     assert got[0][1] == 0 and got[1][1] != 1
+
+
+def test_round8_kernel_invariances(spark):
+    """Structural invariances of the round-8 kernels — properties any
+    correct implementation must satisfy regardless of data:
+
+    - log-rank: swapping the two groups flips z's sign exactly and
+      preserves |z| (O-E for group b is -(O-E) for a; V is symmetric);
+    - CCF: ccf_ab(k) == ccf_ba(-k) at every lag (cross-correlation
+      mirror symmetry);
+    - CUPED: shifting every unit's covariate by a constant changes
+      NOTHING (theta, both diffs, var_reduction are shift-invariant
+      moments);
+    - table_diff: diff(x, x) classifies every key unchanged, and
+      swapping the snapshots swaps added with removed while changed
+      counts stay put."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ccf_lags,
+        cuped_adjusted_diff,
+        log_rank_from_subjects,
+        table_diff,
+    )
+
+    # --- log-rank sign flip
+    subjects = [
+        (2, 1, "x"), (4, 1, "x"), (4, 0, "x"), (9, 1, "x"), (9, 0, "x"),
+        (3, 1, "y"), (4, 1, "y"), (7, 0, "y"), (8, 1, "y"), (12, 1, "y"),
+    ]
+    df = spark.createDataFrame(subjects, "t long, event int, g string")
+    ab = log_rank_from_subjects(df, "t", "event", "g", "x", "y").collect()[0]
+    ba = log_rank_from_subjects(df, "t", "event", "g", "y", "x").collect()[0]
+    assert (ab.n_a, ab.n_b) == (ba.n_b, ba.n_a)
+    assert abs(ab.z_lr + ba.z_lr) < 2e-6  # sign flip (6dp rounding slack)
+    assert ab.significant == ba.significant
+
+    # --- CCF mirror symmetry
+    rows = [(t, (t * 7) % 13, (t * 3) % 11) for t in range(40)]
+    sdf = spark.createDataFrame(rows, "k long, a long, b long")
+    ab = {r.lag: r.ccf for r in ccf_lags(sdf, "k", "a", "b", 4).collect()}
+    ba = {r.lag: r.ccf for r in ccf_lags(sdf, "k", "b", "a", 4).collect()}
+    for lag in range(-4, 5):
+        assert abs(ab[lag] - ba[-lag]) < 2e-6, lag
+
+    # --- CUPED covariate-shift invariance
+    units = [(i * 13 % 997, i * 7 % 503, "a" if i % 2 else "b")
+             for i in range(300)]
+    u = spark.createDataFrame(units, "y long, x long, g string")
+    shifted = u.selectExpr("y", "x + 10000 AS x", "g")
+    r1 = cuped_adjusted_diff(u).collect()[0]
+    r2 = cuped_adjusted_diff(shifted).collect()[0]
+    assert r1 == r2
+
+    # --- table_diff reflexivity and swap
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 2.0), (3, "c", 3.5), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    same = table_diff(old, old, ["k"], ["s", "v"]).collect()[0]
+    assert (same.n_added, same.n_removed, same.n_changed) == (0, 0, 0)
+    assert same.n_unchanged == 3
+    fwd = table_diff(old, new, ["k"], ["s", "v"]).collect()[0]
+    rev = table_diff(new, old, ["k"], ["s", "v"]).collect()[0]
+    assert (fwd.n_added, fwd.n_removed) == (rev.n_removed, rev.n_added)
+    assert (fwd.n_changed, fwd.n_unchanged) == (rev.n_changed, rev.n_unchanged)
+    assert (fwd.chg_s, fwd.chg_v) == (rev.chg_s, rev.chg_v) == (1, 1)
