@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.operators.sketch import (
+    bloom_bits,
+    bloom_words,
     countmin_build,
     countmin_lookup,
 )
@@ -119,3 +121,81 @@ def lookup_now(
     return countmin_lookup(
         running_sketch(spark, index_dir), probes, item_col, depth, width
     )
+
+
+_BITS_SCHEMA = "pos bigint"
+
+
+def ingest_bloom(
+    stream_events: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    key_col: str,
+    n_bits: int = 1 << 13,
+    k: int = 2,
+    available_now: bool = True,
+):
+    """foreachBatch pipeline for a CONTINUOUS membership filter: each
+    micro-batch reduces to its Bloom set-bit frame
+    (operators.sketch.bloom_bits — at most min(k·|batch keys|, n_bits)
+    rows) and commits it idempotently (epoch-guarded). The filter
+    never forgets (bits only turn on), so this is the ingest-time
+    "might we have seen this key before" index — the approximate fast
+    path beside corpus.py's exact digest index. Returns the
+    DataStreamWriter (caller starts it)."""
+    bits_path = os.path.join(index_dir, "bits")
+    commits_path = os.path.join(index_dir, "commits")
+    guarded: list[bool] = []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not guarded:
+            guard_checkpoint_epoch(spark, index_dir, checkpoint)
+            guarded.append(True)
+        if batch_df.isEmpty():
+            return
+        commits = _committed(spark, commits_path)
+        if commits.filter(F.col("batch_id") == batch_id).limit(1).count():
+            return
+        bits = bloom_bits(batch_df, key_col, n_bits, k)
+        bits.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(bits_path, f"_batch_id={batch_id}")
+        )
+        spark.createDataFrame([(batch_id,)], "batch_id bigint").write.mode(
+            "append"
+        ).parquet(commits_path)
+
+    writer = stream_events.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def running_bloom_bits(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged filter over every COMMITTED micro-batch as its
+    set-bit frame: union + distinct on bit positions, which IS the
+    Bloom merge law (bitwise OR of the packed words)."""
+    commits = _committed(spark, os.path.join(index_dir, "commits")).select(
+        F.col("batch_id").alias("_batch_id")
+    )
+    bits = _read_or_empty(
+        spark,
+        os.path.join(index_dir, "bits"),
+        _BITS_SCHEMA + ", _batch_id bigint",
+    )
+    return (
+        bits.join(F.broadcast(commits), "_batch_id", "left_semi")
+        .select("pos")
+        .distinct()
+    )
+
+
+def bloom_words_now(
+    spark: SparkSession, index_dir: str, n_bits: int = 1 << 13
+) -> list[int]:
+    """Pack the running filter into its plan-literal word array —
+    ready for operators.sketch.bloom_might_contain row-local probing
+    (same serving shape as the batch bloom_prefilter_orders entry)."""
+    return bloom_words(running_bloom_bits(spark, index_dir), n_bits)

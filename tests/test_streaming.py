@@ -1428,3 +1428,53 @@ def test_streaming_countmin_merge_equals_batch_sketch(spark, tmp_path):
     assert set(est) == set(exact)
     for u, n in exact.items():
         assert est[u] >= n, (u, est[u], n)  # never undercounts
+
+
+def test_streaming_bloom_merge_and_no_false_negatives(spark, tmp_path):
+    """Streaming Bloom filter (streaming/sketch.py): per-batch set-bit
+    frames committed idempotently; the running filter (union+distinct
+    == bitwise OR, the Bloom merge law) must equal the batch filter
+    over the union BIT FOR BIT, and the packed running words must
+    never reject a key that streamed through (no false negatives),
+    while still rejecting most of a disjoint probe range."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators import sketch as osk
+    from lambda_refarch_mapreduce_spark.streaming import sketch as ssk
+
+    n_bits, k = 1 << 12, 2
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_src")
+    events.withColumn(
+        "_chunk", F.pmod(F.col("event_id"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "bloom_idx")
+    q = ssk.ingest_bloom(
+        stream, index_dir, str(tmp_path / "ckpt"), "user_id", n_bits, k
+    ).start()
+    q.awaitTermination(120)
+
+    merged = {r.pos for r in ssk.running_bloom_bits(spark, index_dir).collect()}
+    batch = {
+        r.pos
+        for r in osk.bloom_bits(events, "user_id", n_bits, k).collect()
+    }
+    assert merged == batch  # merge law, bit for bit
+
+    words = ssk.bloom_words_now(spark, index_dir, n_bits)
+    seen = {r.user_id for r in events.select("user_id").distinct().collect()}
+    probe = spark.range(0, 5000).select(F.col("id").alias("uid"))
+    passed = {
+        r.uid
+        for r in probe.filter(
+            osk.bloom_might_contain(F.col("uid"), words, n_bits, k)
+        ).collect()
+    }
+    assert seen <= passed  # no false negatives, ever
+    assert len(passed) < 2500  # and the filter actually filters
