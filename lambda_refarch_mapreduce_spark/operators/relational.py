@@ -390,3 +390,53 @@ def prefix_sums(
         "__pid", *[f"__local_{c}" for c in sum_cols],
         *[f"__off_{c}" for c in sum_cols],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval OVERLAP equi-plan: pairs (l, r) sharing key columns
+    ``on`` whose integer ranges [l_start, l_end] and [r_start, r_end]
+    intersect — the temporal/range join Spark would otherwise plan as
+    a nested-loop theta join. Standard binning decomposition: each
+    interval explodes to the width-``bucket_width`` buckets it covers
+    (fan-out is interval_len/width + 1 — size the width near the
+    typical interval so it stays ~2), the join is an EQUI-join on
+    (keys..., bucket), and each overlapping pair is kept exactly once
+    at its canonical bucket — the bucket of max(l_start, r_start),
+    which both sides cover if and only if they overlap — then the
+    exact overlap predicate filters same-bucket non-overlaps. One
+    co-keyed shuffle on (keys, bucket); no CartesianProduct at any
+    scale; skewed hot buckets split by AQE. Returns the joined rows
+    (left columns + right columns); start/end columns must be
+    integers (days, epoch seconds — caller quantizes)."""
+    w = bucket_width
+
+    def _binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / w).cast("long"),
+                    (F.col(e) / w).cast("long"),
+                )
+            ),
+        )
+
+    lb = _binned(left, l_start, l_end)
+    rb = _binned(right, r_start, r_end)
+    joined = lb.join(rb, [*on, "__bucket"])
+    canonical = (
+        F.greatest(F.col(l_start), F.col(r_start)) / w
+    ).cast("long") == F.col("__bucket")
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    return joined.filter(canonical & overlap).drop("__bucket")

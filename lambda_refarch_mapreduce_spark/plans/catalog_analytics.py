@@ -5551,3 +5551,86 @@ def table_diff_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         ["o_custkey", "o_orderstatus", "o_totalprice"],
     )
+
+
+IVL_WINDOW_DAYS = 14  # fulfillment window an order stays "open"
+IVL_BUCKET_DAYS = 16  # bin width ~ interval length: fan-out <= 2
+
+
+@register(
+    "interval_overlap_orders",
+    # the oracle states the SEMANTICS as the plain theta join (overlap
+    # predicate per same-customer pair); the Spark side must reach the
+    # same pairs through the bucketed equi-plan
+    oracle=f"""
+        WITH i AS (SELECT o_orderkey AS k, o_custkey AS c,
+                          date_diff('day', DATE '1970-01-01',
+                                    o_orderdate::DATE) AS s,
+                          date_diff('day', DATE '1970-01-01',
+                                    o_orderdate::DATE)
+                              + {IVL_WINDOW_DAYS} AS e
+                   FROM orders),
+        p AS (SELECT a.c,
+                     least(a.e, b.e) - greatest(a.s, b.s) AS ov
+              FROM i a JOIN i b
+              ON a.c = b.c AND a.k < b.k
+                 AND a.s <= b.e AND b.s <= a.e)
+        SELECT c AS o_custkey, count(*)::BIGINT AS n_pairs,
+               max(ov)::BIGINT AS max_overlap_days
+        FROM p GROUP BY 1
+    """,
+    tags=("analytics", "join", "scale"),
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators.relational.
+    interval_overlap_join): per customer, pairs of orders whose
+    {IVL_WINDOW_DAYS}-day fulfillment windows overlap — the "how much
+    does my in-flight work pile up" primitive, and the join-tier gap
+    between the as-of join (latest-at-a-point) and the range-bucket
+    join (point vs broadcast ranges): BOTH sides here carry an
+    interval. A naive plan is a per-key theta join (nested loop);
+    the operator's binning decomposition makes it an EQUI-join on
+    (custkey, time bucket) with each pair kept once at its canonical
+    bucket — one co-keyed shuffle, fan-out ≤ 2 at this width, no
+    CartesianProduct at any scale (plan-guarded). Output aggregates
+    pairs per customer with the max overlap length in days."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+    ).withColumn("e", F.col("s") + IVL_WINDOW_DAYS)
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = o.select("c", F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    right = o.select("c", F.col("k").alias("kb"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    pairs = interval_overlap_join(
+        left, right, ["c"], "sa", "ea", "sb", "eb", IVL_BUCKET_DAYS
+    ).filter(F.col("ka") < F.col("kb"))
+    return (
+        pairs.select(
+            "c",
+            (
+                F.least(F.col("ea"), F.col("eb"))
+                - F.greatest(F.col("sa"), F.col("sb"))
+            ).alias("ov"),
+        )
+        .groupBy(F.col("c").alias("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("ov").cast("long").alias("max_overlap_days"),
+        )
+        .selectExpr(
+            "o_custkey",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "max_overlap_days",
+        )
+    )
+
+
+interval_overlap_orders.__doc__ = interval_overlap_orders.__doc__.replace(
+    "{IVL_WINDOW_DAYS}", str(IVL_WINDOW_DAYS)
+)

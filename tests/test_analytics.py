@@ -1842,3 +1842,42 @@ def test_round8_kernel_invariances(spark):
     assert (fwd.n_added, fwd.n_removed) == (rev.n_removed, rev.n_added)
     assert (fwd.n_changed, fwd.n_unchanged) == (rev.n_changed, rev.n_unchanged)
     assert (fwd.chg_s, fwd.chg_v) == (rev.chg_s, rev.chg_v) == (1, 1)
+
+
+def test_interval_overlap_join_equals_bruteforce(spark):
+    """operators.relational.interval_overlap_join vs a brute-force
+    theta join on adversarial intervals: touching endpoints (inclusive
+    overlap), containment, identical intervals, bucket-boundary
+    straddlers, and intervals much longer than the bucket width (high
+    fan-out) — every pair exactly ONCE (the canonical-bucket dedup),
+    and the plan stays an equi-join (no CartesianProduct / BNLJ)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    ivals = [
+        (1, "g", 0, 10), (2, "g", 10, 20),   # touching: overlap at 10
+        (3, "g", 11, 12), (4, "g", 5, 40),    # containment + long
+        (5, "g", 15, 16), (6, "g", 41, 50),   # disjoint from 4
+        (7, "h", 0, 100), (8, "h", 95, 97),   # other key, long interval
+        (9, "h", 0, 100),                     # identical-range pair
+    ]
+    df = spark.createDataFrame(ivals, "k long, g string, s long, e long")
+    left = df.select("g", F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    right = df.select("g", F.col("k").alias("kb"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    out = interval_overlap_join(
+        left, right, ["g"], "sa", "ea", "sb", "eb", 8
+    ).filter(F.col("ka") < F.col("kb"))
+    got = sorted((r.ka, r.kb) for r in out.collect())
+    want = sorted(
+        (a[0], b[0])
+        for a in ivals
+        for b in ivals
+        if a[1] == b[1] and a[0] < b[0] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    assert got == want
+    # exactly once each (canonical-bucket dedup under high fan-out)
+    assert len(got) == len(set(got))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
