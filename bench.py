@@ -89,6 +89,7 @@ HEADLINE = {
     "q_cuped": "cuped_ab_user_value",
     "q_ccf": "ccf_purchase_vs_clicks",
     "q_table_diff": "table_diff_cdc_snapshot",
+    "q_interval_overlap": "interval_overlap_orders",
 }
 
 
