@@ -1467,9 +1467,19 @@ def table_diff(
     join on the keys (both sides hash-partitioned once — at scale
     this is the single co-partitioned shuffle; a small side
     broadcasts via AQE), row-local null-safe comparisons, one
-    map-side-combinable aggregate to a single row. Keys must be
-    unique per side (snapshots, not logs). Returns one row:
+    map-side-combinable aggregate to a single row. PRECONDITION: keys
+    must be unique per side (snapshots, not logs) — a duplicated key
+    fans out through the join and inflates every count; dedupe or
+    aggregate to one row per key first. Returns one row:
     (n_added, n_removed, n_changed, n_unchanged, chg_<col>...)."""
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    if not compare_cols:
+        raise ValueError(
+            "table_diff: compare_cols must be non-empty — with no "
+            "columns to compare there is no changed/unchanged "
+            "classification; use an anti-join for pure key presence"
+        )
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],

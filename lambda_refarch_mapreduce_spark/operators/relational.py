@@ -392,6 +392,18 @@ def prefix_sums(
     )
 
 
+def _floor_bucket(sql_expr: str, width: int):
+    """Exact integer floor-division bucket of an integer SQL
+    expression: ``pmod`` is non-negative for a positive width, so the
+    truncating ``div`` on the exact multiple IS the floor. All-integer
+    arithmetic — no double rounding past 2^53 (epoch nanos are safe)
+    and no double-width bucket straddling zero on mixed-sign data
+    (which ``(x / w).cast('long')`` silently produced)."""
+    return F.expr(
+        f"(({sql_expr}) - pmod(({sql_expr}), {width})) div ({width})"
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -400,7 +412,8 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
+    max_fanout: int | None = 64,
 ) -> DataFrame:
     """Interval OVERLAP equi-plan: pairs (l, r) sharing key columns
     ``on`` whose integer ranges [l_start, l_end] and [r_start, r_end]
@@ -416,26 +429,66 @@ def interval_overlap_join(
     co-keyed shuffle on (keys, bucket); no CartesianProduct at any
     scale; skewed hot buckets split by AQE. Returns the joined rows
     (left columns + right columns); start/end columns must be
-    integers (days, epoch seconds — caller quantizes)."""
-    w = bucket_width
+    integers (days, epoch seconds — caller quantizes). Buckets come
+    from exact integer floor division, so coordinates past 2^53 and
+    negative coordinates bin correctly.
+
+    ``bucket_width=None`` derives the width from the LEFT (build)
+    side in one bounded job: the 90th-percentile interval length,
+    which keeps typical fan-out ~2 without the caller guessing.
+    ``max_fanout`` (default 64) is the explosion tripwire: a row
+    whose interval spans more than that many buckets RAISES at scan
+    time instead of silently fanning out quadratically — pass a
+    larger bound (or None to disable) only when long-tail intervals
+    are expected and the fan-out is understood."""
+    if bucket_width is None:
+        # one bounded side job over the build side's length alphabet
+        q = (
+            left.select(
+                F.greatest(
+                    F.col(l_end) - F.col(l_start) + F.lit(1), F.lit(1)
+                ).alias("__len")
+            )
+            .agg(F.expr("approx_percentile(__len, 0.9e0)").alias("p90"))
+            .collect()[0]["p90"]
+        )
+        bucket_width = max(int(q or 1), 1)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(
+            f"interval_overlap_join: bucket_width must be positive, got {w}"
+        )
 
     def _binned(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "__bucket",
-            F.explode(
-                F.sequence(
-                    (F.col(s) / w).cast("long"),
-                    (F.col(e) / w).cast("long"),
+        bs = _floor_bucket(f"`{s}`", w)
+        be = _floor_bucket(f"`{e}`", w)
+        if max_fanout is not None:
+            # the guard lives INSIDE the sequence bound so Catalyst
+            # cannot prune it away; it fires per offending row with
+            # the realized fan-out in the message
+            be = F.when(be - bs < F.lit(int(max_fanout)), be).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "interval_overlap_join: interval spans "
+                        ),
+                        (be - bs + 1).cast("string"),
+                        F.lit(
+                            f" buckets of width {w} (max_fanout="
+                            f"{int(max_fanout)}); widen bucket_width "
+                            "or raise max_fanout"
+                        ),
+                    )
                 )
-            ),
-        )
+            )
+        return df.withColumn("__bucket", F.explode(F.sequence(bs, be)))
 
     lb = _binned(left, l_start, l_end)
     rb = _binned(right, r_start, r_end)
     joined = lb.join(rb, [*on, "__bucket"])
-    canonical = (
-        F.greatest(F.col(l_start), F.col(r_start)) / w
-    ).cast("long") == F.col("__bucket")
+    canonical = _floor_bucket(
+        f"greatest(`{l_start}`, `{r_start}`)", w
+    ) == F.col("__bucket")
     overlap = (F.col(l_start) <= F.col(r_end)) & (
         F.col(r_start) <= F.col(l_end)
     )

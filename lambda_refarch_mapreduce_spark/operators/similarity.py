@@ -1439,7 +1439,10 @@ def mmr_rerank(
     are rounded to 6dp BEFORE scoring (the catalog's cross-engine
     float convention), so the greedy argmax (score desc, id asc) is
     deterministic and engine-portable. Returns (pick, id, rel,
-    mmr_score) — pick = 0..k-1 in selection order."""
+    mmr_score) — pick = 0..k-1 in selection order. k is clamped to
+    the candidate count (k <= 0 and an empty frame raise)."""
+    if k <= 0:
+        raise ValueError(f"mmr_rerank: k must be positive, got {k}")
     c = candidates.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
@@ -1463,6 +1466,12 @@ def mmr_rerank(
     )
     score = _mmr_score_expr(lam)
     base = c.select("__id", "__rel").localCheckpoint(eager=True)
+    # candidates are serving-constant metadata (already checkpointed),
+    # so clamping k to the realized count is one cheap count — without
+    # it, k > |C| burns empty one-row jobs and silently under-returns
+    k = min(k, base.count())
+    if k == 0:
+        raise ValueError("mmr_rerank: candidate frame is empty")
     selected = None
     remaining = base
     for i in range(k):

@@ -4901,7 +4901,12 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (much smaller) candidate set reaches the exact join that removes
     the false positives. This is the shuffle-elimination move for a
     build side too big to ship as an IN-list but whose bit array
-    always fits: false positives only waste candidate rows (counted
+    always fits. The FP-strip join itself carries NO broadcast hint —
+    the build side may or may not fit the broadcast budget at scale,
+    and AQE converts it from the true post-shuffle byte size (at
+    test scale the static parquet estimate already picks broadcast);
+    a forced hint here would overflow exactly when the key set is
+    largest. False positives only waste candidate rows (counted
     here per priority, n_candidates vs n_exact, so the FP overhead is
     VISIBLE in the gated output); false negatives are impossible
     (property-tested against the exact semi-join in
@@ -4925,9 +4930,7 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey"), words, BLOOM_N_BITS, BLOOM_K
         )
     )
-    flagged = cand.join(
-        F.broadcast(keys), cand["o_custkey"] == keys["k"], "left"
-    )
+    flagged = cand.join(keys, cand["o_custkey"] == keys["k"], "left")
     return (
         flagged.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(

@@ -4,6 +4,8 @@ consistency, stable schema)."""
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as entrymod
 
 
@@ -269,7 +271,7 @@ def test_every_public_operator_function_is_referenced():
     import ast
     import glob
 
-    root = "/root/repo"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     op_files = sorted(
         glob.glob(f"{root}/lambda_refarch_mapreduce_spark/operators/*.py")
     )

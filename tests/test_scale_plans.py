@@ -652,7 +652,11 @@ def test_round8_entry_plan_shapes(spark):
     - bloom_prefilter_orders: the probe side (orders) is filtered
       ROW-LOCALLY inside its scan stage by the literal word array
       (shiftrightunsigned against a plan literal — no join, no
-      exchange) and reaches the exact join as a broadcast; the ONLY
+      exchange) and reaches the exact join as a broadcast chosen by
+      SIZE ESTIMATE, not a hint (the operator carries no broadcast
+      hint, so at scale AQE may keep a shuffled join when the key
+      set outgrows the broadcast budget); at smoke scale the tiny
+      parquet build side pins the broadcast regime, and the ONLY
       exchange in the plan is the final per-priority aggregate."""
     p = _plan(
         catalog.REGISTRY["bloom_prefilter_orders"].spark(spark, SF_SMOKE)
