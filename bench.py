@@ -2,7 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "shuffle_bytes": {...}, "stages": {...}, "sf": ...}
+
+queries[k] is best-of-2 wall seconds; shuffle_bytes[k] / stages[k]
+come from the first run's stage metrics (deterministic for a fixed
+plan + SF — the cross-round regression signal that survives box
+drift).
 
 Query set mirrors BASELINE.md's shapes (scan 1a/1b, aggregate 2a) plus
 the heavier operator tiers (join/window/dedup/similarity) so the
@@ -100,7 +106,12 @@ def main() -> None:
     from lambda_refarch_mapreduce_spark import get_spark
     from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 
-    spark = get_spark("bench")
+    # UI on so MeasuredRun's stage-metrics REST reads work: per-key
+    # shuffle bytes are DETERMINISTIC where wall-times drift with box
+    # load (three rounds of drift-vs-regression adjudication — r6
+    # text_quality, r7 basket, r8 ANN broadcast — would have been
+    # mechanical byte comparisons; VERDICT r8 #1)
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + parquet footer caches, excluded from timings
@@ -108,19 +119,41 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from lambda_refarch_mapreduce_spark.metrics import MeasuredRun
+
     # best-of-2 per query: the second run has JIT/codegen caches warm,
-    # which is the steady-state a long-running cluster actually sees
+    # which is the steady-state a long-running cluster actually sees.
+    # The FIRST run is additionally wrapped in MeasuredRun (stage
+    # metrics via the UI REST API — covers eager construction too):
+    # its shuffle bytes and stage count land in the JSON next to the
+    # wall-time, so cross-round deltas separate plan changes (bytes
+    # move) from box drift (bytes identical). The REST reads add ~ms
+    # to run 1's wall; run 2 is unaffected and is usually the best.
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int | None] = {}
+    stages: dict[str, int | None] = {}
     for label, qname in HEADLINE.items():
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             # construction INSIDE the timer: plan building is ~ms for
             # lazy queries, but operators with eager stages (pagerank's
             # edge materialization + iteration) do real work there and
             # must not be excluded
             t0 = time.monotonic()
-            df = catalog.REGISTRY[qname].spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if i == 0:
+                with MeasuredRun(spark) as m:
+                    df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                measured = m.stats.bytes_measured
+                shuffle_bytes[label] = (
+                    m.stats.shuffle_bytes if measured else None
+                )
+                stages[label] = (
+                    m.stats.extra.get("n_stages") if measured else None
+                )
+            else:
+                df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
         timings[label] = round(best, 3)
 
@@ -139,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle_bytes,
+                "stages": stages,
                 "trained": trained,
                 "sf": sf,
             }

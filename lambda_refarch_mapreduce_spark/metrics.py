@@ -135,6 +135,7 @@ class MeasuredRun:
                 sum(s.get("executorRunTime", 0) for s in new) / 1000.0
             )
             self.stats.rows_read = sum(s.get("inputRecords", 0) for s in new)
+            self.stats.extra["n_stages"] = len(new)
             self.stats.bytes_measured = True
         # Cost: wall * reserved-cores (what a cluster actually bills,
         # matching the reference's billed-GB-seconds accounting), plus
