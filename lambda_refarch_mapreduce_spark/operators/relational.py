@@ -427,7 +427,14 @@ def interval_overlap_join(
     which both sides cover if and only if they overlap — then the
     exact overlap predicate filters same-bucket non-overlaps. One
     co-keyed shuffle on (keys, bucket); no CartesianProduct at any
-    scale; skewed hot buckets split by AQE. Returns the joined rows
+    scale. Skew (measured, tools/scaling_round9.py): an ASYMMETRIC
+    hot cell — one side piles rows into a (key, bucket) while the
+    other stays thin — skews the input partition, and AQE's
+    skew-join split-and-replicate engages on this plan (skew=true in
+    the final SMJ) once cells exceed its size thresholds; a
+    SELF-JOIN hot cell is OUTPUT-bound (|L|x|R| per cell — no input
+    split helps), so the mitigations there are a narrower
+    bucket_width and the max_fanout tripwire. Returns the joined rows
     (left columns + right columns); start/end columns must be
     integers (days, epoch seconds — caller quantizes). Buckets come
     from exact integer floor division, so coordinates past 2^53 and

@@ -8,17 +8,25 @@ Claims under test (operators/relational.py interval_overlap_join):
   customers, not denser customers), wall and shuffle grow ~linearly:
   the plan is one co-keyed exchange on (key, bucket) and the exploded
   row count is fan-out * rows, fan-out ~2 at width ~ interval length.
-- skew: a hot key whose intervals pile into a few time buckets
-  concentrates rows in a few (key, bucket) shuffle cells. The
-  docstring claims "skewed hot buckets split by AQE" — that is a
-  JOIN-side claim, so it must show up as OptimizeSkewedJoin marking
-  the SMJ with skew=true. AQE only fires past its size thresholds
-  (256 MB partition / 5x median by default), which sf0.1-scale cells
-  never reach: the experiment measures the skewed layout under
-  default thresholds (documenting that they do NOT fire at this
-  size) and then under aggressive thresholds to prove the mechanism
-  engages on exactly this plan shape when cells are big enough to
-  matter.
+- skew, and what "AQE splits hot buckets" actually means here. Two
+  distinct hot-cell regimes exist and the experiment separates them:
+  (a) SELF-JOIN hot cell — a hot key piles intervals into a few time
+  buckets on BOTH sides. The pressure is quadratic join OUTPUT per
+  cell, not input partition bytes (the exploded hot rows are a few
+  MB), so AQE's skew-join — which triggers on INPUT partition size —
+  correctly does not fire, and cannot help: no input split shrinks
+  an |L_cell| x |R_cell| product. The mitigations are semantic
+  (narrower bucket_width, the max_fanout tripwire). Measured: 7.4x
+  output concentration costs ~1% wall at 10x scale.
+  (b) ASYMMETRIC hot cell — a big probe side piles rows into a hot
+  (key, bucket) while the other side stays thin (events x
+  maintenance-windows shape). Here the input partition IS skewed,
+  OptimizeSkewedJoin's split-and-replicate is exactly right, and the
+  experiment proves it engages on this plan shape (skew=true in the
+  final SMJ) under thresholds proportionate to the data — the
+  defaults (256 MB / 5x median) are sized for clusters, so the
+  sf0.1-scale run documents no-fire under defaults and fire under
+  scaled-down thresholds.
 
 Broadcast is pinned OFF (static + adaptive) for every variant so the
 join regime is SMJ at all scales — the regime the skew claim is
@@ -55,9 +63,19 @@ HOT_FRAC = 0.005  # skew: 0.5% of all rows on ONE key...
 HOT_BUCKETS = 10  # ...piled into 10 time buckets
 
 
+_LAST_PLAN = ""
+
+
 def _measure(spark, df) -> dict:
+    """Count rows through the df's OWN QueryExecution (df.count()
+    would spawn a fresh one, so the AQE-final plan — where skew=true
+    markers live — would never be observable); the executed final
+    plan lands in _LAST_PLAN for the caller."""
+    global _LAST_PLAN
+    counted = df.agg(F.count(F.lit(1)).alias("n"))
     with MeasuredRun(spark) as m:
-        n = df.count()
+        n = counted.collect()[0]["n"]
+    _LAST_PLAN = counted._jdf.queryExecution().executedPlan().toString()
     row = {"wall_s": round(m.stats.wall_secs, 2), "pairs": n}
     if m.stats.bytes_measured:
         row["shuffle_mb"] = round(m.stats.shuffle_bytes / 1e6, 2)
@@ -144,26 +162,82 @@ def growth(spark, workdir: str) -> dict:
     return out
 
 
+def _asym_tables(spark, workdir):
+    """The asymmetric shape: a 1.5M-row probe side with HALF its rows
+    on key 0 inside a 10-bucket hot window (the exploded hot cells
+    are ~2.5x the median shuffle partition), joined to the plain
+    150k-row uniform side (thin in the hot cells)."""
+    n = BASE_ROWS * 10
+    n_hot = n // 2
+    span = HOT_BUCKETS * BUCKET_W
+    probe = _intervals(spark, 10, hot=False).select(
+        "id",
+        F.when(F.col("id") < n_hot, F.lit(0)).otherwise(F.col("key")).alias(
+            "key"
+        ),
+        F.when(
+            F.col("id") < n_hot,
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(span)),
+        )
+        .otherwise(F.col("s"))
+        .alias("s"),
+        F.when(
+            F.col("id") < n_hot,
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(span))
+            + F.col("e")
+            - F.col("s"),
+        )
+        .otherwise(F.col("e"))
+        .alias("e"),
+    )
+    ppath = _write_once(probe, os.path.join(workdir, "ivl_asym_probe"))
+    wpath = _write_once(
+        _intervals(spark, 1, hot=False),
+        os.path.join(workdir, "ivl_asym_windows"),
+    )
+    return ppath, wpath
+
+
+def _asym_pairs(spark, ppath, wpath):
+    p = spark.read.parquet(ppath)
+    w = spark.read.parquet(wpath)
+    left = p.select(
+        "key", F.col("id").alias("ka"), F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    right = w.select(
+        "key", F.col("id").alias("kb"), F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return interval_overlap_join(
+        left, right, ["key"], "sa", "ea", "sb", "eb", BUCKET_W
+    )
+
+
 def skew(spark, workdir: str) -> dict:
-    """Same 10x row count, hot-key layout, three regimes:
-    default AQE thresholds (documenting they do NOT fire at this
-    cell size), aggressive thresholds (forcing OptimizeSkewedJoin to
-    engage on this plan shape), and the uniform layout as control."""
+    """Hot-cell regimes (module docstring): the self-join hot cell
+    under default AQE conf (output-bound — skew split correctly
+    no-fires), then the asymmetric hot cell under default and
+    scaled-down thresholds (input-bound — skew split must engage)."""
     out = {
         "exp": "interval_overlap_skew",
         "hot_frac": HOT_FRAC,
         "hot_buckets": HOT_BUCKETS,
     }
-    path = _write_once(
-        _intervals(spark, 10, hot=True),
-        os.path.join(workdir, "ivl_hot_10x"),
-    )
-    if _wanted("skew_default"):
-        df = _pairs(spark, path)
-        out["skew_default"] = _measure(spark, df)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out["skew_default"]["aqe_skew_split"] = "skew=true" in plan
-    if _wanted("skew_aggressive"):
+    if _ONLY is None or _ONLY.startswith("selfjoin"):
+        path = _write_once(
+            _intervals(spark, 10, hot=True),
+            os.path.join(workdir, "ivl_hot_10x"),
+        )
+    if _wanted("selfjoin_hot"):
+        out["selfjoin_hot"] = _measure(spark, _pairs(spark, path))
+        out["selfjoin_hot"]["aqe_skew_split"] = "skew=true" in _LAST_PLAN
+    if _ONLY is None or _ONLY.startswith("asym"):
+        ppath, wpath = _asym_tables(spark, workdir)
+    if _wanted("asym_default"):
+        out["asym_default"] = _measure(spark, _asym_pairs(spark, ppath, wpath))
+        out["asym_default"]["aqe_skew_split"] = "skew=true" in _LAST_PLAN
+    if _wanted("asym_scaled_thresholds"):
         old = {
             k: spark.conf.get(k, None)
             for k in (
@@ -173,21 +247,26 @@ def skew(spark, workdir: str) -> dict:
             )
         }
         try:
+            # the cluster defaults (256 MB / 5x) scaled to sf0.1-size
+            # partitions: threshold ~ a few MB, factor 2, 1 MB target
+            # split size — proportionate, not exotic
             spark.conf.set(
                 "spark.sql.adaptive.skewJoin."
                 "skewedPartitionThresholdInBytes",
-                "256k",
+                "2m",
             )
             spark.conf.set(
                 "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
             )
             spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k"
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
             )
-            df = _pairs(spark, path)
-            out["skew_aggressive"] = _measure(spark, df)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            out["skew_aggressive"]["aqe_skew_split"] = "skew=true" in plan
+            out["asym_scaled_thresholds"] = _measure(
+                spark, _asym_pairs(spark, ppath, wpath)
+            )
+            out["asym_scaled_thresholds"]["aqe_skew_split"] = (
+                "skew=true" in _LAST_PLAN
+            )
         finally:
             for k, v in old.items():
                 if v is None:
@@ -223,7 +302,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     for fn in (growth, skew):
         row = fn(spark, workdir)
-        if len(row) > 2:
+        if any(isinstance(v, dict) for v in row.values()):
             print(json.dumps(row), flush=True)
 
 
