@@ -1127,13 +1127,30 @@ def kaplan_meier(
     k event times are driver-free and trivially cheap for any
     alphabet that fits an agg buffer. Returns one row per event time:
     (t, n_risk, n_events, n_censored, survival)."""
+    per_t = subjects.groupBy(F.col(t_col).alias("t")).agg(
+        F.sum(F.col(event_col)).alias("d"),
+        F.sum(1 - F.col(event_col)).alias("c"),
+    )
+    return kaplan_meier_from_counts(per_t)
+
+
+def kaplan_meier_from_counts(per_t: DataFrame) -> DataFrame:
+    """Kaplan-Meier from the collapsed per-time count frame
+    ``(t, d, c)`` — deaths and censorings per integer time unit. The
+    alphabet-sized state unit the streaming survival monitor commits
+    (streaming/survival.py) and the batch wrapper collapses to, so
+    both serve through the IDENTICAL arithmetic — the same
+    shared-kernel contract as mann_whitney_from_value_counts.
+    Counts are additive, so frames from independent chunks merged by
+    groupBy-sum serve the exact union statistic."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         prefix_sums,
     )
 
-    per_t = subjects.groupBy(F.col(t_col).alias("t")).agg(
-        F.sum(F.col(event_col)).alias("d"),
-        F.sum(1 - F.col(event_col)).alias("c"),
+    # re-collapse so duplicate t rows (multiple committed chunks fed
+    # straight in) merge instead of corrupting the at-risk prefix
+    per_t = per_t.groupBy("t").agg(
+        F.sum("d").alias("d"), F.sum("c").alias("c")
     )
     tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_all"))
     cum = prefix_sums(
@@ -1210,10 +1227,6 @@ def log_rank_from_subjects(
     order-deterministic sorted folds over the event-time alphabet,
     mirrored by the oracle's ordered list_reduce. Returns one row:
     (n_a, n_b, obs_a, exp_a, z_lr, significant) at alpha = .05."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
     s = subjects.select(
         F.col(t_col).alias("t"),
         F.col(event_col).cast("long").alias("ev"),
@@ -1224,6 +1237,25 @@ def log_rank_from_subjects(
     per_gt = s.groupBy("g", "t").agg(
         F.sum("ev").alias("d"),
         F.sum(1 - F.col("ev")).alias("c"),
+    )
+    return log_rank_from_counts(per_gt)
+
+
+def log_rank_from_counts(per_gt: DataFrame) -> DataFrame:
+    """Log-rank from the collapsed per-(group, time) count frame
+    ``(g, t, d, c)`` with g already mapped to 'a'/'b' — the streaming
+    survival monitor's committed state unit and the batch wrapper's
+    collapse target (see kaplan_meier_from_counts). Counts are
+    additive across chunks, so the streamed union serves exactly."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    # re-collapse so duplicate (g, t) rows merge (see
+    # kaplan_meier_from_counts) — the pivot below assumes one row per
+    # cell
+    per_gt = per_gt.groupBy("g", "t").agg(
+        F.sum("d").alias("d"), F.sum("c").alias("c")
     )
     # dense per-t two-group frame: a time observed in one group only
     # still consumes at-risk mass from both

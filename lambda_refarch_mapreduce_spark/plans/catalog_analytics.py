@@ -5637,3 +5637,100 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 interval_overlap_orders.__doc__ = interval_overlap_orders.__doc__.replace(
     "{IVL_WINDOW_DAYS}", str(IVL_WINDOW_DAYS)
 )
+
+
+IVL2_FULFILL_DAYS = 7  # left window: orderdate .. +7 (fulfillment)
+IVL2_SETTLE_LO = 5  # right window: orderdate+5 .. +12 (settlement)
+IVL2_SETTLE_HI = 12
+
+
+@register(
+    "jobspec_interval_join",
+    # the oracle states the SEMANTICS as the plain theta join over the
+    # two windows; the clause must reach the same pairs through the
+    # bucketed equi-plan
+    oracle=f"""
+        WITH i AS (SELECT o_orderkey AS k, o_custkey AS c,
+                          date_diff('day', DATE '1970-01-01',
+                                    o_orderdate::DATE) AS d
+                   FROM orders),
+        p AS (SELECT a.c,
+                     least(a.d + {IVL2_FULFILL_DAYS},
+                           b.d + {IVL2_SETTLE_HI})
+                         - greatest(a.d, b.d + {IVL2_SETTLE_LO}) AS ov
+              FROM i a JOIN i b
+              ON a.c = b.c AND a.k <> b.k
+                 AND a.d <= b.d + {IVL2_SETTLE_HI}
+                 AND b.d + {IVL2_SETTLE_LO} <= a.d + {IVL2_FULFILL_DAYS})
+        SELECT c AS o_custkey, count(*)::BIGINT AS n_pairs,
+               max(ov)::BIGINT AS max_overlap_days
+        FROM p GROUP BY 1
+    """,
+    tags=("analytics", "jobspec", "join", "scale"),
+)
+def jobspec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative surface over the interval-overlap join (VERDICT
+    r8 'next round' #7, the same clause-over-operator move `prefilter`
+    made for the Bloom tier): a JobSpec ``interval_join`` clause names
+    two sources, the shared keys, and each side's integer start/end
+    columns, and the engine lowers onto
+    operators.relational.interval_overlap_join — the bucketed
+    equi-plan, never a theta join. The query asks an asymmetric
+    window question interval_overlap_orders cannot (its windows are
+    identical per side): which customers' {IVL2_FULFILL_DAYS}-day
+    fulfillment windows collide with a DIFFERENT order's settlement
+    window ([+{IVL2_SETTLE_LO}, +{IVL2_SETTLE_HI}] days) — the
+    in-flight-work-vs-billing pileup. bucket_width is OMITTED in the
+    spec, exercising the auto-derivation path (p90 interval length of
+    the build side, one bounded job). Returns (o_custkey, n_pairs,
+    max_overlap_days); pairs are DIRECTED (a's fulfillment vs b's
+    settlement and vice versa are distinct questions), hence
+    ``ka <> kb`` rather than ``<``."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    epoch_day = "datediff(to_date(o_orderdate), DATE'1970-01-01')"
+    spec = JobSpec(
+        source={"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+        interval_join={
+            "source": {
+                "format": "parquet",
+                "path": f"{sf_dir}/orders.parquet",
+            },
+            "on": ["c"],
+            "l_select": {
+                "c": "o_custkey",
+                "ka": "o_orderkey",
+                "sa": epoch_day,
+                "ea": f"{epoch_day} + {IVL2_FULFILL_DAYS}",
+            },
+            "r_select": {
+                "c": "o_custkey",
+                "kb": "o_orderkey",
+                "sb": f"{epoch_day} + {IVL2_SETTLE_LO}",
+                "eb": f"{epoch_day} + {IVL2_SETTLE_HI}",
+            },
+            "l_start": "sa",
+            "l_end": "ea",
+            "r_start": "sb",
+            "r_end": "eb",
+            "filter": "ka <> kb",
+        },
+        select={
+            "o_custkey": "c",
+            "ov": "least(ea, eb) - greatest(sa, sb)",
+        },
+        group_by=["o_custkey"],
+        aggs={
+            "n_pairs": "cast(count(1) as bigint)",
+            "max_overlap_days": "cast(max(ov) as bigint)",
+        },
+    )
+    return build(spark, spec)
+
+
+jobspec_interval_join.__doc__ = (
+    jobspec_interval_join.__doc__
+    .replace("{IVL2_FULFILL_DAYS}", str(IVL2_FULFILL_DAYS))
+    .replace("{IVL2_SETTLE_LO}", str(IVL2_SETTLE_LO))
+    .replace("{IVL2_SETTLE_HI}", str(IVL2_SETTLE_HI))
+)

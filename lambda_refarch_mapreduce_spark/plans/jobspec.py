@@ -115,9 +115,30 @@ class JobSpec:
     #     catalog entries and the streaming A/B monitor, so rows
     #     collapse map-side into the value alphabet before any
     #     exchange.
+    #   interval_join={"source": <source dict>, "on": [cols],
+    #                  "l_select": {alias: SQL}?, "r_select": {alias: SQL}?,
+    #                  "l_start": col, "l_end": col,
+    #                  "r_start": col, "r_end": col,
+    #                  "bucket_width": int?, "max_fanout": int?,
+    #                  "filter": "SQL over the joined row"?}
+    #     -> df becomes the interval-OVERLAP join of df (left) against
+    #     the named source (right) on the shared key columns — pairs
+    #     whose integer [start, end] ranges intersect
+    #     (operators.relational.interval_overlap_join: binning
+    #     decomposition to ONE co-keyed equi-join on (keys, bucket),
+    #     canonical-bucket dedup, never a theta/nested-loop plan).
+    #     l_select / r_select reshape each side FIRST (same SQL-string
+    #     dialect as select) since the spec's own select clause runs
+    #     after reshaping; start/end must be integers (caller
+    #     quantizes: days, epoch seconds). bucket_width omitted =
+    #     auto-derived from the left side's p90 interval length;
+    #     "filter" post-filters pairs (e.g. "ka < kb" for self-joins).
+    #     Column names across the two sides must not collide except
+    #     the key columns — alias in l_select/r_select.
     sessionize: dict | None = None
     fuzzy_join: dict | None = None
     stats_test: dict | None = None
+    interval_join: dict | None = None
     # Warehouse-maintenance clauses (applied after filter, before
     # sessionize; df is the BASE snapshot). Mutually exclusive — the
     # refresh needs the PRE-apply base, so chaining them in one spec
@@ -403,6 +424,34 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             sum_name,
             cnt_name,
         )
+    if spec.interval_join:
+        from lambda_refarch_mapreduce_spark.operators.relational import (
+            interval_overlap_join,
+        )
+
+        ij = spec.interval_join
+        right = _read(spark, ij["source"])
+        if ij.get("r_select"):
+            right = right.select(
+                *[F.expr(e).alias(a) for a, e in ij["r_select"].items()]
+            )
+        if ij.get("l_select"):
+            df = df.select(
+                *[F.expr(e).alias(a) for a, e in ij["l_select"].items()]
+            )
+        df = interval_overlap_join(
+            df,
+            right,
+            ij["on"],
+            ij["l_start"],
+            ij["l_end"],
+            ij["r_start"],
+            ij["r_end"],
+            bucket_width=ij.get("bucket_width"),
+            max_fanout=ij.get("max_fanout", 64),
+        )
+        if ij.get("filter"):
+            df = df.filter(F.expr(ij["filter"]))
     if spec.sessionize:
         from lambda_refarch_mapreduce_spark.operators.relational import (
             gap_sessionize,

@@ -546,3 +546,57 @@ def test_prefilter_clause_exact_and_candidate_modes(spark):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "shiftrightunsigned" in plan
     assert "Join" not in plan  # candidate mode: zero joins
+
+
+def test_interval_join_clause_equals_bruteforce(spark):
+    """The interval_join clause lowers onto
+    operators.relational.interval_overlap_join: against a hand-built
+    pair of interval tables, the declarative path returns exactly the
+    brute-force theta-join pair set (incl. the l_select/r_select
+    reshaping and the post-join filter), and the plan carries no
+    CartesianProduct."""
+    import os
+    import tempfile
+
+    from lambda_refarch_mapreduce_spark.plans.jobspec import build
+
+    la = [(1, "g", 0, 10), (2, "g", 8, 12), (3, "g", 30, 35), (4, "h", 0, 5)]
+    rb = [(7, "g", 9, 20), (8, "g", 11, 13), (9, "h", 6, 9), (10, "h", 5, 5)]
+    with tempfile.TemporaryDirectory() as tmp:
+        lpath = os.path.join(tmp, "l.parquet")
+        rpath = os.path.join(tmp, "r.parquet")
+        spark.createDataFrame(
+            la, "id long, g string, s long, e long"
+        ).write.parquet(lpath)
+        spark.createDataFrame(
+            rb, "id long, g string, s long, e long"
+        ).write.parquet(rpath)
+        spec = JobSpec(
+            source={"format": "parquet", "path": lpath},
+            interval_join={
+                "source": {"format": "parquet", "path": rpath},
+                "on": ["g"],
+                "l_select": {
+                    "g": "g", "ka": "id", "sa": "s", "ea": "e",
+                },
+                "r_select": {
+                    "g": "g", "kb": "id", "sb": "s", "eb": "e",
+                },
+                "l_start": "sa", "l_end": "ea",
+                "r_start": "sb", "r_end": "eb",
+                "bucket_width": 8,
+                "filter": "ka <> kb",
+            },
+            select={"ka": "ka", "kb": "kb"},
+        )
+        out = build(spark, spec)
+        got = sorted((r.ka, r.kb) for r in out.collect())
+        want = sorted(
+            (a[0], b[0])
+            for a in la
+            for b in rb
+            if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
+        )
+        assert got == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

@@ -1478,3 +1478,121 @@ def test_streaming_bloom_merge_and_no_false_negatives(spark, tmp_path):
     }
     assert seen <= passed  # no false negatives, ever
     assert len(passed) < 2500  # and the filter actually filters
+
+
+def test_streaming_survival_monitor_matches_batch_kernels(spark, tmp_path):
+    """Streaming survival monitor (streaming/survival.py, VERDICT r8
+    'next round' #6): subject outcomes arrive in chunks, each
+    micro-batch folds its (group, time) death/censor frame into
+    committed state, and the served Kaplan-Meier curves (per arm and
+    pooled) and log-rank statistic must equal the batch kernels on
+    the union EXACTLY (shared kernels, additive integer state).
+    Replayed batches must not double-count."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kaplan_meier,
+        log_rank_from_subjects,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import survival
+
+    sf = "/root/testdata/sf0.001"
+    seg_a, seg_b = "BUILDING", "MACHINERY"
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    hz = o.agg(F.max("d").alias("h"))
+    seg = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    subjects = (
+        pu.join(seg, "o_custkey")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "o_custkey",
+            (F.datediff("l", "f") + 1).cast("long").alias("t"),
+            (F.datediff("h", "l") >= 365).cast("int").alias("event"),
+            F.col("c_mktsegment").alias("g"),
+        )
+    )
+
+    src = str(tmp_path / "subj_src")
+    subjects.withColumn(
+        "_chunk", F.pmod(F.col("o_custkey"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "surv_idx")
+    q = survival.ingest_survival_counts(
+        stream, index_dir, str(tmp_path / "ckpt"), seg_a, seg_b
+    ).start()
+    q.awaitTermination(120)
+
+    # running state == the batch collapse on the union
+    want_counts = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.batch_survival_counts(
+            subjects, seg_a, seg_b
+        ).collect()
+    }
+    got_counts = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.running_survival_counts(
+            spark, index_dir
+        ).collect()
+    }
+    assert got_counts == want_counts
+
+    # per-arm KM == batch kernel on that segment's subjects
+    for arm, segname in (("a", seg_a), ("b", seg_b)):
+        got = {
+            tuple(r)
+            for r in survival.kaplan_meier_now(
+                spark, index_dir, group=arm
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in kaplan_meier(
+                subjects.filter(F.col("g") == segname)
+            ).collect()
+        }
+        assert got == want, arm
+    # pooled KM over both arms
+    got_pool = {
+        tuple(r)
+        for r in survival.kaplan_meier_now(spark, index_dir).collect()
+    }
+    want_pool = {
+        tuple(r)
+        for r in kaplan_meier(
+            subjects.filter(F.col("g").isin(seg_a, seg_b))
+        ).collect()
+    }
+    assert got_pool == want_pool
+
+    # log-rank readout == batch kernel on the union
+    got_lr = survival.log_rank_now(spark, index_dir).collect()[0]
+    want_lr = log_rank_from_subjects(
+        subjects, "t", "event", "g", seg_a, seg_b
+    ).collect()[0]
+    assert tuple(got_lr) == tuple(want_lr)
+
+    # replay idempotence: re-applying an already-committed batch id is
+    # a no-op (module-level function, abtest.py's contract)
+    survival._apply_survival_batch(
+        subjects.limit(40), 0, index_dir, seg_a, seg_b
+    )
+    got_after_replay = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.running_survival_counts(
+            spark, index_dir
+        ).collect()
+    }
+    assert got_after_replay == want_counts
