@@ -1548,3 +1548,25 @@ def table_diff(
             for c, e in col_changed.items()
         ],
     )
+
+
+# --- round-9 experimentation / robust-stats shared formula strings ---
+
+# Minimum detectable effect at alpha=.05 (two-sided) / power=.8 from
+# Welch-style per-group moments (na/sa/qa, nb/sb/qb — exact integer
+# sums cast to DOUBLE once). The z constants are Phi^-1(0.975) and
+# Phi^-1(0.8) as full-precision double literals, identical text on
+# both engines so the IEEE tree matches bit-for-bit before rounding.
+AB_VAR_A_EXPR = "((qa - sa * sa / na) / (na - 1e0))"
+AB_VAR_B_EXPR = "((qb - sb * sb / nb) / (nb - 1e0))"
+AB_MDE_EXPR = (
+    "((1.9599639845400545e0 + 8.416212335729143e-1)"
+    f" * sqrt({AB_VAR_A_EXPR} / na + {AB_VAR_B_EXPR} / nb))"
+)
+
+# Kendall tau-b from integer pair/tie counts: concordant, discordant,
+# n0 = n(n-1)/2 total pairs, n1/n2 = tied-pair counts per variable.
+KENDALL_TAU_B_EXPR = (
+    "((conc - disc) * 1e0"
+    " / sqrt((n0 - n1) * 1e0 * (n0 - n2)))"
+)

@@ -5734,3 +5734,375 @@ jobspec_interval_join.__doc__ = (
     .replace("{IVL2_SETTLE_LO}", str(IVL2_SETTLE_LO))
     .replace("{IVL2_SETTLE_HI}", str(IVL2_SETTLE_HI))
 )
+
+
+@register(
+    "ab_power_mde_value",
+    oracle=f"""
+        WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+                               ELSE 'b' END AS g,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        m AS (SELECT
+                sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::DOUBLE AS na,
+                sum(CASE WHEN g = 'a' THEN cents ELSE 0 END)::DOUBLE
+                    AS sa,
+                sum(CASE WHEN g = 'a' THEN cents::HUGEINT * cents
+                         ELSE 0 END)::DOUBLE AS qa,
+                sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+                sum(CASE WHEN g = 'b' THEN cents ELSE 0 END)::DOUBLE
+                    AS sb,
+                sum(CASE WHEN g = 'b' THEN cents::HUGEINT * cents
+                         ELSE 0 END)::DOUBLE AS qb
+              FROM e)
+        SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(sa / na, 6) AS mean_a_cents,
+               round(sb / nb, 6) AS mean_b_cents,
+               round({analytics.AB_MDE_EXPR}, 6) AS mde_cents,
+               round({analytics.AB_MDE_EXPR} / (sa / na), 6) AS mde_rel
+        FROM m
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def ab_power_mde_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning — the question asked BEFORE the A/B
+    readouts (welch/mann-whitney/CUPED entries serve after): with the
+    two arms' realized sizes and variances, what's the minimum
+    detectable effect at alpha=.05 two-sided / 80% power? MDE =
+    (z_.975 + z_.80) * sqrt(s_a^2/n_a + s_b^2/n_b) (the standard
+    two-sample Welch-style formula; z constants are full-precision
+    double literals shared verbatim with the oracle). ONE moment
+    aggregate over the corpus — six exact-integer sums (squares ride
+    decimal(38,0)/HUGEINT) cast to DOUBLE once — then a single-row
+    closed-form projection: zero windows, zero joins, the cheapest
+    plan shape there is. Returns (n_a, n_b, mean_a_cents,
+    mean_b_cents, mde_cents, mde_rel)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = e.agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("g") == "a", F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("sa"),
+        F.sum(
+            F.when(
+                F.col("g") == "a",
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("g") == "b", F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("sb"),
+        F.sum(
+            F.when(
+                F.col("g") == "b",
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("qb"),
+    )
+    return m.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "round(sa / na, 6) AS mean_a_cents",
+        "round(sb / nb, 6) AS mean_b_cents",
+        f"round({analytics.AB_MDE_EXPR}, 6) AS mde_cents",
+        f"round({analytics.AB_MDE_EXPR} / (sa / na), 6) AS mde_rel",
+    )
+
+
+@register(
+    "jackknife_ratio_se_daily",
+    # the oracle folds the identical leave-one-out sequence: theta_(i)
+    # over days sorted by date, mean, then squared deviations — the
+    # sorted-array-fold convention, as two chained folds
+    oracle="""
+        WITH day AS (SELECT o_orderdate::DATE AS dd,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS r,
+                            count(*)::BIGINT AS c
+                     FROM orders GROUP BY 1),
+        t1 AS (SELECT count(*)::BIGINT AS n,
+                      sum(r)::BIGINT AS s,
+                      sum(c)::BIGINT AS c_all,
+                      list(struct_pack(r := r, c := c) ORDER BY dd) AS a
+               FROM day),
+        t2 AS (SELECT n, s, c_all,
+                      list_transform(a, x -> (s - x.r)::DOUBLE
+                                             / (c_all - x.c)::DOUBLE)
+                          AS th
+               FROM t1),
+        t3 AS (SELECT n, s, c_all, th,
+                      list_reduce(list_prepend(0e0, th),
+                                  (acc, x) -> acc + x) AS s1
+               FROM t2)
+        SELECT n AS n_days,
+               round(s::DOUBLE / c_all::DOUBLE, 6) AS theta_cents,
+               round(sqrt((n - 1e0) / n
+                          * list_reduce(
+                                list_prepend(0e0,
+                                    list_transform(th, x ->
+                                        (x - s1 / n) * (x - s1 / n))),
+                                (acc, x) -> acc + x)), 6) AS se_jack
+        FROM t3
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def jackknife_ratio_se_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of a RATIO estimator (Quenouille/Tukey
+    delete-one resampling) — the uncertainty readout for statistics
+    with no closed-form variance: theta = total revenue / total
+    orders, resampled by leaving out one DAY at a time (delete-a-group
+    jackknife, the time-series-safe unit). theta_(i) = (S - r_i) /
+    (C - c_i) needs only the day-level frame plus the two grand
+    totals, so the corpus collapses map-side into |days| rows and the
+    whole resample is a transform() over one sorted agg buffer — no
+    per-replicate rescan, no driver loop. Both float folds (mean of
+    theta_(i), then squared deviations) run LEFT-TO-RIGHT over the
+    date-sorted array, mirrored by the oracle's ordered list_reduce,
+    so the doubles are bit-identical before rounding. Returns one
+    row: (n_days, theta_cents, se_jack)."""
+    day = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("dd"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("dd")
+        .agg(F.sum("cents").alias("r"), F.count(F.lit(1)).alias("c"))
+    )
+    t1 = day.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+        F.sum("c").alias("c_all"),
+        F.array_sort(F.collect_list(F.struct("dd", "r", "c"))).alias("a"),
+    )
+    t2 = t1.selectExpr(
+        "n",
+        "s",
+        "c_all",
+        "transform(a, x -> CAST(s - x.r AS DOUBLE)"
+        " / CAST(c_all - x.c AS DOUBLE)) AS th",
+    )
+    t3 = t2.withColumn(
+        "s1", F.expr("aggregate(th, 0e0, (acc, x) -> acc + x)")
+    )
+    return t3.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "round(CAST(s AS DOUBLE) / CAST(c_all AS DOUBLE), 6)"
+        " AS theta_cents",
+        "round(sqrt((n - 1e0) / n"
+        " * aggregate(transform(th, x -> (x - s1 / n) * (x - s1 / n)),"
+        " 0e0, (acc, x) -> acc + x)), 6) AS se_jack",
+    )
+
+
+# SPRT (Wald 1945) fixed-point constants, precomputed in Python once
+# and embedded as INTEGER micro-nat literals in BOTH engines' SQL —
+# the NB-filter move: per-day log-likelihood increments become exact
+# integers, so the cumulative walk is order-free and the boundary
+# comparisons are engine-exact (no float cumsum seam).
+# H0: p = 0.40, H1: p = 0.50 purchase share among purchase+click;
+# alpha = beta = 0.05.
+SPRT_L1_MICRO = 223144  # round(ln(0.50/0.40) * 1e6), per success
+SPRT_L2_MICRO = -182322  # round(ln(0.50/0.60) * 1e6), per failure
+SPRT_A_MICRO = 2944439  # round(ln(0.95/0.05) * 1e6): accept H1 at >= A
+SPRT_B_MICRO = -2944439  # accept H0 at <= -A
+
+
+@register(
+    "sprt_ab_daily_llr",
+    oracle=f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      ts::DATE) AS dd,
+                            sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)::BIGINT AS x,
+                            count(*)::BIGINT AS m
+                     FROM events
+                     WHERE event_type IN ('purchase', 'click')
+                     GROUP BY 1),
+        cum AS (SELECT dd,
+                       sum(x) OVER (ORDER BY dd)::BIGINT AS xc,
+                       sum(m) OVER (ORDER BY dd)::BIGINT AS mc
+                FROM day),
+        llr AS (SELECT dd,
+                       xc * {SPRT_L1_MICRO}
+                           + (mc - xc) * ({SPRT_L2_MICRO}) AS v
+                FROM cum)
+        SELECT count(*)::BIGINT AS n_days,
+               arg_max(v, dd)::BIGINT AS llr_final_micro,
+               min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)::BIGINT
+                   AS first_h1_day,
+               min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END)::BIGINT
+                   AS first_h0_day,
+               CASE
+                 WHEN min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
+                      IS NOT NULL
+                      AND coalesce(
+                            min(CASE WHEN v >= {SPRT_A_MICRO}
+                                     THEN dd END)
+                            <= min(CASE WHEN v <= {SPRT_B_MICRO}
+                                        THEN dd END), TRUE)
+                   THEN 'accept_h1'
+                 WHEN min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END)
+                      IS NOT NULL
+                   THEN 'accept_h0'
+                 ELSE 'continue'
+               END AS decision
+        FROM llr
+    """,
+    tags=("analytics", "stats", "experimentation", "scale"),
+)
+def sprt_ab_daily_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the daily
+    conversion series — the SEQUENTIAL companion to the fixed-horizon
+    power entry (ab_power_mde_value): each day contributes x
+    successes (purchases) and m-x failures (clicks) to a running
+    log-likelihood ratio walk between H0: p=0.40 and H1: p=0.50, and
+    the experiment stops the first day the walk crosses ln((1-b)/a)
+    (accept H1) or its negative (accept H0) at alpha=beta=.05. The
+    log-likelihood increments are PRE-COMPUTED INTEGER MICRO-NATS
+    (module constants, same literals in both engines), so the
+    cumulative walk is an exact-integer prefix sum — order-free,
+    engine-exact, no float cumsum seam — computed by
+    operators.relational.prefix_sums (range exchange + per-partition
+    windows, never a single-partition CDF). The corpus collapses
+    map-side into |days| rows first. Returns one row: (n_days,
+    llr_final_micro, first_h1_day, first_h0_day, decision)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    day = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("dd"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_x"),
+        )
+        .groupBy("dd")
+        .agg(
+            F.sum("is_x").alias("x"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    cum = prefix_sums(day, [F.col("dd")], ["x", "m"])
+    llr = cum.select(
+        "dd",
+        (
+            F.col("x_cum") * SPRT_L1_MICRO
+            + (F.col("m_cum") - F.col("x_cum")) * SPRT_L2_MICRO
+        ).alias("v"),
+    )
+    return llr.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_days",
+        "CAST(max_by(v, dd) AS BIGINT) AS llr_final_micro",
+        f"CAST(min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END) AS BIGINT)"
+        " AS first_h1_day",
+        f"CAST(min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END) AS BIGINT)"
+        " AS first_h0_day",
+        f"""CASE
+              WHEN min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
+                   IS NOT NULL
+                   AND coalesce(
+                         min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
+                         <= min(CASE WHEN v <= {SPRT_B_MICRO}
+                                     THEN dd END), TRUE)
+                THEN 'accept_h1'
+              WHEN min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END)
+                   IS NOT NULL
+                THEN 'accept_h0'
+              ELSE 'continue'
+            END AS decision""",
+    )
+
+
+@register(
+    "attribution_position_based",
+    # integer micro-basis-point credits: 40/20/40 U-shape, k=1 -> all,
+    # k=2 -> 50/50, middles split 2000 bp by integer division (the
+    # truncation remainder is dropped — documented, identical on both
+    # engines)
+    oracle="""
+        WITH j AS (SELECT event_type AS channel,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                              AS rn,
+                          count(*) OVER (PARTITION BY user_id) AS k
+                   FROM events),
+        cr AS (SELECT channel,
+                      CASE
+                        WHEN k = 1 THEN 10000000000
+                        WHEN k = 2 THEN 5000000000
+                        WHEN rn = 1 OR rn = k THEN 4000000000
+                        ELSE 2000000000 // (k - 2)
+                      END AS credit
+               FROM j)
+        SELECT channel, count(*)::BIGINT AS n_touches,
+               sum(credit)::BIGINT AS credit_micro_bp
+        FROM cr GROUP BY 1
+    """,
+    tags=("analytics", "product"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution —
+    the standard middle ground between attribution_last_touch's
+    winner-take-all and linear credit: first and last touch of each
+    user's journey earn 40% each, the middles split the remaining
+    20%. Credits are INTEGER MICRO-BASIS-POINTS (10000 bp = 1e10
+    micro-bp per journey; middle share = 2000000000 div (k-2),
+    truncation remainder dropped — identical on both engines), so the
+    per-channel totals are exact integer sums, order-free at any
+    scale. Plan: one user-keyed window pass (row_number + count over
+    the journey partition — co-keyed shuffle, never single-partition)
+    then a map-side-combinable channel aggregate. Returns one row per
+    channel: (channel, n_touches, credit_micro_bp)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    j = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("channel"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    cr = j.select(
+        "channel",
+        F.when(F.col("k") == 1, F.lit(10000000000))
+        .when(F.col("k") == 2, F.lit(5000000000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.lit(4000000000),
+        )
+        .otherwise(F.expr("2000000000 div (k - 2)"))
+        .alias("credit"),
+    )
+    return cr.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit").cast("long").alias("credit_micro_bp"),
+    )
