@@ -1570,3 +1570,294 @@ KENDALL_TAU_B_EXPR = (
     "((conc - disc) * 1e0"
     " / sqrt((n0 - n1) * 1e0 * (n0 - n2)))"
 )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with average-rank ties over a
+    CORPUS-sized frame — the monotone-association reading Pearson
+    (corr_matrix_lineitem) misses under nonlinearity. Distributed
+    construction, no single-partition rank window: each variable
+    collapses to per-distinct-value counts, relational.prefix_sums
+    (range exchange) turns them into cumulative counts, and the
+    average rank appears as an exact INTEGER in doubled units —
+    r2 = 2*cum - cnt + 1 = 2*avg_rank (Pearson is affine-invariant,
+    so the doubling cancels). Rows join their ranks back by value
+    (one co-keyed shuffle per variable; a small alphabet broadcasts
+    via AQE), then one moment aggregate (products on decimal(38,0))
+    and the shared CCF_EXPR correlation string. Returns one row:
+    (n_rows, rho)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    t = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+
+    def ranks(col: str, r2_name: str) -> DataFrame:
+        counts = t.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        cum = prefix_sums(counts, [F.col(col)], ["__cnt"])
+        return cum.select(
+            col,
+            (2 * F.col("__cnt_cum") - F.col("__cnt") + 1).alias(r2_name),
+        )
+
+    j = t.join(ranks("__x", "__rx2"), "__x").join(
+        ranks("__y", "__ry2"), "__y"
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).alias("cnt_i"),
+        F.sum("__rx2").alias("sa_i"),
+        F.sum("__ry2").alias("sb_i"),
+        F.sum(d("__rx2") * F.col("__ry2")).alias("pab_i"),
+        F.sum(d("__rx2") * F.col("__rx2")).alias("qa_i"),
+        F.sum(d("__ry2") * F.col("__ry2")).alias("qb_i"),
+    ).selectExpr(
+        "CAST(cnt_i AS DOUBLE) AS cnt",
+        "CAST(sa_i AS DOUBLE) AS sa",
+        "CAST(sb_i AS DOUBLE) AS sb",
+        "CAST(pab_i AS DOUBLE) AS pab",
+        "CAST(qa_i AS DOUBLE) AS qa",
+        "CAST(qb_i AS DOUBLE) AS qb",
+    )
+    return m.selectExpr(
+        "CAST(cnt AS BIGINT) AS n_rows",
+        f"round({CCF_EXPR}, 6) AS rho",
+    )
+
+
+def kendall_tau_b(
+    series: DataFrame, key_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Kendall tau-b (tie-adjusted concordance) between two aligned
+    integer series — the ordinal-association companion to
+    spearman_rho, preferred when the series is short and every pair
+    matters. ``series`` is one row per key (caller collapses the
+    corpus to the key alphabet first, ccf_lags' contract). All
+    n(n-1)/2 pairs materialize through the gap-explode EQUI-join
+    (index from relational.global_rank, gaps 1..n-1 broadcast — the
+    ccf_lags pattern; quadratic in the ALPHABET, never a theta join),
+    concordant/discordant are sign comparisons (no product overflow),
+    tie corrections come from per-value count aggregates, and tau-b
+    is one shared formula string over exact integers. Returns one
+    row: (n_obs, n_pairs, concordant, discordant, tau_b)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    s = global_rank(
+        series.select(
+            F.col(key_col).alias("__k"),
+            F.col(a_col).cast("long").alias("__a"),
+            F.col(b_col).cast("long").alias("__b"),
+        ),
+        [F.col("__k")],
+        rank_col="__t",
+    )
+    nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    gaps = nrow.select(
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
+    )
+    left = s.select(
+        F.col("__t").alias("__ta"),
+        F.col("__a").alias("xa"),
+        F.col("__b").alias("ya"),
+    )
+    right = s.select(
+        F.col("__t").alias("__tb"),
+        F.col("__a").alias("xb"),
+        F.col("__b").alias("yb"),
+    )
+    pairs = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("__want", F.col("__ta") + F.col("g"))
+        .join(right, F.col("__want") == F.col("__tb"))
+    )
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    pcounts = pairs.agg(
+        F.sum(
+            F.when(((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0)), 1)
+            .otherwise(0)
+        ).alias("conc"),
+        F.sum(
+            F.when(((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0)), 1)
+            .otherwise(0)
+        ).alias("disc"),
+    )
+
+    def tie_pairs(col: str, name: str) -> DataFrame:
+        return (
+            s.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(
+                    F.col("__c") * (F.col("__c") - 1) / 2
+                )
+                .cast("long")
+                .alias(name)
+            )
+        )
+
+    one = (
+        pcounts.crossJoin(F.broadcast(tie_pairs("__a", "n1")))
+        .crossJoin(F.broadcast(tie_pairs("__b", "n2")))
+        .crossJoin(
+            F.broadcast(
+                nrow.select(
+                    F.col("n"),
+                    (F.col("n") * (F.col("n") - 1) / 2)
+                    .cast("long")
+                    .alias("n0"),
+                )
+            )
+        )
+    )
+    return one.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(n0 AS BIGINT) AS n_pairs",
+        "CAST(conc AS BIGINT) AS concordant",
+        "CAST(disc AS BIGINT) AS discordant",
+        f"round({KENDALL_TAU_B_EXPR}, 6) AS tau_b",
+    )
+
+
+def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil-Sen robust trend — the LOWER MEDIAN of all pairwise
+    slopes (and of the per-point intercepts at that slope), the
+    breakdown-resistant alternative to trend_value_by_event_type's
+    least-squares slope (up to ~29% outliers leave it unmoved).
+    ``series`` is one row per integer x (caller collapses the corpus
+    to the alphabet first); pairs materialize through the gap-explode
+    EQUI-join on the global_rank index (quadratic in the ALPHABET —
+    |days|^2 pairs for a daily series, bounded metadata for
+    year-scale series; never a theta join). Slopes are single integer
+    divisions (dy/dx as DOUBLE, one IEEE op both engines agree on)
+    and the median is the EXACT lower-middle order statistic via one
+    sorted agg-buffer array — interpolation-free, so cross-engine
+    equality is bitwise, not approximate. Returns one row:
+    (n_obs, n_pairs, sen_slope, sen_intercept)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    s = global_rank(
+        series.select(
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        ),
+        [F.col("__x")],
+        rank_col="__t",
+    )
+    nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    gaps = nrow.select(
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
+    )
+    left = s.select(
+        F.col("__t").alias("__ta"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+    )
+    right = s.select(
+        F.col("__t").alias("__tb"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+    )
+    pairs = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("__want", F.col("__ta") + F.col("g"))
+        .join(right, F.col("__want") == F.col("__tb"))
+        .selectExpr(
+            "CAST(yb - ya AS DOUBLE) / CAST(xb - xa AS DOUBLE)"
+            " AS __slope"
+        )
+    )
+    med = pairs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.array_sort(F.collect_list("__slope")).alias("__arr"),
+    ).selectExpr(
+        "k",
+        "element_at(__arr, CAST((k + 1) div 2 AS INT)) AS sen_slope",
+    )
+    resid = (
+        s.crossJoin(F.broadcast(med))
+        .selectExpr("k", "sen_slope", "__y - sen_slope * __x AS __b")
+        .groupBy("k", "sen_slope")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_list("__b")).alias("__barr"),
+        )
+    )
+    return resid.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(k AS BIGINT) AS n_pairs",
+        "round(sen_slope, 6) AS sen_slope",
+        "round(element_at(__barr, CAST((n + 1) div 2 AS INT)), 6)"
+        " AS sen_intercept",
+    )
+
+
+def qq_quantile_table(
+    values: DataFrame,
+    group_a: str,
+    group_b: str,
+    group_col: str = "g",
+    value_col: str = "v",
+    n_grid: int = 20,
+) -> DataFrame:
+    """Quantile-quantile comparison table between two groups' INTEGER
+    value distributions at the i/n_grid quantiles (i = 1..n_grid-1) —
+    the distribution-shift diagnostic behind quantile normalization
+    and bias correction: q_b - q_a per grid point IS the additive
+    correction that maps group B onto group A's distribution. The
+    quantile is the exact Type-1 (lower) order statistic — the
+    smallest value whose cumulative count reaches i/n_grid of the
+    group — computed in PURE INTEGER arithmetic (cum * n_grid >=
+    i * n), the weighted_percentiles_price convention: per-value
+    counts collapse map-side, relational.prefix_sums makes the CDF
+    (range exchange, never a single-partition window), and the grid
+    probe is a broadcast of n_grid-1 rows against the value ALPHABET
+    — no interpolation, no float CDF, engine-exact at any scale.
+    Returns (grid_i, q_a, q_b, shift) per interior grid point."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    spark = values.sparkSession
+    v = values.select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .when(F.col(group_col) == group_b, F.lit("b"))
+        .alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("g").isNotNull())
+    grid = spark.range(1, n_grid).select(F.col("id").alias("i"))
+
+    def side(tag: str, qname: str) -> DataFrame:
+        counts = (
+            v.filter(F.col("g") == tag)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cum = prefix_sums(counts, [F.col("v")], ["cnt"])
+        tot = counts.agg(F.sum("cnt").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(grid))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt_cum") * n_grid >= F.col("i") * F.col("n"))
+            .groupBy("i")
+            .agg(F.min("v").alias(qname))
+        )
+
+    qa = side("a", "qa")
+    qb = side("b", "qb")
+    return (
+        qa.join(qb, "i")
+        .selectExpr(
+            "CAST(i AS BIGINT) AS grid_i",
+            "CAST(qa AS BIGINT) AS q_a",
+            "CAST(qb AS BIGINT) AS q_b",
+            "CAST(qb - qa AS BIGINT) AS shift",
+        )
+    )

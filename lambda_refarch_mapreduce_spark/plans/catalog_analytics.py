@@ -6106,3 +6106,255 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("credit").cast("long").alias("credit_micro_bp"),
     )
+
+
+@register(
+    "spearman_rank_corr_lineitem",
+    oracle=f"""
+        WITH t AS (SELECT l_quantity::BIGINT AS x,
+                          round(l_extendedprice * 100)::BIGINT AS y
+                   FROM lineitem),
+        xc AS (SELECT x, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        xr AS (SELECT x,
+                      (2 * sum(cnt) OVER (ORDER BY x) - cnt + 1)::BIGINT
+                          AS rx2
+               FROM xc),
+        yc AS (SELECT y, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        yr AS (SELECT y,
+                      (2 * sum(cnt) OVER (ORDER BY y) - cnt + 1)::BIGINT
+                          AS ry2
+               FROM yc),
+        j AS (SELECT rx2, ry2 FROM t
+              JOIN xr USING (x) JOIN yr USING (y)),
+        m AS (SELECT count(*)::DOUBLE AS cnt,
+                     sum(rx2)::DOUBLE AS sa, sum(ry2)::DOUBLE AS sb,
+                     sum(rx2::HUGEINT * ry2)::DOUBLE AS pab,
+                     sum(rx2::HUGEINT * rx2)::DOUBLE AS qa,
+                     sum(ry2::HUGEINT * ry2)::DOUBLE AS qb
+              FROM j)
+        SELECT cnt::BIGINT AS n_rows,
+               round({analytics.CCF_EXPR}, 6) AS rho
+        FROM m
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def spearman_rank_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order quantity and line price
+    (operators.analytics.spearman_rho) — the monotone-association
+    reading the Pearson matrix entry (corr_matrix_lineitem) misses
+    under nonlinearity, over a CORPUS-sized frame with heavy ties (50
+    distinct quantities). The distributed construction is the point:
+    average ranks come from per-distinct-value counts +
+    relational.prefix_sums as exact integers in DOUBLED units
+    (2*avg_rank — Pearson's affine invariance cancels the doubling),
+    rows join ranks back by value (the 50-value quantity alphabet
+    broadcasts via AQE; the price side is one co-keyed shuffle), and
+    the correlation is the shared CCF_EXPR moment string over
+    decimal(38,0) products. Never a single-partition rank window.
+    Returns one row: (n_rows, rho)."""
+    t = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return analytics.spearman_rho(t, "x", "y")
+
+
+@register(
+    "kendall_tau_daily",
+    oracle=f"""
+        WITH e AS (SELECT ts::DATE AS dd, event_type,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events),
+        a AS (SELECT dd, sum(cents)::BIGINT AS rev FROM e
+              WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT dd, count(*)::BIGINT AS clicks FROM e
+              WHERE event_type = 'click' GROUP BY 1),
+        days AS (SELECT dd FROM a UNION SELECT dd FROM b),
+        s AS (SELECT days.dd,
+                     coalesce(rev, 0)::BIGINT AS rev,
+                     coalesce(clicks, 0)::BIGINT AS clicks
+              FROM days LEFT JOIN a USING (dd) LEFT JOIN b USING (dd)),
+        idx AS (SELECT rev AS av, clicks AS bv,
+                       row_number() OVER (ORDER BY dd) AS t
+                FROM s),
+        pairs AS (SELECT x.av AS xa, x.bv AS ya, y.av AS xb,
+                         y.bv AS yb
+                  FROM idx x JOIN idx y ON y.t > x.t),
+        pc AS (SELECT sum(CASE WHEN (xb > xa AND yb > ya)
+                                 OR (xb < xa AND yb < ya)
+                               THEN 1 ELSE 0 END)::BIGINT AS conc,
+                      sum(CASE WHEN (xb > xa AND yb < ya)
+                                 OR (xb < xa AND yb > ya)
+                               THEN 1 ELSE 0 END)::BIGINT AS disc
+               FROM pairs),
+        t1 AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS n1
+               FROM (SELECT count(*)::BIGINT AS c FROM idx
+                     GROUP BY av)),
+        t2 AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS n2
+               FROM (SELECT count(*)::BIGINT AS c FROM idx
+                     GROUP BY bv)),
+        nn AS (SELECT count(*)::BIGINT AS n,
+                      (count(*) * (count(*) - 1) // 2)::BIGINT AS n0
+               FROM idx)
+        SELECT n AS n_obs, n0 AS n_pairs, conc AS concordant,
+               disc AS discordant,
+               round({analytics.KENDALL_TAU_B_EXPR}, 6) AS tau_b
+        FROM pc, t1, t2, nn
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily purchase revenue and daily click
+    volume (operators.analytics.kendall_tau_b) — the ordinal
+    concordance reading beside ccf_purchase_vs_clicks' linear lags:
+    robust to any monotone rescaling of either series, with the tie
+    correction zero-filled days make necessary. The corpus collapses
+    map-side to the day alphabet (the ccf entry's dense zero-filled
+    frame), all n(n-1)/2 day pairs materialize through the
+    gap-explode EQUI-join on the global_rank index (quadratic in
+    |days| only — bounded metadata; never a theta join), and
+    concordant/discordant/tie counts stay exact integers into one
+    shared tau-b formula string. Returns one row: (n_obs, n_pairs,
+    concordant, discordant, tau_b)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("dd"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("dd")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    dense = a.join(b, "dd", "full_outer").select(
+        "dd",
+        F.coalesce("rev", F.lit(0)).alias("rev"),
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+    )
+    return analytics.kendall_tau_b(dense, "dd", "rev", "clicks")
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        idx AS (SELECT x, y, row_number() OVER (ORDER BY x) AS t
+                FROM day),
+        pairs AS (SELECT (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE
+                      AS sl
+                  FROM idx a JOIN idx b ON b.t > a.t),
+        m AS (SELECT count(*)::BIGINT AS k,
+                     (list(sl ORDER BY sl))[(count(*) + 1) // 2]
+                         AS sen_slope
+              FROM pairs),
+        r AS (SELECT m.k, m.sen_slope, count(*)::BIGINT AS n,
+                     (list(day.y - m.sen_slope * day.x
+                           ORDER BY day.y - m.sen_slope * day.x))
+                         [(count(*) + 1) // 2] AS ic
+              FROM day, m GROUP BY m.k, m.sen_slope)
+        SELECT n AS n_obs, k AS n_pairs,
+               round(sen_slope, 6) AS sen_slope,
+               round(ic, 6) AS sen_intercept
+        FROM r
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue
+    (operators.analytics.theil_sen) — the breakdown-resistant slope
+    beside trend_value_by_event_type's least squares: the lower
+    median of all pairwise day-slopes shrugs off ~29% outlier days
+    (holiday spikes, outage zeros) that would drag OLS. Day pairs
+    come from the gap-explode equi-join on the global_rank index
+    (|days|^2 pairs — bounded metadata for year-scale series), each
+    slope is ONE integer-to-double division both engines agree on
+    bit-for-bit, and both medians are EXACT lower-middle order
+    statistics from a sorted agg buffer — interpolation-free, so
+    cross-engine equality is bitwise. Returns one row: (n_obs,
+    n_pairs, sen_slope, sen_intercept) in cents/day and cents."""
+    day = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return analytics.theil_sen(day, "x", "y")
+
+
+def _qq_oracle() -> str:
+    from lambda_refarch_mapreduce_spark.plans.catalog_llm import (
+        _quality_sql,
+    )
+
+    return f"""
+        WITH scored AS ({_quality_sql()}),
+        v AS (SELECT lang AS g, round(quality * 1000)::BIGINT AS mv
+              FROM scored WHERE lang IN ('en', 'de')),
+        ca AS (SELECT mv, count(*)::BIGINT AS cnt FROM v
+               WHERE g = 'en' GROUP BY 1),
+        cca AS (SELECT mv, sum(cnt) OVER (ORDER BY mv)::BIGINT AS cum,
+                       (SELECT sum(cnt) FROM ca)::BIGINT AS n
+                FROM ca),
+        cb AS (SELECT mv, count(*)::BIGINT AS cnt FROM v
+               WHERE g = 'de' GROUP BY 1),
+        ccb AS (SELECT mv, sum(cnt) OVER (ORDER BY mv)::BIGINT AS cum,
+                       (SELECT sum(cnt) FROM cb)::BIGINT AS n
+                FROM cb),
+        grid AS (SELECT unnest(range(1, 20)) AS i),
+        qa AS (SELECT i, min(mv)::BIGINT AS q_a FROM cca, grid
+               WHERE cum * 20 >= i * n GROUP BY 1),
+        qb AS (SELECT i, min(mv)::BIGINT AS q_b FROM ccb, grid
+               WHERE cum * 20 >= i * n GROUP BY 1)
+        SELECT i::BIGINT AS grid_i, q_a, q_b,
+               (q_b - q_a)::BIGINT AS shift
+        FROM qa JOIN qb USING (i)
+    """
+
+
+@register(
+    "qq_quality_by_lang",
+    oracle=_qq_oracle(),
+    tags=("analytics", "llm", "stats", "scale"),
+)
+def qq_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table of document quality between the 'en'
+    and 'de' sub-corpora (operators.analytics.qq_quantile_table) —
+    the distribution-shift diagnostic behind quantile NORMALIZATION:
+    shift = q_de - q_en at each ventile is exactly the additive
+    correction that maps the German scores onto the English
+    distribution (the bias-correction / cross-corpus
+    score-comparability primitive a mixed-source training pipeline
+    needs before a single quality threshold is meaningful). Quality
+    is the shared row-local heuristic (text.quality_expr, the
+    text_quality entry's SQL-replayed formula) quantized to integer
+    milli-units; quantiles are exact Type-1 order statistics in pure
+    integer arithmetic over per-value counts + prefix_sums — no
+    interpolation, no float CDF, no single-partition rank window.
+    Returns (grid_i, q_a, q_b, shift) for ventiles 1..19."""
+    from lambda_refarch_mapreduce_spark.operators.text import quality_expr
+
+    v = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("g"),
+        F.round(quality_expr(F.col("text")) * 1000)
+        .cast("long")
+        .alias("mq"),
+    )
+    return analytics.qq_quantile_table(v, "en", "de", "g", "mq", 20)

@@ -4542,3 +4542,143 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 similarity_mmr_rerank.__doc__ = similarity_mmr_rerank.__doc__.replace(
     "{MMR_LAMBDA}", str(MMR_LAMBDA)
 )
+
+
+# Calibration reliability bins for the NB filter: scores bucket into
+# 0.5-nat bins (integer floor on the micro-unit score — |score| <<
+# 2^53 so the double floor is exact on both engines), predicted
+# probability is the sigmoid of the bin MIDPOINT in nats, one shared
+# formula string.
+NB_CAL_BIN_MICRO = 500_000  # 0.5 nats per bin, in micro-nat units
+NB_CAL_PROB_EXPR = "(1e0 / (1e0 + exp(-((bin + 5e-1) * 5e-1))))"
+
+
+@register(
+    "nb_model_calibration_bins",
+    oracle=f"""
+        WITH med AS (SELECT median(n_chars) AS m FROM documents),
+        lab AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos
+                FROM documents),
+        d AS (SELECT doc_id, (n_chars > (SELECT m FROM med)) AS pos,
+                     unnest(list_distinct({_SQL_TOKENS})) AS token
+              FROM documents),
+        tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+                FROM lab),
+        t AS (SELECT token,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+              FROM d GROUP BY 1),
+        model AS (SELECT token,
+                         CAST(round((ln((dp + 1.0) / (np + 2.0))
+                                     - ln((dn + 1.0) / (nn + 2.0)))
+                                    * 1000000) AS BIGINT) AS lo_int
+                  FROM t CROSS JOIN tot
+                  ORDER BY abs(ln((dp + 1.0) / (np + 2.0))
+                               - ln((dn + 1.0) / (nn + 2.0))) DESC,
+                           token
+                  LIMIT {NB_TOP_TOKENS}),
+        sc AS (SELECT d.doc_id, sum(model.lo_int) AS score_int
+               FROM d JOIN model ON d.token = model.token
+               GROUP BY 1),
+        pb AS (SELECT lab.pos,
+                      CAST(floor(coalesce(sc.score_int, 0)
+                                 / {NB_CAL_BIN_MICRO}e0) AS BIGINT)
+                          AS bin
+               FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id),
+        g AS (SELECT bin, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT
+                         AS n_pos
+              FROM pb GROUP BY 1)
+        SELECT bin, n_docs, n_pos,
+               round({NB_CAL_PROB_EXPR}, 6) AS pred_prob,
+               round(n_pos * 1e0 / n_docs, 6) AS pos_rate,
+               round(({NB_CAL_PROB_EXPR} - n_pos * 1e0 / n_docs)
+                     * ({NB_CAL_PROB_EXPR} - n_pos * 1e0 / n_docs), 6)
+                   AS sq_gap
+        FROM g
+    """,
+    tags=("llm", "training", "stats"),
+)
+def nb_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table for the NB quality filter — the
+    third leg of its eval stool after the confusion matrix
+    (nb_filter_confusion_eval) and the gains chart
+    (nb_filter_lift_deciles): do the model's log-odds MEAN what they
+    claim? Documents bucket into 0.5-nat score bins (integer floor on
+    the order-free micro-unit score sum), each bin compares the
+    sigmoid of its midpoint (the predicted probability, one shared
+    formula string) against the empirical positive rate, and sq_gap
+    is that bin's squared reliability term — the calibration
+    component of the Brier decomposition, the quantity temperature
+    scaling would shrink. Plan: the same train→score passes as the
+    confusion entry (one corpus shuffle, 25-token broadcast model,
+    doc-keyed aggregate), then ONE bounded bin aggregate. Returns one
+    row per occupied bin: (bin, n_docs, n_pos, pred_prob, pos_rate,
+    sq_gap)."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        tokenize as _tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.median("n_chars").alias("m"))
+    lab = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id", (F.col("n_chars") > F.col("m")).alias("pos")
+    )
+    d = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("n_chars") > F.col("m")).alias("pos"),
+        F.explode(F.array_distinct(_tokenize(F.col("text")))).alias(
+            "token"
+        ),
+    )
+    tot = lab.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    t = d.groupBy("token").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("dn"),
+    )
+    lo = F.log((F.col("dp") + 1.0) / (F.col("np") + 2.0)) - F.log(
+        (F.col("dn") + 1.0) / (F.col("nn") + 2.0)
+    )
+    model = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(lo * 1_000_000).cast("long").alias("lo_int"),
+            F.abs(lo).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), "token")
+        .limit(NB_TOP_TOKENS)
+        .drop("__a")
+    )
+    sc = (
+        d.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("lo_int").alias("score_int"))
+    )
+    pb = lab.join(sc, "doc_id", "left").select(
+        "pos",
+        F.expr(
+            f"CAST(floor(coalesce(score_int, 0)"
+            f" / {NB_CAL_BIN_MICRO}e0) AS BIGINT)"
+        ).alias("bin"),
+    )
+    g = pb.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return g.selectExpr(
+        "bin",
+        "n_docs",
+        "n_pos",
+        f"round({NB_CAL_PROB_EXPR}, 6) AS pred_prob",
+        "round(n_pos * 1e0 / n_docs, 6) AS pos_rate",
+        f"round(({NB_CAL_PROB_EXPR} - n_pos * 1e0 / n_docs)"
+        f" * ({NB_CAL_PROB_EXPR} - n_pos * 1e0 / n_docs), 6)"
+        " AS sq_gap",
+    )
