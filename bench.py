@@ -96,6 +96,10 @@ HEADLINE = {
     "q_ccf": "ccf_purchase_vs_clicks",
     "q_table_diff": "table_diff_cdc_snapshot",
     "q_interval_overlap": "interval_overlap_orders",
+    # round 9 additions
+    "q_jobspec_interval": "jobspec_interval_join",
+    "q_spearman": "spearman_rank_corr_lineitem",
+    "q_attribution": "attribution_position_based",
 }
 
 

@@ -339,6 +339,14 @@ def test_registry_wide_no_cartesian_product(spark):
         "log_rank_churn_by_segment",   # 1-row horizon + 1-row totals
         "cuped_ab_user_value",         # 1-row min-date split point
         "ccf_purchase_vs_clicks",      # 15-row lag grid cross
+        # round 9 — alphabet-sized grids / single-row stat frames only
+        "kendall_tau_daily",           # |days|-1 gap grid + 1-row tie/
+        # total frames (gap-explode pair join is the equi-join)
+        "theil_sen_daily_trend",       # gap grid + 1-row median frame
+        "nb_model_calibration_bins",   # 1-row median + prior terms
+        # (same train->score passes as nb_filter_confusion_eval)
+        "qq_quality_by_lang",          # 19-row ventile grid + 1-row
+        # per-side totals against the value ALPHABET
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
@@ -698,5 +706,49 @@ def test_round8_entry_plan_shapes(spark):
         catalog.REGISTRY["table_diff_cdc_snapshot"].spark(spark, SF_SMOKE)
     )
     assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round9_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-9 scale claims:
+
+    - spearman: the corpus collapses through partial aggregates and
+      every rank window is __pid-scoped (prefix_sums machinery —
+      never a single-partition rank over the data)
+    - sprt: the day walk rides prefix_sums' range exchange
+    - attribution: both journey windows are USER-partitioned
+    - jobspec_interval_join: bucketed equi-plan, no nested loop"""
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+    )
+
+    p = _plan(
+        catalog.REGISTRY["spearman_rank_corr_lineitem"].spark(
+            spark, SF_SMOKE
+        )
+    )
+    assert "partial_" in p
+    for ln in p.splitlines():
+        if "Window [" in ln and "windowspecdefinition" in ln:
+            assert "__pid" in ln, ln
+
+    p = _plan(catalog.REGISTRY["sprt_ab_daily_llr"].spark(spark, SF_SMOKE))
+    assert "rangepartitioning" in p
+    assert "partial_" in p
+
+    p = _plan(
+        catalog.REGISTRY["attribution_position_based"].spark(
+            spark, SF_SMOKE
+        )
+    )
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln
+
+    p = _plan(
+        catalog.REGISTRY["jobspec_interval_join"].spark(spark, SF_SMOKE)
+    )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
