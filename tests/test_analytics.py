@@ -2016,3 +2016,174 @@ def test_table_diff_and_mmr_edge_guards(spark):
     got = mmr_rerank(cands, k=10).collect()
     assert sorted(r.neighbor_id for r in got) == [1, 2]
     assert sorted(r.pick for r in got) == [0, 1]
+
+
+def test_spearman_rho_matches_numpy_bruteforce(spark):
+    """operators.analytics.spearman_rho vs a hand-rolled average-rank
+    Spearman in numpy on adversarial data: heavy ties in both
+    variables, a negative-association block, and a constant run."""
+    import numpy as np
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        spearman_rho,
+    )
+
+    xs = [1, 1, 2, 2, 2, 3, 5, 5, 8, 9, 9, 9, 4, 4, 7]
+    ys = [9, 8, 8, 7, 7, 6, 5, 5, 2, 1, 1, 2, 6, 6, 3]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = spearman_rho(df, "x", "y").collect()[0]
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sorted_v = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sorted_v[j] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    assert got.n_rows == len(xs)
+    assert abs(got.rho - want) < 1e-6
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    """operators.analytics.kendall_tau_b vs the O(n^2) textbook
+    definition (strict concordance, tie-corrected denominator)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kendall_tau_b,
+    )
+
+    rows = [
+        (1, 10, 5), (2, 10, 7), (3, 12, 7), (4, 15, 2), (5, 15, 2),
+        (6, 9, 9), (7, 20, 1), (8, 11, 7), (9, 13, 4), (10, 13, 8),
+    ]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = kendall_tau_b(df, "k", "a", "b").collect()[0]
+
+    import math
+
+    n = len(rows)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[j][1] - rows[i][1]
+            dy = rows[j][2] - rows[i][2]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+
+    def tie_pairs(idx):
+        from collections import Counter
+
+        c = Counter(r[idx] for r in rows)
+        return sum(v * (v - 1) // 2 for v in c.values())
+
+    n1, n2 = tie_pairs(1), tie_pairs(2)
+    want = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (got.n_obs, got.n_pairs) == (n, n0)
+    assert (got.concordant, got.discordant) == (conc, disc)
+    assert abs(got.tau_b - want) < 1e-6
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """operators.analytics.theil_sen vs the brute-force lower-median
+    of all pairwise slopes (and intercepts at that slope) — including
+    an outlier point OLS would chase."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        theil_sen,
+    )
+
+    pts = [(0, 10), (1, 12), (2, 14), (3, 16), (4, 500), (5, 20),
+           (6, 22), (8, 26), (9, 28)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = theil_sen(df, "x", "y").collect()[0]
+
+    slopes = sorted(
+        (pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    )
+    k = len(slopes)
+    sen = slopes[(k + 1) // 2 - 1]  # lower median, 1-based -> 0-based
+    resid = sorted(y - sen * x for x, y in pts)
+    ic = resid[(len(pts) + 1) // 2 - 1]
+    assert (got.n_obs, got.n_pairs) == (len(pts), k)
+    assert abs(got.sen_slope - round(sen, 6)) < 1e-9
+    assert abs(got.sen_intercept - round(ic, 6)) < 1e-9
+    # robustness: the outlier at x=4 does not drag the slope off 2
+    assert abs(got.sen_slope - 2.0) < 0.5
+
+
+def test_qq_quantile_table_matches_bruteforce(spark):
+    """operators.analytics.qq_quantile_table vs brute-force Type-1
+    (lower) quantiles: the smallest value whose cumulative count
+    reaches i/n_grid of the group — including unequal group sizes."""
+    import math
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        qq_quantile_table,
+    )
+
+    a_vals = [1, 2, 2, 3, 5, 8, 8, 9, 12, 20, 20]
+    b_vals = [4, 5, 7, 7, 10, 11, 15, 30]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.grid_i: (r.q_a, r.q_b, r.shift)
+        for r in qq_quantile_table(df, "a", "b", "g", "v", 10).collect()
+    }
+
+    def q1(vals, i, grid):
+        vals = sorted(vals)
+        n = len(vals)
+        # smallest index with (idx+1) * grid >= i * n
+        for idx, v in enumerate(vals):
+            if (idx + 1) * grid >= i * n:
+                return v
+        return vals[-1]
+
+    for i in range(1, 10):
+        qa, qb = q1(a_vals, i, 10), q1(b_vals, i, 10)
+        assert got[i] == (qa, qb, qb - qa), i
+
+
+def test_jackknife_ratio_se_matches_python_loop(spark):
+    """jackknife_ratio_se_daily's arithmetic vs an explicit python
+    leave-one-out loop on the same sf0.001 day frame."""
+    import math
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog_analytics,
+    )
+    from lambda_refarch_mapreduce_spark import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["jackknife_ratio_se_daily"].spark(spark, sf).collect()[0]
+
+    day = (
+        load_table(spark, sf, "orders")
+        .selectExpr(
+            "to_date(o_orderdate) AS dd",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("dd")
+        .agg(F.sum("cents").alias("r"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    rows = sorted((r.dd, r.r, r.c) for r in day)
+    S = sum(r for _, r, _ in rows)
+    C = sum(c for _, _, c in rows)
+    n = len(rows)
+    th = [(S - r) / (C - c) for _, r, c in rows]
+    m = sum(th) / n
+    se = math.sqrt((n - 1) / n * sum((x - m) ** 2 for x in th))
+    assert got.n_days == n
+    assert abs(got.theta_cents - round(S / C, 6)) < 1e-9
+    assert abs(got.se_jack - se) < 1e-6

@@ -1596,3 +1596,78 @@ def test_streaming_survival_monitor_matches_batch_kernels(spark, tmp_path):
         ).collect()
     }
     assert got_after_replay == want_counts
+
+
+def test_streaming_survival_epoch_guard_raises_on_fresh_checkpoint(
+    spark, tmp_path
+):
+    """Lifecycle contract for the survival monitor (same shared guard
+    as abtest/sketch twins, both restart paths): a FRESH checkpoint
+    meeting the surviving index raises instead of silently
+    undercounting; a SAME-checkpoint restart drains new data."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+    from lambda_refarch_mapreduce_spark.streaming import survival
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(5, 1, "a"), (7, 0, "b"), (3, 1, "a")],
+        "t long, event int, g string",
+    ).write.parquet(os.path.join(src, "f0"))
+    schema = "t long, event int, g string"
+    index_dir = str(tmp_path / "idx")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f*")
+        )
+
+    q = survival.ingest_survival_counts(
+        stream(), index_dir, str(tmp_path / "ckpt"), "a", "b"
+    ).start()
+    q.awaitTermination(120)
+    base = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.running_survival_counts(
+            spark, index_dir
+        ).collect()
+    }
+    assert base
+
+    # fresh checkpoint + surviving index -> loud failure, state intact
+    q2 = survival.ingest_survival_counts(
+        stream(), index_dir, str(tmp_path / "ckpt2"), "a", "b"
+    ).start()
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised and "checkpoint epoch mismatch" in raised, raised
+    after = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.running_survival_counts(
+            spark, index_dir
+        ).collect()
+    }
+    assert after == base
+
+    # same checkpoint + new file -> drains and merges
+    spark.createDataFrame(
+        [(5, 1, "a")], schema
+    ).write.parquet(os.path.join(src, "f1"))
+    q3 = survival.ingest_survival_counts(
+        stream(), index_dir, str(tmp_path / "ckpt"), "a", "b"
+    ).start()
+    q3.awaitTermination(120)
+    merged = {
+        (r.g, r.t, r.d, r.c)
+        for r in survival.running_survival_counts(
+            spark, index_dir
+        ).collect()
+    }
+    assert ("a", 5, 2, 0) in merged

@@ -300,7 +300,7 @@ def main():
         }
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for fn in (growth, skew):
+    for fn in (growth, skew, spearman_growth, sprt_growth):
         row = fn(spark, workdir)
         if any(isinstance(v, dict) for v in row.values()):
             print(json.dumps(row), flush=True)
@@ -308,3 +308,87 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _events_replicated(spark, workdir, scale):
+    """Row growth WITHOUT alphabet growth: same users, same days, same
+    value distribution — the collapse stages must absorb replicas."""
+    from lambda_refarch_mapreduce_spark import load_table
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    reps = [e] * scale
+    big = reps[0]
+    for rdf in reps[1:]:
+        big = big.unionAll(rdf)
+    return _write_once(
+        big, os.path.join(workdir, f"events_rep_{scale}x")
+    )
+
+
+def spearman_growth(spark, workdir: str) -> dict:
+    """Spearman (operators.analytics.spearman_rho): the rank-building
+    side (per-distinct-value counts + prefix_sums) saturates at the
+    VALUE ALPHABET under row replication, while the rank join-back is
+    the honest linear term — the corpus rides one co-keyed shuffle to
+    meet its ranks. Expect shuffle growth well below 10x under 10x
+    rows (the alphabet frames are fixed; only the join-back rows
+    replicate)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        spearman_rho,
+    )
+
+    out = {"exp": "spearman_growth"}
+    for scale in (1, 10):
+        path = _events_replicated(spark, workdir, scale)
+        e = spark.read.parquet(path).select(
+            F.pmod(F.col("user_id"), F.lit(97)).alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        if _wanted(f"spearman_{scale}x"):
+            out[f"spearman_{scale}x"] = _measure(
+                spark, spearman_rho(e, "x", "y")
+            )
+    return out
+
+
+def sprt_growth(spark, workdir: str) -> dict:
+    """SPRT daily walk: rows collapse map-side into the DAY alphabet
+    before the prefix-sum exchange — shuffle must saturate at |days|
+    under any row growth (the log_rank posture, SCALING.md r8)."""
+    out = {"exp": "sprt_growth"}
+    for scale in (1, 10, 100):
+        path = _events_replicated(spark, workdir, scale)
+        if not _wanted(f"sprt_{scale}x"):
+            continue
+        from lambda_refarch_mapreduce_spark.operators.relational import (
+            prefix_sums,
+        )
+
+        day = (
+            spark.read.parquet(path)
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select(
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                )
+                .cast("long")
+                .alias("dd"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("is_x"),
+            )
+            .groupBy("dd")
+            .agg(F.sum("is_x").alias("x"), F.count(F.lit(1)).alias("m"))
+        )
+        cum = prefix_sums(day, [F.col("dd")], ["x", "m"])
+        walk = cum.select(
+            "dd",
+            (
+                F.col("x_cum") * 223144
+                + (F.col("m_cum") - F.col("x_cum")) * (-182322)
+            ).alias("v"),
+        )
+        out[f"sprt_{scale}x"] = _measure(spark, walk)
+    return out
