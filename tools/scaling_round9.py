@@ -55,6 +55,8 @@ from lambda_refarch_mapreduce_spark.operators.relational import (  # noqa: E402
     interval_overlap_join,
 )
 
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
 BASE_ROWS = 150_000  # ~ sf0.1 orders
 ROWS_PER_KEY = 15
 KEY_WINDOW = 400  # each key's intervals live in a 400-unit window
@@ -276,40 +278,6 @@ def skew(spark, workdir: str) -> dict:
     return out
 
 
-_ONLY = None
-
-
-def _wanted(key: str) -> bool:
-    return _ONLY is None or key == _ONLY
-
-
-def main():
-    global _ONLY
-    workdir = (
-        sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scaling_r9"
-    )
-    _ONLY = sys.argv[2] if len(sys.argv) > 2 else None
-    os.makedirs(workdir, exist_ok=True)
-    spark = get_spark(
-        extra_conf={
-            "spark.ui.enabled": "true",
-            # SMJ regime at every scale: the curve and the skew claim
-            # are about the shuffled join, not broadcast
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        }
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    for fn in (growth, skew, spearman_growth, sprt_growth):
-        row = fn(spark, workdir)
-        if any(isinstance(v, dict) for v in row.values()):
-            print(json.dumps(row), flush=True)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def _events_replicated(spark, workdir, scale):
     """Row growth WITHOUT alphabet growth: same users, same days, same
     value distribution — the collapse stages must absorb replicas."""
@@ -392,3 +360,37 @@ def sprt_growth(spark, workdir: str) -> dict:
         )
         out[f"sprt_{scale}x"] = _measure(spark, walk)
     return out
+
+
+_ONLY = None
+
+
+def _wanted(key: str) -> bool:
+    return _ONLY is None or key == _ONLY
+
+
+def main():
+    global _ONLY
+    workdir = (
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scaling_r9"
+    )
+    _ONLY = sys.argv[2] if len(sys.argv) > 2 else None
+    os.makedirs(workdir, exist_ok=True)
+    spark = get_spark(
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # SMJ regime at every scale: the curve and the skew claim
+            # are about the shuffled join, not broadcast
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for fn in (growth, skew, spearman_growth, sprt_growth):
+        row = fn(spark, workdir)
+        if any(isinstance(v, dict) for v in row.values()):
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
