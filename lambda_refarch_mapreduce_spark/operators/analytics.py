@@ -1861,3 +1861,61 @@ def qq_quantile_table(
             "CAST(qb - qa AS BIGINT) AS shift",
         )
     )
+
+
+def sprt_walk_from_counts(
+    day_counts: DataFrame,
+    l1_micro: int,
+    l2_micro: int,
+    a_micro: int,
+    t_col: str = "dd",
+    x_col: str = "x",
+    m_col: str = "m",
+) -> DataFrame:
+    """Wald SPRT decision from the collapsed per-time count frame
+    ``(t, successes, trials)`` — the shared kernel behind the
+    sprt_ab_daily_llr catalog entry and the streaming sequential
+    monitor (streaming/abtest.py's shared-kernel contract, applied to
+    the sequential tier): log-likelihood increments are INTEGER
+    micro-nats (caller precomputes l1/l2 = per-success / per-failure
+    increments; a = the symmetric decision boundary), so the
+    cumulative walk is an exact-integer prefix sum
+    (relational.prefix_sums) and the first-crossing logic is pure
+    integer comparison — order-free, engine-exact, additive across
+    committed chunks merged by groupBy-sum. Returns one row:
+    (n_days, llr_final_micro, first_h1_day, first_h0_day,
+    decision)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    day = day_counts.groupBy(F.col(t_col).alias("dd")).agg(
+        F.sum(x_col).alias("x"), F.sum(m_col).alias("m")
+    )
+    cum = prefix_sums(day, [F.col("dd")], ["x", "m"])
+    llr = cum.select(
+        "dd",
+        (
+            F.col("x_cum") * int(l1_micro)
+            + (F.col("m_cum") - F.col("x_cum")) * int(l2_micro)
+        ).alias("v"),
+    )
+    a = int(a_micro)
+    return llr.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_days",
+        "CAST(max_by(v, dd) AS BIGINT) AS llr_final_micro",
+        f"CAST(min(CASE WHEN v >= {a} THEN dd END) AS BIGINT)"
+        " AS first_h1_day",
+        f"CAST(min(CASE WHEN v <= -{a} THEN dd END) AS BIGINT)"
+        " AS first_h0_day",
+        f"""CASE
+              WHEN min(CASE WHEN v >= {a} THEN dd END) IS NOT NULL
+                   AND coalesce(
+                         min(CASE WHEN v >= {a} THEN dd END)
+                         <= min(CASE WHEN v <= -{a} THEN dd END), TRUE)
+                THEN 'accept_h1'
+              WHEN min(CASE WHEN v <= -{a} THEN dd END) IS NOT NULL
+                THEN 'accept_h0'
+              ELSE 'continue'
+            END AS decision""",
+    )

@@ -5986,12 +5986,11 @@ def sprt_ab_daily_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact, no float cumsum seam — computed by
     operators.relational.prefix_sums (range exchange + per-partition
     windows, never a single-partition CDF). The corpus collapses
-    map-side into |days| rows first. Returns one row: (n_days,
+    map-side into |days| rows first; the walk itself is the SHARED
+    kernel operators.analytics.sprt_walk_from_counts, which the
+    streaming sequential monitor (streaming/sprt.py) serves from its
+    committed count frames. Returns one row: (n_days,
     llr_final_micro, first_h1_day, first_h0_day, decision)."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
     day = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "click"))
@@ -6011,34 +6010,8 @@ def sprt_ab_daily_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("m"),
         )
     )
-    cum = prefix_sums(day, [F.col("dd")], ["x", "m"])
-    llr = cum.select(
-        "dd",
-        (
-            F.col("x_cum") * SPRT_L1_MICRO
-            + (F.col("m_cum") - F.col("x_cum")) * SPRT_L2_MICRO
-        ).alias("v"),
-    )
-    return llr.selectExpr(
-        "CAST(count(*) AS BIGINT) AS n_days",
-        "CAST(max_by(v, dd) AS BIGINT) AS llr_final_micro",
-        f"CAST(min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END) AS BIGINT)"
-        " AS first_h1_day",
-        f"CAST(min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END) AS BIGINT)"
-        " AS first_h0_day",
-        f"""CASE
-              WHEN min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
-                   IS NOT NULL
-                   AND coalesce(
-                         min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
-                         <= min(CASE WHEN v <= {SPRT_B_MICRO}
-                                     THEN dd END), TRUE)
-                THEN 'accept_h1'
-              WHEN min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END)
-                   IS NOT NULL
-                THEN 'accept_h0'
-              ELSE 'continue'
-            END AS decision""",
+    return analytics.sprt_walk_from_counts(
+        day, SPRT_L1_MICRO, SPRT_L2_MICRO, SPRT_A_MICRO
     )
 
 

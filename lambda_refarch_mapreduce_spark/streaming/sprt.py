@@ -1,0 +1,165 @@
+"""Continuous sequential testing: conversion events stream in, each
+micro-batch folds its per-day (successes, trials) counts into
+committed running state, and Wald's SPRT decision — the walk, the
+first boundary crossing, accept/continue — is computable at any
+moment from that day-alphabet-sized state. This is what the SPRT is
+FOR: the experiment stops the moment the evidence suffices, so the
+statistic must be servable mid-stream, not at a fixed horizon.
+
+Streaming twin of the catalog's sprt_ab_daily_llr entry through the
+SAME kernel (operators.analytics.sprt_walk_from_counts — integer
+micro-nat log-likelihood increments, exact-integer prefix-sum walk),
+the shared-kernel contract of streaming/abtest.py (MW/KS/Welch) and
+streaming/survival.py (KM/log-rank): counts are additive, so the
+streamed decision equals the batch kernel on the union EXACTLY.
+
+Commit scheme and lifecycle contract are abtest.py's, verbatim:
+per-batch (dd, x, m) rows land under ``counts/_batch_id=N`` as an
+overwrite, the commit log is appended LAST so at-least-once replays
+are no-ops, and corpus.guard_checkpoint_epoch makes a fresh
+checkpoint against a surviving index raise instead of undercounting.
+
+Scale posture: per-batch state is the batch's day alphabet; the walk
+at serve time runs over the merged |days| rows (SCALING.md r9: the
+batch kernel's shuffle is FLAT at 0.05 MB from 1x to 100x rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_refarch_mapreduce_spark.operators.analytics import (
+    sprt_walk_from_counts,
+)
+from lambda_refarch_mapreduce_spark.streaming.corpus import (
+    _committed,
+    _read_or_empty,
+)
+
+_COUNTS_SCHEMA = "dd bigint, x bigint, m bigint"
+
+
+def batch_day_counts(
+    events: DataFrame,
+    success_pred: str,
+    trial_pred: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(dd, x, m) per epoch day — the monitor's state unit: successes
+    are rows matching ``success_pred`` (SQL boolean over the event
+    row), trials are rows matching ``trial_pred``."""
+    return (
+        events.filter(F.expr(trial_pred))
+        .select(
+            F.datediff(
+                F.to_date(ts_col), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("dd"),
+            F.when(F.expr(success_pred), 1).otherwise(0).alias("is_x"),
+        )
+        .groupBy("dd")
+        .agg(F.sum("is_x").alias("x"), F.count(F.lit(1)).alias("m"))
+    )
+
+
+def _apply_day_counts_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    success_pred: str,
+    trial_pred: str,
+    ts_col: str = "ts",
+) -> None:
+    """One idempotent micro-batch application (abtest.py's scheme):
+    collapse to the day-count frame, overwrite ``counts/_batch_id=N``,
+    append the commit row LAST. Module-level so the at-least-once
+    replay contract is directly testable."""
+    spark = batch_df.sparkSession
+    counts_path = os.path.join(index_dir, "counts")
+    commits_path = os.path.join(index_dir, "commits")
+    if batch_df.isEmpty():
+        return
+    commits = _committed(spark, commits_path)
+    if commits.filter(F.col("batch_id") == batch_id).limit(1).count():
+        return
+    counts = batch_day_counts(batch_df, success_pred, trial_pred, ts_col)
+    counts.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(counts_path, f"_batch_id={batch_id}")
+    )
+    spark.createDataFrame([(batch_id,)], "batch_id bigint").write.mode(
+        "append"
+    ).parquet(commits_path)
+
+
+def ingest_day_counts(
+    stream_events: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    success_pred: str,
+    trial_pred: str,
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """foreachBatch pipeline: collapse each micro-batch to its
+    (dd, x, m) frame and commit it idempotently. Returns the
+    DataStreamWriter (caller starts it); checkpoint/index lifecycle
+    enforced via corpus.guard_checkpoint_epoch."""
+    guarded: list[bool] = []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from lambda_refarch_mapreduce_spark.streaming.corpus import (
+            guard_checkpoint_epoch,
+        )
+
+        if not guarded:
+            guard_checkpoint_epoch(
+                batch_df.sparkSession, index_dir, checkpoint
+            )
+            guarded.append(True)
+        _apply_day_counts_batch(
+            batch_df, batch_id, index_dir, success_pred, trial_pred, ts_col
+        )
+
+    writer = stream_events.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def running_day_counts(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(dd, x, m) summed over every COMMITTED micro-batch."""
+    commits = _committed(spark, os.path.join(index_dir, "commits")).select(
+        F.col("batch_id").alias("_batch_id")
+    )
+    counts = _read_or_empty(
+        spark,
+        os.path.join(index_dir, "counts"),
+        _COUNTS_SCHEMA + ", _batch_id bigint",
+    )
+    return (
+        counts.join(F.broadcast(commits), "_batch_id", "left_semi")
+        .groupBy("dd")
+        .agg(F.sum("x").alias("x"), F.sum("m").alias("m"))
+    )
+
+
+def sprt_now(
+    spark: SparkSession,
+    index_dir: str,
+    l1_micro: int,
+    l2_micro: int,
+    a_micro: int,
+) -> DataFrame:
+    """The monitor's readout: one row (n_days, llr_final_micro,
+    first_h1_day, first_h0_day, decision) over everything committed
+    so far — identical arithmetic to the batch catalog entry (shared
+    kernel, exact-integer walk)."""
+    return sprt_walk_from_counts(
+        running_day_counts(spark, index_dir), l1_micro, l2_micro, a_micro
+    )

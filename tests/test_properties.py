@@ -287,3 +287,93 @@ def test_prefix_sums_and_global_rank_match_reference(spark, rows, partitions):
         run += w
         assert got_rank[uid] == rank, (uid, rank)
         assert got_cum[uid] == run, (uid, run)
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.integers(min_value=-50, max_value=120),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    width=st.integers(min_value=1, max_value=24),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_bruteforce_property(
+    spark, ivals, width
+):
+    """interval_overlap_join on ARBITRARY keyed integer intervals
+    (negative starts, zero lengths, arbitrary bucket widths) returns
+    exactly the brute-force inclusive-overlap pair set, each pair
+    once — the canonical-bucket dedup and the integer floor-division
+    bucketing hold for every input, not just the curated cases."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (i, g, s, s + ln) for i, (g, s, ln) in enumerate(ivals)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, s long, e long")
+    left = df.select(
+        "g", F.col("k").alias("ka"), F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    right = df.select(
+        "g", F.col("k").alias("kb"), F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    out = interval_overlap_join(
+        left, right, ["g"], "sa", "ea", "sb", "eb", width,
+        max_fanout=None,
+    ).filter(F.col("ka") < F.col("kb"))
+    got = sorted((r.ka, r.kb) for r in out.collect())
+    want = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] == b[1] and a[0] < b[0] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    assert got == want
+
+
+@given(
+    a_vals=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=20
+    ),
+    b_vals=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=20
+    ),
+    grid=st.sampled_from([4, 10]),
+)
+@settings(**SETTINGS)
+def test_qq_quantile_table_property(spark, a_vals, b_vals, grid):
+    """qq_quantile_table's Type-1 quantiles on arbitrary integer
+    multisets (duplicates, negatives, unequal group sizes) equal the
+    brute-force smallest-value-reaching-the-CDF-target definition at
+    every interior grid point."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        qq_quantile_table,
+    )
+
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.grid_i: (r.q_a, r.q_b)
+        for r in qq_quantile_table(df, "a", "b", "g", "v", grid).collect()
+    }
+
+    def q1(vals, i):
+        sv = sorted(vals)
+        n = len(sv)
+        for idx, v in enumerate(sv):
+            if (idx + 1) * grid >= i * n:
+                return v
+        return sv[-1]
+
+    assert set(got) == set(range(1, grid))
+    for i in range(1, grid):
+        assert got[i] == (q1(a_vals, i), q1(b_vals, i)), i

@@ -1671,3 +1671,80 @@ def test_streaming_survival_epoch_guard_raises_on_fresh_checkpoint(
         ).collect()
     }
     assert ("a", 5, 2, 0) in merged
+
+
+def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
+    """Streaming sequential-test monitor (streaming/sprt.py): events
+    arrive in chunks, each micro-batch folds its per-day
+    (successes, trials) frame into committed state, and the served
+    SPRT decision equals the batch sprt_ab_daily_llr entry on the
+    union EXACTLY (shared kernel, additive integer state). Replays
+    must not double-count."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog_analytics,
+    )
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        SPRT_A_MICRO,
+        SPRT_L1_MICRO,
+        SPRT_L2_MICRO,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import sprt
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_src")
+    events.withColumn(
+        "_chunk", F.pmod(F.col("event_id"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "sprt_idx")
+    q = sprt.ingest_day_counts(
+        stream,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        "event_type = 'purchase'",
+        "event_type IN ('purchase', 'click')",
+    ).start()
+    q.awaitTermination(120)
+
+    # running state == the batch day collapse on the union
+    want_counts = {
+        (r.dd, r.x, r.m)
+        for r in sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ).collect()
+    }
+    got_counts = {
+        (r.dd, r.x, r.m)
+        for r in sprt.running_day_counts(spark, index_dir).collect()
+    }
+    assert got_counts == want_counts
+
+    got = sprt.sprt_now(
+        spark, index_dir, SPRT_L1_MICRO, SPRT_L2_MICRO, SPRT_A_MICRO
+    ).collect()[0]
+    want = REGISTRY["sprt_ab_daily_llr"].spark(spark, sf).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    # replay idempotence: an already-committed batch id is a no-op
+    sprt._apply_day_counts_batch(
+        events.limit(30),
+        0,
+        index_dir,
+        "event_type = 'purchase'",
+        "event_type IN ('purchase', 'click')",
+    )
+    got_after = {
+        (r.dd, r.x, r.m)
+        for r in sprt.running_day_counts(spark, index_dir).collect()
+    }
+    assert got_after == want_counts
