@@ -1566,9 +1566,14 @@ AB_MDE_EXPR = (
 
 # Kendall tau-b from integer pair/tie counts: concordant, discordant,
 # n0 = n(n-1)/2 total pairs, n1/n2 = tied-pair counts per variable.
+# The degenerate all-tied / single-row case (zero denominator) is
+# NULL by the guard — identical text on both engines, and it keeps
+# Spark's ANSI divide-by-zero error out of the plan.
 KENDALL_TAU_B_EXPR = (
-    "((conc - disc) * 1e0"
-    " / sqrt((n0 - n1) * 1e0 * (n0 - n2)))"
+    "(CASE WHEN (n0 - n1) * (n0 - n2) > 0"
+    " THEN (conc - disc) * 1e0"
+    " / sqrt((n0 - n1) * 1e0 * (n0 - n2))"
+    " ELSE NULL END)"
 )
 
 
@@ -1657,9 +1662,12 @@ def kendall_tau_b(
         rank_col="__t",
     )
     nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    # sequence(1, 0) generates DESCENDING [1, 0] for a single-row
+    # series — the g >= 1 filter keeps the degenerate case pair-free
+    # instead of self-pairing every row at gap 0
     gaps = nrow.select(
         F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
-    )
+    ).filter(F.col("g") >= 1)
     left = s.select(
         F.col("__t").alias("__ta"),
         F.col("__a").alias("xa"),
@@ -1678,13 +1686,21 @@ def kendall_tau_b(
     dx = F.col("xb") - F.col("xa")
     dy = F.col("yb") - F.col("ya")
     pcounts = pairs.agg(
-        F.sum(
-            F.when(((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0)), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("conc"),
-        F.sum(
-            F.when(((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0)), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("disc"),
     )
 
@@ -1752,9 +1768,12 @@ def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
         rank_col="__t",
     )
     nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    # sequence(1, 0) generates DESCENDING [1, 0] for a single-row
+    # series — the g >= 1 filter keeps the degenerate case pair-free
+    # instead of self-pairing every row at gap 0
     gaps = nrow.select(
         F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
-    )
+    ).filter(F.col("g") >= 1)
     left = s.select(
         F.col("__t").alias("__ta"),
         F.col("__x").alias("xa"),
@@ -1779,7 +1798,11 @@ def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.array_sort(F.collect_list("__slope")).alias("__arr"),
     ).selectExpr(
         "k",
-        "element_at(__arr, CAST((k + 1) div 2 AS INT)) AS sen_slope",
+        # k = 0 (single-point series): element_at's 1-based index
+        # rejects 0, so the degenerate case is an explicit NULL slope
+        "CASE WHEN k > 0 THEN"
+        " element_at(__arr, CAST((k + 1) div 2 AS INT))"
+        " ELSE NULL END AS sen_slope",
     )
     resid = (
         s.crossJoin(F.broadcast(med))
@@ -1794,7 +1817,10 @@ def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_obs",
         "CAST(k AS BIGINT) AS n_pairs",
         "round(sen_slope, 6) AS sen_slope",
-        "round(element_at(__barr, CAST((n + 1) div 2 AS INT)), 6)"
+        # collect_list drops nulls, so the degenerate case's residual
+        # array is EMPTY — try_element_at returns NULL instead of the
+        # ANSI out-of-bounds error
+        "round(try_element_at(__barr, CAST((n + 1) div 2 AS INT)), 6)"
         " AS sen_intercept",
     )
 

@@ -2187,3 +2187,27 @@ def test_jackknife_ratio_se_matches_python_loop(spark):
     assert got.n_days == n
     assert abs(got.theta_cents - round(S / C, 6)) < 1e-9
     assert abs(got.se_jack - se) < 1e-6
+
+
+def test_kendall_and_theil_sen_single_point_series(spark):
+    """Degenerate single-row series: sequence(1, n-1) with n=1 yields
+    a DESCENDING [1, 0] in Spark, which would self-pair every row at
+    gap 0 (a NaN slope for theil_sen) — the gap filter keeps the pair
+    set empty instead."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kendall_tau_b,
+        theil_sen,
+    )
+
+    one = spark.createDataFrame([(1, 5, 7)], "k long, a long, b long")
+    kt = kendall_tau_b(one, "k", "a", "b").collect()[0]
+    assert (kt.n_obs, kt.n_pairs) == (1, 0)
+    assert (kt.concordant, kt.discordant) == (0, 0)
+
+    ts = theil_sen(
+        one.select("a", F.col("b").alias("y"), F.col("a").alias("x")),
+        "x",
+        "y",
+    ).collect()[0]
+    assert (ts.n_obs, ts.n_pairs) == (1, 0)
+    assert ts.sen_slope is None  # no pairs -> no slope, not NaN
