@@ -1629,7 +1629,12 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
     return m.selectExpr(
         "CAST(cnt AS BIGINT) AS n_rows",
-        f"round({CCF_EXPR}, 6) AS rho",
+        # a constant column (zero rank variance) has no defined rho —
+        # NULL instead of the ANSI divide-by-zero error; on any
+        # non-degenerate input the guard is a no-op and the value is
+        # exactly the shared CCF_EXPR formula
+        "CASE WHEN cnt * qa - sa * sa > 0 AND cnt * qb - sb * sb > 0"
+        f" THEN round({CCF_EXPR}, 6) ELSE NULL END AS rho",
     )
 
 

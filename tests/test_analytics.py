@@ -2211,3 +2211,18 @@ def test_kendall_and_theil_sen_single_point_series(spark):
     ).collect()[0]
     assert (ts.n_obs, ts.n_pairs) == (1, 0)
     assert ts.sen_slope is None  # no pairs -> no slope, not NaN
+
+
+def test_spearman_constant_column_is_null_not_error(spark):
+    """A constant column has zero rank variance: rho must come back
+    NULL, not an ANSI divide-by-zero error."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        spearman_rho,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 3)], "x long, y long"
+    )
+    got = spearman_rho(df, "x", "y").collect()[0]
+    assert got.n_rows == 3
+    assert got.rho is None
