@@ -1915,7 +1915,9 @@ def sprt_walk_from_counts(
     integer comparison — order-free, engine-exact, additive across
     committed chunks merged by groupBy-sum. Returns one row:
     (n_days, llr_final_micro, first_h1_day, first_h0_day,
-    decision)."""
+    decision); the day columns are -1 when that boundary was never
+    crossed (a sentinel, not NULL, so the compare-path dtypes stay
+    integer)."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         prefix_sums,
     )
@@ -1935,10 +1937,14 @@ def sprt_walk_from_counts(
     return llr.selectExpr(
         "CAST(count(*) AS BIGINT) AS n_days",
         "CAST(max_by(v, dd) AS BIGINT) AS llr_final_micro",
-        f"CAST(min(CASE WHEN v >= {a} THEN dd END) AS BIGINT)"
-        " AS first_h1_day",
-        f"CAST(min(CASE WHEN v <= -{a} THEN dd END) AS BIGINT)"
-        " AS first_h0_day",
+        # -1 = never crossed: a nullable int column round-trips
+        # through pandas as float64/NaN on the driver's compare path,
+        # so the sentinel keeps the gate's dtypes integer on both
+        # engines
+        f"CAST(coalesce(min(CASE WHEN v >= {a} THEN dd END), -1)"
+        " AS BIGINT) AS first_h1_day",
+        f"CAST(coalesce(min(CASE WHEN v <= -{a} THEN dd END), -1)"
+        " AS BIGINT) AS first_h0_day",
         f"""CASE
               WHEN min(CASE WHEN v >= {a} THEN dd END) IS NOT NULL
                    AND coalesce(

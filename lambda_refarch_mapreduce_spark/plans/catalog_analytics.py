@@ -5950,10 +5950,10 @@ SPRT_B_MICRO = -2944439  # accept H0 at <= -A
                 FROM cum)
         SELECT count(*)::BIGINT AS n_days,
                arg_max(v, dd)::BIGINT AS llr_final_micro,
-               min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)::BIGINT
-                   AS first_h1_day,
-               min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END)::BIGINT
-                   AS first_h0_day,
+               coalesce(min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END),
+                        -1)::BIGINT AS first_h1_day,
+               coalesce(min(CASE WHEN v <= {SPRT_B_MICRO} THEN dd END),
+                        -1)::BIGINT AS first_h0_day,
                CASE
                  WHEN min(CASE WHEN v >= {SPRT_A_MICRO} THEN dd END)
                       IS NOT NULL
