@@ -1,0 +1,86 @@
+"""Mechanical cross-round bench adjudication (the VERDICT r8 #1
+follow-through): compare two bench JSON lines and classify every
+wall-time delta using the shuffle-byte evidence.
+
+Rules (BENCH_NOTES round-9):
+- bytes equal -> any wall delta is BOX DRIFT (the plan and data are
+  identical; wall variance on this machine is up to 6x under
+  co-tenant load).
+- bytes within ±0.1% -> RANGE-JITTER (range-partitioned plans sample
+  their partition bounds per session; compressed shuffle size moves
+  at the fourth decimal).
+- bytes moved more than that -> PLAN/DATA CHANGE — the delta is real
+  and needs a BENCH_NOTES entry.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [--wall-flag PCT]
+Accepts either a raw bench line or a driver BENCH_r*.json wrapper
+(reads .parsed). Prints one line per key whose wall moved more than
+--wall-flag percent (default 25), plus a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and "queries" not in d:
+        d = d["parsed"]
+    return d
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag_pct = 25.0
+    for a in sys.argv[1:]:
+        if a.startswith("--wall-flag"):
+            flag_pct = float(a.split("=", 1)[1])
+    old, new = _load(args[0]), _load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    ob = old.get("shuffle_bytes") or {}
+    nb = new.get("shuffle_bytes") or {}
+    shared = sorted(set(oq) & set(nq))
+    drift, jitter, changed, flagged = 0, 0, 0, []
+    for k in shared:
+        w0, w1 = oq[k], nq[k]
+        b0, b1 = ob.get(k), nb.get(k)
+        if b0 is None or b1 is None:
+            verdict = "no-bytes"
+        elif b0 == b1:
+            verdict = "box-drift"
+            drift += 1
+        elif b0 and abs(b1 - b0) / max(b0, 1) <= 0.001:
+            verdict = "range-jitter"
+            jitter += 1
+        else:
+            verdict = "PLAN/DATA-CHANGE"
+            changed += 1
+        dw = (w1 - w0) / w0 * 100 if w0 else 0.0
+        if abs(dw) >= flag_pct or verdict == "PLAN/DATA-CHANGE":
+            flagged.append((k, w0, w1, dw, b0, b1, verdict))
+    for k, w0, w1, dw, b0, b1, verdict in sorted(
+        flagged, key=lambda r: -abs(r[3])
+    ):
+        print(
+            f"{k:24s} wall {w0:7.3f} -> {w1:7.3f} ({dw:+6.1f}%)  "
+            f"bytes {b0} -> {b1}  [{verdict}]"
+        )
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    print(
+        f"\n{len(shared)} shared keys: {drift} byte-identical (box "
+        f"drift), {jitter} range-jitter, {changed} plan/data changes; "
+        f"shared-total {sum(oq[k] for k in shared):.2f} -> "
+        f"{sum(nq[k] for k in shared):.2f} s"
+    )
+    if only_old:
+        print(f"removed keys: {only_old}")
+    if only_new:
+        print(f"added keys: {only_new}")
+
+
+if __name__ == "__main__":
+    main()
