@@ -308,7 +308,7 @@ def spearman_growth(spark, workdir: str) -> dict:
     )
 
     out = {"exp": "spearman_growth"}
-    for scale in (1, 10):
+    for scale in (1, 10, 100):
         path = _events_replicated(spark, workdir, scale)
         e = spark.read.parquet(path).select(
             F.pmod(F.col("user_id"), F.lit(97)).alias("x"),
@@ -362,6 +362,62 @@ def sprt_growth(spark, workdir: str) -> dict:
     return out
 
 
+def _measure_values(spark, df) -> dict:
+    """Collect the df's ACTUAL rows (bounded output only). The
+    count-based _measure lets Catalyst prune unreferenced value
+    columns — for attribution that pruned credit, the windows, and
+    the whole user-keyed exchange (0.01 MB "shuffle"), measuring an
+    empty plan. Collecting the real values makes every column load-
+    bearing."""
+    global _LAST_PLAN
+    with MeasuredRun(spark) as m:
+        rows = df.collect()
+    _LAST_PLAN = df._jdf.queryExecution().executedPlan().toString()
+    out = {"wall_s": round(m.stats.wall_secs, 2), "pairs": len(rows)}
+    if m.stats.bytes_measured:
+        out["shuffle_mb"] = round(m.stats.shuffle_bytes / 1e6, 2)
+        out["n_stages"] = m.stats.extra.get("n_stages")
+    return out
+
+
+def attribution_growth(spark, workdir: str) -> dict:
+    """Position-based attribution: ONE user-keyed window pass over the
+    corpus — rows replicate with a FIXED user population, so shuffle
+    is honestly LINEAR (every event rides the journey window); the
+    question measured is the constant factor and that the plan stays
+    a single co-keyed exchange at every size."""
+    from pyspark.sql.window import Window
+
+    out = {"exp": "attribution_growth"}
+    for scale in (1, 10, 100):
+        path = _events_replicated(spark, workdir, scale)
+        if not _wanted(f"attribution_{scale}x"):
+            continue
+        e = spark.read.parquet(path)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wk = Window.partitionBy("user_id")
+        j = e.select(
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wk).alias("k"),
+        )
+        cr = j.select(
+            "channel",
+            F.when(F.col("k") == 1, F.lit(10000000000))
+            .when(F.col("k") == 2, F.lit(5000000000))
+            .when(
+                (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+                F.lit(4000000000),
+            )
+            .otherwise(F.expr("2000000000 div (k - 2)"))
+            .alias("credit"),
+        )
+        out[f"attribution_{scale}x"] = _measure_values(
+            spark, cr.groupBy("channel").agg(F.sum("credit").alias("c"))
+        )
+    return out
+
+
 _ONLY = None
 
 
@@ -386,7 +442,7 @@ def main():
         }
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for fn in (growth, skew, spearman_growth, sprt_growth):
+    for fn in (growth, skew, spearman_growth, sprt_growth, attribution_growth):
         row = fn(spark, workdir)
         if any(isinstance(v, dict) for v in row.values()):
             print(json.dumps(row), flush=True)
