@@ -1956,3 +1956,63 @@ def sprt_walk_from_counts(
               ELSE 'continue'
             END AS decision""",
     )
+
+
+def nelson_aalen_from_counts(per_t: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative hazard from the collapsed per-time
+    count frame ``(t, d, c)`` — the estimator paired with
+    kaplan_meier_from_counts on the SAME state (KM answers "what
+    fraction survives past t", NA answers "how much hazard has
+    accumulated by t" — the additive reading regression and
+    competing-risk work build on): H(t) = sum_{t_i <= t} d_i/n_i,
+    var(H) = sum d_i/n_i^2 (Nelson 1972, Aalen 1978). Same plan as
+    KM: map-side collapse to the time alphabet, exact-integer at-risk
+    prefix sums, LEFT-TO-RIGHT sorted folds for the two float totals
+    (the per-event-time terms fold in time order, so a future oracle
+    replays them with an ordered list_reduce). Returns one row per
+    event time: (t, n_risk, n_events, cum_hazard, cum_hazard_var)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    per_t = per_t.groupBy("t").agg(
+        F.sum("d").alias("d"), F.sum("c").alias("c")
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_all"))
+    cum = prefix_sums(
+        per_t.withColumn("dc", F.col("d") + F.col("c")),
+        [F.col("t")],
+        ["dc"],
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n_all") - (F.col("dc_cum") - F.col("dc"))).alias("n_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0)
+    arr = ev.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))).alias(
+            "a"
+        )
+    )
+    exploded = arr.select(
+        F.posexplode(F.col("a")).alias("i", "s"), F.col("a")
+    )
+    hz = F.aggregate(
+        F.slice(F.col("a"), 1, F.col("i") + 1),
+        F.lit(0.0),
+        lambda acc, x: acc + x["d"] * F.lit(1e0) / x["n_risk"],
+    )
+    vz = F.aggregate(
+        F.slice(F.col("a"), 1, F.col("i") + 1),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["d"] * F.lit(1e0) / (x["n_risk"] * F.lit(1e0) * x["n_risk"]),
+    )
+    return exploded.select(
+        F.col("s.t").alias("t"),
+        F.col("s.n_risk").cast("long").alias("n_risk"),
+        F.col("s.d").cast("long").alias("n_events"),
+        F.round(hz, 6).alias("cum_hazard"),
+        F.round(vz, 6).alias("cum_hazard_var"),
+    )

@@ -190,3 +190,20 @@ def log_rank_now(spark: SparkSession, index_dir: str) -> DataFrame:
     (n_a, n_b, obs_a, exp_a, z_lr, significant) between the two arms
     over everything committed so far (shared kernel)."""
     return log_rank_from_counts(running_survival_counts(spark, index_dir))
+
+
+def nelson_aalen_now(
+    spark: SparkSession, index_dir: str, group: str | None = None
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard readout over everything
+    committed so far — the additive companion to kaplan_meier_now on
+    the SAME committed count frame (one monitor, every survival
+    estimator). ``group`` = 'a'/'b' for one arm, None pooled."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        nelson_aalen_from_counts,
+    )
+
+    counts = running_survival_counts(spark, index_dir)
+    if group is not None:
+        counts = counts.filter(F.col("g") == group)
+    return nelson_aalen_from_counts(counts.select("t", "d", "c"))

@@ -2226,3 +2226,50 @@ def test_spearman_constant_column_is_null_not_error(spark):
     got = spearman_rho(df, "x", "y").collect()[0]
     assert got.n_rows == 3
     assert got.rho is None
+
+
+def test_nelson_aalen_matches_python_reference(spark):
+    """operators.analytics.nelson_aalen_from_counts vs a hand-rolled
+    Nelson-Aalen on a small right-censored cohort (H = sum d/n,
+    var = sum d/n^2 over event times), and the streaming monitor's
+    nelson_aalen_now serves the identical values from committed
+    chunks (shared kernel, additive counts)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        nelson_aalen_from_counts,
+    )
+
+    # (t, d, c): deaths and censorings per time
+    counts = [(1, 2, 0), (2, 1, 1), (4, 2, 0), (5, 0, 1), (7, 1, 0)]
+    df = spark.createDataFrame(counts, "t long, d long, c long")
+    got = {
+        r.t: (r.n_risk, r.n_events, r.cum_hazard, r.cum_hazard_var)
+        for r in nelson_aalen_from_counts(df).collect()
+    }
+
+    n = sum(d + c for _, d, c in counts)
+    h = v = 0.0
+    want = {}
+    for t, d, c in counts:
+        if d > 0:
+            h += d / n
+            v += d / (n * n)
+            want[t] = (n, d, round(h, 6), round(v, 6))
+        n -= d + c
+    assert set(got) == set(want)
+    for t in want:
+        nr, d, wh, wv = want[t]
+        gnr, gd, gh, gv = got[t]
+        assert (gnr, gd) == (nr, d), t
+        assert abs(gh - wh) < 1e-9 and abs(gv - wv) < 1e-9, t
+
+    # chunked counts re-collapse identically (the streaming contract)
+    split = spark.createDataFrame(
+        [(1, 1, 0), (1, 1, 0), (2, 1, 1), (4, 2, 0), (5, 0, 1),
+         (7, 1, 0)],
+        "t long, d long, c long",
+    )
+    got2 = {
+        r.t: (r.n_risk, r.n_events, r.cum_hazard, r.cum_hazard_var)
+        for r in nelson_aalen_from_counts(split).collect()
+    }
+    assert got2 == got

@@ -1577,6 +1577,28 @@ def test_streaming_survival_monitor_matches_batch_kernels(spark, tmp_path):
     }
     assert got_pool == want_pool
 
+    # Nelson-Aalen readout over the same committed frame == the batch
+    # kernel on the union (one monitor, every survival estimator)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        nelson_aalen_from_counts,
+    )
+
+    got_na = {
+        tuple(r)
+        for r in survival.nelson_aalen_now(
+            spark, index_dir, group="a"
+        ).collect()
+    }
+    want_na = {
+        tuple(r)
+        for r in nelson_aalen_from_counts(
+            survival.batch_survival_counts(subjects, seg_a, seg_b)
+            .filter(F.col("g") == "a")
+            .select("t", "d", "c")
+        ).collect()
+    }
+    assert got_na == want_na
+
     # log-rank readout == batch kernel on the union
     got_lr = survival.log_rank_now(spark, index_dir).collect()[0]
     want_lr = log_rank_from_subjects(
