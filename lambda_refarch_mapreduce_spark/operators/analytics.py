@@ -2016,3 +2016,96 @@ def nelson_aalen_from_counts(per_t: DataFrame) -> DataFrame:
         F.round(hz, 6).alias("cum_hazard"),
         F.round(vz, 6).alias("cum_hazard_var"),
     )
+
+
+# Mann-Kendall z from the integer S statistic and tie-corrected
+# variance terms: var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18,
+# with the +/-1 continuity correction and S=0 -> z=0. Shared verbatim
+# with a future oracle; integer inputs, one sqrt.
+MANN_KENDALL_Z_EXPR = (
+    "(CASE WHEN s_mk > 0 THEN (s_mk - 1e0) / sqrt(var_s)"
+    " WHEN s_mk < 0 THEN (s_mk + 1e0) / sqrt(var_s)"
+    " ELSE 0e0 END)"
+)
+
+
+def mann_kendall_trend(
+    series: DataFrame, t_col: str, y_col: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test over an integer time series —
+    the NONPARAMETRIC companion to theil_sen (theil_sen estimates the
+    slope, Mann-Kendall decides whether a monotone trend EXISTS):
+    S = sum over pairs of sign(y_j - y_i) for t_j > t_i, normal
+    approximation with the y-tie variance correction and continuity
+    adjustment (Mann 1945, Kendall 1975). Same distributed shape as
+    kendall_tau_b: one row per distinct time (caller collapses), all
+    pairs via the gap-explode EQUI-join on the global_rank index
+    (quadratic in the time ALPHABET only), S and every variance term
+    exact integers into one shared z formula string. Returns one row:
+    (n_obs, s_mk, var_s, z_mk, trend) — trend at alpha=.05 two-sided:
+    'increasing' / 'decreasing' / 'no_trend'."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    s = global_rank(
+        series.select(
+            F.col(t_col).cast("long").alias("__t0"),
+            F.col(y_col).cast("long").alias("__y"),
+        ),
+        [F.col("__t0")],
+        rank_col="__t",
+    )
+    nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    gaps = nrow.select(
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
+    ).filter(F.col("g") >= 1)
+    left = s.select(F.col("__t").alias("__ta"), F.col("__y").alias("ya"))
+    right = s.select(F.col("__t").alias("__tb"), F.col("__y").alias("yb"))
+    pairs = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("__want", F.col("__ta") + F.col("g"))
+        .join(right, F.col("__want") == F.col("__tb"))
+    )
+    dy = F.col("yb") - F.col("ya")
+    sfrm = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(dy > 0, 1).when(dy < 0, -1).otherwise(0)),
+            F.lit(0),
+        ).alias("s_mk")
+    )
+    ties = (
+        s.groupBy("__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__c")
+                    * (F.col("__c") - 1)
+                    * (2 * F.col("__c") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    one = (
+        sfrm.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nrow))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_obs",
+            "CAST(s_mk AS BIGINT) AS s_mk",
+            "(n * (n - 1e0) * (2e0 * n + 5e0) - tie_term) / 18e0"
+            " AS var_s",
+        )
+    )
+    return one.selectExpr(
+        "n_obs",
+        "s_mk",
+        "round(var_s, 6) AS var_s",
+        f"round({MANN_KENDALL_Z_EXPR}, 6) AS z_mk",
+        f"""CASE
+              WHEN abs({MANN_KENDALL_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+              WHEN s_mk > 0 THEN 'increasing'
+              ELSE 'decreasing'
+            END AS trend""",
+    )

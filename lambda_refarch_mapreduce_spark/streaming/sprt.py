@@ -163,3 +163,19 @@ def sprt_now(
     return sprt_walk_from_counts(
         running_day_counts(spark, index_dir), l1_micro, l2_micro, a_micro
     )
+
+
+def trend_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Mann-Kendall trend readout over the committed daily conversion
+    series — the same committed (dd, x, m) frame the SPRT serves
+    from, read as "is the daily success COUNT monotonically moving?"
+    (operators.analytics.mann_kendall_trend; one monitor, the
+    sequential decision AND the trend diagnosis). Returns one row:
+    (n_obs, s_mk, var_s, z_mk, trend)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    return mann_kendall_trend(
+        running_day_counts(spark, index_dir), "dd", "x"
+    )

@@ -2273,3 +2273,45 @@ def test_nelson_aalen_matches_python_reference(spark):
         for r in nelson_aalen_from_counts(split).collect()
     }
     assert got2 == got
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """operators.analytics.mann_kendall_trend vs the O(n^2) textbook
+    definition (S, tie-corrected variance, continuity-adjusted z) on
+    a tied, mixed-direction series — and a strictly increasing series
+    must read 'increasing'."""
+    import math
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    ys = [3, 5, 5, 4, 7, 7, 7, 9, 8, 12, 11, 15]
+    rows = [(t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    got = mann_kendall_trend(df, "t", "y").collect()[0]
+
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(ys).values() if c > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    assert (got.n_obs, got.s_mk) == (n, s)
+    assert abs(got.var_s - round(var, 6)) < 1e-9
+    assert abs(got.z_mk - round(z, 6)) < 1e-9
+
+    inc = spark.createDataFrame(
+        [(t, t * 2) for t in range(12)], "t long, y long"
+    )
+    assert mann_kendall_trend(inc, "t", "y").collect()[0].trend == (
+        "increasing"
+    )

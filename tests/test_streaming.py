@@ -1757,6 +1757,24 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     want = REGISTRY["sprt_ab_daily_llr"].spark(spark, sf).collect()[0]
     assert tuple(got) == tuple(want)
 
+    # the same committed frame serves the Mann-Kendall trend readout,
+    # equal to the batch kernel on the union (shared kernel)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    got_mk = sprt.trend_now(spark, index_dir).collect()[0]
+    want_mk = mann_kendall_trend(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ),
+        "dd",
+        "x",
+    ).collect()[0]
+    assert tuple(got_mk) == tuple(want_mk)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
