@@ -1755,7 +1755,9 @@ def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
     EQUI-join on the global_rank index (quadratic in the ALPHABET —
     |days|^2 pairs for a daily series, bounded metadata for
     year-scale series; never a theta join). Slopes are single integer
-    divisions (dy/dx as DOUBLE, one IEEE op both engines agree on)
+    divisions (dy/dx as DOUBLE, one IEEE op both engines agree on;
+    equal-x pairs are SKIPPED, the standard convention — n_pairs
+    counts only defined slopes)
     and the median is the EXACT lower-middle order statistic via one
     sorted agg-buffer array — interpolation-free, so cross-engine
     equality is bitwise, not approximate. Returns one row:
@@ -1793,6 +1795,10 @@ def theil_sen(series: DataFrame, x_col: str, y_col: str) -> DataFrame:
         left.crossJoin(F.broadcast(gaps))
         .withColumn("__want", F.col("__ta") + F.col("g"))
         .join(right, F.col("__want") == F.col("__tb"))
+        # equal-x pairs have no defined slope and are skipped — the
+        # standard Theil-Sen convention, and under ANSI mode the
+        # guard is load-bearing (0-denominator division is an ERROR)
+        .filter(F.col("xb") != F.col("xa"))
         .selectExpr(
             "CAST(yb - ya AS DOUBLE) / CAST(xb - xa AS DOUBLE)"
             " AS __slope"

@@ -2315,3 +2315,61 @@ def test_mann_kendall_matches_bruteforce(spark):
     assert mann_kendall_trend(inc, "t", "y").collect()[0].trend == (
         "increasing"
     )
+
+
+def test_rank_stat_structural_invariances(spark):
+    """r8-style invariance guards beyond the fixed-data oracles:
+    - spearman/kendall are invariant under any strictly monotone
+      transform of either variable, and negate under reversal;
+    - theil_sen's slope is shift-invariant in y (intercept absorbs
+      the shift) and negates under y-reversal;
+    - mann_kendall's S negates and the trend label flips under
+      y-reversal."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kendall_tau_b,
+        mann_kendall_trend,
+        spearman_rho,
+        theil_sen,
+    )
+
+    # 8 points, one duplicate-x pair skipped -> 27 defined slopes:
+    # an ODD count, so the exact lower median is the unique middle
+    # element and negation symmetry holds (with an even count the
+    # LOWER median of the negated multiset is the negated UPPER
+    # median — a convention property, not a bug)
+    rows = [
+        (1, 3, 9), (2, 5, 7), (3, 5, 8), (4, 8, 4), (5, 9, 4),
+        (6, 12, 2), (7, 15, 1), (8, 20, 0),
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+
+    base_rho = spearman_rho(df, "x", "y").collect()[0].rho
+    # strictly monotone transform of x: ranks unchanged
+    mono = df.selectExpr("k", "x * x + 10 AS x", "y")
+    assert spearman_rho(mono, "x", "y").collect()[0].rho == base_rho
+    # reversal of y: rho negates
+    neg = df.selectExpr("k", "x", "-y AS y")
+    assert spearman_rho(neg, "x", "y").collect()[0].rho == -base_rho
+
+    base_tau = kendall_tau_b(df, "k", "x", "y").collect()[0].tau_b
+    assert (
+        kendall_tau_b(mono, "k", "x", "y").collect()[0].tau_b == base_tau
+    )
+    assert (
+        kendall_tau_b(neg, "k", "x", "y").collect()[0].tau_b == -base_tau
+    )
+
+    ts0 = theil_sen(df, "x", "y").collect()[0]
+    shifted = df.selectExpr("x", "y + 100 AS y")
+    ts1 = theil_sen(shifted, "x", "y").collect()[0]
+    assert ts1.sen_slope == ts0.sen_slope
+    assert abs(ts1.sen_intercept - (ts0.sen_intercept + 100)) < 1e-6
+    flipped = df.selectExpr("x", "-y AS y")
+    ts2 = theil_sen(flipped, "x", "y").collect()[0]
+    assert ts2.sen_slope == -ts0.sen_slope
+
+    mk0 = mann_kendall_trend(df, "x", "y").collect()[0]
+    mk1 = mann_kendall_trend(flipped, "x", "y").collect()[0]
+    assert mk1.s_mk == -mk0.s_mk and mk1.var_s == mk0.var_s
+    flip = {"increasing": "decreasing", "decreasing": "increasing"}
+    assert mk1.trend == flip.get(mk0.trend, mk0.trend)
