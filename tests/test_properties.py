@@ -377,3 +377,51 @@ def test_qq_quantile_table_property(spark, a_vals, b_vals, grid):
     assert set(got) == set(range(1, grid))
     for i in range(1, grid):
         assert got[i] == (q1(a_vals, i), q1(b_vals, i)), i
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+)
+@settings(**SETTINGS)
+def test_spearman_rho_matches_reference_property(spark, pairs):
+    """spearman_rho on arbitrary small integer multisets (heavy ties
+    by construction) equals the numpy average-rank Pearson — or is
+    NULL exactly when a variable is constant."""
+    import numpy as np
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        spearman_rho,
+    )
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = spearman_rho(df, "x", "y").collect()[0]
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    assert got.n_rows == len(pairs)
+    if len(set(xs)) == 1 or len(set(ys)) == 1:
+        assert got.rho is None
+    else:
+        want = float(np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1])
+        assert abs(got.rho - want) < 1e-6
