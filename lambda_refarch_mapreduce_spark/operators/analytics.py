@@ -2115,3 +2115,100 @@ def mann_kendall_trend(
               ELSE 'decreasing'
             END AS trend""",
     )
+
+
+def holt_winters_from_series(
+    series: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    m: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per key —
+    the seasonal rung above holt_linear_user_value (level + trend +
+    an m-slot seasonal profile; m=7 reads 'weekly seasonality over a
+    daily series'). Standard recursion (Winters 1960):
+    l_t = a*(x_t - s_{t-m}) + (1-a)(l+b); b_t = beta*(l_t - l) +
+    (1-beta)*b; s_t = g*(x_t - l_t) + (1-g)*s_{t-m}; classic init
+    from the first two seasons (l0 = mean season 1, b0 = (mean season
+    2 - mean season 1)/m, s0_j = x_j - l0). Pure-Catalyst
+    sorted-array `aggregate` fold with a (l, b, s[1..m]) struct
+    accumulator — the seasonal array ROTATES each step so s[1] is
+    always the slot the next observation consumes, and no window or
+    Python seam touches the recursion. Spark's fold lambda cannot
+    reference a sibling field, so l_t's expression is repeated
+    textually inside b_t/s_t — the identical op tree, bit-equal to a
+    sequential reference implementation (tested). Groups shorter than
+    2*m emit NULL smoothed columns (not an error — the caller decides
+    policy). Returns one row per key: (keys..., n_obs, level, trend,
+    season_next, forecast_next), forecast_next = l + b + s_next."""
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols], F.col(value_col)
+                )
+            )
+        ),
+        lambda s: s[value_col].cast("double"),
+    )
+    agg = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"), vals.alias("__xs")
+    )
+    xs = F.col("__xs")
+    sum1 = F.aggregate(
+        F.slice(xs, 1, m), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sum2 = F.aggregate(
+        F.slice(xs, m + 1, m), F.lit(0.0), lambda acc, x: acc + x
+    )
+    l0 = sum1 / F.lit(float(m))
+    b0 = (sum2 / F.lit(float(m)) - l0) / F.lit(float(m))
+    s0 = F.transform(F.slice(xs, 1, m), lambda x: x - l0)
+    seed = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"))
+    rest = F.slice(
+        xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))
+    )
+
+    def step(acc, x):
+        lt = (
+            F.lit(a) * (x - F.element_at(acc["s"], 1))
+            + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        )
+        # lt repeated textually below: Spark struct lambdas cannot
+        # reference sibling fields; same op tree -> same double
+        return F.struct(
+            lt.alias("l"),
+            (F.lit(b_) * (lt - acc["l"]) + F.lit(1.0 - b_) * acc["b"])
+            .alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    F.lit(g) * (x - lt)
+                    + F.lit(1.0 - g) * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        )
+
+    fin = F.aggregate(rest, seed, step)
+    enough = F.col("n_obs") >= 2 * m
+    out = agg.select(
+        *key_cols,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.when(enough, F.round(fin["l"], 6)).alias("level"),
+        F.when(enough, F.round(fin["b"], 6)).alias("trend"),
+        F.when(enough, F.round(F.element_at(fin["s"], 1), 6)).alias(
+            "season_next"
+        ),
+        F.when(
+            enough,
+            F.round(
+                fin["l"] + fin["b"] + F.element_at(fin["s"], 1), 6
+            ),
+        ).alias("forecast_next"),
+    )
+    return out

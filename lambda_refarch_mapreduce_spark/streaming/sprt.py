@@ -179,3 +179,32 @@ def trend_now(spark: SparkSession, index_dir: str) -> DataFrame:
     return mann_kendall_trend(
         running_day_counts(spark, index_dir), "dd", "x"
     )
+
+
+def forecast_now(
+    spark: SparkSession,
+    index_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    m: int = 7,
+) -> DataFrame:
+    """Holt-Winters one-step forecast of the daily TRIAL volume over
+    the committed day frame (operators.analytics.
+    holt_winters_from_series, weekly seasonality by default) — the
+    capacity-planning readout beside the SPRT decision and the
+    Mann-Kendall trend on the same state: "how many observations
+    should tomorrow bring?" feeds both alerting (volume collapse) and
+    the decision-time estimate. Returns one row: (n_obs, level,
+    trend, season_next, forecast_next); NULL smoothed columns until
+    2*m days are committed."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        holt_winters_from_series,
+    )
+
+    day = running_day_counts(spark, index_dir).withColumn(
+        "__one", F.lit(1)
+    )
+    return holt_winters_from_series(
+        day, ["__one"], ["dd"], "m", alpha, beta, gamma, m
+    ).drop("__one")

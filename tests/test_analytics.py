@@ -2373,3 +2373,56 @@ def test_rank_stat_structural_invariances(spark):
     assert mk1.s_mk == -mk0.s_mk and mk1.var_s == mk0.var_s
     flip = {"increasing": "decreasing", "decreasing": "increasing"}
     assert mk1.trend == flip.get(mk0.trend, mk0.trend)
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """operators.analytics.holt_winters_from_series vs a sequential
+    python Holt-Winters (classic two-season init) on a trending
+    weekly-seasonal series — fold equality to 1e-9, and the one-step
+    forecast tracks the next point of the noise-free pattern. Short
+    groups (< 2m) come back NULL, and the fold is exactly
+    sequential-order equal."""
+    m = 7
+    season = [5, -3, 0, 2, -4, 1, -1]
+    ys = [
+        round(20 + 0.5 * t + season[t % m], 3) for t in range(35)
+    ]
+    rows = [("g", t, int(y * 1000)) for t, y in enumerate(ys)]
+    rows += [("short", t, 100 * t) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        holt_winters_from_series,
+    )
+
+    got = {
+        r.k: r
+        for r in holt_winters_from_series(
+            df, ["k"], ["t"], "v", 0.3, 0.1, 0.2, m
+        ).collect()
+    }
+
+    xs = [v for _, _, v in rows[:35]]
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m : 2 * m]) / m - l) / m
+    s = [x - l for x in xs[:m]]
+    for x in xs[m:]:
+        lt = 0.3 * (x - s[0]) + 0.7 * (l + b)
+        bt = 0.1 * (lt - l) + 0.9 * b
+        st = 0.2 * (x - lt) + 0.8 * s[0]
+        s = s[1:] + [st]
+        l, b = lt, bt
+    r = got["g"]
+    assert r.n_obs == 35
+    assert abs(r.level - round(l, 6)) < 1e-9
+    assert abs(r.trend - round(b, 6)) < 1e-9
+    assert abs(r.season_next - round(s[0], 6)) < 1e-9
+    assert abs(r.forecast_next - round(l + b + s[0], 6)) < 1e-9
+    # forecast sanity on the noise-free pattern: next value is
+    # 20 + 0.5*35 + season[0], in milli-units; HW converges close
+    true_next = (20 + 0.5 * 35 + season[35 % m]) * 1000
+    assert abs(r.forecast_next - true_next) < 0.03 * true_next
+
+    sh = got["short"]
+    assert sh.n_obs == 5
+    assert sh.level is None and sh.forecast_next is None

@@ -1763,6 +1763,25 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
         mann_kendall_trend,
     )
 
+    # ...and the Holt-Winters forecast readout over the same frame
+    # equals the batch kernel on the union
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        holt_winters_from_series,
+    )
+
+    got_fc = sprt.forecast_now(spark, index_dir).collect()[0]
+    want_fc = holt_winters_from_series(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ).withColumn("__one", F.lit(1)),
+        ["__one"],
+        ["dd"],
+        "m",
+    ).drop("__one").collect()[0]
+    assert tuple(got_fc) == tuple(want_fc)
+
     got_mk = sprt.trend_now(spark, index_dir).collect()[0]
     want_mk = mann_kendall_trend(
         sprt.batch_day_counts(
