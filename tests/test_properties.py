@@ -425,3 +425,52 @@ def test_spearman_rho_matches_reference_property(spark, pairs):
     else:
         want = float(np.corrcoef(avg_ranks(xs), avg_ranks(ys))[0, 1])
         assert abs(got.rho - want) < 1e-6
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_kendall_tau_b_matches_reference_property(spark, pairs):
+    """kendall_tau_b on arbitrary small integer series (heavy ties by
+    construction) equals the O(n^2) textbook computation — including
+    the NULL tau for an all-tied variable (zero denominator)."""
+    import math
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kendall_tau_b,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = kendall_tau_b(df, "k", "a", "b").collect()[0]
+
+    n = len(rows)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = (rows[j][1] - rows[i][1]) * (rows[j][2] - rows[i][2])
+            conc += d > 0
+            disc += d < 0
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        c * (c - 1) // 2 for c in Counter(r[1] for r in rows).values()
+    )
+    n2 = sum(
+        c * (c - 1) // 2 for c in Counter(r[2] for r in rows).values()
+    )
+    assert (got.concordant, got.discordant) == (conc, disc)
+    assert (got.n_obs, got.n_pairs) == (n, n0)
+    if (n0 - n1) * (n0 - n2) <= 0:
+        assert got.tau_b is None
+    else:
+        want = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(got.tau_b - want) < 1e-6
