@@ -1,9 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-   "shuffle_bytes": {...}, "stages": {...}, "sf": ...}
+Prints TWO JSON lines — a bulky detail record first, then a compact
+summary LAST:
+  {"metric": "headline_queries_detail", "queries": {...},
+   "shuffle_bytes": {...}, "stages": {...}, "trained": {...}, ...}
+  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+The summary-last ordering is load-bearing: the round driver durably
+records only a bounded TAIL of this program's stdout, and round 9's
+single-line payload (after shuffle_bytes/stages were added) grew past
+that window, truncating the per-key wall times out of the permanent
+BENCH_r09.json artifact (VERDICT r9, What's wrong #1). The compact
+final line always fits; the detail line is additionally written to
+BENCH_DETAIL.json beside this file so the full record survives even
+when stdout is clipped.
 
 queries[k] is best-of-2 wall seconds; shuffle_bytes[k] / stages[k]
 come from the first run's stage metrics (deterministic for a fixed
@@ -100,6 +112,12 @@ HEADLINE = {
     "q_jobspec_interval": "jobspec_interval_join",
     "q_spearman": "spearman_rank_corr_lineitem",
     "q_attribution": "attribution_position_based",
+    # round 10 additions (NA/MK reuse the KM / kendall plan shapes
+    # already measured by q_kaplan_meier / q_ols-tier keys; the three
+    # below are the genuinely new fold/rank shapes)
+    "q_holt_winters": "holt_winters_daily_events",
+    "q_backtest": "forecast_backtest_daily_revenue",
+    "q_bh_fdr": "bh_fdr_dow_purchase_rate",
 }
 
 
@@ -169,20 +187,37 @@ def main() -> None:
     trained = _trained_split(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "shuffle_bytes": shuffle_bytes,
-                "stages": stages,
-                "trained": trained,
-                "sf": sf,
-            }
+    detail = {
+        "metric": "headline_queries_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "shuffle_bytes": shuffle_bytes,
+        "stages": stages,
+        "trained": trained,
+        "sf": sf,
+    }
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full record to a committed-able file (best-effort: a read-only
+    # checkout must not fail the bench)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-    )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+    # bulky line first, compact summary LAST (tail-window contract)
+    print(json.dumps(detail))
+    print(json.dumps(summary))
 
 
 def _trained_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:

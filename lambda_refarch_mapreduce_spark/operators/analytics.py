@@ -1568,9 +1568,13 @@ AB_MDE_EXPR = (
 # n0 = n(n-1)/2 total pairs, n1/n2 = tied-pair counts per variable.
 # The degenerate all-tied / single-row case (zero denominator) is
 # NULL by the guard — identical text on both engines, and it keeps
-# Spark's ANSI divide-by-zero error out of the plan.
+# Spark's ANSI divide-by-zero error out of the plan. The guard
+# product is widened to DOUBLE via `* 1e0` exactly like the sqrt
+# operand: with n0 = n(n-1)/2 a pure-BIGINT (n0-n1)*(n0-n2) overflows
+# (an ANSI error) past ~55k rows even though each factor fits
+# (ADVICE r9).
 KENDALL_TAU_B_EXPR = (
-    "(CASE WHEN (n0 - n1) * (n0 - n2) > 0"
+    "(CASE WHEN (n0 - n1) * 1e0 * (n0 - n2) > 0"
     " THEN (conc - disc) * 1e0"
     " / sqrt((n0 - n1) * 1e0 * (n0 - n2))"
     " ELSE NULL END)"
@@ -1595,10 +1599,16 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         prefix_sums,
     )
 
+    # pairwise-complete: a NULL in either variable drops the ROW here,
+    # before the per-value counts — otherwise NULL groups inflate the
+    # other variable's cumulative counts (NULLs sort first through
+    # prefix_sums) while their rows vanish at the join-back, leaving
+    # the kept rows with ranks that are no longer a complete 1..n
+    # ranking (biased rho rather than NULL — ADVICE r9)
     t = df.select(
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ).na.drop()
 
     def ranks(col: str, r2_name: str) -> DataFrame:
         counts = t.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
@@ -2212,3 +2222,316 @@ def holt_winters_from_series(
         ).alias("forecast_next"),
     )
     return out
+
+
+# Rolling-origin backtest report expressions, shared verbatim with
+# the DuckDB oracle: each metric is a guarded formula over the fold's
+# exact accumulator columns (n, sae_h, sse_h, sae_n, sse_n). CASE
+# without ELSE is NULL on both engines (fewer than 3 observations
+# means zero scored forecasts — no metric, not an ANSI 0/0 error).
+BACKTEST_METRIC_EXPRS = {
+    "mae_holt": "(CASE WHEN n >= 3 THEN sae_h / (n - 2e0) END)",
+    "rmse_holt": "(CASE WHEN n >= 3 THEN sqrt(sse_h / (n - 2e0)) END)",
+    "mae_naive": "(CASE WHEN n >= 3 THEN sae_n / (n - 2e0) END)",
+    "rmse_naive": "(CASE WHEN n >= 3 THEN sqrt(sse_n / (n - 2e0)) END)",
+    "skill_vs_naive": (
+        "(CASE WHEN n >= 3 AND sse_n > 0e0"
+        " THEN 1e0 - sqrt(sse_h / (n - 2e0)) / sqrt(sse_n / (n - 2e0))"
+        " END)"
+    ),
+}
+
+
+def rolling_backtest_holt(
+    series: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Rolling-origin one-step forecast backtest per key — the
+    "which smoother do I trust" report the smoothing tier (EWMA /
+    Holt / Holt-Winters) needs before anyone acts on forecast_next:
+    every observation from the third onward is forecast from state
+    fitted strictly on its prefix, by BOTH Holt linear smoothing
+    (l+b one step ahead) and the seasonal-naive baseline (previous
+    value), and the report is MAE/RMSE per method plus the skill
+    score 1 - rmse_holt/rmse_naive (positive = Holt beats naive;
+    Hyndman & Athanasopoulos' forecast-evaluation protocol).
+
+    One pure-Catalyst sorted-array fold (the holt_linear_user_value
+    pattern): the accumulator carries (l, b, prev, and four exact
+    error sums); seeding exploits the closed-form invariant that
+    Holt state after consuming (x1, x2) with the classic l1=x1,
+    b1=x2-x1 init is EXACTLY (l=x2, b=x2-x1) for any alpha/beta, so
+    the fold starts at x3 with every scored forecast honest (no
+    peeking). Trend single-reference rewrite as in holt_linear
+    (b_t = alpha*beta*(x-l) + (beta*(1-alpha)+1-beta)*b) keeps each
+    accumulator field referenced once per slot. Groups with n < 3
+    emit NULL metrics. Returns one row per key: (keys..., n_obs,
+    n_forecasts, mae_holt, rmse_holt, mae_naive, rmse_naive,
+    skill_vs_naive)."""
+    a = float(alpha)
+    ab = float(alpha) * float(beta)
+    k = float(beta) * (1.0 - float(alpha)) + (1.0 - float(beta))
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols], F.col(value_col)
+                )
+            )
+        ),
+        lambda s: s[value_col].cast("double"),
+    )
+    agg = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"), vals.alias("__xs")
+    )
+    xs = F.col("__xs")
+    x1 = F.try_element_at(xs, F.lit(1))
+    x2 = F.try_element_at(xs, F.lit(2))
+    zero = F.lit(0.0)
+    seed = F.struct(
+        x2.alias("l"),
+        (x2 - x1).alias("b"),
+        x2.alias("prev"),
+        zero.alias("sae_h"),
+        zero.alias("sse_h"),
+        zero.alias("sae_n"),
+        zero.alias("sse_n"),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        # eh/en reused across abs and square: the same op tree
+        # duplicated, bit-equal to the oracle's textual repetition
+        eh = x - (acc["l"] + acc["b"])
+        en = x - acc["prev"]
+        return F.struct(
+            (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+            .alias("l"),
+            (F.lit(ab) * (x - acc["l"]) + F.lit(k) * acc["b"]).alias(
+                "b"
+            ),
+            x.alias("prev"),
+            (acc["sae_h"] + F.abs(eh)).alias("sae_h"),
+            (acc["sse_h"] + eh * eh).alias("sse_h"),
+            (acc["sae_n"] + F.abs(en)).alias("sae_n"),
+            (acc["sse_n"] + en * en).alias("sse_n"),
+        )
+
+    fin = F.aggregate(rest, seed, step)
+    flat = agg.select(
+        *key_cols,
+        F.col("n"),
+        fin["sae_h"].alias("sae_h"),
+        fin["sse_h"].alias("sse_h"),
+        fin["sae_n"].alias("sae_n"),
+        fin["sse_n"].alias("sse_n"),
+    )
+    return flat.selectExpr(
+        *key_cols,
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(greatest(n - 2, 0) AS BIGINT) AS n_forecasts",
+        *[
+            f"round({e}, 6) AS {name}"
+            for name, e in BACKTEST_METRIC_EXPRS.items()
+        ],
+    )
+
+
+# Two-proportion pooled z over exact integer counts (xd successes of
+# nd in-group trials vs the complement out of family totals nt/xt) —
+# shared verbatim with oracles; every division is int-to-double.
+TWO_PROP_Z_EXPR = (
+    "((xd / (nd * 1e0) - (xt - xd) / ((nt - nd) * 1e0))"
+    " / sqrt((xt / (nt * 1e0)) * (1e0 - xt / (nt * 1e0))"
+    " * (1e0 / nd + 1e0 / (nt - nd))))"
+)
+
+
+def phi_inv(p: float) -> float:
+    """Inverse standard-normal CDF by bisection on math.erf — used at
+    PLAN-BUILD time only, to precompute Benjamini-Hochberg rank
+    thresholds as double literals shared by both engines (neither
+    engine's shared SQL surface has erf, and a polynomial
+    approximation would put a libm exp() seam in the gate). 200
+    bisection steps on [-10, 10] converge far below double
+    resolution; the same Python process emits the literal into both
+    the Spark plan and the oracle SQL, so cross-engine equality is
+    by construction."""
+    import math
+
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 + math.erf(mid / math.sqrt(2.0))) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def bh_thresholds(m: int, q: float = 0.05) -> list[float]:
+    """|z| rejection thresholds for Benjamini-Hochberg at FDR q over
+    a fixed family of m two-sided z tests: the BH comparison
+    p_(k) <= k*q/m, with p = 2*(1 - Phi(|z|)), is exactly
+    |z|_(k) >= Phi^-1(1 - (k*q/m)/2) — ranking by p ascending IS
+    ranking by |z| descending, so the whole procedure runs on the
+    z scale with no p-value (hence no erf) computed by either
+    engine."""
+    return [phi_inv(1.0 - (k * q / m) / 2.0) for k in range(1, m + 1)]
+
+
+def bh_threshold_case_sql(thresholds: list[float], col: str = "rank_k") -> str:
+    """The rank->threshold lookup as one CASE string shared by both
+    engines; literals in exponent notation (a plain decimal literal
+    is DECIMAL in both Spark and DuckDB, with divergent scale
+    rules)."""
+    whens = " ".join(
+        f"WHEN {k + 1} THEN {t:.17e}" for k, t in enumerate(thresholds)
+    )
+    return f"(CASE {col} {whens} END)"
+
+
+def bh_fdr_from_z(
+    scores: DataFrame,
+    key_cols: list[str],
+    z_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a FIXED family of
+    two-sided z-scored tests (Benjamini & Hochberg 1995) —
+    the multiple-testing capstone for a registry that now emits many
+    z/p readouts (chi2, Mann-Whitney, log-rank, ANOVA, Mann-Kendall):
+    controlling per-test alpha across m simultaneous tests inflates
+    false discoveries; BH caps the expected false-discovery RATE.
+
+    Contract: the family size is FIXED at len(thresholds) — the
+    caller precomputes thresholds[k-1] = Phi^-1(1 - (k*q/m)/2) via
+    bh_thresholds (plan-build-time Python; no erf inside either
+    engine). Tests rank by |z| descending (= p ascending; ties break
+    on key_cols for determinism), the largest rank with
+    |z| >= threshold is k_star, and BH rejects EVERY rank <= k_star
+    (including ranks whose own |z| dipped under their threshold —
+    the step-up part naive per-rank thresholding gets wrong). The
+    family is alphabet-sized metadata: global_rank's range exchange
+    and one broadcast max are the whole plan. Returns the input
+    columns plus (rank_k, bh_threshold, k_star, rejected)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+    )
+
+    s = scores.withColumn("__az", F.abs(F.col(z_col)))
+    ranked = global_rank(
+        s,
+        [F.col("__az").desc(), *[F.col(c) for c in key_cols]],
+        rank_col="rank_k",
+    )
+    with_thr = ranked.withColumn(
+        "__thr", F.expr(bh_threshold_case_sql(thresholds))
+    )
+    kstar = with_thr.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("__az") >= F.col("__thr"), F.col("rank_k")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k_star")
+    )
+    return (
+        with_thr.crossJoin(F.broadcast(kstar))
+        .withColumn("bh_threshold", F.col("__thr"))
+        .withColumn("rejected", F.col("rank_k") <= F.col("k_star"))
+        .drop("__az", "__thr")
+    )
+
+
+def isotonic_fit_binned(
+    df: DataFrame, order_col: str, w_col: str, s_col: str
+) -> DataFrame:
+    """Exact weighted isotonic (monotone nondecreasing) regression of
+    a success RATE over an ordered bin alphabet — the calibration
+    primitive (Zadrozny & Elkan 2002's isotonic calibration, the
+    nonparametric rung above the sigmoid reliability table): fit the
+    closest monotone curve to x_i/w_i under weights w_i. PAVA's
+    stack walk is inherently sequential, so this computes the SAME
+    unique solution through its minimax characterization instead
+    (Robertson, Wright & Dykstra 1988, Thm 1.4.4):
+
+        iso(i) = max_{j<=i} min_{k>=i} (x_j+..+x_k) / (w_j+..+w_k)
+
+    which is pure dataflow: one range exchange builds cumulative
+    sums, every (j,k) segment materializes through the gap-explode
+    EQUI-join (the kendall_tau_b pattern — never a theta join in the
+    plan), each segment explodes to the ranks it spans, and two
+    alphabet-sized aggregates take the min-then-max. Every segment
+    average is an exact-integer division, so min/max selection (and
+    hence the fit) is bit-identical cross-engine. O(n^3/6) rows in
+    the BIN alphabet only — the corpus collapses map-side to n bins
+    first, so at 100 TB this is a dozen rows of metadata (use PAVA
+    proper if you ever need n in the thousands). Returns one row per
+    bin: (order_col, weight, successes, raw_rate, iso_rate)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    base = df.select(
+        F.col(order_col).alias("__o"),
+        F.col(w_col).cast("long").alias("__w"),
+        F.col(s_col).cast("long").alias("__s"),
+    ).withColumn("__one", F.lit(1))
+    idx = prefix_sums(
+        base, [F.col("__o")], ["__w", "__s", "__one"]
+    ).withColumnRenamed("__one_cum", "__i")
+    nrow = idx.agg(F.count(F.lit(1)).alias("n"))
+    gaps = nrow.select(
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("g")
+    ).filter(F.col("g") >= 0)
+    left = idx.select(
+        F.col("__i").alias("j"),
+        F.col("__w_cum").alias("cnj"),
+        F.col("__s_cum").alias("cxj"),
+        F.col("__w").alias("wj"),
+        F.col("__s").alias("sj"),
+    )
+    right = idx.select(
+        F.col("__i").alias("k"),
+        F.col("__w_cum").alias("cnk"),
+        F.col("__s_cum").alias("cxk"),
+    )
+    seg = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("k", F.col("j") + F.col("g"))
+        .join(right, "k")
+        .select(
+            "j",
+            "k",
+            (F.col("cxk") - F.col("cxj") + F.col("sj")).alias("sx"),
+            (F.col("cnk") - F.col("cnj") + F.col("wj")).alias("sn"),
+        )
+    )
+    span = seg.select(
+        F.explode(F.sequence(F.col("j"), F.col("k"))).alias("__i"),
+        "j",
+        (F.col("sx") * F.lit(1e0) / F.col("sn")).alias("__av"),
+    )
+    mjk = span.groupBy("__i", "j").agg(F.min("__av").alias("__m"))
+    iso = mjk.groupBy("__i").agg(F.max("__m").alias("__iso"))
+    return (
+        idx.join(iso, "__i")
+        .select(
+            F.col("__o").alias(order_col),
+            F.col("__w").alias("weight"),
+            F.col("__s").alias("successes"),
+            F.round(F.col("__s") * F.lit(1e0) / F.col("__w"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("__iso"), 6).alias("iso_rate"),
+        )
+    )

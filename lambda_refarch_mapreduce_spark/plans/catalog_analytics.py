@@ -6331,3 +6331,546 @@ def qq_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mq"),
     )
     return analytics.qq_quantile_table(v, "en", "de", "g", "mq", 20)
+
+
+# ---------------------------------------------------------------- #
+# round 10: the pre-staged statistics entries (VERDICT r9 asks 2-4,
+# 6, 7) — kernels built in round 9 gain their DuckDB-oracle rows.
+# ---------------------------------------------------------------- #
+
+
+def _dbl(v: float) -> str:
+    """A Python double as an unambiguous DOUBLE literal for BOTH
+    engines (plain decimals are DECIMAL literals with divergent
+    scale rules; .17e round-trips every double exactly)."""
+    return f"{float(v):.17e}"
+
+
+@register(
+    "nelson_aalen_churn_hazard",
+    # same CTE prefix as kaplan_meier_customer_churn (one shared
+    # count frame, two estimators); the two running totals fold
+    # left-to-right over per-event-time term lists — identical
+    # addition order to the Spark kernel's sorted-slice aggregate
+    oracle=f"""
+        WITH pu AS (SELECT o_custkey,
+                           min(o_orderdate::DATE) AS f,
+                           max(o_orderdate::DATE) AS l
+                    FROM orders GROUP BY 1),
+        hz AS (SELECT max(o_orderdate::DATE) AS h FROM orders),
+        subj AS (SELECT (date_diff('day', f, l) + 1)::BIGINT AS t,
+                        CASE WHEN date_diff('day', l, h)
+                                  >= {KM_CHURN_GAP_DAYS}
+                             THEN 1 ELSE 0 END AS ev
+                 FROM pu CROSS JOIN hz),
+        per_t AS (SELECT t, sum(ev)::BIGINT AS d,
+                         sum(1 - ev)::BIGINT AS c
+                  FROM subj GROUP BY 1),
+        tot AS (SELECT sum(d + c)::BIGINT AS n_all FROM per_t),
+        cum AS (SELECT t, d, c,
+                       sum(d + c) OVER (ORDER BY t)::BIGINT AS dc_cum
+                FROM per_t),
+        risk AS (SELECT t, d,
+                        (n_all - (dc_cum - (d + c)))::BIGINT AS n_risk
+                 FROM cum CROSS JOIN tot),
+        ev AS (SELECT t, d, n_risk FROM risk WHERE d > 0),
+        arr AS (SELECT list(t ORDER BY t) AS ts,
+                       list(d ORDER BY t) AS ds,
+                       list(n_risk ORDER BY t) AS rs,
+                       list(d * 1e0 / n_risk ORDER BY t) AS hs,
+                       list(d * 1e0 / (n_risk * 1e0 * n_risk)
+                            ORDER BY t) AS vs
+                FROM ev),
+        idx AS (SELECT unnest(range(1, len(ts) + 1)) AS i,
+                       ts, ds, rs, hs, vs
+                FROM arr)
+        SELECT ts[i]::BIGINT AS t, rs[i]::BIGINT AS n_risk,
+               ds[i]::BIGINT AS n_events,
+               round(list_reduce(list_prepend(0e0, hs[1:i]),
+                                 (acc, x) -> acc + x), 6) AS cum_hazard,
+               round(list_reduce(list_prepend(0e0, vs[1:i]),
+                                 (acc, x) -> acc + x), 6)
+                   AS cum_hazard_var
+        FROM idx
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def nelson_aalen_churn_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard over the SAME customer
+    lifetime frame as kaplan_meier_customer_churn (operators.
+    analytics.nelson_aalen_from_counts, built in round 9 for the
+    streaming survival monitor and oracle-gated here — VERDICT r9
+    ask #2): KM reads "what fraction survives past t", NA reads "how
+    much churn hazard has accumulated by t" with the variance the KM
+    product can't give directly — the additive estimator regression
+    and competing-risk work build on (Nelson 1972, Aalen 1978).
+    Identical plan shape to the KM entry: map-side collapse to the
+    per-day (t, d, c) alphabet, exact-integer at-risk counts via
+    relational.prefix_sums, and the two float running totals fold
+    LEFT-TO-RIGHT over one sorted per-event-time term list on both
+    engines — bit-identical before rounding, no float-sum
+    order seam. At 100 TB the post-collapse series is |days| rows of
+    metadata."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    hz = o.agg(F.max("d").alias("h"))
+    subj = pu.crossJoin(F.broadcast(hz)).select(
+        (F.datediff("l", "f") + 1).cast("long").alias("t"),
+        (F.datediff("h", "l") >= KM_CHURN_GAP_DAYS)
+        .cast("int")
+        .alias("event"),
+    )
+    per_t = subj.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).alias("c"),
+    )
+    return analytics.nelson_aalen_from_counts(per_t)
+
+
+@register(
+    "mann_kendall_daily_revenue",
+    # pairs via theta join (the oracle states the SEMANTICS; the
+    # Spark kernel generates the same pair set through the
+    # gap-explode equi-join on the global_rank index), tie terms and
+    # S exact integers, z through the shared formula string
+    oracle=f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        p AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                              WHEN b.y < a.y THEN -1
+                              ELSE 0 END)::BIGINT AS s_raw
+              FROM day a JOIN day b ON b.x > a.x),
+        tie AS (SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+                           ::BIGINT AS tie_term
+                FROM (SELECT count(*)::BIGINT AS c FROM day
+                      GROUP BY y)),
+        nn AS (SELECT count(*)::BIGINT AS n FROM day),
+        z AS (SELECT n AS n_obs,
+                     coalesce(s_raw, 0)::BIGINT AS s_mk,
+                     (n * (n - 1e0) * (2e0 * n + 5e0) - tie_term)
+                         / 18e0 AS var_s
+              FROM p, tie, nn)
+        SELECT n_obs, s_mk, round(var_s, 6) AS var_s,
+               round({analytics.MANN_KENDALL_Z_EXPR}, 6) AS z_mk,
+               CASE
+                 WHEN abs({analytics.MANN_KENDALL_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN s_mk > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM z
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def mann_kendall_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order revenue
+    (operators.analytics.mann_kendall_trend, built in round 9 for
+    the streaming SPRT monitor's trend readout and oracle-gated here
+    — VERDICT r9 ask #3) — the decision companion to
+    theil_sen_daily_trend over the SAME day frame: Theil-Sen
+    estimates the robust slope, Mann-Kendall decides whether a
+    monotone trend EXISTS at all (S = sum of pairwise signs, normal
+    approximation with y-tie variance correction and continuity
+    adjustment; Mann 1945, Kendall 1975). The corpus collapses
+    map-side to the day alphabet, all day pairs come from the
+    gap-explode EQUI-join on the global_rank index (quadratic in
+    |days| only — bounded metadata, never a theta join in the
+    plan), and S plus every variance term stays an exact integer
+    into one shared z formula string. Returns one row:
+    (n_obs, s_mk, var_s, z_mk, trend)."""
+    day = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return analytics.mann_kendall_trend(day, "x", "y")
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_M = 0.3, 0.1, 0.2, 7
+
+
+def _hw_oracle() -> str:
+    """DuckDB twin of holt_winters_from_series: the (l, b, s1..sm)
+    struct accumulator flattens to an (m+2)-slot LIST (DuckDB 1.0's
+    list_reduce mutates struct_pack accumulators in place, while
+    list construction is functional — toy-verified again this round),
+    and l_t is repeated TEXTUALLY inside the b/s slots exactly as the
+    Spark kernel repeats its op tree (Spark struct lambdas cannot
+    reference a sibling field). Every constant is emitted from the
+    SAME Python arithmetic the kernel folds (F.lit(1.0 - a) ==
+    _dbl(1.0 - a)), so the IEEE trees are identical before the 6dp
+    rounding."""
+    m = HW_M
+    a, ca = _dbl(HW_ALPHA), _dbl(1.0 - HW_ALPHA)
+    b, cb = _dbl(HW_BETA), _dbl(1.0 - HW_BETA)
+    g, cg = _dbl(HW_GAMMA), _dbl(1.0 - HW_GAMMA)
+    mf = _dbl(float(m))
+    lt = f"({a} * (x[1] - acc[3]) + {ca} * (acc[1] + acc[2]))"
+    shift = ", ".join(f"acc[{i}]" for i in range(4, m + 3))
+    return f"""
+        WITH day AS (SELECT event_type, ts::DATE AS dd,
+                            count(*)::BIGINT AS n_ev
+                     FROM events GROUP BY 1, 2),
+        grp AS (SELECT event_type,
+                       list(n_ev::DOUBLE ORDER BY dd) AS xs,
+                       count(*)::BIGINT AS n
+                FROM day GROUP BY 1),
+        s1 AS (SELECT event_type, n, xs,
+                      list_reduce(list_prepend(0e0, xs[1:{m}]),
+                                  (acc, x) -> acc + x) / {mf} AS l0
+               FROM grp),
+        s2 AS (SELECT event_type, n, xs, l0,
+                      (list_reduce(list_prepend(0e0,
+                                                xs[{m + 1}:{2 * m}]),
+                                   (acc, x) -> acc + x) / {mf} - l0)
+                          / {mf} AS b0
+               FROM s1),
+        f AS (SELECT event_type, n,
+                     CASE WHEN n >= {2 * m} THEN list_reduce(
+                       list_prepend(
+                         list_concat([l0, b0],
+                             list_transform(xs[1:{m}], x -> x - l0)),
+                         list_transform(list_slice(xs, {m + 1}, n),
+                                        x -> [x])),
+                       (acc, x) -> list_concat(
+                         [{lt},
+                          {b} * ({lt} - acc[1]) + {cb} * acc[2],
+                          {shift}],
+                         [{g} * (x[1] - {lt}) + {cg} * acc[3]]))
+                     END AS fin
+              FROM s2)
+        SELECT event_type, n AS n_obs,
+               round(fin[1], 6) AS level,
+               round(fin[2], 6) AS trend,
+               round(fin[3], 6) AS season_next,
+               round(fin[1] + fin[2] + fin[3], 6) AS forecast_next
+        FROM f
+    """
+
+
+@register(
+    "holt_winters_daily_events",
+    oracle=_hw_oracle(),
+    tags=("analytics", "timeseries"),
+)
+def holt_winters_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive triple smoothing of daily event volume
+    per event type (operators.analytics.holt_winters_from_series,
+    built in round 9 for the streaming SPRT monitor's volume
+    forecast and oracle-gated here — VERDICT r9 ask #4): level +
+    trend + a rotating 7-slot weekly seasonal profile, the
+    capacity-planning rung above holt_linear_user_value ("how many
+    events should tomorrow bring, given the weekday?"). The corpus
+    collapses map-side to the (type, day) alphabet; the recursion is
+    one pure-Catalyst sorted-array aggregate fold per type whose
+    seasonal array ROTATES each step (classic two-season init; l_t
+    repeated textually inside b_t/s_t — Spark struct lambdas cannot
+    reference sibling fields, and the oracle repeats the identical
+    text). Contract: the series must be calendar-dense per key (this
+    corpus has every day for every type at every SF); groups shorter
+    than 2m emit NULL smoothed columns. Returns one row per type:
+    (event_type, n_obs, level, trend, season_next,
+    forecast_next)."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"), F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return analytics.holt_winters_from_series(
+        day,
+        ["event_type"],
+        ["dd"],
+        "n_ev",
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_M,
+    )
+
+
+BT_ALPHA, BT_BETA = 0.3, 0.1
+
+
+def _backtest_oracle() -> str:
+    """DuckDB twin of rolling_backtest_holt over the daily-revenue
+    series: 7-slot list accumulator (l, b, prev, four error sums),
+    error terms repeated textually for abs and square exactly as the
+    kernel duplicates its op tree, metrics from the shared
+    BACKTEST_METRIC_EXPRS strings."""
+    a, ca = _dbl(BT_ALPHA), _dbl(1.0 - BT_ALPHA)
+    ab = _dbl(float(BT_ALPHA) * float(BT_BETA))
+    kk = _dbl(
+        float(BT_BETA) * (1.0 - float(BT_ALPHA)) + (1.0 - float(BT_BETA))
+    )
+    metrics = ",\n               ".join(
+        f"round({e}, 6) AS {name}"
+        for name, e in analytics.BACKTEST_METRIC_EXPRS.items()
+    )
+    return f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        grp AS (SELECT list(y::DOUBLE ORDER BY x) AS xs,
+                       count(*)::BIGINT AS n
+                FROM day),
+        f AS (SELECT n, list_reduce(
+                list_prepend(
+                  [xs[2], xs[2] - xs[1], xs[2], 0e0, 0e0, 0e0, 0e0],
+                  list_transform(list_slice(xs, 3, n), x -> [x])),
+                (acc, x) -> [
+                  {a} * x[1] + {ca} * (acc[1] + acc[2]),
+                  {ab} * (x[1] - acc[1]) + {kk} * acc[2],
+                  x[1],
+                  acc[4] + abs(x[1] - (acc[1] + acc[2])),
+                  acc[5] + (x[1] - (acc[1] + acc[2]))
+                         * (x[1] - (acc[1] + acc[2])),
+                  acc[6] + abs(x[1] - acc[3]),
+                  acc[7] + (x[1] - acc[3]) * (x[1] - acc[3])
+                ]) AS fin
+              FROM grp),
+        m AS (SELECT n, fin[4] AS sae_h, fin[5] AS sse_h,
+                     fin[6] AS sae_n, fin[7] AS sse_n
+              FROM f)
+        SELECT n AS n_obs,
+               greatest(n - 2, 0)::BIGINT AS n_forecasts,
+               {metrics}
+        FROM m
+    """
+
+
+@register(
+    "forecast_backtest_daily_revenue",
+    oracle=_backtest_oracle(),
+    tags=("analytics", "timeseries", "stats"),
+)
+def forecast_backtest_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling-origin one-step forecast backtest of daily order
+    revenue (operators.analytics.rolling_backtest_holt — VERDICT r9
+    stretch #6): every observed day from the third onward is
+    forecast from state fitted strictly on its prefix by BOTH Holt
+    linear smoothing and the naive last-value baseline, and the
+    report (MAE, RMSE per method, skill = 1 - rmse_holt/rmse_naive)
+    is the "which smoother do I trust" gate the smoothing tier's
+    forecast_next columns need before anyone acts on them. One
+    map-side collapse to the day alphabet, then a single
+    pure-Catalyst sorted-array fold whose accumulator carries the
+    smoothing state AND the four exact error sums — the backtest
+    costs nothing beyond the smoothing pass itself. Series = the
+    observed-day sequence (sparse calendar days index by
+    observation order, the theil_sen_daily_trend frame). Returns one
+    row: (n_obs, n_forecasts, mae_holt, rmse_holt, mae_naive,
+    rmse_naive, skill_vs_naive) in cents."""
+    day = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return analytics.rolling_backtest_holt(
+        day, [], ["x"], "y", BT_ALPHA, BT_BETA
+    )
+
+
+BH_FDR_Q = 0.05
+# the 7-dow family is structurally fixed (pmod 7); thresholds are
+# plan-build-time literals emitted by the same Python process into
+# both engines (analytics.bh_thresholds docstring)
+_BH_DOW_THRESHOLDS = analytics.bh_thresholds(7, BH_FDR_Q)
+
+
+@register(
+    "bh_fdr_dow_purchase_rate",
+    oracle=f"""
+        WITH s AS (SELECT {_DOW_SQL} AS dow,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS is_p
+                   FROM events),
+        g AS (SELECT dow, count(*)::BIGINT AS nd,
+                     sum(is_p)::BIGINT AS xd
+              FROM s GROUP BY 1),
+        tt AS (SELECT sum(nd)::BIGINT AS nt, sum(xd)::BIGINT AS xt
+               FROM g),
+        z AS (SELECT dow, nd, xd, {analytics.TWO_PROP_Z_EXPR} AS z
+              FROM g, tt),
+        r AS (SELECT dow, nd, xd, z,
+                     row_number() OVER (ORDER BY abs(z) DESC, dow)
+                         AS rank_k
+              FROM z),
+        t AS (SELECT r.*,
+                     {analytics.bh_threshold_case_sql(_BH_DOW_THRESHOLDS)}
+                         AS thr
+              FROM r),
+        ks AS (SELECT coalesce(max(CASE WHEN abs(z) >= thr
+                                        THEN rank_k END),
+                               0)::BIGINT AS k_star
+               FROM t)
+        SELECT dow::BIGINT AS dow, nd AS n_events,
+               xd AS n_purchases, round(z, 6) AS z,
+               rank_k::BIGINT AS rank_k, round(thr, 6) AS bh_threshold,
+               k_star, (rank_k <= k_star) AS rejected
+        FROM t, ks
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def bh_fdr_dow_purchase_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the 7-test family "is
+    day-of-week d's purchase rate different from the rest of the
+    week?" (operators.analytics.bh_fdr_from_z — VERDICT r9 stretch
+    #7): the registry now emits many per-test z/p readouts, and
+    running 7 two-proportion tests at raw alpha=.05 expects a false
+    positive every third experiment — BH is the step-up correction
+    that caps the false-discovery RATE instead. Everything runs on
+    the z scale: each test's z comes from exact integer counts
+    through one shared pooled-two-proportion string, ranks are |z|
+    descending (= p ascending, ties broken on dow), and the BH
+    comparison p_(k) <= k*q/m becomes |z|_(k) >= Phi^-1-threshold
+    literals precomputed at plan-build time (analytics.
+    bh_thresholds — no erf, hence no libm seam, inside either
+    engine). rejected = rank <= k_star rejects every rank at or
+    under the LAST threshold crossing, including intermediate dips —
+    the step-up part naive per-rank thresholding gets wrong. The
+    family is alphabet metadata: one map-side collapse to 7 rows,
+    one broadcast total, one broadcast max."""
+    ev = _t(spark, sf_dir, "events").select(
+        _dow_col().alias("dow"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    g = ev.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("is_p").alias("xd")
+    )
+    tot = g.agg(F.sum("nd").alias("nt"), F.sum("xd").alias("xt"))
+    z = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "dow", "nd", "xd", f"{analytics.TWO_PROP_Z_EXPR} AS z"
+    )
+    out = analytics.bh_fdr_from_z(z, ["dow"], "z", _BH_DOW_THRESHOLDS)
+    return out.selectExpr(
+        "CAST(dow AS BIGINT) AS dow",
+        "CAST(nd AS BIGINT) AS n_events",
+        "CAST(xd AS BIGINT) AS n_purchases",
+        "round(z, 6) AS z",
+        "CAST(rank_k AS BIGINT) AS rank_k",
+        "round(bh_threshold, 6) AS bh_threshold",
+        "k_star",
+        "rejected",
+    )
+
+
+@register(
+    "isotonic_calibration_value_bins",
+    # the oracle states the minimax SEMANTICS with plain theta joins
+    # (alphabet-sized); the Spark kernel generates the same segments
+    # through gap-explode equi-joins. Every segment average is an
+    # exact-integer division, so min/max selection is bit-identical.
+    oracle=f"""
+        WITH e AS (SELECT floor(value / {CHI2_BIN_WIDTH})::BIGINT
+                              AS bin,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS is_p
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT bin, count(*)::BIGINT AS nd,
+                     sum(is_p)::BIGINT AS xd
+              FROM e GROUP BY 1),
+        idx AS (SELECT bin, nd, xd,
+                       row_number() OVER (ORDER BY bin) AS i,
+                       sum(nd) OVER (ORDER BY bin)::BIGINT AS cn,
+                       sum(xd) OVER (ORDER BY bin)::BIGINT AS cx
+                FROM g),
+        seg AS (SELECT a.i AS j, b.i AS k,
+                       (b.cx - a.cx + a.xd)::BIGINT AS sx,
+                       (b.cn - a.cn + a.nd)::BIGINT AS sn
+                FROM idx a JOIN idx b ON b.i >= a.i),
+        tri AS (SELECT i.i AS i, s.j,
+                       min(s.sx * 1e0 / s.sn) AS mjk
+                FROM idx i JOIN seg s
+                     ON s.j <= i.i AND s.k >= i.i
+                GROUP BY 1, 2),
+        iso AS (SELECT i, max(mjk) AS iso_rate FROM tri GROUP BY 1)
+        SELECT idx.bin, idx.nd AS weight, idx.xd AS successes,
+               round(idx.xd * 1e0 / idx.nd, 6) AS raw_rate,
+               round(iso.iso_rate, 6) AS iso_rate
+        FROM idx JOIN iso ON idx.i = iso.i
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def isotonic_calibration_value_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact weighted isotonic regression of purchase probability
+    over the fixed ${CHI2_BIN_WIDTH} event-value bins
+    (operators.analytics.isotonic_fit_binned) — the nonparametric
+    calibration curve above the sigmoid reliability table
+    (nb_model_calibration_bins): "does a higher-value event make a
+    purchase more likely, and what is the closest MONOTONE rate
+    curve the data supports?" — the same machinery isotonic
+    probability calibration (Zadrozny & Elkan 2002) applies to any
+    scored classifier. PAVA's pool-adjacent walk is sequential, so
+    the kernel computes the identical unique solution through the
+    minimax characterization iso(i) = max_{j<=i} min_{k>=i}
+    segment-rate(j..k): cumulative sums from one range exchange,
+    (j,k) segments from the gap-explode EQUI-join, segments exploded
+    to their spanned ranks, min-then-max aggregates — O(n^3/6) rows
+    in the ~10-bin ALPHABET only (the corpus collapses map-side
+    first; 100 TB changes nothing after that). Returns one row per
+    bin: (bin, weight, successes, raw_rate, iso_rate)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.floor(F.col("value") / CHI2_BIN_WIDTH)
+            .cast("long")
+            .alias("bin"),
+            (F.col("event_type") == "purchase").cast("long").alias(
+                "is_p"
+            ),
+        )
+    )
+    g = e.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("is_p").alias("xd")
+    )
+    return analytics.isotonic_fit_binned(g, "bin", "nd", "xd")
+
+
+isotonic_calibration_value_bins.__doc__ = (
+    isotonic_calibration_value_bins.__doc__.replace(
+        "${CHI2_BIN_WIDTH}", f"${CHI2_BIN_WIDTH}-wide"
+    )
+)

@@ -208,3 +208,30 @@ def forecast_now(
     return holt_winters_from_series(
         day, ["__one"], ["dd"], "m", alpha, beta, gamma, m
     ).drop("__one")
+
+
+def backtest_now(
+    spark: SparkSession,
+    index_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Rolling-origin backtest of the daily trial-volume forecast
+    over the committed day frame (operators.analytics.
+    rolling_backtest_holt — the round-10 batch kernel, consumed here
+    the way forecast_now consumes Holt-Winters): before anyone acts
+    on forecast_now's number, this readout says whether the smoother
+    has actually been beating the naive carry-forward on THIS
+    series — MAE/RMSE for both plus the skill score, recomputed over
+    everything committed so far. Same shared-kernel contract as every
+    monitor readout: identical arithmetic to the batch catalog entry,
+    so streamed-then-scored equals batch-scored exactly. Returns one
+    row: (n_obs, n_forecasts, mae_holt, rmse_holt, mae_naive,
+    rmse_naive, skill_vs_naive); NULL metrics until 3 days commit."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_holt,
+    )
+
+    return rolling_backtest_holt(
+        running_day_counts(spark, index_dir), [], ["dd"], "m", alpha, beta
+    )

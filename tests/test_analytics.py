@@ -2228,6 +2228,27 @@ def test_spearman_constant_column_is_null_not_error(spark):
     assert got.rho is None
 
 
+def test_spearman_is_pairwise_complete_under_nulls(spark):
+    """ADVICE r9: a NULL in either variable must drop the ROW before
+    ranking (pairwise-complete), not silently inflate the other
+    variable's cumulative counts — rho over a frame with NULLs equals
+    rho over just its complete pairs, and n_rows counts only those."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        spearman_rho,
+    )
+
+    complete = [(3, 9), (1, 2), (4, 7), (2, 2), (5, 11)]
+    noisy = complete + [(None, 1), (None, 100), (0, None), (6, None)]
+    got = spearman_rho(
+        spark.createDataFrame(noisy, "x long, y long"), "x", "y"
+    ).collect()[0]
+    want = spearman_rho(
+        spark.createDataFrame(complete, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert got.n_rows == len(complete)
+    assert got.rho == want.rho
+
+
 def test_nelson_aalen_matches_python_reference(spark):
     """operators.analytics.nelson_aalen_from_counts vs a hand-rolled
     Nelson-Aalen on a small right-censored cohort (H = sum d/n,
@@ -2426,3 +2447,182 @@ def test_holt_winters_matches_python_reference(spark):
     sh = got["short"]
     assert sh.n_obs == 5
     assert sh.level is None and sh.forecast_next is None
+
+
+def test_rolling_backtest_holt_matches_python_reference(spark):
+    """operators.analytics.rolling_backtest_holt vs a sequential
+    Python backtest using the STANDARD Holt recursion (the kernel
+    folds the single-reference trend rewrite — algebraically equal,
+    so metrics agree to 1e-9). Seeding is the closed-form invariant:
+    Holt state after consuming (x1, x2) with l1=x1, b1=x2-x1 is
+    exactly (l=x2, b=x2-x1) for any alpha/beta, so scored forecasts
+    start honestly at x3. Short groups emit NULL metrics."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_holt,
+    )
+
+    a, beta = 0.3, 0.1
+    ys = [100, 103, 99, 108, 112, 107, 115, 121, 118, 126, 124, 131]
+    rows = [("g", t, y) for t, y in enumerate(ys)]
+    rows += [("one", 0, 50)]
+    rows += [("two", 0, 50), ("two", 1, 60)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        r.k: r
+        for r in rolling_backtest_holt(
+            df, ["k"], ["t"], "v", a, beta
+        ).collect()
+    }
+
+    l, b, prev = float(ys[1]), float(ys[1] - ys[0]), float(ys[1])
+    eh, en = [], []
+    for x in map(float, ys[2:]):
+        eh.append(x - (l + b))
+        en.append(x - prev)
+        lt = a * x + (1 - a) * (l + b)
+        bt = beta * (lt - l) + (1 - beta) * b
+        l, b, prev = lt, bt, x
+    nf = len(ys) - 2
+    mae_h = sum(abs(e) for e in eh) / nf
+    rmse_h = math.sqrt(sum(e * e for e in eh) / nf)
+    mae_n = sum(abs(e) for e in en) / nf
+    rmse_n = math.sqrt(sum(e * e for e in en) / nf)
+    g = got["g"]
+    assert (g.n_obs, g.n_forecasts) == (len(ys), nf)
+    assert abs(g.mae_holt - round(mae_h, 6)) < 1e-9
+    assert abs(g.rmse_holt - round(rmse_h, 6)) < 1e-9
+    assert abs(g.mae_naive - round(mae_n, 6)) < 1e-9
+    assert abs(g.rmse_naive - round(rmse_n, 6)) < 1e-9
+    assert abs(g.skill_vs_naive - round(1 - rmse_h / rmse_n, 6)) < 1e-9
+
+    for k, n in (("one", 1), ("two", 2)):
+        r = got[k]
+        assert (r.n_obs, r.n_forecasts) == (n, 0)
+        assert r.mae_holt is None and r.skill_vs_naive is None
+
+
+def test_bh_fdr_step_up_rejects_intermediate_dips(spark):
+    """operators.analytics.bh_fdr_from_z: BH is a STEP-UP procedure —
+    k_star is the LARGEST rank whose |z| crosses its threshold, and
+    every rank at or under k_star rejects, including a rank whose
+    own |z| dipped under its threshold. Zero crossings reject
+    nothing."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        bh_fdr_from_z,
+    )
+
+    thr = [3.0, 2.5, 2.0, 1.8]
+    df = spark.createDataFrame(
+        [("a", 3.5), ("b", -2.4), ("c", 2.1), ("d", 0.5)],
+        "name string, z double",
+    )
+    got = {
+        r.name: r
+        for r in bh_fdr_from_z(df, ["name"], "z", thr).collect()
+    }
+    # rank order by |z| desc: a(1) b(2) c(3) d(4); rank 2 dips
+    # (2.4 < 2.5) but rank 3 crosses (2.1 >= 2.0) -> k_star = 3
+    assert [got[n].rank_k for n in "abcd"] == [1, 2, 3, 4]
+    assert all(got[n].k_star == 3 for n in "abcd")
+    assert [got[n].rejected for n in "abcd"] == [True, True, True, False]
+
+    none = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.5)], "name string, z double"
+    )
+    got0 = bh_fdr_from_z(none, ["name"], "z", thr).collect()
+    assert all(r.k_star == 0 and not r.rejected for r in got0)
+
+
+def test_bh_thresholds_shape():
+    """analytics.bh_thresholds: monotone decreasing in rank; the last
+    rank's threshold is the uncorrected two-sided alpha=q critical
+    value Phi^-1(1 - q/2), and rank 1 is the Bonferroni-corrected
+    one — BH interpolates between the two."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        bh_thresholds,
+        phi_inv,
+    )
+
+    ts = bh_thresholds(7, 0.05)
+    assert len(ts) == 7
+    assert all(ts[i] > ts[i + 1] for i in range(6))
+    assert abs(ts[-1] - 1.9599639845400545) < 1e-12
+    assert abs(ts[0] - phi_inv(1.0 - 0.05 / 7 / 2.0)) < 1e-12
+    # phi_inv really inverts Phi (erf form) across the range used
+    for t, k in zip(ts, range(1, 8)):
+        p = 0.5 * (1.0 + math.erf(t / math.sqrt(2.0)))
+        assert abs(p - (1.0 - (k * 0.05 / 7) / 2.0)) < 1e-14
+
+
+def test_isotonic_fit_matches_pava_reference(spark):
+    """operators.analytics.isotonic_fit_binned (minimax formulation)
+    vs a sequential Python PAVA on random weighted binomial bins —
+    the two characterizations of the same unique L2 solution must
+    agree bin-for-bin. Plus the classic invariants: the fit is
+    monotone nondecreasing, preserves the weighted mean exactly, and
+    an already-monotone input is a fixed point."""
+    import random
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        isotonic_fit_binned,
+    )
+
+    def pava(ws, xs):
+        blocks = []  # [n_bins, weight, successes]
+        for w, x in zip(ws, xs):
+            blocks.append([1, w, x])
+            # integer cross-multiplication: no float in the reference
+            while (
+                len(blocks) > 1
+                and blocks[-2][2] * blocks[-1][1]
+                >= blocks[-1][2] * blocks[-2][1]
+            ):
+                c2, w2, x2 = blocks.pop()
+                blocks[-1][0] += c2
+                blocks[-1][1] += w2
+                blocks[-1][2] += x2
+        out = []
+        for c, w, x in blocks:
+            out.extend([x / w] * c)
+        return out
+
+    rng = random.Random(10)
+    for trial in range(8):
+        n = rng.randint(1, 12)
+        ws = [rng.randint(1, 25) for _ in range(n)]
+        xs = [rng.randint(0, w) for w in ws]
+        df = spark.createDataFrame(
+            [(i, ws[i], xs[i]) for i in range(n)],
+            "b long, w long, x long",
+        )
+        rows = sorted(
+            isotonic_fit_binned(df, "b", "w", "x").collect(),
+            key=lambda r: r.b,
+        )
+        want = pava(ws, xs)
+        got = [r.iso_rate for r in rows]
+        assert len(got) == n
+        for g, w in zip(got, want):
+            assert abs(g - round(w, 6)) < 1e-9, (trial, got, want)
+        # monotone nondecreasing
+        assert all(got[i] <= got[i + 1] + 1e-12 for i in range(n - 1))
+        # weighted mean preserved (PAVA conserves block sums): use
+        # the reference (unrounded) values for the exact identity
+        assert (
+            abs(
+                sum(w * v for w, v in zip(ws, want)) - sum(xs)
+            )
+            < 1e-6
+        )
+
+    # already-monotone input is a fixed point (raw == iso)
+    mono = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 3), (2, 10, 7), (3, 10, 9)],
+        "b long, w long, x long",
+    )
+    for r in isotonic_fit_binned(mono, "b", "w", "x").collect():
+        assert r.iso_rate == r.raw_rate

@@ -8,6 +8,10 @@ import os
 
 import __spark_entry__ as entrymod
 
+# repo root derived from this file, not hardcoded, so the drift
+# guards below survive a relocated clone (ADVICE r8 / VERDICT r9 #2)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
@@ -49,7 +53,7 @@ def test_queries_md_index_matches_registry():
         catalog_llm,
     )
 
-    text = open("/root/repo/QUERIES.md").read()
+    text = open(os.path.join(REPO_ROOT, "QUERIES.md")).read()
     doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
     reg_names = set(catalog.REGISTRY)
     assert doc_names == reg_names, (
@@ -64,7 +68,7 @@ def test_queries_md_index_matches_registry():
     )
     assert header in text, f"QUERIES.md count line stale (want: {header!r})"
     # COVERAGE.md repeats the counts in prose — keep them in lockstep
-    cov = open("/root/repo/COVERAGE.md").read()
+    cov = open(os.path.join(REPO_ROOT, "COVERAGE.md")).read()
     assert f"{len(reg_names)} catalog entries" in cov
     assert f"{n_oracle} oracle-backed" in cov
 
@@ -95,7 +99,7 @@ def test_plans_md_covers_bench_headline():
 
     import bench
 
-    text = open("/root/repo/PLANS.md").read()
+    text = open(os.path.join(REPO_ROOT, "PLANS.md")).read()
     sections = set(re.findall(r"^## (\S+) — ", text, re.M))
     missing = sorted(set(bench.HEADLINE) - sections)
     assert not missing, (

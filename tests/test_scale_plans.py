@@ -347,6 +347,16 @@ def test_registry_wide_no_cartesian_product(spark):
         # (same train->score passes as nb_filter_confusion_eval)
         "qq_quality_by_lang",          # 19-row ventile grid + 1-row
         # per-side totals against the value ALPHABET
+        # round 10 — same classes: single-row stat frames and
+        # alphabet-sized gap grids
+        "nelson_aalen_churn_hazard",   # 1-row horizon + 1-row n_all
+        # (the KM entry's exact shape)
+        "mann_kendall_daily_revenue",  # |days|-1 gap grid + 1-row
+        # tie/total frames (pair join is the equi-join)
+        "bh_fdr_dow_purchase_rate",    # 1-row family totals + 1-row
+        # k_star over the 7-row dow family
+        "isotonic_calibration_value_bins",  # 1-row n + |bins| gap grid
+        # (segment join is the equi-join; spans explode, never theta)
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():

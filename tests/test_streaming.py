@@ -1794,6 +1794,25 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_mk) == tuple(want_mk)
 
+    # ...and the rolling-origin backtest readout (round-10 shared
+    # kernel) equals the batch kernel on the union
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_holt,
+    )
+
+    got_bt = sprt.backtest_now(spark, index_dir).collect()[0]
+    want_bt = rolling_backtest_holt(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ),
+        [],
+        ["dd"],
+        "m",
+    ).collect()[0]
+    assert tuple(got_bt) == tuple(want_bt)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),

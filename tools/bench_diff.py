@@ -33,11 +33,24 @@ def _load(path: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--wall-flag=PCT` and `--wall-flag PCT` (the bare
+    # form used to crash: the positional filter kept the PCT token as
+    # a file path while the split-on-'=' hit IndexError — ADVICE r9)
+    argv = sys.argv[1:]
+    args: list[str] = []
     flag_pct = 25.0
-    for a in sys.argv[1:]:
-        if a.startswith("--wall-flag"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--wall-flag":
+            flag_pct = float(argv[i + 1])
+            i += 2
+        elif a.startswith("--wall-flag="):
             flag_pct = float(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     old, new = _load(args[0]), _load(args[1])
     oq, nq = old["queries"], new["queries"]
     ob = old.get("shuffle_bytes") or {}
