@@ -6874,3 +6874,129 @@ isotonic_calibration_value_bins.__doc__ = (
         "${CHI2_BIN_WIDTH}", f"${CHI2_BIN_WIDTH}-wide"
     )
 )
+
+
+@register(
+    "jobspec_anova_value_by_type",
+    # the clause's oracle is the anova_f_price_by_priority shape on a
+    # different frame (events value cents across ALL event types) —
+    # parameter plumbing, not a memorized answer
+    oracle=f"""
+        WITH g AS (SELECT event_type AS g, count(*) AS n,
+                          sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                          sum(CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT))
+                              AS q
+                   FROM events GROUP BY 1),
+        f AS (SELECT count(*) AS k, sum(n) AS nt,
+                     sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+                     list_reduce(
+                         list_prepend(
+                             0e0,
+                             list({analytics.ANOVA_GROUP_TERM}
+                                  ORDER BY g)),
+                         (acc, x) -> acc + x) AS sbp
+              FROM g),
+        r AS (SELECT k::BIGINT AS k_groups, nt::BIGINT AS n_total,
+                     {analytics.ANOVA_F_EXPR} AS f_stat
+              FROM f),
+        z AS (SELECT k_groups, n_total, round(f_stat, 6) AS f_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     (k_groups - 1) * f_stat AS chi2
+              FROM r)
+        SELECT k_groups, n_total, f_stat,
+               round({analytics.WH_CHI2_Z}, 6) AS z_wh,
+               ({analytics.WH_CHI2_Z} > 1.645e0) AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_anova_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause grown past two samples (round 10): a
+    declarative one-way ANOVA — "does mean event value differ across
+    ALL event types?" as a spec, lowering onto operators.analytics.
+    anova_f_from_groups over per-group exact integer moments (the
+    same kernel behind anova_f_price_by_priority; the clause supplies
+    the quantizing value EXPRESSION, so integer exactness is part of
+    the spec contract, not an accident). One scan, one 5-key
+    exchange, one single-row projection."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "anova",
+            "group_col": "event_type",
+            "value": "CAST(round(value * 100) AS BIGINT)",
+        },
+    )
+    return build(spark, spec)
+
+
+@register(
+    "jobspec_chi2_value_by_type",
+    # chi2 homogeneity across ALL groups x $50 value bins — dense
+    # zero cells included, sorted fold for the float total
+    oracle=f"""
+        WITH s AS (SELECT event_type AS a,
+                          floor(value / {CHI2_BIN_WIDTH})::BIGINT AS b
+                   FROM events),
+        cells0 AS (SELECT a, b, count(*) AS n FROM s GROUP BY 1, 2),
+        ram AS (SELECT a, sum(n)::BIGINT AS ra FROM cells0 GROUP BY 1),
+        cbm AS (SELECT b, sum(n)::BIGINT AS cb FROM cells0 GROUP BY 1),
+        tt AS (SELECT sum(n)::BIGINT AS total FROM cells0),
+        cells AS (SELECT ram.a, cbm.b, ra, cb,
+                         coalesce(n, 0)::BIGINT AS n, total
+                  FROM ram CROSS JOIN cbm
+                  LEFT JOIN cells0 ON cells0.a = ram.a
+                                  AND cells0.b = cbm.b
+                  CROSS JOIN tt),
+        j AS (SELECT a, b, n, ra, cb, total,
+                     {analytics.CHI2_CELL_TERM} AS term
+              FROM cells),
+        f AS (SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+                     max(total) AS n_total,
+                     list_reduce(
+                         list_prepend(0e0, list(term ORDER BY a, b)),
+                         (acc, x) -> acc + x) AS chi2
+              FROM j),
+        g AS (SELECT ka::BIGINT AS ka, kb::BIGINT AS kb,
+                     n_total::BIGINT AS n_total,
+                     ((ka - 1) * (kb - 1))::BIGINT AS dof, chi2
+              FROM f)
+        SELECT ka, kb, n_total, dof, round(chi2, 6) AS chi2,
+               round({analytics.CRAMERS_V_EXPR}, 6) AS cramers_v,
+               round({analytics.WH_CHI2_Z}, 6) AS z_wh,
+               ({analytics.WH_CHI2_Z} > 1.645e0) AS significant
+        FROM g
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_chi2_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's k-group DISTRIBUTION test (round 10):
+    declarative chi-square homogeneity — "do the event types draw
+    their values from the same distribution?" over the fixed $50 bin
+    alphabet, lowering onto contingency_counts +
+    chi2_from_contingency (the kernels behind
+    chi2_independence_event_dow / chi2_homogeneity_value_bins,
+    generalized to all five groups at once where the homogeneity
+    entry contrasts two). Dense zero cells included; the only float
+    sum is the cell-alphabet sorted fold. At 100 TB the corpus
+    collapses map-side into |types| x |bins| cells and nothing larger
+    crosses the wire."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "chi2",
+            "group_col": "event_type",
+            "value": "value",
+            "bin_width": CHI2_BIN_WIDTH,
+        },
+    )
+    return build(spark, spec)

@@ -115,6 +115,19 @@ class JobSpec:
     #     catalog entries and the streaming A/B monitor, so rows
     #     collapse map-side into the value alphabet before any
     #     exchange.
+    #     Beyond two samples (round 10): method "anova" ignores
+    #     group_a/group_b and tests the mean across ALL groups of
+    #     group_col — "value" here is a SQL EXPRESSION that must
+    #     produce an exact integer (the caller quantizes, e.g.
+    #     "CAST(round(value * 100) AS BIGINT)"); lowers onto
+    #     anova_f_from_groups over per-group integer moments -> ONE
+    #     row (k_groups, n_total, f_stat, z_wh, significant). Method
+    #     "chi2" tests homogeneity of the value DISTRIBUTION across
+    #     all groups over a fixed "bin_width" alphabet (default 50);
+    #     lowers onto contingency_counts + chi2_from_contingency ->
+    #     ONE row (ka, kb, n_total, dof, chi2, cramers_v, z_wh,
+    #     significant). Both collapse map-side to alphabet-sized
+    #     frames before any exchange.
     #   interval_join={"source": <source dict>, "on": [cols],
     #                  "l_select": {alias: SQL}?, "r_select": {alias: SQL}?,
     #                  "l_start": col, "l_end": col,
@@ -488,27 +501,70 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
 
         t = spec.stats_test
         method = t.get("method", "mann_whitney")
-        counts = group_value_counts(
-            df,
-            t["group_a"],
-            t["group_b"],
-            t.get("group_col", "event_type"),
-            t.get("value", "value"),
-        )
-        if method == "mann_whitney":
-            df = mann_whitney_from_value_counts(counts, ca="ca", cb="cb")
-        elif method == "ks":
-            df = ks_from_value_counts(counts)
-        elif method == "welch":
+        if method in ("mann_whitney", "ks", "welch"):
+            counts = group_value_counts(
+                df,
+                t["group_a"],
+                t["group_b"],
+                t.get("group_col", "event_type"),
+                t.get("value", "value"),
+            )
+            if method == "mann_whitney":
+                df = mann_whitney_from_value_counts(
+                    counts, ca="ca", cb="cb"
+                )
+            elif method == "ks":
+                df = ks_from_value_counts(counts)
+            else:
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    welch_from_value_counts,
+                )
+
+                df = welch_from_value_counts(counts)
+        elif method == "anova":
+            # k-sample mean test across ALL groups; "value" is a SQL
+            # expression yielding an exact integer (caller quantizes)
             from lambda_refarch_mapreduce_spark.operators.analytics import (
-                welch_from_value_counts,
+                anova_f_from_groups,
             )
 
-            df = welch_from_value_counts(counts)
+            v = F.expr(t.get("value", "value"))
+            groups = (
+                df.select(
+                    F.col(t.get("group_col", "event_type")).alias("g"),
+                    v.alias("__v"),
+                )
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("__v").alias("s"),
+                    F.sum(
+                        F.col("__v").cast("decimal(38,0)") * F.col("__v")
+                    ).alias("q"),
+                )
+            )
+            df = anova_f_from_groups(groups)
+        elif method == "chi2":
+            # distribution homogeneity across ALL groups over a fixed
+            # bin alphabet — dense zero cells included by the kernel
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                chi2_from_contingency,
+                contingency_counts,
+            )
+
+            bw = int(t.get("bin_width", 50))
+            val = t.get("value", "value")
+            s2 = df.select(
+                F.col(t.get("group_col", "event_type")).alias("a"),
+                F.expr(f"CAST(floor(({val}) / {bw}) AS BIGINT)").alias(
+                    "b"
+                ),
+            )
+            df = chi2_from_contingency(contingency_counts(s2, "a", "b"))
         else:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
-                "(mann_whitney, ks, welch)"
+                "(mann_whitney, ks, welch, anova, chi2)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

@@ -459,10 +459,80 @@ def test_stats_test_clause_rejects_unknown_method(spark):
 
     spec = JobSpec(
         source={"df": load_table(spark, "/root/testdata/sf0.001", "events")},
-        stats_test={"method": "anova", "group_a": "a", "group_b": "b"},
+        # "anova" became a real method in round 10 — use a genuinely
+        # unknown one
+        stats_test={"method": "bayes_factor", "group_a": "a", "group_b": "b"},
     )
-    with pytest.raises(ValueError, match="anova"):
+    with pytest.raises(ValueError, match="bayes_factor"):
         build(spark, spec)
+
+
+def test_stats_test_clause_anova_and_chi2_match_kernels(spark):
+    """The round-10 k-group stats_test modes must equal the direct
+    kernel calls exactly (same kernels, declarative plumbing):
+    anova over per-type value cents, chi2 over the type x $50-bin
+    contingency."""
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anova_f_from_groups,
+        chi2_from_contingency,
+        contingency_counts,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+
+    got_a = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "anova",
+                "group_col": "event_type",
+                "value": "CAST(round(value * 100) AS BIGINT)",
+            },
+        ),
+    ).collect()[0]
+    cents = F.round(F.col("value") * 100).cast("long")
+    groups = (
+        ev.select(F.col("event_type").alias("g"), cents.alias("__v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__v").alias("s"),
+            F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__v")).alias(
+                "q"
+            ),
+        )
+    )
+    want_a = anova_f_from_groups(groups).collect()[0]
+    assert tuple(got_a) == tuple(want_a)
+
+    got_c = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "chi2",
+                "group_col": "event_type",
+                "value": "value",
+                "bin_width": 50,
+            },
+        ),
+    ).collect()[0]
+    cells = contingency_counts(
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.floor(F.col("value") / 50).cast("long").alias("b"),
+        ),
+        "a",
+        "b",
+    )
+    want_c = chi2_from_contingency(cells).collect()[0]
+    assert tuple(got_c) == tuple(want_c)
 
 
 def test_stats_test_clause_welch_matches_catalog_entry(spark):

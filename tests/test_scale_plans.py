@@ -357,6 +357,8 @@ def test_registry_wide_no_cartesian_product(spark):
         # k_star over the 7-row dow family
         "isotonic_calibration_value_bins",  # 1-row n + |bins| gap grid
         # (segment join is the equi-join; spans explode, never theta)
+        "jobspec_chi2_value_by_type",  # |types| x |bins| margin cross
+        # + 1-row total (the chi2_independence_event_dow shape)
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
