@@ -28,8 +28,32 @@ def _load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and "queries" not in d:
-        d = d["parsed"]
+        parsed = d["parsed"]
+        if parsed is None:
+            # SALVAGE: the driver keeps only a bounded TAIL of
+            # bench.py's stdout; a pre-round-10 single-line payload
+            # that outgrew it has parsed=null with the tail starting
+            # mid-shuffle_bytes (BENCH_r09.json). Walls are gone, but
+            # the surviving shuffle-byte pairs BEFORE the "stages"
+            # marker are exactly the deterministic half of the
+            # adjudication — recover them so the cross-round byte
+            # comparison still runs as one command.
+            return {"queries": {}, "shuffle_bytes": _salvage(d)}
+        d = parsed
     return d
+
+
+def _salvage(wrapper: dict) -> dict:
+    import re
+
+    tail = wrapper.get("tail", "") or ""
+    cut = tail.find('"stages"')
+    frag = tail[:cut] if cut >= 0 else tail
+    # every match is a complete pair: truncation cuts the START of
+    # the line, so a damaged first pair loses its opening quote (or
+    # part of its key) and simply fails the pattern
+    pairs = re.findall(r'"(q[a-z0-9_]+)": (\d+)', frag)
+    return {k: int(v) for k, v in pairs}
 
 
 def main() -> None:
@@ -55,10 +79,12 @@ def main() -> None:
     oq, nq = old["queries"], new["queries"]
     ob = old.get("shuffle_bytes") or {}
     nb = new.get("shuffle_bytes") or {}
-    shared = sorted(set(oq) & set(nq))
+    # walls when both sides have them; a salvaged side (walls lost to
+    # the driver tail window) still adjudicates on bytes alone
+    shared = sorted((set(oq) | set(ob)) & (set(nq) | set(nb)))
     drift, jitter, changed, flagged = 0, 0, 0, []
     for k in shared:
-        w0, w1 = oq[k], nq[k]
+        w0, w1 = oq.get(k, 0.0), nq.get(k, 0.0)
         b0, b1 = ob.get(k), nb.get(k)
         if b0 is None or b1 is None:
             verdict = "no-bytes"
@@ -81,13 +107,13 @@ def main() -> None:
             f"{k:24s} wall {w0:7.3f} -> {w1:7.3f} ({dw:+6.1f}%)  "
             f"bytes {b0} -> {b1}  [{verdict}]"
         )
-    only_old = sorted(set(oq) - set(nq))
-    only_new = sorted(set(nq) - set(oq))
+    only_old = sorted((set(oq) | set(ob)) - set(nq) - set(nb))
+    only_new = sorted(set(nq) - set(oq) - set(ob))
     print(
         f"\n{len(shared)} shared keys: {drift} byte-identical (box "
         f"drift), {jitter} range-jitter, {changed} plan/data changes; "
-        f"shared-total {sum(oq[k] for k in shared):.2f} -> "
-        f"{sum(nq[k] for k in shared):.2f} s"
+        f"shared-total {sum(oq.get(k, 0.0) for k in shared):.2f} -> "
+        f"{sum(nq.get(k, 0.0) for k in shared):.2f} s"
     )
     if only_old:
         print(f"removed keys: {only_old}")
