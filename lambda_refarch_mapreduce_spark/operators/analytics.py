@@ -1867,38 +1867,66 @@ def qq_quantile_table(
     (range exchange, never a single-partition window), and the grid
     probe is a broadcast of n_grid-1 rows against the value ALPHABET
     — no interpolation, no float CDF, engine-exact at any scale.
+    Since round 10 the construction lowers onto qq_from_value_counts
+    (ONE shared-alphabet prefix exchange instead of two per-side
+    ones — same Type-1 order statistics, cheaper plan), the kernel
+    the streaming A/B monitor's qq_now readout also serves from.
     Returns (grid_i, q_a, q_b, shift) per interior grid point."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
-    spark = values.sparkSession
     v = values.select(
         F.when(F.col(group_col) == group_a, F.lit("a"))
         .when(F.col(group_col) == group_b, F.lit("b"))
         .alias("g"),
         F.col(value_col).cast("long").alias("v"),
     ).filter(F.col("g").isNotNull())
+    counts = v.groupBy("v").agg(
+        F.sum((F.col("g") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("g") == "b").cast("long")).alias("cb"),
+    )
+    return qq_from_value_counts(counts, n_grid)
+
+
+def qq_from_value_counts(counts: DataFrame, n_grid: int = 20) -> DataFrame:
+    """qq_quantile_table for a PRE-COUNTED two-group frame
+    ``(v, ca, cb)`` — one row per observed integer value with each
+    group's count (zero where only the other group saw the value).
+    This is exactly the ADDITIVE committed state of the streaming A/B
+    monitor (streaming/abtest.py's (v, ca, cb) frame), so the
+    quantile-shift table is servable mid-stream through the SAME
+    kernel the batch entry lowers onto — the contingency_from_weighted
+    pattern applied to the quantile tier. One prefix_sums range
+    exchange builds BOTH cumulative counts on the shared value
+    alphabet (cheaper than the previous per-side construction — one
+    exchange, not two); zero-count rows cannot perturb the Type-1
+    order statistic because the first threshold crossing always
+    carries that group's positive count. Returns (grid_i, q_a, q_b,
+    shift) per interior grid point."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    spark = counts.sparkSession
     grid = spark.range(1, n_grid).select(F.col("id").alias("i"))
-
-    def side(tag: str, qname: str) -> DataFrame:
-        counts = (
-            v.filter(F.col("g") == tag)
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    cum = prefix_sums(
+        counts.select("v", "ca", "cb"), [F.col("v")], ["ca", "cb"]
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    probe = cum.crossJoin(F.broadcast(grid)).crossJoin(F.broadcast(tot))
+    qa = (
+        probe.filter(
+            F.col("ca_cum") * n_grid >= F.col("i") * F.col("na")
         )
-        cum = prefix_sums(counts, [F.col("v")], ["cnt"])
-        tot = counts.agg(F.sum("cnt").alias("n"))
-        return (
-            cum.crossJoin(F.broadcast(grid))
-            .crossJoin(F.broadcast(tot))
-            .filter(F.col("cnt_cum") * n_grid >= F.col("i") * F.col("n"))
-            .groupBy("i")
-            .agg(F.min("v").alias(qname))
+        .groupBy("i")
+        .agg(F.min("v").alias("qa"))
+    )
+    qb = (
+        probe.filter(
+            F.col("cb_cum") * n_grid >= F.col("i") * F.col("nb")
         )
-
-    qa = side("a", "qa")
-    qb = side("b", "qb")
+        .groupBy("i")
+        .agg(F.min("v").alias("qb"))
+    )
     return (
         qa.join(qb, "i")
         .selectExpr(

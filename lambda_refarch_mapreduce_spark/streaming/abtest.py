@@ -203,3 +203,23 @@ def welch_now(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
     return welch_from_value_counts(running_value_counts(spark, index_dir))
+
+
+def qq_now(
+    spark: SparkSession, index_dir: str, n_grid: int = 20
+) -> DataFrame:
+    """Quantile-shift readout over the same committed state (round
+    10): the full Q-Q table (operators.analytics.qq_from_value_counts
+    — the kernel the batch qq_quality_by_lang entry lowers onto)
+    served mid-stream, answering WHERE the two arms' distributions
+    diverge while mann_whitney_now/ks_now answer WHETHER. The
+    committed (v, ca, cb) frame is exactly the kernel's input, so
+    streamed-then-tabled equals batch exactly; shift per grid point
+    is the additive correction mapping arm B onto arm A."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        qq_from_value_counts,
+    )
+
+    return qq_from_value_counts(
+        running_value_counts(spark, index_dir), n_grid
+    )

@@ -1288,6 +1288,20 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
         want_row = kernel(batch_counts).collect()[0]
         assert tuple(got_row) == tuple(want_row), (got_row, want_row)
 
+    # ...and the round-10 quantile-shift readout: the full Q-Q table
+    # from the same committed frame equals the batch kernel exactly
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        qq_from_value_counts,
+    )
+
+    got_qq = sorted(
+        tuple(r) for r in abtest.qq_now(spark, index_dir).collect()
+    )
+    want_qq = sorted(
+        tuple(r) for r in qq_from_value_counts(batch_counts).collect()
+    )
+    assert got_qq == want_qq and len(got_qq) == 19
+
     # a restart of the SAME checkpoint is the legitimate lifecycle:
     # new source data drains under the recorded epoch without error
     # and the committed state advances to the union
