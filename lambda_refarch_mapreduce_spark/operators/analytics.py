@@ -2563,3 +2563,110 @@ def isotonic_fit_binned(
             F.round(F.col("__iso"), 6).alias("iso_rate"),
         )
     )
+
+
+def seasonal_decompose_additive(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    m: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key —
+    x_t = trend + seasonal + remainder (the moving-average
+    decomposition behind "is this spike real or just Saturday?",
+    Hyndman & Athanasopoulos ch. 3; the DIAGNOSTIC companion to
+    holt_winters_from_series' forecasting read of the same
+    structure). m must be ODD (classic centered MA; m=7 reads weekly
+    over a daily series).
+
+    Engine-exact construction (the integer-units discipline): the
+    centered moving average is kept as its INTEGER window sum
+    (trend*m), so detrended values are exact integers in m-units
+    (m*x - trend_sum); per-phase seasonal indices are integer sums
+    divided once at the end; and the one unavoidable float sum (the
+    m per-phase means entering the centering term) folds in phase
+    order via sorted_fold_sum — order-deterministic, so a DuckDB twin
+    replays every double bit-for-bit. Phase is calendar-anchored
+    (pmod(t, m) — a day-of-week alignment for epoch days), and the
+    trend window demands m PRESENT CONSECUTIVE observations
+    (count == m and span == m-1 over the rows window) — edge rows
+    and gap-adjacent rows get NULL trend/remainder rather than a
+    silently shifted average, stating the calendar-dense contract
+    the HW entry documents. Plan: one per-key window pass + two
+    alphabet-sized aggregates + a broadcast join back — the series
+    is (key, t) metadata after the map-side collapse callers do.
+    Returns one row per observation: (keys..., t, x, trend,
+    seasonal, remainder), 6dp on the float columns."""
+    if m % 2 != 1:
+        raise ValueError(f"m must be odd for the centered MA, got {m}")
+    h = m // 2
+    keys = list(key_cols) if key_cols else ["__g"]
+    base = series.select(
+        *key_cols,
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    if not key_cols:
+        base = base.withColumn("__g", F.lit(0))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t")
+        .rowsBetween(-h, h)
+    )
+    tr = (
+        base.withColumn("__wsum", F.sum("__x").over(w))
+        .withColumn("__wcnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__wspan", F.max("__t").over(w) - F.min("__t").over(w)
+        )
+        .withColumn(
+            "__tsum",
+            F.when(
+                (F.col("__wcnt") == m) & (F.col("__wspan") == m - 1),
+                F.col("__wsum"),
+            ),
+        )
+        .withColumn("__phase", F.pmod(F.col("__t"), F.lit(m)))
+        .withColumn(
+            "__detm", F.lit(m) * F.col("__x") - F.col("__tsum")
+        )
+    )
+    sea = (
+        tr.filter(F.col("__tsum").isNotNull())
+        .groupBy(*keys, "__phase")
+        .agg(
+            F.sum("__detm").alias("__sj"),
+            F.count(F.lit(1)).alias("__cj"),
+        )
+        .withColumn(
+            "__raw",
+            F.col("__sj")
+            * F.lit(1e0)
+            / (F.col("__cj") * F.lit(float(m))),
+        )
+    )
+    cent = sea.groupBy(*keys).agg(
+        (sorted_fold_sum(["__phase"], "__raw") / F.lit(float(m))).alias(
+            "__cbar"
+        )
+    )
+    sea2 = sea.join(cent, keys).select(
+        *keys,
+        "__phase",
+        (F.col("__raw") - F.col("__cbar")).alias("__season"),
+    )
+    out = tr.join(F.broadcast(sea2), [*keys, "__phase"], "left").select(
+        *key_cols,
+        F.col("__t").alias(t_col),
+        F.col("__x").alias(value_col),
+        F.round(F.col("__tsum") / F.lit(float(m)), 6).alias("trend"),
+        F.round(F.col("__season"), 6).alias("seasonal"),
+        F.round(
+            F.col("__x")
+            - F.col("__tsum") / F.lit(float(m))
+            - F.col("__season"),
+            6,
+        ).alias("remainder"),
+    )
+    return out

@@ -235,3 +235,24 @@ def backtest_now(
     return rolling_backtest_holt(
         running_day_counts(spark, index_dir), [], ["dd"], "m", alpha, beta
     )
+
+
+def decompose_now(
+    spark: SparkSession, index_dir: str, m: int = 7
+) -> DataFrame:
+    """Seasonal decomposition of the committed daily trial volume
+    (operators.analytics.seasonal_decompose_additive, weekly by
+    default) — the DIAGNOSTIC readout beside forecast_now's
+    Holt-Winters number: trend / day-of-week seasonal / remainder per
+    committed day, so a volume alert can say "the drop is the usual
+    Sunday dip" or "the trend itself broke". Same shared-kernel
+    contract: streamed-then-decomposed equals the batch kernel on the
+    union exactly. Returns one row per committed day: (dd, m, trend,
+    seasonal, remainder); edge/gap days carry NULL trend."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_decompose_additive,
+    )
+
+    return seasonal_decompose_additive(
+        running_day_counts(spark, index_dir), [], "dd", "m", m
+    )

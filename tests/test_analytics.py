@@ -2626,3 +2626,67 @@ def test_isotonic_fit_matches_pava_reference(spark):
     )
     for r in isotonic_fit_binned(mono, "b", "w", "x").collect():
         assert r.iso_rate == r.raw_rate
+
+
+def test_seasonal_decompose_matches_python_reference(spark):
+    """operators.analytics.seasonal_decompose_additive vs a
+    sequential Python reference (classic centered-MA decomposition)
+    on a trending weekly-seasonal series — plus the structural
+    invariants: trend NULL at the h edge rows and around a gap,
+    seasonal indices sum to ~0 across phases, and
+    trend + seasonal + remainder == x wherever trend is defined."""
+    m, h = 7, 3
+    season = [40, -30, 0, 20, -40, 10, 0]
+    n = 42
+    xs = [1000 + 5 * t + season[t % m] + (t * t) % 11 for t in range(n)]
+    rows = [("g", t, xs[t]) for t in range(n) if t != 25]  # gap at 25
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_decompose_additive,
+    )
+
+    got = {
+        r.t: r
+        for r in seasonal_decompose_additive(
+            df, ["k"], "t", "v", m
+        ).collect()
+    }
+    assert len(got) == n - 1
+
+    # python reference over the same observation list
+    ts = [t for t in range(n) if t != 25]
+    x = {t: xs[t] for t in ts}
+    trend = {}
+    for i, t in enumerate(ts):
+        lo, hi = i - h, i + h
+        if lo < 0 or hi >= len(ts):
+            continue
+        window = ts[lo : hi + 1]
+        if window[-1] - window[0] == m - 1:  # consecutive
+            trend[t] = sum(x[u] for u in window) / m
+    det = {t: x[t] - trend[t] for t in trend}
+    raw = {}
+    for j in range(m):
+        ph = [det[t] for t in sorted(det) if t % m == j]
+        if ph:
+            raw[j] = sum(ph) / len(ph)
+    cbar = sum(raw[j] for j in sorted(raw)) / m
+    seas = {j: raw[j] - cbar for j in raw}
+
+    for t in ts:
+        r = got[t]
+        if t in trend:
+            assert abs(r.trend - round(trend[t], 6)) < 1e-6, t
+            assert (
+                abs(r.remainder - round(x[t] - trend[t] - seas[t % m], 6))
+                < 1e-6
+            ), t
+        else:
+            assert r.trend is None and r.remainder is None, t
+        assert abs(r.seasonal - round(seas[t % m], 6)) < 1e-6, t
+    # gap poisons the m windows that would span it
+    for t in (23, 24, 26, 27, 28):
+        assert got[t].trend is None, t
+    # seasonal indices centered
+    assert abs(sum(seas.values())) < 1e-9

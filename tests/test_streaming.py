@@ -1827,6 +1827,29 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_bt) == tuple(want_bt)
 
+    # ...and the seasonal-decomposition readout per committed day
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_decompose_additive,
+    )
+
+    got_dc = sorted(
+        tuple(r) for r in sprt.decompose_now(spark, index_dir).collect()
+    )
+    want_dc = sorted(
+        tuple(r)
+        for r in seasonal_decompose_additive(
+            sprt.batch_day_counts(
+                events,
+                "event_type = 'purchase'",
+                "event_type IN ('purchase', 'click')",
+            ),
+            [],
+            "dd",
+            "m",
+        ).collect()
+    )
+    assert got_dc == want_dc and len(got_dc) > 0
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
