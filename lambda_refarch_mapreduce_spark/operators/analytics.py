@@ -2670,3 +2670,127 @@ def seasonal_decompose_additive(
         ).alias("remainder"),
     )
     return out
+
+
+def kolmogorov_critical(alpha: float = 0.05) -> float:
+    """Critical value of the Kolmogorov distribution (sup |Brownian
+    bridge|) by bisection on its fast-converging series
+    P(K > x) = 2 * sum_{k>=1} (-1)^(k+1) exp(-2 k^2 x^2) — used at
+    PLAN-BUILD time only (the phi_inv pattern): the changepoint
+    kernel's significance threshold becomes a double literal the
+    same Python process emits into both engines."""
+    import math
+
+    def sf(x: float) -> float:
+        s = 0.0
+        for k in range(1, 101):
+            s += (-1) ** (k + 1) * math.exp(-2.0 * k * k * x * x)
+        return 2.0 * s
+
+    lo, hi = 0.1, 5.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if sf(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+# Brownian-bridge CUSUM statistic over the argmax row's exact
+# integers (absd = max|D_i|, n, s, q): NULL when degenerate (n < 2
+# or zero variance) — shared verbatim with a future oracle twin.
+CUSUM_CP_K_EXPR = (
+    "(CASE WHEN n >= 2"
+    " AND q / n - (s * 1e0 / n) * (s * 1e0 / n) > 0e0"
+    " THEN absd / (n * 1e0 * sqrt(CAST(n AS DOUBLE))"
+    " * sqrt(q / n - (s * 1e0 / n) * (s * 1e0 / n)))"
+    " END)"
+)
+
+
+def cusum_changepoint(
+    series: DataFrame, t_col: str, y_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Retrospective single-changepoint detection in an integer
+    series — WHERE did the mean shift, and is the shift real? The
+    max-|CUSUM| statistic with its Brownian-bridge null (Page 1955
+    retrospectively; MacNeill 1974): the ANSWER the sequential Page
+    monitor (cusum_drift_by_event_type) can't give, because the
+    tabular CUSUM only says "drifted by now", not when, nor with a
+    p-value. Statistic: with S_i the prefix sums over the
+    OBSERVATION index i = 1..n, D_i = n*S_i - i*S_n is an exact
+    integer (decimal(38,0) products — n*cents-sums overflow int64 at
+    scale); the changepoint is argmax |D_i| (ties -> smallest i),
+    and K = max|D_i| / (n^1.5 * sd) converges to sup|bridge| under
+    no-change, compared against a plan-build-time Kolmogorov
+    critical literal (kolmogorov_critical — no CDF inside either
+    engine). Plan: one prefix_sums range exchange + one max-struct
+    aggregate; the series is day-alphabet metadata after the
+    caller's map-side collapse. Degenerate inputs (n < 2 or zero
+    variance) emit NULL statistic/verdict. Returns one row: (n_obs,
+    cp_index, cp_t, mean_before, mean_after, k_stat,
+    significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    crit = kolmogorov_critical(alpha)
+    base = series.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).withColumn("__one", F.lit(1))
+    cum = prefix_sums(base, [F.col("__t")], ["__y", "__one"])
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("s"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y"))
+        .cast("double")
+        .alias("q"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumnRenamed("__one_cum", "__i")
+        .withColumn(
+            "__d",
+            F.col("n").cast("decimal(38,0)") * F.col("__y_cum")
+            - F.col("__i").cast("decimal(38,0)") * F.col("s"),
+        )
+    )
+    best = d.agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("__d")).alias("absd"),
+                (-F.col("__i")).alias("negi"),
+                F.col("__i").alias("i"),
+                F.col("__t").alias("t"),
+                F.col("__y_cum").alias("s_i"),
+            )
+        ).alias("b")
+    )
+    one = best.crossJoin(F.broadcast(tot)).select(
+        F.col("n"),
+        F.col("s"),
+        F.col("q"),
+        F.col("b.absd").cast("double").alias("absd"),
+        F.col("b.i").alias("i"),
+        F.col("b.t").alias("t"),
+        F.col("b.s_i").alias("s_i"),
+    )
+    return one.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(i AS BIGINT) AS cp_index",
+        "CAST(t AS BIGINT) AS cp_t",
+        # exact integer sums divided once; the post-changepoint side
+        # is empty only when i = n (max at the last point)
+        "round(s_i * 1e0 / i, 6) AS mean_before",
+        "CASE WHEN n > i THEN round((s - s_i) * 1e0 / (n - i), 6)"
+        " END AS mean_after",
+        # sd^2 = Q/n - (S/n)^2 (population); D = n*(S_i - (i/n)S) so
+        # the bridge value is K = max|D| / (n * sqrt(n) * sd) — one
+        # shared string below feeds both the rounded readout and the
+        # verdict (and an oracle twin verbatim)
+        f"round({CUSUM_CP_K_EXPR}, 6) AS k_stat",
+        f"CASE WHEN {CUSUM_CP_K_EXPR} IS NOT NULL"
+        f" THEN {CUSUM_CP_K_EXPR} > {crit:.17e} END AS significant",
+    )

@@ -256,3 +256,25 @@ def decompose_now(
     return seasonal_decompose_additive(
         running_day_counts(spark, index_dir), [], "dd", "m", m
     )
+
+
+def changepoint_now(
+    spark: SparkSession, index_dir: str, alpha: float = 0.05
+) -> DataFrame:
+    """Retrospective changepoint readout over the committed daily
+    conversion RATE (operators.analytics.cusum_changepoint on
+    micro-rate units x*1e6 div m — exact integer floor division):
+    WHERE did the success rate shift, with the Brownian-bridge
+    significance the sequential SPRT decision doesn't give. One
+    monitor answers "stop now?" (sprt_now), "is there a trend?"
+    (trend_now), and "when did it break?" (this). Returns one row:
+    (n_obs, cp_index, cp_t, mean_before, mean_after, k_stat,
+    significant) in micro-rate units."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    day = running_day_counts(spark, index_dir).selectExpr(
+        "dd", "(x * 1000000) div m AS rate_micro"
+    )
+    return cusum_changepoint(day, "dd", "rate_micro", alpha)

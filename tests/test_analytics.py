@@ -2690,3 +2690,63 @@ def test_seasonal_decompose_matches_python_reference(spark):
         assert got[t].trend is None, t
     # seasonal indices centered
     assert abs(sum(seas.values())) < 1e-9
+
+
+def test_cusum_changepoint_matches_python_reference(spark):
+    """operators.analytics.cusum_changepoint vs a brute-force Python
+    max-|CUSUM| on a series with a planted mean shift: location,
+    statistic and verdict agree; a constant series (zero variance)
+    and a single point come back NULL; the Kolmogorov critical value
+    matches the textbook 1.358 at alpha=.05."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cusum_changepoint,
+        kolmogorov_critical,
+    )
+
+    assert abs(kolmogorov_critical(0.05) - 1.358) < 1e-3
+
+    # planted shift: mean 100 for 20 days, mean 160 after, mild noise
+    ys = [100 + (t * 7) % 11 for t in range(20)]
+    ys += [160 + (t * 5) % 9 for t in range(20, 45)]
+    df = spark.createDataFrame(
+        [(t + 50, y) for t, y in enumerate(ys)], "t long, y long"
+    )
+    got = cusum_changepoint(df, "t", "y").collect()[0]
+
+    n, s = len(ys), sum(ys)
+    q = sum(y * y for y in ys)
+    best = max(
+        (abs(n * sum(ys[:i]) - i * s), -i) for i in range(1, n + 1)
+    )
+    absd, i = best[0], -best[1]
+    sd = math.sqrt(q / n - (s / n) ** 2)
+    k = absd / (n * math.sqrt(n) * sd)
+    assert got.n_obs == n
+    assert got.cp_index == i
+    assert got.cp_t == i - 1 + 50
+    assert abs(got.k_stat - round(k, 6)) < 1e-9
+    assert got.significant is True  # a 60%-of-sd*? shift over 25 days
+    assert abs(got.mean_before - round(sum(ys[:i]) / i, 6)) < 1e-9
+    assert (
+        abs(got.mean_after - round(sum(ys[i:]) / (n - i), 6)) < 1e-9
+    )
+
+    # no shift: pure alternation stays under the critical value
+    flat = spark.createDataFrame(
+        [(t, 100 + (t % 2)) for t in range(40)], "t long, y long"
+    )
+    g2 = cusum_changepoint(flat, "t", "y").collect()[0]
+    assert g2.significant is False
+
+    # degenerate: constant series -> zero variance -> NULL verdict
+    const = spark.createDataFrame(
+        [(t, 7) for t in range(10)], "t long, y long"
+    )
+    g3 = cusum_changepoint(const, "t", "y").collect()[0]
+    assert g3.k_stat is None and g3.significant is None
+
+    one = spark.createDataFrame([(1, 5)], "t long, y long")
+    g4 = cusum_changepoint(one, "t", "y").collect()[0]
+    assert g4.n_obs == 1 and g4.k_stat is None

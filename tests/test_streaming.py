@@ -1850,6 +1850,24 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     )
     assert got_dc == want_dc and len(got_dc) > 0
 
+    # ...and the retrospective changepoint readout on the committed
+    # micro-rate series
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    got_cp = sprt.changepoint_now(spark, index_dir).collect()[0]
+    want_cp = cusum_changepoint(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ).selectExpr("dd", "(x * 1000000) div m AS rate_micro"),
+        "dd",
+        "rate_micro",
+    ).collect()[0]
+    assert tuple(got_cp) == tuple(want_cp)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
