@@ -2794,3 +2794,82 @@ def cusum_changepoint(
         f"CASE WHEN {CUSUM_CP_K_EXPR} IS NOT NULL"
         f" THEN {CUSUM_CP_K_EXPR} > {crit:.17e} END AS significant",
     )
+
+
+# Asymptotic 95% point of the (unstandardized) two-sample
+# Anderson-Darling statistic (Pettitt 1976, Table 1).
+AD_CRIT_05 = 2.492
+
+
+def anderson_darling_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "ca",
+    cb: str = "cb",
+    crit: float = AD_CRIT_05,
+) -> DataFrame:
+    """Two-sample Anderson-Darling A² from the per-distinct-value
+    count frame — the TAIL-weighted member of the two-sample family
+    the (v, ca, cb) state already serves (MW ranks the middle, KS
+    takes the single biggest CDF gap, AD integrates the squared gap
+    with 1/(H(1-H)) weights, so it is the test that notices when
+    only the DISTRIBUTION TAILS moved). Discrete/tie form (the
+    k-sample statistic of Scholz & Stephens 1987 eq. 3 specialized
+    to k=2 over the right-continuous pooled ECDF):
+
+        A² = sum_j (w_j / N) * (1/n_a + 1/n_b)
+                 * D_j² / (B_j * (N - B_j)),   B_j < N
+
+    with w_j the pooled count at value j, B_j the pooled cumulative
+    count, and D_j = N*M_aj - n_a*B_j an EXACT INTEGER on
+    decimal(38,0) (the two samples' deviations are equal-magnitude
+    at k=2, folding the i-sum into the (1/n_a + 1/n_b) factor).
+    Per-value terms are doubles; their total folds in value order
+    via sorted_fold_sum — the alphabet-sized order-deterministic sum
+    (one agg buffer over the VALUE alphabet, the documented bound of
+    this count-frame family). Verdict against the asymptotic 95%
+    point 2.492 (Pettitt 1976) — independent of N, so no runtime
+    variance formula is needed. Returns one row: (n_a, n_b, a2,
+    significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    g = counts.select(
+        F.col(v).alias("v"), F.col(ca).alias("ca"), F.col(cb).alias("cb")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
+    totals = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        (F.col("ca_cum") + F.col("cb_cum")).alias("bj"),
+        "ca_cum",
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("nn"),
+    )
+    dj = (
+        F.col("nn").cast("decimal(38,0)") * F.col("ca_cum")
+        - F.col("na").cast("decimal(38,0)") * F.col("bj")
+    ).cast("double")
+    term = (
+        (F.col("w") * F.lit(1e0) / F.col("nn"))
+        * (F.lit(1e0) / F.col("na") + F.lit(1e0) / F.col("nb"))
+        * (dj * dj)
+        / (F.col("bj") * F.lit(1e0) * (F.col("nn") - F.col("bj")))
+    )
+    terms = j.filter(F.col("bj") < F.col("nn")).select(
+        "v", "na", "nb", term.alias("__term")
+    )
+    agg = terms.agg(
+        F.first("na").alias("__na"),
+        F.first("nb").alias("__nb"),
+        sorted_fold_sum(["v"], "__term").alias("__a2"),
+    )
+    return agg.selectExpr(
+        "CAST(__na AS BIGINT) AS n_a",
+        "CAST(__nb AS BIGINT) AS n_b",
+        "round(__a2, 6) AS a2",
+        f"(__a2 > {float(crit):.17e}) AS significant",
+    )

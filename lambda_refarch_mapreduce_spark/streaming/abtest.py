@@ -223,3 +223,20 @@ def qq_now(
     return qq_from_value_counts(
         running_value_counts(spark, index_dir), n_grid
     )
+
+
+def ad_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Anderson-Darling readout over the same committed state (round
+    10): the TAIL-weighted member of the two-sample family — MW ranks
+    the middle, KS takes the biggest single CDF gap, AD integrates
+    the squared gap with 1/(H(1-H)) weights, so a pure tail shift
+    that MW/KS shrug at still fires here
+    (operators.analytics.anderson_darling_from_value_counts).
+    Streamed-then-tested equals batch exactly."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anderson_darling_from_value_counts,
+    )
+
+    return anderson_darling_from_value_counts(
+        running_value_counts(spark, index_dir)
+    )

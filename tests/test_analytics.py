@@ -2750,3 +2750,72 @@ def test_cusum_changepoint_matches_python_reference(spark):
     one = spark.createDataFrame([(1, 5)], "t long, y long")
     g4 = cusum_changepoint(one, "t", "y").collect()[0]
     assert g4.n_obs == 1 and g4.k_stat is None
+
+
+def test_anderson_darling_matches_ecdf_reference(spark):
+    """operators.analytics.anderson_darling_from_value_counts vs a
+    Python reference computed through the CLASSICAL two-sample ECDF
+    form A² = (n1*n2/N²)·Σ w_j(F1-F2)²/(H(1-H)) — a different
+    algebra path than the kernel's integer rearrangement, so the
+    D_j = N*M1 - n1*B factoring is genuinely cross-checked. Plus the
+    behavioral sanity: identical samples give A² = 0, a clear shift
+    fires the 2.492 verdict, and a pure TAIL shift fires AD."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anderson_darling_from_value_counts,
+    )
+
+    def ref_a2(sa, sb):
+        import collections
+
+        ca = collections.Counter(sa)
+        cb = collections.Counter(sb)
+        vals = sorted(set(sa) | set(sb))
+        n1, n2 = len(sa), len(sb)
+        nn = n1 + n2
+        m1 = b = 0
+        a2 = 0.0
+        for v in vals:
+            m1 += ca.get(v, 0)
+            b += ca.get(v, 0) + cb.get(v, 0)
+            if b >= nn:
+                break
+            w = ca.get(v, 0) + cb.get(v, 0)
+            f1 = m1 / n1
+            f2 = (b - m1) / n2
+            h = b / nn
+            a2 += w * (f1 - f2) ** 2 / (h * (1 - h))
+        return n1 * n2 / nn**2 * a2
+
+    def run(sa, sb):
+        rows = [(v, 1, 0) for v in sa] + [(v, 0, 1) for v in sb]
+        df = (
+            spark.createDataFrame(rows, "v long, ia long, ib long")
+            .groupBy("v")
+            .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+        )
+        return anderson_darling_from_value_counts(df).collect()[0]
+
+    import random
+
+    rng = random.Random(3)
+    sa = [rng.randint(0, 40) for _ in range(120)]
+    sb = [rng.randint(5, 45) for _ in range(90)]
+    got = run(sa, sb)
+    assert (got.n_a, got.n_b) == (120, 90)
+    assert abs(got.a2 - round(ref_a2(sa, sb), 6)) < 1e-9
+
+    same = run(list(range(50)) * 2, list(range(50)) * 2)
+    assert same.a2 == 0.0 and same.significant is False
+
+    shifted = run(
+        [rng.randint(0, 30) for _ in range(200)],
+        [rng.randint(20, 50) for _ in range(200)],
+    )
+    assert shifted.significant is True
+
+    # pure tail shift: same body, sample b puts 8% of mass far right
+    body = [rng.randint(0, 100) for _ in range(500)]
+    tail_b = body[:460] + [rng.randint(400, 500) for _ in range(40)]
+    t = run(body, tail_b)
+    assert abs(t.a2 - round(ref_a2(body, tail_b), 6)) < 1e-9
+    assert t.significant is True

@@ -1302,6 +1302,17 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     )
     assert got_qq == want_qq and len(got_qq) == 19
 
+    # ...and the round-10 tail-weighted Anderson-Darling readout
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anderson_darling_from_value_counts,
+    )
+
+    got_ad = abtest.ad_now(spark, index_dir).collect()[0]
+    want_ad = anderson_darling_from_value_counts(
+        batch_counts
+    ).collect()[0]
+    assert tuple(got_ad) == tuple(want_ad)
+
     # a restart of the SAME checkpoint is the legitimate lifecycle:
     # new source data drains under the recorded epoch without error
     # and the committed state advances to the union
