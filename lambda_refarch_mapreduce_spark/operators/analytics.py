@@ -2873,3 +2873,107 @@ def anderson_darling_from_value_counts(
         "round(__a2, 6) AS a2",
         f"(__a2 > {float(crit):.17e}) AS significant",
     )
+
+
+def seasonal_mann_kendall(
+    series: DataFrame, t_col: str, y_col: str, m: int = 7
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) — the
+    trend decision that a weekly cycle cannot fool: pairs are formed
+    ONLY within each of the m calendar phases (pmod(t, m) — same-
+    weekday comparisons for epoch days), per-phase S and tie-corrected
+    variances sum (independent-season assumption), and the combined z
+    reuses MANN_KENDALL_Z_EXPR verbatim. Plain mann_kendall_trend
+    reads a strong seasonal profile as ties/noise at best and a
+    spurious trend at worst; this is the companion
+    seasonal_decompose_additive's trend column gets TESTED with.
+    Same distributed shape: the caller collapses to the time
+    alphabet, within-phase ranks come from a phase-partitioned
+    window over that metadata-sized frame, pairs from the
+    gap-explode EQUI-join on (phase, rank), everything integer into
+    the shared z string. Returns one row: (n_obs, n_phases, s_mk,
+    var_s, z_mk, trend)."""
+    s = series.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).withColumn("__p", F.pmod(F.col("__t"), F.lit(m)))
+    s = s.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("__p").orderBy("__t")),
+    )
+    np_frm = s.groupBy("__p").agg(F.count(F.lit(1)).alias("__np"))
+    max_np = np_frm.agg(F.max("__np").alias("mx"))
+    gaps = max_np.select(
+        F.explode(F.sequence(F.lit(1), F.col("mx") - 1)).alias("g")
+    ).filter(F.col("g") >= 1)
+    left = s.select(
+        F.col("__p"), F.col("__r").alias("__ra"), F.col("__y").alias("ya")
+    )
+    right = s.select(
+        F.col("__p").alias("__pb"),
+        F.col("__r").alias("__rb"),
+        F.col("__y").alias("yb"),
+    )
+    pairs = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("__want", F.col("__ra") + F.col("g"))
+        # two-key EQUI-join (phase, rank) — joining on phase alone
+        # and post-filtering would cross each phase with itself
+        .join(
+            right,
+            (F.col("__p") == F.col("__pb"))
+            & (F.col("__want") == F.col("__rb")),
+        )
+    )
+    dy = F.col("yb") - F.col("ya")
+    sfrm = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(dy > 0, 1).when(dy < 0, -1).otherwise(0)),
+            F.lit(0),
+        ).alias("s_mk")
+    )
+    # per-phase tie term: sum over (phase, y) groups of c(c-1)(2c+5)
+    ties = (
+        s.groupBy("__p", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__c")
+                    * (F.col("__c") - 1)
+                    * (2 * F.col("__c") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    # sum over phases of n_p(n_p-1)(2n_p+5), and the totals
+    base_var = np_frm.agg(
+        F.sum(
+            F.col("__np") * (F.col("__np") - 1) * (2 * F.col("__np") + 5)
+        ).alias("nvar_term"),
+        F.sum("__np").alias("n"),
+        F.count(F.lit(1)).alias("k_phases"),
+    )
+    one = (
+        sfrm.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(base_var))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_obs",
+            "CAST(k_phases AS BIGINT) AS n_phases",
+            "CAST(s_mk AS BIGINT) AS s_mk",
+            "(nvar_term * 1e0 - tie_term) / 18e0 AS var_s",
+        )
+    )
+    return one.selectExpr(
+        "n_obs",
+        "n_phases",
+        "s_mk",
+        "round(var_s, 6) AS var_s",
+        f"round({MANN_KENDALL_Z_EXPR}, 6) AS z_mk",
+        f"""CASE
+              WHEN abs({MANN_KENDALL_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+              WHEN s_mk > 0 THEN 'increasing'
+              ELSE 'decreasing'
+            END AS trend""",
+    )

@@ -278,3 +278,21 @@ def changepoint_now(
         "dd", "(x * 1000000) div m AS rate_micro"
     )
     return cusum_changepoint(day, "dd", "rate_micro", alpha)
+
+
+def seasonal_trend_now(
+    spark: SparkSession, index_dir: str, m: int = 7
+) -> DataFrame:
+    """Seasonal Mann-Kendall readout over the committed daily success
+    counts (operators.analytics.seasonal_mann_kendall, weekly
+    phases): the trend decision a weekly cycle cannot fool —
+    same-weekday pairs only, per-phase variances summed — beside
+    trend_now's plain Mann-Kendall and decompose_now's trend column.
+    Returns one row: (n_obs, n_phases, s_mk, var_s, z_mk, trend)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    return seasonal_mann_kendall(
+        running_day_counts(spark, index_dir), "dd", "x", m
+    )

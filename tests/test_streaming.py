@@ -1879,6 +1879,23 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_cp) == tuple(want_cp)
 
+    # ...and the seasonal Mann-Kendall readout (weekly phases)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    got_smk = sprt.seasonal_trend_now(spark, index_dir).collect()[0]
+    want_smk = seasonal_mann_kendall(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ),
+        "dd",
+        "x",
+    ).collect()[0]
+    assert tuple(got_smk) == tuple(want_smk)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
