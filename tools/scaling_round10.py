@@ -31,6 +31,14 @@ Outputs are COLLECTED in full (not counted): a count() lets Catalyst
 prune every value column and with it the fold itself (the round-9
 attribution lesson).
 
+Pre-staged round-11 kernels measured on the same axes:
+- DECOMPOSE, KEY GROWTH: one window pass + two alphabet aggregates +
+  a broadcast join back — expect the HW-key linearity without the
+  rotating-array constant.
+- CHANGEPOINT, SERIES GROWTH: prefix_sums + one max-struct — linear.
+- AD, ALPHABET GROWTH: the per-value term list folds in ONE agg
+  buffer; measured to bound the sorted-fold alphabet cost.
+
 Usage: python tools/scaling_round10.py MEASURE_KEY
 One variant per process (fresh JVM, UI on) so AQE exchange reuse and
 warm caches can't flatter later variants. Keys:
@@ -39,6 +47,9 @@ warm caches can't flatter later variants. Keys:
   backtest_keys_100x
   iso_bins_10 iso_bins_50 iso_bins_200
   bh_rows_1x bh_rows_100x
+  dc_keys_1x dc_keys_10x dc_keys_100x
+  cp_series_1x cp_series_10x cp_series_100x
+  ad_alpha_1k ad_alpha_10k ad_alpha_100k
 """
 
 from __future__ import annotations
@@ -54,11 +65,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from lambda_refarch_mapreduce_spark import get_spark  # noqa: E402
 from lambda_refarch_mapreduce_spark.metrics import MeasuredRun  # noqa: E402
 from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
+    anderson_darling_from_value_counts,
     bh_fdr_from_z,
     bh_thresholds,
+    cusum_changepoint,
     holt_winters_from_series,
     isotonic_fit_binned,
     rolling_backtest_holt,
+    seasonal_decompose_additive,
     TWO_PROP_Z_EXPR,
 )
 
@@ -178,6 +192,35 @@ def main() -> None:
         row = _measure(spark, df)
         row["n_bins"] = n_bins
         row["span_rows_est"] = n_bins ** 3 // 6
+    elif key.startswith("dc_keys_"):
+        scale = int(key.removeprefix("dc_keys_").removesuffix("x"))
+        df = seasonal_decompose_additive(
+            _series_by_keys(spark, BASE_KEYS * scale), ["k"], "t", "v"
+        )
+        row = _measure(spark, df)
+        row["n_keys"] = BASE_KEYS * scale
+    elif key.startswith("cp_series_"):
+        scale = int(key.removeprefix("cp_series_").removesuffix("x"))
+        df = cusum_changepoint(
+            _series_single_key(spark, BASE_DAYS * scale), "t", "v"
+        )
+        row = _measure(spark, df)
+        row["n_days"] = BASE_DAYS * scale
+    elif key.startswith("ad_alpha_"):
+        n_vals = int(key.removeprefix("ad_alpha_").removesuffix("k")) * 1000
+        rows = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_vals)).alias("v"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)) == 0)
+            .cast("long")
+            .alias("ia"),
+        )
+        counts = rows.groupBy("v").agg(
+            F.sum("ia").alias("ca"),
+            F.sum(F.lit(1) - F.col("ia")).alias("cb"),
+        )
+        df = anderson_darling_from_value_counts(counts)
+        row = _measure(spark, df)
+        row["n_values"] = n_vals
     elif key.startswith("bh_rows_"):
         scale = int(key.removeprefix("bh_rows_").removesuffix("x"))
         df = _bh_corpus(spark, BH_ROWS * scale)
