@@ -127,7 +127,10 @@ class JobSpec:
     #     lowers onto contingency_counts + chi2_from_contingency ->
     #     ONE row (ka, kb, n_total, dof, chi2, cramers_v, z_wh,
     #     significant). Both collapse map-side to alphabet-sized
-    #     frames before any exchange.
+    #     frames before any exchange. Method "anderson_darling" is
+    #     the tail-weighted two-sample member over the same
+    #     group_a/group_b count frame -> ONE row (n_a, n_b, a2,
+    #     significant).
     #   interval_join={"source": <source dict>, "on": [cols],
     #                  "l_select": {alias: SQL}?, "r_select": {alias: SQL}?,
     #                  "l_start": col, "l_end": col,
@@ -501,7 +504,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
 
         t = spec.stats_test
         method = t.get("method", "mann_whitney")
-        if method in ("mann_whitney", "ks", "welch"):
+        if method in ("mann_whitney", "ks", "welch", "anderson_darling"):
             counts = group_value_counts(
                 df,
                 t["group_a"],
@@ -515,6 +518,12 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 )
             elif method == "ks":
                 df = ks_from_value_counts(counts)
+            elif method == "anderson_darling":
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    anderson_darling_from_value_counts,
+                )
+
+                df = anderson_darling_from_value_counts(counts)
             else:
                 from lambda_refarch_mapreduce_spark.operators.analytics import (
                     welch_from_value_counts,
@@ -564,7 +573,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         else:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
-                "(mann_whitney, ks, welch, anova, chi2)"
+                "(mann_whitney, ks, welch, anderson_darling, anova, "
+                "chi2)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

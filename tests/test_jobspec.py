@@ -670,3 +670,34 @@ def test_interval_join_clause_equals_bruteforce(spark):
         assert got == want
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+def test_stats_test_clause_anderson_darling_matches_kernel(spark):
+    """The round-10 'anderson_darling' stats_test mode equals the
+    direct kernel call on the same group pair exactly."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anderson_darling_from_value_counts,
+        group_value_counts,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "anderson_darling",
+                "group_col": "event_type",
+                "group_a": "purchase",
+                "group_b": "click",
+            },
+        ),
+    ).collect()[0]
+    want = anderson_darling_from_value_counts(
+        group_value_counts(ev, "purchase", "click")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.n_a > 0 and got.n_b > 0
