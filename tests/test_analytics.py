@@ -2893,3 +2893,157 @@ def test_seasonal_mann_kendall_matches_bruteforce(spark):
         "y",
     ).collect()[0]
     assert abs(r1.z_mk) > abs(plain.z_mk)
+
+
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # weight
+            st.integers(min_value=0, max_value=9),  # successes (<= w ok'd below)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_PROP_SETTINGS)
+def test_isotonic_property_pava_equal(spark, bins):
+    """Property (hypothesis): isotonic_fit_binned equals sequential
+    PAVA on arbitrary small weighted-binomial bins — including the
+    adversarial shapes a seeded RNG rarely lands on (all-equal rates,
+    all-zero successes, single bins, long descending runs)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        isotonic_fit_binned,
+    )
+
+    ws = [w for w, _ in bins]
+    xs = [min(x, w) for w, x in bins]
+    n = len(bins)
+    df = spark.createDataFrame(
+        [(i, ws[i], xs[i]) for i in range(n)], "b long, w long, x long"
+    )
+    rows = sorted(
+        isotonic_fit_binned(df, "b", "w", "x").collect(),
+        key=lambda r: r.b,
+    )
+
+    blocks = []
+    for w, x in zip(ws, xs):
+        blocks.append([1, w, x])
+        while (
+            len(blocks) > 1
+            and blocks[-2][2] * blocks[-1][1]
+            >= blocks[-1][2] * blocks[-2][1]
+        ):
+            c2, w2, x2 = blocks.pop()
+            blocks[-1][0] += c2
+            blocks[-1][1] += w2
+            blocks[-1][2] += x2
+    want = []
+    for c, w, x in blocks:
+        want.extend([x / w] * c)
+    got = [r.iso_rate for r in rows]
+    assert len(got) == n
+    for g, w in zip(got, want):
+        assert abs(g - round(w, 6)) < 1e-9, (got, want, ws, xs)
+    assert all(got[i] <= got[i + 1] + 1e-12 for i in range(n - 1))
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=14
+    ),
+    a10=st.integers(min_value=1, max_value=9),
+    b10=st.integers(min_value=1, max_value=9),
+)
+@settings(**_PROP_SETTINGS)
+def test_backtest_property_matches_sequential(spark, ys, a10, b10):
+    """Property (hypothesis): rolling_backtest_holt equals the
+    sequential standard-form Holt backtest for arbitrary short
+    integer series (negatives, constants, n=1/2 degenerates) and
+    arbitrary alpha/beta in (0, 1)."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_holt,
+    )
+
+    a, beta = a10 / 10.0, b10 / 10.0
+    n = len(ys)
+    df = spark.createDataFrame(
+        [(t, y) for t, y in enumerate(ys)], "t long, v long"
+    )
+    r = rolling_backtest_holt(df, [], ["t"], "v", a, beta).collect()[0]
+    assert (r.n_obs, r.n_forecasts) == (n, max(n - 2, 0))
+    if n < 3:
+        assert r.mae_holt is None and r.rmse_naive is None
+        return
+    l, b, prev = float(ys[1]), float(ys[1] - ys[0]), float(ys[1])
+    eh, en = [], []
+    for x in map(float, ys[2:]):
+        eh.append(x - (l + b))
+        en.append(x - prev)
+        lt = a * x + (1 - a) * (l + b)
+        bt = beta * (lt - l) + (1 - beta) * b
+        l, b, prev = lt, bt, x
+    nf = n - 2
+    assert abs(r.mae_holt - round(sum(map(abs, eh)) / nf, 6)) < 1e-6
+    assert (
+        abs(
+            r.rmse_holt
+            - round(math.sqrt(sum(e * e for e in eh) / nf), 6)
+        )
+        < 1e-6
+    )
+    assert abs(r.mae_naive - round(sum(map(abs, en)) / nf, 6)) < 1e-6
+    sse_n = sum(e * e for e in en)
+    if sse_n > 0:
+        want_skill = 1 - math.sqrt(sum(e * e for e in eh) / nf) / math.sqrt(
+            sse_n / nf
+        )
+        assert abs(r.skill_vs_naive - round(want_skill, 6)) < 1e-6
+    else:
+        assert r.skill_vs_naive is None
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=16
+    ),
+    t0=st.integers(min_value=0, max_value=6),
+)
+@settings(**_PROP_SETTINGS)
+def test_seasonal_mk_property_matches_bruteforce(spark, ys, t0):
+    """Property (hypothesis): seasonal_mann_kendall's S and variance
+    equal the per-phase brute force for arbitrary short series and
+    phase offsets — ties, constant phases, phases with 0/1 members."""
+    from collections import Counter, defaultdict
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    m = 7
+    df = spark.createDataFrame(
+        [(t0 + t, y) for t, y in enumerate(ys)], "t long, y long"
+    )
+    r = seasonal_mann_kendall(df, "t", "y", m).collect()[0]
+
+    phases = defaultdict(list)
+    for t, y in enumerate(ys):
+        phases[(t0 + t) % m].append(y)
+    s_mk, var = 0, 0.0
+    for vals in phases.values():
+        k = len(vals)
+        for i in range(k):
+            for j in range(i + 1, k):
+                d = vals[j] - vals[i]
+                s_mk += (d > 0) - (d < 0)
+        ties = sum(
+            c * (c - 1) * (2 * c + 5) for c in Counter(vals).values()
+        )
+        var += (k * (k - 1) * (2 * k + 5) - ties) / 18.0
+    assert r.s_mk == s_mk
+    assert abs(r.var_s - round(var, 6)) < 1e-9
+    assert r.n_obs == len(ys) and r.n_phases == len(phases)
+    if var == 0.0:
+        assert r.z_mk == 0.0 and r.trend == "no_trend"
