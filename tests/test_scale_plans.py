@@ -764,3 +764,68 @@ def test_round9_entry_plan_shapes(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round10_entry_plan_shapes(spark):
+    """Plan-shape guards for the round-10 scale claims:
+
+    - holt_winters: the corpus collapses through PARTIAL aggregates
+      before the per-type fold (map-side combine on the (type, day)
+      key), and no window touches the recursion
+    - backtest: same collapse; the fold is one aggregate pass
+    - isotonic: segment generation is the gap-explode EQUI-join —
+      the executed plan carries no CartesianProduct and the only
+      nested-loop joins are the broadcast single-row/grid crosses
+    - bh_fdr: the family rank rides global_rank's range exchange;
+      the two-proportion z frame collapses through partials
+    - seasonal decompose (pre-staged kernel): the trend window and
+      within-phase ranks are KEY/phase-partitioned, never global"""
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        seasonal_decompose_additive,
+    )
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+    )
+
+    p = _plan(
+        catalog.REGISTRY["holt_winters_daily_events"].spark(spark, SF_SMOKE)
+    )
+    assert "partial_" in p
+    assert "windowspecdefinition" not in p
+
+    p = _plan(
+        catalog.REGISTRY["forecast_backtest_daily_revenue"].spark(
+            spark, SF_SMOKE
+        )
+    )
+    assert "partial_" in p
+    assert "windowspecdefinition" not in p
+
+    p = _plan(
+        catalog.REGISTRY["isotonic_calibration_value_bins"].spark(
+            spark, SF_SMOKE
+        )
+    )
+    assert "CartesianProduct" not in p
+
+    p = _plan(
+        catalog.REGISTRY["bh_fdr_dow_purchase_rate"].spark(spark, SF_SMOKE)
+    )
+    assert "rangepartitioning" in p
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+
+    # pre-staged kernel: windows must be partitioned (key for the
+    # trend MA, key+phase machinery for ranks), never one global sort
+    series = spark.range(60).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") * 7 % 13).alias("v"),
+    )
+    p = _plan(seasonal_decompose_additive(series, ["k"], "t", "v"))
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "k#" in ln, ln
