@@ -3047,3 +3047,74 @@ def test_seasonal_mk_property_matches_bruteforce(spark, ys, t0):
     assert r.n_obs == len(ys) and r.n_phases == len(phases)
     if var == 0.0:
         assert r.z_mk == 0.0 and r.trend == "no_trend"
+
+
+def test_bh_fdr_boundary_and_overflow_ranks(spark):
+    """bh_fdr_from_z edges: |z| exactly AT its threshold counts as a
+    crossing (>= boundary), and a family LARGER than the threshold
+    list gives the overflow ranks NULL thresholds — they can never
+    set k_star, and since their rank exceeds every in-list rank they
+    are never rejected either (the conservative reading of a
+    mis-sized family; the dow entry's family is structurally 7)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        bh_fdr_from_z,
+    )
+
+    thr = [2.0, 1.5]
+    # boundary: |z| == threshold at rank 1
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.1)], "name string, z double"
+    )
+    got = {r.name: r for r in bh_fdr_from_z(df, ["name"], "z", thr).collect()}
+    assert got["a"].k_star == 1 and got["a"].rejected
+    assert not got["b"].rejected
+
+    # overflow: 4 tests, 2 thresholds — ranks 3/4 have NULL threshold
+    df2 = spark.createDataFrame(
+        [("a", 5.0), ("b", 4.0), ("c", 3.0), ("d", 2.5)],
+        "name string, z double",
+    )
+    got2 = {
+        r.name: r for r in bh_fdr_from_z(df2, ["name"], "z", thr).collect()
+    }
+    assert [got2[n].rank_k for n in "abcd"] == [1, 2, 3, 4]
+    assert all(r.k_star == 2 for r in got2.values())
+    assert [got2[n].rejected for n in "abcd"] == [True, True, False, False]
+    assert got2["c"].bh_threshold is None
+
+
+def test_cusum_changepoint_invariances(spark):
+    """cusum_changepoint structure: adding a constant to every value
+    leaves (cp_index, k_stat, significance) unchanged (the bridge is
+    mean-centered); scaling every value by a positive constant leaves
+    k_stat unchanged (sd scales with max|D|); reversing the series
+    mirrors the changepoint location."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    ys = [10, 12, 9, 11, 30, 29, 31, 33, 28]
+    n = len(ys)
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [(t, v) for t, v in enumerate(vals)], "t long, y long"
+        )
+        return cusum_changepoint(df, "t", "y").collect()[0]
+
+    base = run(ys)
+    shifted = run([y + 1000 for y in ys])
+    assert (base.cp_index, base.k_stat, base.significant) == (
+        shifted.cp_index,
+        shifted.k_stat,
+        shifted.significant,
+    )
+    scaled = run([y * 7 for y in ys])
+    assert scaled.cp_index == base.cp_index
+    assert abs(scaled.k_stat - base.k_stat) < 1e-6
+    rev = run(ys[::-1])
+    # |D| at index i in the reversed series equals |D| at n-i in the
+    # original, so the max-location mirrors (ties break to smaller i,
+    # which maps consistently here because the max is unique)
+    assert rev.cp_index == n - base.cp_index
+    assert abs(rev.k_stat - base.k_stat) < 1e-6
