@@ -315,3 +315,28 @@ def test_every_public_operator_function_is_referenced():
         f"{[(n, public[n]) for n in dead]} — gate each with a catalog "
         "entry/test or delete it"
     )
+
+
+def test_bench_summary_line_fits_tail_window():
+    """The r9 bench artifact was maimed because the printed JSON
+    outgrew the driver's ~2000-char tail capture. bench.py now prints
+    a compact summary LAST — this guard fails as soon as headline-key
+    growth pushes a worst-case summary line (every wall at 99999.999)
+    near the window, i.e. BEFORE the durable record breaks again."""
+    import json
+
+    import bench
+
+    summary = {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {k: 99999.999 for k in bench.HEADLINE},
+        "sf": "0.001",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1900, (
+        f"bench summary line would be {len(line)} chars — trim or "
+        "shorten headline keys before the driver tail window "
+        "truncates the record again"
+    )
