@@ -2948,11 +2948,18 @@ def seasonal_mann_kendall(
         )
     )
     # sum over phases of n_p(n_p-1)(2n_p+5), and the totals
+    # coalesce: an EMPTY series (a monitor read before the first
+    # commit) must report n_obs = 0 / var_s = 0, not NULL sums
     base_var = np_frm.agg(
-        F.sum(
-            F.col("__np") * (F.col("__np") - 1) * (2 * F.col("__np") + 5)
+        F.coalesce(
+            F.sum(
+                F.col("__np")
+                * (F.col("__np") - 1)
+                * (2 * F.col("__np") + 5)
+            ),
+            F.lit(0),
         ).alias("nvar_term"),
-        F.sum("__np").alias("n"),
+        F.coalesce(F.sum("__np"), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("k_phases"),
     )
     one = (

@@ -1909,3 +1909,46 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
         for r in sprt.running_day_counts(spark, index_dir).collect()
     }
     assert got_after == want_counts
+
+
+def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
+    """The monitors' contract is 'servable at ANY moment' — including
+    the moment before the first micro-batch commits. Every sprt and
+    abtest readout must run on a fresh (empty) index without error
+    and return its degenerate shape: empty tables for per-row
+    readouts, one all-NULL/zero row for single-row statistics."""
+    from lambda_refarch_mapreduce_spark.streaming import abtest, sprt
+
+    sprt_dir = str(tmp_path / "sprt_idx")
+    ab_dir = str(tmp_path / "ab_idx")
+
+    counts = sprt.running_day_counts(spark, sprt_dir)
+    assert counts.count() == 0
+
+    r = sprt.sprt_now(spark, sprt_dir, 1000, -1000, 2944439).collect()
+    assert len(r) == 1 and r[0].n_days == 0
+
+    mk = sprt.trend_now(spark, sprt_dir).collect()[0]
+    assert mk.n_obs == 0 and mk.s_mk == 0
+
+    fc = sprt.forecast_now(spark, sprt_dir).collect()
+    assert fc == [] or (len(fc) == 1 and fc[0].level is None)
+
+    bt = sprt.backtest_now(spark, sprt_dir).collect()[0]
+    assert bt.n_obs == 0 and bt.mae_holt is None
+
+    dc = sprt.decompose_now(spark, sprt_dir).collect()
+    assert dc == []
+
+    cp = sprt.changepoint_now(spark, sprt_dir).collect()[0]
+    assert cp.n_obs == 0 and cp.k_stat is None and cp.significant is None
+
+    smk = sprt.seasonal_trend_now(spark, sprt_dir).collect()[0]
+    assert smk.n_obs == 0 and smk.s_mk == 0
+
+    vc = abtest.running_value_counts(spark, ab_dir)
+    assert vc.count() == 0
+    qq = abtest.qq_now(spark, ab_dir).collect()
+    assert qq == []  # no values -> no quantiles on either side
+    ad = abtest.ad_now(spark, ab_dir).collect()[0]
+    assert ad.a2 == 0.0  # empty term fold; counts NULL
