@@ -1912,7 +1912,17 @@ def qq_from_value_counts(counts: DataFrame, n_grid: int = 20) -> DataFrame:
     tot = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    probe = cum.crossJoin(F.broadcast(grid)).crossJoin(F.broadcast(tot))
+    # degenerate-arm guard (ADVICE r10): with one group empty the
+    # threshold i * na collapses to 0, every cum row passes the probe
+    # filter, and q_a degenerates to min(v) of the POOLED alphabet —
+    # a full table of bogus shifts. Require both totals positive so a
+    # one-arm frame returns the EMPTY table (the same shape the old
+    # per-side construction produced).
+    probe = (
+        cum.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
     qa = (
         probe.filter(
             F.col("ca_cum") * n_grid >= F.col("i") * F.col("na")
@@ -2859,8 +2869,16 @@ def anderson_darling_from_value_counts(
         * (dj * dj)
         / (F.col("bj") * F.lit(1e0) * (F.col("nn") - F.col("bj")))
     )
+    # degenerate-arm guard (ADVICE r10): with one group empty
+    # (na = 0 or nb = 0 — e.g. a monitor read after only one A/B arm
+    # has committed) the 1/na + 1/nb factor is a DIVIDE_BY_ZERO under
+    # ANSI mode. CASE WHEN evaluates its branch lazily, so the one-arm
+    # frame folds NULL terms into a NULL a2 / NULL significant while
+    # n_a / n_b still report the real totals — the 'servable at ANY
+    # moment' contract extended past the fully-empty case.
+    guarded = F.when((F.col("na") > 0) & (F.col("nb") > 0), term)
     terms = j.filter(F.col("bj") < F.col("nn")).select(
-        "v", "na", "nb", term.alias("__term")
+        "v", "na", "nb", guarded.alias("__term")
     )
     agg = terms.agg(
         F.first("na").alias("__na"),

@@ -1952,3 +1952,20 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     assert qq == []  # no values -> no quantiles on either side
     ad = abtest.ad_now(spark, ab_dir).collect()[0]
     assert ad.a2 == 0.0  # empty term fold; counts NULL
+
+    # ONE-ARM index (ADVICE r10): after only arm A has committed, the
+    # readouts must stay honest — AD was a DIVIDE_BY_ZERO (1/nb) under
+    # ANSI mode and QQ fabricated a full shift table from the pooled
+    # alphabet (i * nb = 0 passes every probe row). Now: AD reports
+    # the real counts with NULL a2/significant, QQ returns the empty
+    # table the old per-side construction produced.
+    one_arm = spark.createDataFrame(
+        [("purchase", float(v)) for v in (1, 2, 3, 4, 5)],
+        "event_type string, value double",
+    )
+    abtest._apply_counts_batch(one_arm, 0, ab_dir, "purchase", "click")
+    assert abtest.running_value_counts(spark, ab_dir).count() == 5
+    ad1 = abtest.ad_now(spark, ab_dir).collect()[0]
+    assert ad1.n_a == 5 and ad1.n_b == 0
+    assert ad1.a2 is None and ad1.significant is None
+    assert abtest.qq_now(spark, ab_dir).collect() == []

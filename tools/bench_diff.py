@@ -108,7 +108,9 @@ def main() -> None:
             f"bytes {b0} -> {b1}  [{verdict}]"
         )
     only_old = sorted((set(oq) | set(ob)) - set(nq) - set(nb))
-    only_new = sorted(set(nq) - set(oq) - set(ob))
+    # mirror only_old: a salvaged NEW side (walls lost, bytes
+    # recovered) must still report byte-only keys as added (ADVICE r10)
+    only_new = sorted((set(nq) | set(nb)) - set(oq) - set(ob))
     print(
         f"\n{len(shared)} shared keys: {drift} byte-identical (box "
         f"drift), {jitter} range-jitter, {changed} plan/data changes; "
