@@ -93,3 +93,49 @@ def test_driver_wrapper_and_salvage(tmp_path):
     r2 = _run(ph, pc)
     assert r2.returncode == 0, r2.stderr
     assert "1 byte-identical" in r2.stdout
+
+
+def test_compact_summary_and_git_rev_loader(tmp_path):
+    """Round-11 shapes: (a) a driver wrapper whose parsed payload is
+    the COMPACT summary (top-5 + baseline walls only) still
+    adjudicates on those surviving walls; (b) a `git:REV:PATH` side
+    reads the committed detail file via `git show`, so cross-round
+    byte adjudication needs no manual archaeology step."""
+    wrapper = {
+        "parsed": {
+            "metric": "headline_queries_total",
+            "value": 3.0,
+            "n_keys": 40,
+            "top": {"q_a": 2.0},
+            "baseline": {"q1a_scan": 1.0},
+            "sf": "0.1",
+        },
+        "tail": "ignored",
+    }
+    cur = {
+        "queries": {"q_a": 2.0, "q1a_scan": 1.1},
+        "shuffle_bytes": {"q_a": 10, "q1a_scan": 20},
+    }
+    pw = _write(tmp_path, "w.json", wrapper)
+    pc = _write(tmp_path, "c.json", cur)
+    r = _run(pw, pc, "--wall-flag", "5")
+    assert r.returncode == 0, r.stderr
+    assert "2 shared keys" in r.stdout
+    assert "q1a_scan" in r.stdout  # +10% wall flagged (no bytes side)
+
+    # rev loader against the real repo: the r10 round commit carries
+    # BENCH_DETAIL.json; self-compare must be all byte-identical
+    repo = os.path.dirname(TOOL)
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            TOOL,
+            "git:3d51180:BENCH_DETAIL.json",
+            "git:3d51180:BENCH_DETAIL.json",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(repo),
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "0 range-jitter, 0 plan/data changes" in r2.stdout

@@ -319,24 +319,36 @@ def test_every_public_operator_function_is_referenced():
 
 def test_bench_summary_line_fits_tail_window():
     """The r9 bench artifact was maimed because the printed JSON
-    outgrew the driver's ~2000-char tail capture. bench.py now prints
-    a compact summary LAST — this guard fails as soon as headline-key
-    growth pushes a worst-case summary line (every wall at 99999.999)
-    near the window, i.e. BEFORE the durable record breaks again."""
+    outgrew the driver's ~2000-char tail capture. Since round 11 the
+    summary is O(1) in headline-key count (top-5 + the 3 baseline
+    twins only — full walls live in BENCH_DETAIL.json), so this guard
+    simulates the worst case at the CURRENT key set PLUS 20 future
+    keys with maximal names/walls and requires real headroom — key
+    growth can no longer push the durable record past the window."""
     import json
 
     import bench
 
+    keys = list(bench.HEADLINE) + [
+        f"q_future_round_key_number_{i:02d}" for i in range(20)
+    ]
+    walls = {k: 99999.999 for k in keys}
+    top5 = dict(sorted(walls.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": "headline_queries_total",
         "value": 99999.999,
         "unit": "sec",
-        "queries": {k: 99999.999 for k in bench.HEADLINE},
+        "n_keys": len(walls),
+        "top": top5,
+        "baseline": {
+            k: walls[k]
+            for k in ("q1a_scan", "q1b_scan_wide", "q2a_substr_agg")
+        },
         "sf": "0.001",
     }
     line = json.dumps(summary)
-    assert len(line) < 1900, (
-        f"bench summary line would be {len(line)} chars — trim or "
-        "shorten headline keys before the driver tail window "
-        "truncates the record again"
+    assert len(line) < 1400, (
+        f"bench summary line would be {len(line)} chars — the compact "
+        "shape regressed toward the driver tail window; keep per-key "
+        "payloads in BENCH_DETAIL.json only"
     )

@@ -14,19 +14,43 @@ Rules (BENCH_NOTES round-9):
 
 Usage: python tools/bench_diff.py OLD.json NEW.json [--wall-flag PCT]
 Accepts either a raw bench line or a driver BENCH_r*.json wrapper
-(reads .parsed). Prints one line per key whose wall moved more than
---wall-flag percent (default 25), plus a summary.
+(reads .parsed). A side may also be `git:REV:PATH` (e.g.
+`git:HEAD~1:BENCH_DETAIL.json`), read via `git show` — since round 10
+BENCH_DETAIL.json is a single mutable file overwritten by every bench
+run but committed once per round, so cross-round byte adjudication is
+one command with no manual `git show` step (VERDICT r10 #2):
+
+    python tools/bench_diff.py git:<r10-commit>:BENCH_DETAIL.json \\
+        BENCH_DETAIL.json
+
+Prints one line per key whose wall moved more than --wall-flag
+percent (default 25), plus a summary.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 
 
 def _load(path: str) -> dict:
-    with open(path) as f:
-        d = json.load(f)
+    if path.startswith("git:"):
+        # git:REV:PATH -> `git show REV:PATH` (PATH may not contain
+        # ':'; REV may — split from the RIGHT)
+        rev_path = path[4:]
+        rev, _, rel = rev_path.rpartition(":")
+        d = json.loads(
+            subprocess.run(
+                ["git", "show", f"{rev}:{rel}"],
+                check=True,
+                capture_output=True,
+                text=True,
+            ).stdout
+        )
+    else:
+        with open(path) as f:
+            d = json.load(f)
     if "parsed" in d and "queries" not in d:
         parsed = d["parsed"]
         if parsed is None:
@@ -40,6 +64,12 @@ def _load(path: str) -> dict:
             # comparison still runs as one command.
             return {"queries": {}, "shuffle_bytes": _salvage(d)}
         d = parsed
+    if "queries" not in d and ("top" in d or "baseline" in d):
+        # round-11+ compact summary: per-key walls live only in
+        # BENCH_DETAIL.json; the summary's top-5 + baseline walls are
+        # still honest per-key numbers, so adjudicate what survives
+        # and point at the detail file for full coverage
+        d = dict(d, queries={**d.get("baseline", {}), **d.get("top", {})})
     return d
 
 
