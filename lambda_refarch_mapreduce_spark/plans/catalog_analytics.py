@@ -7000,3 +7000,317 @@ def jobspec_chi2_value_by_type(
         },
     )
     return build(spark, spec)
+
+
+def _daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue in exact integer cents on the epoch-day
+    axis — the shared input frame of the round-9..11 timeseries tier
+    (Mann-Kendall, Theil-Sen, backtest, CUSUM changepoint, seasonal
+    MK). One map-side collapse of the corpus to the |days| alphabet;
+    everything downstream is metadata-sized."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+
+
+@register(
+    "seasonal_decompose_daily_events",
+    # integer trend window sums + exact detrended integers collapse
+    # per (type, phase); the only float ops are the final three
+    # divisions/subtractions, mirrored in the kernel's op order, and
+    # the 7-slot phase-sorted centering fold (validated end-to-end by
+    # tools/validate_prestaged_oracles.py at sf0.001/sf0.01 in r10)
+    oracle="""
+        WITH day AS (SELECT event_type,
+                            date_diff('day', DATE '1970-01-01',
+                                      ts::DATE)::BIGINT AS t,
+                            count(*)::BIGINT AS x
+                     FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, t, x,
+                     sum(x) OVER win AS wsum,
+                     count(*) OVER win AS wcnt,
+                     max(t) OVER win - min(t) OVER win AS wspan
+              FROM day
+              WINDOW win AS (PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        tr AS (SELECT event_type, t, x,
+                      CASE WHEN wcnt = 7 AND wspan = 6 THEN wsum
+                          END AS tsum,
+                      (t % 7 + 7) % 7 AS phase
+               FROM w),
+        sea AS (SELECT event_type, phase,
+                       sum(7 * x - tsum)::BIGINT AS sj,
+                       count(*)::BIGINT AS cj
+                FROM tr WHERE tsum IS NOT NULL GROUP BY 1, 2),
+        sea2 AS (SELECT event_type, phase,
+                        sj * 1e0 / (cj * 7e0) AS raw
+                 FROM sea),
+        cent AS (SELECT event_type,
+                        list_reduce(
+                            list_prepend(0e0, list(raw ORDER BY phase)),
+                            (acc, v) -> acc + v) / 7e0 AS cbar
+                 FROM sea2 GROUP BY 1),
+        sfin AS (SELECT sea2.event_type, phase, raw - cbar AS season
+                 FROM sea2 JOIN cent
+                   ON sea2.event_type = cent.event_type)
+        SELECT tr.event_type, tr.t, tr.x AS n_ev,
+               round(tr.tsum / 7e0, 6) AS trend,
+               round(sfin.season, 6) AS seasonal,
+               round(tr.x - tr.tsum / 7e0 - sfin.season, 6) AS remainder
+        FROM tr LEFT JOIN sfin ON tr.event_type = sfin.event_type
+                              AND tr.phase = sfin.phase
+    """,
+    tags=("analytics", "timeseries", "scale"),
+)
+def seasonal_decompose_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event
+    volume per type (operators.analytics.seasonal_decompose_additive,
+    pre-staged in round 10 with its oracle recipe validated end-to-end
+    and oracle-gated here — VERDICT r10 ask #2): x = trend + seasonal
+    + remainder with a centered 7-day moving-average trend, per-phase
+    mean-of-detrended seasonality centered to sum to zero, and the
+    leftover as remainder — the EXPLANATORY companion to
+    holt_winters_daily_events (HW forecasts the next value; this says
+    how much of every PAST value was weekday rhythm vs drift vs
+    noise). Exactness: the trend is kept as an INTEGER window sum
+    (trend = tsum/7 only at the output), detrended values are exact
+    integers 7x - tsum, and the only float fold is the 7-slot
+    phase-sorted centering — no float-sum order seam at any size.
+    Calendar-dense windows are guarded (count==7 AND span==6), so a
+    gap in the series NULLs the window rather than silently averaging
+    across it. At 100 TB the corpus collapses map-side to the
+    (type, day) alphabet before the window."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return analytics.seasonal_decompose_additive(
+        day, ["event_type"], "t", "n_ev"
+    )
+
+
+def _cusum_changepoint_oracle() -> str:
+    crit = analytics.kolmogorov_critical(0.05)
+    return f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        cum AS (SELECT x, y,
+                       sum(y) OVER (ORDER BY x)::BIGINT AS ycum,
+                       row_number() OVER (ORDER BY x) AS i
+                FROM day),
+        tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+                       sum(y::HUGEINT * y)::DOUBLE AS q
+                FROM day),
+        d AS (SELECT x, i, ycum,
+                     (n::HUGEINT * ycum - i::HUGEINT * s) AS dd
+              FROM cum CROSS JOIN tot),
+        best AS (SELECT abs(dd)::DOUBLE AS absd, i, x AS t, ycum AS s_i
+                 FROM d ORDER BY abs(dd) DESC, i ASC LIMIT 1),
+        one AS (SELECT n, s, q, absd, i, t, s_i
+                FROM best CROSS JOIN tot)
+        SELECT n::BIGINT AS n_obs, i::BIGINT AS cp_index,
+               t::BIGINT AS cp_t,
+               round(s_i * 1e0 / i, 6) AS mean_before,
+               CASE WHEN n > i
+                    THEN round((s - s_i) * 1e0 / (n - i), 6)
+                   END AS mean_after,
+               round({analytics.CUSUM_CP_K_EXPR}, 6) AS k_stat,
+               CASE WHEN {analytics.CUSUM_CP_K_EXPR} IS NOT NULL
+                    THEN {analytics.CUSUM_CP_K_EXPR} > {crit:.17e}
+                   END AS significant
+        FROM one
+    """
+
+
+@register(
+    "cusum_changepoint_daily_revenue",
+    # D_i = n*S_i - i*S_n stays an exact 128-bit integer until the
+    # single abs/argmax; the K statistic and its Kolmogorov critical
+    # value are shared literal strings emitted by the same Python
+    # (validated end-to-end by tools/validate_prestaged_oracles.py)
+    oracle=_cusum_changepoint_oracle(),
+    tags=("analytics", "timeseries", "stats"),
+)
+def cusum_changepoint_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrospective CUSUM changepoint detection on daily order
+    revenue (operators.analytics.cusum_changepoint, pre-staged in
+    round 10 for the streaming SPRT monitor's changepoint readout and
+    oracle-gated here — VERDICT r10 ask #2): WHERE did the level
+    shift, and is the shift significant? The max-|CUSUM| location
+    argmax over D_i = n*S_i - i*S_n (exact decimal(38,0) — no float
+    drift can move the argmax), mean levels either side, and the
+    Kolmogorov-style K statistic against the alpha=0.05 critical
+    value (bisection-precomputed in Python, emitted as one shared
+    literal into both engines). Complements cusum_drift_by_event_type
+    (sequential drift ALARM) with the retrospective WHERE + mean
+    split. The corpus collapses map-side to the day alphabet; the
+    scan-sort-argmax chain is metadata-sized at any corpus scale
+    (SCALING.md r10: 100x series = 1.5x wall)."""
+    return analytics.cusum_changepoint(
+        _daily_revenue_cents(spark, sf_dir), "x", "y"
+    )
+
+
+@register(
+    "anderson_darling_purchase_vs_click",
+    # D_j = N*M_aj - n_a*B_j exact integers per pooled-CDF step; the
+    # per-value double terms fold in value order on both engines
+    # (validated end-to-end by tools/validate_prestaged_oracles.py)
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END AS ia,
+                          CASE WHEN event_type = 'click' THEN 1
+                               ELSE 0 END AS ib
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+              FROM s GROUP BY 1),
+        cum AS (SELECT v, ca, cb,
+                       sum(ca) OVER (ORDER BY v)::BIGINT AS ma,
+                       sum(ca + cb) OVER (ORDER BY v)::BIGINT AS bj
+                FROM g),
+        tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                FROM g),
+        j AS (SELECT v, ca + cb AS w, bj, ma, na, nb, na + nb AS nn
+              FROM cum CROSS JOIN tot),
+        terms AS (SELECT v, na, nb,
+                         (w * 1e0 / nn) * (1e0 / na + 1e0 / nb)
+                         * ((nn::HUGEINT * ma - na::HUGEINT * bj)
+                                ::DOUBLE
+                            * (nn::HUGEINT * ma - na::HUGEINT * bj)
+                                ::DOUBLE)
+                         / (bj * 1e0 * (nn - bj)) AS term
+                  FROM j WHERE bj < nn),
+        agg AS (SELECT max(na) AS na, max(nb) AS nb,
+                       list_reduce(
+                           list_prepend(0e0, list(term ORDER BY v)),
+                           (acc, x) -> acc + x) AS a2
+                FROM terms)
+        SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(a2, 6) AS a2,
+               (a2 > {float(analytics.AD_CRIT_05):.17e}) AS significant
+        FROM agg
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def anderson_darling_purchase_vs_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling test of purchase vs click value
+    distributions (operators.analytics.
+    anderson_darling_from_value_counts, pre-staged in round 10 for
+    the streaming A/B monitor's ad_now readout and oracle-gated here
+    — VERDICT r10 ask #2): the TAIL-weighted member of the
+    two-sample family this (v, ca, cb) count frame already serves —
+    Mann-Whitney ranks the middle, KS takes the single biggest CDF
+    gap, AD integrates the squared gap with 1/(H(1-H)) weights, so a
+    pure tail shift the other two shrug at still fires here
+    (Scholz-Stephens discrete k=2 form; asymptotic 95% point 2.492,
+    Pettitt 1976 — N-free, so no runtime variance formula). The
+    corpus collapses map-side to the exact-cents value alphabet;
+    D_j stays an exact integer and the per-value terms fold in value
+    order on both engines. Returns one row:
+    (n_a, n_b, a2, significant)."""
+    return analytics.anderson_darling_from_value_counts(
+        analytics.group_value_counts(
+            _t(spark, sf_dir, "events"), "purchase", "click"
+        )
+    )
+
+
+@register(
+    "seasonal_mann_kendall_revenue",
+    # the oracle forms pairs as a within-phase theta join (semantics);
+    # the kernel generates the identical pair set via the two-key
+    # (phase, rank) gap-explode equi-join — S, tie and variance terms
+    # all exact integers into the shared z string (validated
+    # end-to-end by tools/validate_prestaged_oracles.py)
+    oracle=f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        ph AS (SELECT x, y, ((x % 7) + 7) % 7 AS p,
+                      row_number() OVER (PARTITION BY ((x % 7) + 7) % 7
+                                         ORDER BY x) AS r
+               FROM day),
+        pairs AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                                  WHEN b.y < a.y THEN -1
+                                  ELSE 0 END)::BIGINT AS s_raw
+                  FROM ph a JOIN ph b ON a.p = b.p AND b.r > a.r),
+        tie AS (SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+                           ::BIGINT AS tie_term
+                FROM (SELECT count(*)::BIGINT AS c FROM ph
+                      GROUP BY p, y)),
+        np AS (SELECT sum(np_ * (np_ - 1) * (2 * np_ + 5))::BIGINT
+                          AS nvar_term,
+                      sum(np_)::BIGINT AS n,
+                      count(*)::BIGINT AS k_phases
+               FROM (SELECT count(*)::BIGINT AS np_ FROM ph
+                     GROUP BY p)),
+        z AS (SELECT n AS n_obs, k_phases AS n_phases,
+                     coalesce(s_raw, 0)::BIGINT AS s_mk,
+                     (nvar_term * 1e0 - tie_term) / 18e0 AS var_s
+              FROM pairs, tie, np)
+        SELECT n_obs, n_phases, s_mk, round(var_s, 6) AS var_s,
+               round({analytics.MANN_KENDALL_Z_EXPR}, 6) AS z_mk,
+               CASE
+                 WHEN abs({analytics.MANN_KENDALL_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN s_mk > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM z
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def seasonal_mann_kendall_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily order revenue
+    (operators.analytics.seasonal_mann_kendall, pre-staged in round
+    10 for the streaming SPRT monitor's seasonal_trend_now readout
+    and oracle-gated here — VERDICT r10 ask #2): the trend decision
+    a weekly cycle cannot fool (Hirsch & Slack 1984) — pairs form
+    ONLY within each of the 7 weekday phases, per-phase S and
+    tie-corrected variances sum under the independent-season
+    assumption, and the combined z reuses the same shared formula
+    string as mann_kendall_daily_revenue. Where the plain MK entry
+    reads a strong weekday profile as ties/noise (or a spurious
+    trend), this one compares Mondays to Mondays. Same 100 TB
+    posture: map-side collapse to the day alphabet, within-phase
+    ranks over metadata, pairs via the two-key (phase, rank)
+    gap-explode EQUI-join — never a theta join in the plan. Returns
+    one row: (n_obs, n_phases, s_mk, var_s, z_mk, trend)."""
+    return analytics.seasonal_mann_kendall(
+        _daily_revenue_cents(spark, sf_dir), "x", "y", 7
+    )

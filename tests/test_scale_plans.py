@@ -359,6 +359,13 @@ def test_registry_wide_no_cartesian_product(spark):
         # (segment join is the equi-join; spans explode, never theta)
         "jobspec_chi2_value_by_type",  # |types| x |bins| margin cross
         # + 1-row total (the chi2_independence_event_dow shape)
+        # round 11 — same classes again
+        "cusum_changepoint_daily_revenue",  # 1-row (n, s, q) totals
+        # crossed against the |days| cumulative series
+        "anderson_darling_purchase_vs_click",  # 1-row (na, nb) totals
+        # against the value alphabet (the ks_test shape)
+        "seasonal_mann_kendall_revenue",  # |days|/7-row gap grid +
+        # 1-row tie/total frames (pair join is the two-key equi-join)
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
