@@ -7448,3 +7448,166 @@ def jobspec_qq_value_by_type(
         },
     )
     return build(spark, spec)
+
+
+def _hw_backtest_oracle() -> str:
+    """DuckDB twin of rolling_backtest_hw on the per-type daily event
+    series: one 24-slot list accumulator [l, b, s1..s7, lh, bh,
+    w1..w7, six error sums] folded over the post-init tail, with the
+    HW seed and the plain-Holt seed each built by their own nested
+    list fold (exactly the kernel's nested aggregates). l_t and every
+    error term recur TEXTUALLY (list construction is functional in
+    DuckDB; the kernel duplicates the same op trees), constants in
+    .17e notation from the same Python values — bit-identical before
+    the 6dp rounding. Metrics come from the shared
+    hw_backtest_metric_exprs strings."""
+    m = HW_M
+    a, ca = _dbl(HW_ALPHA), _dbl(1.0 - HW_ALPHA)
+    b, cb = _dbl(HW_BETA), _dbl(1.0 - HW_BETA)
+    g, cg = _dbl(HW_GAMMA), _dbl(1.0 - HW_GAMMA)
+    ab = _dbl(float(HW_ALPHA) * float(HW_BETA))
+    kk = _dbl(
+        float(HW_BETA) * (1.0 - float(HW_ALPHA)) + (1.0 - float(HW_BETA))
+    )
+    mf = _dbl(float(m))
+    # consumed-slot HW level (acc = [l, b, s1..sm]); the backtest's
+    # 24-slot layout keeps the same first m+2 slots, so the text is
+    # identical in both folds
+    lt = f"({a} * (x[1] - acc[3]) + {ca} * (acc[1] + acc[2]))"
+    s_shift = ", ".join(f"acc[{i}]" for i in range(4, m + 3))
+    w_shift = ", ".join(f"acc[{i}]" for i in range(m + 6, 2 * m + 5))
+    e_hw = "(x[1] - (acc[1] + acc[2] + acc[3]))"
+    e_h = f"(x[1] - (acc[{m + 3}] + acc[{m + 4}]))"
+    e_sn = f"(x[1] - acc[{m + 5}])"
+    sums = 2 * m + 4  # index before the first error-sum slot
+    metrics = ",\n               ".join(
+        f"round({e}, 6) AS {name}"
+        for name, e in analytics.hw_backtest_metric_exprs(m).items()
+    )
+    return f"""
+        WITH day AS (SELECT event_type, ts::DATE AS dd,
+                            count(*)::BIGINT AS n_ev
+                     FROM events GROUP BY 1, 2),
+        grp AS (SELECT event_type,
+                       list(n_ev::DOUBLE ORDER BY dd) AS xs,
+                       count(*)::BIGINT AS n
+                FROM day GROUP BY 1),
+        s1 AS (SELECT event_type, n, xs,
+                      list_reduce(list_prepend(0e0, xs[1:{m}]),
+                                  (acc, x) -> acc + x) / {mf} AS l0
+               FROM grp),
+        s2 AS (SELECT event_type, n, xs, l0,
+                      (list_reduce(list_prepend(0e0,
+                                                xs[{m + 1}:{2 * m}]),
+                                   (acc, x) -> acc + x) / {mf} - l0)
+                          / {mf} AS b0
+               FROM s1),
+        hw AS (SELECT event_type, n, xs,
+                      list_reduce(
+                        list_prepend(
+                          list_concat([l0, b0],
+                              list_transform(xs[1:{m}], x -> x - l0)),
+                          list_transform(xs[{m + 1}:{2 * m}],
+                                         x -> [x])),
+                        (acc, x) -> list_concat(
+                          [{lt},
+                           {b} * ({lt} - acc[1]) + {cb} * acc[2],
+                           {s_shift}],
+                          [{g} * (x[1] - {lt}) + {cg} * acc[3]]))
+                          AS hw0
+               FROM s2),
+        ho AS (SELECT event_type, n, xs, hw0,
+                      list_reduce(
+                        list_prepend([xs[2], xs[2] - xs[1]],
+                          list_transform(xs[3:{2 * m}], x -> [x])),
+                        (acc, x) -> [
+                          {a} * x[1] + {ca} * (acc[1] + acc[2]),
+                          {ab} * (x[1] - acc[1]) + {kk} * acc[2]])
+                          AS ho0
+               FROM hw),
+        f AS (SELECT event_type, n,
+                     list_reduce(
+                       list_prepend(
+                         list_concat(
+                           list_concat(hw0, ho0),
+                           list_concat(xs[{m + 1}:{2 * m}],
+                                       [0e0, 0e0, 0e0,
+                                        0e0, 0e0, 0e0])),
+                         list_transform(list_slice(xs, {2 * m + 1}, n),
+                                        x -> [x])),
+                       (acc, x) -> list_concat(
+                         [{lt},
+                          {b} * ({lt} - acc[1]) + {cb} * acc[2],
+                          {s_shift},
+                          {g} * (x[1] - {lt}) + {cg} * acc[3],
+                          {a} * x[1]
+                              + {ca} * (acc[{m + 3}] + acc[{m + 4}]),
+                          {ab} * (x[1] - acc[{m + 3}])
+                              + {kk} * acc[{m + 4}],
+                          {w_shift},
+                          x[1]],
+                         [acc[{sums + 1}] + abs({e_hw}),
+                          acc[{sums + 2}] + {e_hw} * {e_hw},
+                          acc[{sums + 3}] + abs({e_h}),
+                          acc[{sums + 4}] + {e_h} * {e_h},
+                          acc[{sums + 5}] + abs({e_sn}),
+                          acc[{sums + 6}] + {e_sn} * {e_sn}]))
+                         AS fin
+              FROM ho),
+        mm AS (SELECT event_type, n,
+                      fin[{sums + 1}] AS sae_hw,
+                      fin[{sums + 2}] AS sse_hw,
+                      fin[{sums + 3}] AS sae_h,
+                      fin[{sums + 4}] AS sse_h,
+                      fin[{sums + 5}] AS sae_sn,
+                      fin[{sums + 6}] AS sse_sn
+               FROM f)
+        SELECT event_type, n AS n_obs,
+               greatest(n - {2 * m}, 0)::BIGINT AS n_forecasts,
+               {metrics}
+        FROM mm
+    """
+
+
+@register(
+    "hw_backtest_daily_events",
+    oracle=_hw_backtest_oracle(),
+    tags=("analytics", "timeseries", "stats"),
+)
+def hw_backtest_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling-origin backtest of the Holt-Winters forecast on daily
+    event volume per type (operators.analytics.rolling_backtest_hw —
+    VERDICT r10 stretch #6): the honesty gate
+    holt_winters_daily_events' forecast_next lacked. Every day after
+    the 14-day two-season init is forecast from its prefix by
+    Holt-Winters, plain Holt (same alpha/beta) AND the
+    seasonal-naive "same weekday last week" baseline, all scored on
+    the identical window, and the report answers the two questions
+    that decide what runs in production: does the smoother beat the
+    trivial seasonal carry-forward (skill_vs_snaive), and does the
+    rotating seasonal array EARN its measured ~8.5x fold cost over
+    plain Holt on this series (skill_vs_holt; SCALING.md r10)? One
+    map-side collapse to the (type, day) alphabet, then one
+    pure-Catalyst sorted-array fold per type whose accumulator
+    carries all three method states plus six exact error sums — the
+    backtest costs one fold, not three. Returns one row per type:
+    (event_type, n_obs, n_forecasts, mae_hw, rmse_hw, mae_holt,
+    rmse_holt, mae_snaive, rmse_snaive, skill_vs_snaive,
+    skill_vs_holt)."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"), F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return analytics.rolling_backtest_hw(
+        day,
+        ["event_type"],
+        ["dd"],
+        "n_ev",
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_M,
+    )

@@ -296,3 +296,41 @@ def seasonal_trend_now(
     return seasonal_mann_kendall(
         running_day_counts(spark, index_dir), "dd", "x", m
     )
+
+
+def seasonal_backtest_now(
+    spark: SparkSession,
+    index_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    m: int = 7,
+) -> DataFrame:
+    """Rolling-origin Holt-WINTERS backtest over the committed daily
+    trial volume (operators.analytics.rolling_backtest_hw — the
+    round-11 seasonal rung of backtest_now): before anyone acts on
+    forecast_now's Holt-Winters number, this readout says whether the
+    seasonal smoother has been beating BOTH the plain-Holt forecast
+    and the "same weekday last week" carry-forward on THIS series —
+    MAE/RMSE for all three plus the two skill scores, recomputed over
+    everything committed so far. Same shared-kernel contract as every
+    monitor readout: identical arithmetic to the batch catalog entry
+    (hw_backtest_daily_events), so streamed-then-scored equals
+    batch-scored exactly. Returns one row: (n_obs, n_forecasts,
+    mae_hw, rmse_hw, mae_holt, rmse_holt, mae_snaive, rmse_snaive,
+    skill_vs_snaive, skill_vs_holt); NULL metrics until 2m+1 days
+    commit."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_hw,
+    )
+
+    return rolling_backtest_hw(
+        running_day_counts(spark, index_dir),
+        [],
+        ["dd"],
+        "m",
+        alpha,
+        beta,
+        gamma,
+        m,
+    )

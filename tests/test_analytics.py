@@ -3118,3 +3118,86 @@ def test_cusum_changepoint_invariances(spark):
     # which maps consistently here because the max is unique)
     assert rev.cp_index == n - base.cp_index
     assert abs(rev.k_stat - base.k_stat) < 1e-6
+
+
+def test_rolling_backtest_hw_matches_python_reference(spark):
+    """operators.analytics.rolling_backtest_hw vs a sequential Python
+    backtest running all three methods (HW with the standard
+    recursion, plain Holt via the standard form — the kernel folds
+    the single-reference rewrite, algebraically equal — and the
+    seasonal-naive window). Metrics agree to 1e-9; on a noise-free
+    trending weekly pattern HW must beat BOTH baselines. Short
+    groups (n < 2m+1) emit NULL metrics."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_hw,
+    )
+
+    m = 7
+    a, be, g = 0.3, 0.1, 0.2
+    season = [5, -3, 0, 2, -4, 1, -1]
+    ys = [
+        int(round(20 + 0.5 * t + season[t % m], 3) * 1000)
+        for t in range(40)
+    ]
+    rows = [("g", t, y) for t, y in enumerate(ys)]
+    rows += [("short", t, 100 * t) for t in range(2 * m)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        r.k: r
+        for r in rolling_backtest_hw(
+            df, ["k"], ["t"], "v", a, be, g, m
+        ).collect()
+    }
+
+    xs = [float(y) for y in ys]
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m : 2 * m]) / m - l) / m
+    s = [x - l for x in xs[:m]]
+    for x in xs[m : 2 * m]:
+        lt = a * (x - s[0]) + (1 - a) * (l + b)
+        bt = be * (lt - l) + (1 - be) * b
+        st = g * (x - lt) + (1 - g) * s[0]
+        s = s[1:] + [st]
+        l, b = lt, bt
+    lh, bh = xs[1], xs[1] - xs[0]
+    for x in xs[2 : 2 * m]:
+        ltt = a * x + (1 - a) * (lh + bh)
+        bh = be * (ltt - lh) + (1 - be) * bh
+        lh = ltt
+    w = xs[m : 2 * m]
+    e_hw, e_h, e_sn = [], [], []
+    for x in xs[2 * m :]:
+        e_hw.append(x - (l + b + s[0]))
+        e_h.append(x - (lh + bh))
+        e_sn.append(x - w[0])
+        lt = a * (x - s[0]) + (1 - a) * (l + b)
+        bt = be * (lt - l) + (1 - be) * b
+        st = g * (x - lt) + (1 - g) * s[0]
+        s = s[1:] + [st]
+        l, b = lt, bt
+        ltt = a * x + (1 - a) * (lh + bh)
+        bh = be * (ltt - lh) + (1 - be) * bh
+        lh = ltt
+        w = w[1:] + [x]
+    nf = len(xs) - 2 * m
+    rmse_hw = math.sqrt(sum(e * e for e in e_hw) / nf)
+    rmse_h = math.sqrt(sum(e * e for e in e_h) / nf)
+    rmse_sn = math.sqrt(sum(e * e for e in e_sn) / nf)
+    r = got["g"]
+    assert (r.n_obs, r.n_forecasts) == (len(xs), nf)
+    assert abs(r.mae_hw - round(sum(map(abs, e_hw)) / nf, 6)) < 1e-9
+    assert abs(r.rmse_hw - round(rmse_hw, 6)) < 1e-9
+    assert abs(r.mae_holt - round(sum(map(abs, e_h)) / nf, 6)) < 1e-9
+    assert abs(r.rmse_holt - round(rmse_h, 6)) < 1e-9
+    assert abs(r.mae_snaive - round(sum(map(abs, e_sn)) / nf, 6)) < 1e-9
+    assert abs(r.rmse_snaive - round(rmse_sn, 6)) < 1e-9
+    assert abs(r.skill_vs_snaive - round(1 - rmse_hw / rmse_sn, 6)) < 1e-9
+    assert abs(r.skill_vs_holt - round(1 - rmse_hw / rmse_h, 6)) < 1e-9
+    # sanity: the seasonal smoother must win on a seasonal pattern
+    assert r.skill_vs_snaive > 0 and r.skill_vs_holt > 0
+
+    sh = got["short"]
+    assert sh.n_obs == 2 * m and sh.n_forecasts == 0
+    assert sh.mae_hw is None and sh.skill_vs_holt is None

@@ -1896,6 +1896,25 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_smk) == tuple(want_smk)
 
+    # ...and the Holt-Winters backtest readout (round-11 shared
+    # kernel) equals the batch kernel on the union
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        rolling_backtest_hw,
+    )
+
+    got_hwbt = sprt.seasonal_backtest_now(spark, index_dir).collect()[0]
+    want_hwbt = rolling_backtest_hw(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ),
+        [],
+        ["dd"],
+        "m",
+    ).collect()[0]
+    assert tuple(got_hwbt) == tuple(want_hwbt)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
@@ -1937,6 +1956,10 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     bt = sprt.backtest_now(spark, sprt_dir).collect()[0]
     assert bt.n_obs == 0 and bt.mae_holt is None
 
+    hwbt = sprt.seasonal_backtest_now(spark, sprt_dir).collect()[0]
+    assert hwbt.n_obs == 0 and hwbt.n_forecasts == 0
+    assert hwbt.mae_hw is None and hwbt.skill_vs_holt is None
+
     dc = sprt.decompose_now(spark, sprt_dir).collect()
     assert dc == []
 
@@ -1969,3 +1992,137 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     assert ad1.n_a == 5 and ad1.n_b == 0
     assert ad1.a2 is None and ad1.significant is None
     assert abtest.qq_now(spark, ab_dir).collect() == []
+
+
+def test_streaming_sprt_epoch_guard_and_restart_readouts(
+    spark, tmp_path
+):
+    """Lifecycle contract for the SPRT/timeseries monitor — the same
+    two restart paths the survival/abtest twins pin (VERDICT r10
+    stretch #7, closing the tier's pattern): a FRESH checkpoint
+    meeting a surviving index raises loudly instead of silently
+    double-counting, and a SAME-checkpoint restart drains new files —
+    after which the decompose and changepoint readouts still equal
+    the batch kernels on the grown union."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cusum_changepoint,
+        seasonal_decompose_additive,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import sprt
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    raw_schema = "event_id long, event_type string, ts string, value double"
+    cast_cols = [
+        "event_id",
+        "event_type",
+        "CAST(ts AS TIMESTAMP) ts",
+        "value",
+    ]
+    rows0 = [
+        (
+            i,
+            "purchase" if i % 3 == 0 else "click",
+            f"2024-01-{(i % 20) + 1:02d} 00:00:00",
+            float(i),
+        )
+        for i in range(60)
+    ]
+    spark.createDataFrame(rows0, raw_schema).selectExpr(
+        *cast_cols
+    ).write.parquet(os.path.join(src, "f0"))
+    index_dir = str(tmp_path / "idx")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f*")
+        )
+
+    args = (
+        "event_type = 'purchase'",
+        "event_type IN ('purchase', 'click')",
+    )
+    q = sprt.ingest_day_counts(
+        stream(), index_dir, str(tmp_path / "ckpt"), *args
+    ).start()
+    q.awaitTermination(120)
+    base = {
+        (r.dd, r.x, r.m)
+        for r in sprt.running_day_counts(spark, index_dir).collect()
+    }
+    assert base
+
+    # fresh checkpoint + surviving index -> loud failure, state intact
+    q2 = sprt.ingest_day_counts(
+        stream(), index_dir, str(tmp_path / "ckpt2"), *args
+    ).start()
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised and "checkpoint epoch mismatch" in raised, raised
+    after = {
+        (r.dd, r.x, r.m)
+        for r in sprt.running_day_counts(spark, index_dir).collect()
+    }
+    assert after == base
+
+    # same checkpoint + new file -> drains; readouts equal batch on
+    # the union (the decompose/changepoint parity surviving restart)
+    rows1 = [
+        (
+            100 + i,
+            "purchase" if i % 2 == 0 else "click",
+            f"2024-01-{(i % 25) + 1:02d} 00:00:00",
+            float(i),
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows1, raw_schema).selectExpr(
+        *cast_cols
+    ).write.parquet(os.path.join(src, "f1"))
+    q3 = sprt.ingest_day_counts(
+        stream(), index_dir, str(tmp_path / "ckpt"), *args
+    ).start()
+    q3.awaitTermination(120)
+
+    union = spark.createDataFrame(rows0 + rows1, raw_schema).selectExpr(
+        *cast_cols
+    )
+    want_counts = {
+        (r.dd, r.x, r.m)
+        for r in sprt.batch_day_counts(union, *args).collect()
+    }
+    got_counts = {
+        (r.dd, r.x, r.m)
+        for r in sprt.running_day_counts(spark, index_dir).collect()
+    }
+    assert got_counts == want_counts
+
+    got_dc = sorted(
+        tuple(r) for r in sprt.decompose_now(spark, index_dir).collect()
+    )
+    want_dc = sorted(
+        tuple(r)
+        for r in seasonal_decompose_additive(
+            sprt.batch_day_counts(union, *args), [], "dd", "m"
+        ).collect()
+    )
+    assert got_dc == want_dc and len(got_dc) > 0
+
+    got_cp = sprt.changepoint_now(spark, index_dir).collect()[0]
+    want_cp = cusum_changepoint(
+        sprt.batch_day_counts(union, *args).selectExpr(
+            "dd", "(x * 1000000) div m AS rate_micro"
+        ),
+        "dd",
+        "rate_micro",
+    ).collect()[0]
+    assert tuple(got_cp) == tuple(want_cp)
