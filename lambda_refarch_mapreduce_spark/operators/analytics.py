@@ -3221,3 +3221,242 @@ def rolling_backtest_hw(
             for name, e in hw_backtest_metric_exprs(m).items()
         ],
     )
+
+
+# Pettitt approximate two-sided significance from the max-|U| rank
+# statistic — the bridge-type tail 2*exp(-6K^2/(n^3+n^2)) (Pettitt
+# 1979), capped at 1; shared verbatim with oracles over the exact
+# integer columns (k_abs, n). exp() is engine-libm like the ln() the
+# MI/zipf entries already fold; the VERDICT below avoids even that.
+PETTITT_P_EXPR = (
+    "least(1e0, 2e0 * exp(-6e0 * (k_abs * 1e0 * k_abs)"
+    " / (n * 1e0 * n * n + n * 1e0 * n)))"
+)
+
+
+def pettitt_sig_expr(alpha: float = 0.05) -> str:
+    """Pettitt verdict WITHOUT a libm seam: p < alpha is exactly
+    6*K^2 > -ln(alpha/2)*(n^3+n^2), with -ln(alpha/2) precomputed in
+    Python and emitted as one .17e literal into both engines — the
+    comparison runs on exact-integer-derived doubles, no exp/ln
+    evaluated by either engine for the decision."""
+    import math
+
+    c = -math.log(alpha / 2.0)
+    return (
+        f"(6e0 * (k_abs * 1e0 * k_abs)"
+        f" > {c:.17e} * (n * 1e0 * n * n + n * 1e0 * n))"
+    )
+
+
+def pettitt_changepoint(
+    series: DataFrame, t_col: str, y_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Pettitt rank-based changepoint test (Pettitt 1979) — the
+    ROBUST companion to cusum_changepoint: where CUSUM's max-|D|
+    argmax tracks the mean (one holiday spike can drag it), Pettitt's
+    U_t = sum_{i<=t<j} sign(y_j - y_i) is a Mann-Whitney statistic at
+    every split, so the located shift is a MEDIAN shift, immune to
+    outlier magnitude. Distributed shape: the caller collapses to the
+    time alphabet; all pairs come from the gap-explode EQUI-join on
+    the global_rank index (quadratic in the alphabet only — never a
+    theta join); each pair (i, j) contributes its sign to every
+    U_t with i <= t < j, which is a DIFFERENCE ARRAY (+sign at i,
+    -sign at j), so U_t is one prefix sum over the per-index sign
+    totals — exact integers end to end, and the argmax (ties ->
+    smallest t) cannot be moved by float noise. Verdict via the
+    bridge-tail inequality precomputed as a literal (pettitt_sig_expr
+    — no libm in the decision); p_approx via the shared
+    PETTITT_P_EXPR. Degenerate inputs (n < 2) emit NULL
+    statistic/verdict. Returns one row: (n_obs, cp_index, cp_t,
+    u_stat, p_approx, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        prefix_sums,
+    )
+
+    s = global_rank(
+        series.select(
+            F.col(t_col).cast("long").alias("__t0"),
+            F.col(y_col).cast("long").alias("__y"),
+        ),
+        [F.col("__t0")],
+        rank_col="__i",
+    )
+    nrow = s.agg(F.count(F.lit(1)).alias("n"))
+    gaps = nrow.select(
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
+    ).filter(F.col("g") >= 1)
+    left = s.select(
+        F.col("__i").alias("__ia"),
+        F.col("__t0").alias("__ta"),
+        F.col("__y").alias("ya"),
+    )
+    right = s.select(
+        F.col("__i").alias("__ib"), F.col("__y").alias("yb")
+    )
+    pairs = (
+        left.crossJoin(F.broadcast(gaps))
+        .withColumn("__want", F.col("__ia") + F.col("g"))
+        .join(right, F.col("__want") == F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("__sgn"),
+        )
+    )
+    # difference array: +sign opens at i, -sign closes at j; summing
+    # per index then prefix-summing in rank order yields every U_t in
+    # one pass (never an |pairs| x |splits| explosion)
+    diffs = (
+        pairs.select(F.col("__ia").alias("__i"), F.col("__sgn"))
+        .unionAll(
+            pairs.select(
+                F.col("__ib").alias("__i"), (-F.col("__sgn")).alias("__sgn")
+            )
+        )
+        .groupBy("__i")
+        .agg(F.sum("__sgn").alias("__d"))
+    )
+    u = prefix_sums(diffs, [F.col("__i")], ["__d"]).crossJoin(
+        F.broadcast(nrow)
+    )
+    # U_t is defined for splits 1..n-1 (U_n = 0 identically)
+    best = (
+        u.filter(F.col("__i") < F.col("n"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("__d_cum")).alias("absu"),
+                    (-F.col("__i")).alias("negi"),
+                    F.col("__i").alias("i"),
+                    F.col("__d_cum").alias("u"),
+                )
+            ).alias("b")
+        )
+    )
+    # map the winning rank back to its original time key
+    withb = best.crossJoin(F.broadcast(nrow)).join(
+        F.broadcast(s.select(F.col("__i").alias("__bi"), "__t0")),
+        F.col("b.i") == F.col("__bi"),
+        "left",
+    )
+    one = withb.select(
+        F.col("n"),
+        F.col("b.i").alias("i"),
+        F.col("__t0").alias("t"),
+        F.col("b.u").alias("u"),
+        F.col("b.absu").alias("k_abs"),
+    )
+    return one.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(i AS BIGINT) AS cp_index",
+        "CAST(t AS BIGINT) AS cp_t",
+        "CAST(u AS BIGINT) AS u_stat",
+        f"CASE WHEN n >= 2 THEN round({PETTITT_P_EXPR}, 6)"
+        " END AS p_approx",
+        f"CASE WHEN n >= 2 THEN {pettitt_sig_expr(alpha)}"
+        " END AS significant",
+    )
+
+
+# Tie-corrected Kruskal-Wallis H over exact integer moments
+# (nt = pooled N, sumq = the sorted-fold sum of per-group
+# (2R_g)^2/(4 n_g) terms, tienum = sum of t^3 - t over pooled value
+# ties) — shared verbatim with oracles. The doubled-rank trick keeps
+# every rank sum an exact integer (no .5 average ranks); the all-tied
+# degenerate (tienum = n^3 - n) yields NULL instead of 0/0.
+KW_GROUP_TERM = "((rg2 * 1e0 * rg2) / (4e0 * ng))"
+KW_H_EXPR = (
+    "(CASE WHEN nt >= 2"
+    " AND tienum < nt * 1e0 * nt * nt - nt"
+    " THEN (12e0 * sumq / (nt * 1e0 * (nt + 1e0))"
+    " - 3e0 * (nt + 1e0))"
+    " / (1e0 - tienum / (nt * 1e0 * nt * nt - nt)) END)"
+)
+
+
+def kruskal_wallis_from_counts(
+    counts: DataFrame,
+    g: str = "g",
+    v: str = "v",
+    c: str = "c",
+) -> DataFrame:
+    """Kruskal-Wallis rank test across k groups from a per-(group,
+    value) count frame — the DISTRIBUTION-FREE k-sample companion to
+    anova_f_from_groups (ANOVA compares means and leans on normality;
+    KW ranks the pooled values, so heavy tails and outliers cannot
+    dominate), and the k-sample generalization of the Mann-Whitney
+    kernel this module already serves from the same state shape.
+    Average ranks come from the pooled per-value cumulative counts as
+    DOUBLED integers (2r = 2*cum - count + 1 — no .5 floats), so each
+    group's rank sum R_g is exact; H folds per-group terms in group
+    order (sorted_fold_sum — the k-term alphabet), the tie correction
+    1 - sum(t^3 - t)/(N^3 - N) rides decimal(38,0) products, and
+    significance reuses the Wilson-Hilferty chi-square normal
+    approximation at k-1 dof (the shared WH_CHI2_Z string). At 100 TB
+    the corpus collapses map-side into the (group, value) alphabet
+    and one prefix_sums range exchange builds the pooled CDF. Returns
+    one row: (k_groups, n_total, h_stat, z_wh, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    base = counts.select(
+        F.col(g).alias("__g"),
+        F.col(v).alias("__v"),
+        F.col(c).cast("long").alias("__c"),
+    )
+    w = base.groupBy("__v").agg(F.sum("__c").alias("__wc"))
+    cum = prefix_sums(w, [F.col("__v")], ["__wc"])
+    r2 = cum.select(
+        "__v",
+        (2 * F.col("__wc_cum") - F.col("__wc") + 1).alias("__r2"),
+    )
+    per_g = (
+        base.join(r2, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("ng"),
+            F.sum(F.col("__c") * F.col("__r2")).alias("rg2"),
+        )
+    )
+    ties = w.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__wc").cast("decimal(38,0)")
+                * F.col("__wc")
+                * F.col("__wc")
+                - F.col("__wc")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("tienum")
+    )
+    aggd = per_g.selectExpr(
+        "__g", "ng", "rg2", f"{KW_GROUP_TERM} AS __term"
+    ).agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("ng").alias("nt"),
+        sorted_fold_sum(["__g"], "__term").alias("sumq"),
+    )
+    one = aggd.crossJoin(F.broadcast(ties)).selectExpr(
+        "CAST(k_groups AS BIGINT) AS k_groups",
+        "CAST(nt AS BIGINT) AS n_total",
+        f"{KW_H_EXPR} AS h_stat",
+        "(k_groups - 1) * 1e0 AS dof",
+        f"{KW_H_EXPR} AS chi2",
+    )
+    return one.selectExpr(
+        "k_groups",
+        "CAST(n_total AS BIGINT) AS n_total",
+        "round(h_stat, 6) AS h_stat",
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
+    )

@@ -7611,3 +7611,147 @@ def hw_backtest_daily_events(
         HW_GAMMA,
         HW_M,
     )
+
+
+@register(
+    "pettitt_changepoint_daily_revenue",
+    # the oracle builds the same difference array + cumsum the kernel
+    # distributes (pairs stated as a theta join — semantics; the
+    # kernel's gap-explode equi-join generates the identical pair
+    # set); U_t exact integers end to end, the verdict via the
+    # pettitt_sig_expr literal, p via the shared PETTITT_P_EXPR
+    oracle=f"""
+        WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
+                                      o_orderdate::DATE)::BIGINT AS x,
+                            sum(round(o_totalprice * 100)::BIGINT)
+                                ::BIGINT AS y
+                     FROM orders GROUP BY 1),
+        r AS (SELECT x, y, row_number() OVER (ORDER BY x) AS i
+              FROM day),
+        nn AS (SELECT count(*)::BIGINT AS n FROM day),
+        pairs AS (SELECT a.i AS ia, b.i AS ib,
+                         CASE WHEN b.y > a.y THEN 1
+                              WHEN b.y < a.y THEN -1
+                              ELSE 0 END AS sgn
+                  FROM r a JOIN r b ON b.i > a.i),
+        diffs AS (SELECT i, sum(sgn)::BIGINT AS d
+                  FROM (SELECT ia AS i, sgn FROM pairs
+                        UNION ALL
+                        SELECT ib AS i, -sgn FROM pairs) u
+                  GROUP BY 1),
+        u AS (SELECT i, sum(d) OVER (ORDER BY i)::BIGINT AS ut
+              FROM diffs),
+        best AS (SELECT i, ut, abs(ut)::BIGINT AS k_abs
+                 FROM u CROSS JOIN nn WHERE i < n
+                 ORDER BY abs(ut) DESC, i ASC LIMIT 1),
+        one AS (SELECT n, i, ut, k_abs FROM best CROSS JOIN nn),
+        tm AS (SELECT one.n, one.i, one.ut, one.k_abs, r.x AS t
+               FROM one JOIN r ON r.i = one.i)
+        SELECT n::BIGINT AS n_obs, i::BIGINT AS cp_index,
+               t::BIGINT AS cp_t, ut::BIGINT AS u_stat,
+               CASE WHEN n >= 2
+                    THEN round({analytics.PETTITT_P_EXPR}, 6)
+                   END AS p_approx,
+               CASE WHEN n >= 2 THEN {analytics.pettitt_sig_expr(0.05)}
+                   END AS significant
+        FROM tm
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def pettitt_changepoint_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily order revenue
+    (operators.analytics.pettitt_changepoint, round 11) — the ROBUST
+    companion to cusum_changepoint_daily_revenue on the SAME series:
+    CUSUM's mean-tracking argmax follows outlier magnitude (one
+    holiday spike drags D_i), while Pettitt's U_t is a Mann-Whitney
+    statistic at every split, so the located break is a MEDIAN
+    shift. Reading both: agreement = a real level shift; CUSUM-only
+    = suspect an outlier, not a regime change. The pair set comes
+    from the gap-explode EQUI-join on the global_rank index and each
+    pair's sign enters a DIFFERENCE ARRAY (+s at i, -s at j), so
+    every U_t is one prefix sum — exact integers end to end, the
+    argmax unmovable by float noise, and the alpha=.05 verdict is a
+    literal-coefficient inequality with no exp/ln evaluated by
+    either engine. Returns one row: (n_obs, cp_index, cp_t, u_stat,
+    p_approx, significant)."""
+    return analytics.pettitt_changepoint(
+        _daily_revenue_cents(spark, sf_dir), "x", "y", 0.05
+    )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    # doubled ranks from the pooled window cumsum keep every rank
+    # sum integer; the only float sum is the k-term group fold; tie
+    # numerator rides HUGEINT/decimal(38,0); H + Wilson-Hilferty z
+    # from the shared strings
+    oracle=f"""
+        WITH s AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        w AS (SELECT v, sum(c)::BIGINT AS wc FROM cnt GROUP BY 1),
+        cum AS (SELECT v, wc,
+                       sum(wc) OVER (ORDER BY v)::BIGINT AS wcum
+                FROM w),
+        r2 AS (SELECT v, (2 * wcum - wc + 1)::BIGINT AS rr FROM cum),
+        pg AS (SELECT g, sum(c)::BIGINT AS ng,
+                      sum(c * rr)::BIGINT AS rg2
+               FROM cnt JOIN r2 USING (v) GROUP BY 1),
+        tie AS (SELECT coalesce(sum(wc::HUGEINT * wc * wc - wc), 0)
+                           ::DOUBLE AS tienum
+                FROM w),
+        f AS (SELECT count(*)::BIGINT AS k_groups,
+                     sum(ng)::BIGINT AS nt,
+                     list_reduce(
+                         list_prepend(
+                             0e0,
+                             list({analytics.KW_GROUP_TERM}
+                                  ORDER BY g)),
+                         (acc, x) -> acc + x) AS sumq
+              FROM pg),
+        z AS (SELECT k_groups, nt,
+                     {analytics.KW_H_EXPR} AS h_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     {analytics.KW_H_EXPR} AS chi2
+              FROM f CROSS JOIN tie)
+        SELECT k_groups, nt AS n_total, round(h_stat, 6) AS h_stat,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6)
+                   END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis rank test of event value across ALL five event
+    types (operators.analytics.kruskal_wallis_from_counts, round 11)
+    — the distribution-free k-sample companion to
+    jobspec_anova_value_by_type on the same frame: ANOVA compares
+    means under normality, KW ranks the pooled values so heavy tails
+    and outliers cannot dominate, and it is the k-sample
+    generalization of mann_whitney_auc_value (at k=2 they coincide
+    up to the chi-square reading). Average ranks come from the
+    pooled per-value cumulative counts as DOUBLED integers (no .5
+    floats), every rank sum is exact, the tie correction rides
+    decimal(38,0)/HUGEINT, and the only float sum is the 5-term
+    group fold. At 100 TB the corpus collapses map-side to the
+    (type, cents) alphabet; one prefix_sums range exchange builds
+    the pooled CDF. Returns one row: (k_groups, n_total, h_stat,
+    z_wh, significant)."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return analytics.kruskal_wallis_from_counts(counts)

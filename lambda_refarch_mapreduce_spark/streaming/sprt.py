@@ -334,3 +334,23 @@ def seasonal_backtest_now(
         gamma,
         m,
     )
+
+
+def rank_changepoint_now(
+    spark: SparkSession, index_dir: str, alpha: float = 0.05
+) -> DataFrame:
+    """Pettitt rank-based changepoint readout over the committed
+    daily conversion rate (operators.analytics.pettitt_changepoint on
+    the same micro-rate series changepoint_now feeds CUSUM) — the
+    ROBUST second opinion: when both changepoint readouts agree the
+    rate regime really moved; when only CUSUM fires, suspect an
+    outlier day rather than a shift. Returns one row: (n_obs,
+    cp_index, cp_t, u_stat, p_approx, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    day = running_day_counts(spark, index_dir).selectExpr(
+        "dd", "(x * 1000000) div m AS rate_micro"
+    )
+    return pettitt_changepoint(day, "dd", "rate_micro", alpha)

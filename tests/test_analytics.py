@@ -3201,3 +3201,105 @@ def test_rolling_backtest_hw_matches_python_reference(spark):
     sh = got["short"]
     assert sh.n_obs == 2 * m and sh.n_forecasts == 0
     assert sh.mae_hw is None and sh.skill_vs_holt is None
+
+
+def test_pettitt_changepoint_matches_bruteforce(spark):
+    """operators.analytics.pettitt_changepoint vs the O(n^2 * n)
+    textbook double loop (U_t = sum over split pairs of sign), plus
+    the degenerate shapes and the sign-flip invariance: negating the
+    series negates U, keeps |U| / the located index / the verdict."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    ys = [10, 12, 11, 13, 10, 12, 30, 31, 29, 33, 32, 30, 31]
+    n = len(ys)
+    df = spark.createDataFrame(
+        [(t + 100, y) for t, y in enumerate(ys)], "t long, y long"
+    )
+    got = pettitt_changepoint(df, "t", "y").collect()[0]
+
+    def sgn(d):
+        return (d > 0) - (d < 0)
+
+    best = None
+    for t in range(1, n):
+        u = sum(
+            sgn(ys[j] - ys[i]) for i in range(t) for j in range(t, n)
+        )
+        if best is None or abs(u) > abs(best[1]):
+            best = (t, u)
+    k = abs(best[1])
+    p = min(1.0, 2.0 * math.exp(-6.0 * k * k / (n**3 + n**2)))
+    assert (got.n_obs, got.cp_index, got.cp_t) == (n, best[0], 99 + best[0])
+    assert got.u_stat == best[1]
+    assert abs(got.p_approx - round(p, 6)) < 1e-9
+    assert got.significant == (
+        6 * k * k > -math.log(0.025) * (n**3 + n**2)
+    )
+
+    neg = pettitt_changepoint(
+        df.selectExpr("t", "-y AS y"), "t", "y"
+    ).collect()[0]
+    assert neg.cp_index == got.cp_index
+    assert neg.u_stat == -got.u_stat
+    assert neg.p_approx == got.p_approx
+    assert neg.significant == got.significant
+
+    for rows in ([], [(1, 5)]):
+        r = pettitt_changepoint(
+            spark.createDataFrame(rows, "t long, y long"), "t", "y"
+        ).collect()[0]
+        assert r.n_obs == len(rows)
+        assert r.u_stat is None and r.significant is None
+
+
+def test_kruskal_wallis_matches_reference_and_invariances(spark):
+    """operators.analytics.kruskal_wallis_from_counts vs a sequential
+    average-rank reference with ties, plus the rank-test invariances:
+    shifting every value by a constant and relabeling groups change
+    nothing; the all-tied degenerate emits NULL."""
+    import collections
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kruskal_wallis_from_counts,
+    )
+
+    data = {"a": [1, 2, 2, 3, 7], "b": [2, 4, 5, 5, 6], "c": [5, 6, 6, 8, 9]}
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    cnt = collections.Counter(rows)
+
+    def kw(rows_counts):
+        df = spark.createDataFrame(rows_counts, "g string, v long, c long")
+        return kruskal_wallis_from_counts(df).collect()[0]
+
+    got = kw([(g, v, c) for (g, v), c in cnt.items()])
+
+    allv = sorted(v for _, v in rows)
+    pos = {}
+    for val in set(allv):
+        idxs = [i + 1 for i, x in enumerate(allv) if x == val]
+        pos[val] = sum(idxs) / len(idxs)
+    N = len(allv)
+    H = 12.0 / (N * (N + 1)) * sum(
+        sum(pos[v] for v in vals) ** 2 / len(vals)
+        for vals in data.values()
+    ) - 3 * (N + 1)
+    tie = sum(c**3 - c for c in collections.Counter(allv).values())
+    Hc = H / (1 - tie / (N**3 - N))
+    assert (got.k_groups, got.n_total) == (3, N)
+    assert abs(got.h_stat - round(Hc, 6)) < 1e-6
+    assert got.z_wh is not None and got.significant is not None
+
+    shifted = kw([(g, v + 1000, c) for (g, v), c in cnt.items()])
+    assert tuple(shifted) == tuple(got)
+
+    relabel = {"a": "zz", "b": "mm", "c": "aa"}
+    renamed = kw([(relabel[g], v, c) for (g, v), c in cnt.items()])
+    assert tuple(renamed) == tuple(got)
+
+    all_tied = kw([("a", 7, 5), ("b", 7, 9)])
+    assert all_tied.k_groups == 2 and all_tied.n_total == 14
+    assert all_tied.h_stat is None and all_tied.significant is None

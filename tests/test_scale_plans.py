@@ -370,6 +370,11 @@ def test_registry_wide_no_cartesian_product(spark):
         # the value alphabet (the anderson_darling entry's shape)
         "jobspec_qq_value_by_type",    # 19-row ventile grid + 1-row
         # totals against the value alphabet (the qq_quality shape)
+        "pettitt_changepoint_daily_revenue",  # |days|-1 gap grid +
+        # 1-row n + 1-row argmax-to-time map (pair join is the
+        # equi-join; the difference array kills the t-explosion)
+        "kruskal_wallis_value_by_type",  # 1-row tie-numerator term
+        # against the 5-row group-moment frame
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():

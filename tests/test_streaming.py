@@ -1966,6 +1966,10 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     cp = sprt.changepoint_now(spark, sprt_dir).collect()[0]
     assert cp.n_obs == 0 and cp.k_stat is None and cp.significant is None
 
+    rcp = sprt.rank_changepoint_now(spark, sprt_dir).collect()[0]
+    assert rcp.n_obs == 0 and rcp.u_stat is None
+    assert rcp.p_approx is None and rcp.significant is None
+
     smk = sprt.seasonal_trend_now(spark, sprt_dir).collect()[0]
     assert smk.n_obs == 0 and smk.s_mk == 0
 
@@ -2126,3 +2130,17 @@ def test_streaming_sprt_epoch_guard_and_restart_readouts(
         "rate_micro",
     ).collect()[0]
     assert tuple(got_cp) == tuple(want_cp)
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        pettitt_changepoint,
+    )
+
+    got_rcp = sprt.rank_changepoint_now(spark, index_dir).collect()[0]
+    want_rcp = pettitt_changepoint(
+        sprt.batch_day_counts(union, *args).selectExpr(
+            "dd", "(x * 1000000) div m AS rate_micro"
+        ),
+        "dd",
+        "rate_micro",
+    ).collect()[0]
+    assert tuple(got_rcp) == tuple(want_rcp)
