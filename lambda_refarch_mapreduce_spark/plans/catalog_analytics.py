@@ -7755,3 +7755,77 @@ def kruskal_wallis_value_by_type(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return analytics.kruskal_wallis_from_counts(counts)
+
+
+@register(
+    "jobspec_kruskal_price_by_priority",
+    # the clause's oracle is the kruskal_wallis_value_by_type shape
+    # on a DIFFERENT frame (order price cents across the five order
+    # priorities — the anova_f_price_by_priority frame) — parameter
+    # plumbing, not a memorized answer
+    oracle=f"""
+        WITH s AS (SELECT o_orderpriority AS g,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS v
+                   FROM orders),
+        cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        w AS (SELECT v, sum(c)::BIGINT AS wc FROM cnt GROUP BY 1),
+        cum AS (SELECT v, wc,
+                       sum(wc) OVER (ORDER BY v)::BIGINT AS wcum
+                FROM w),
+        r2 AS (SELECT v, (2 * wcum - wc + 1)::BIGINT AS rr FROM cum),
+        pg AS (SELECT g, sum(c)::BIGINT AS ng,
+                      sum(c * rr)::BIGINT AS rg2
+               FROM cnt JOIN r2 USING (v) GROUP BY 1),
+        tie AS (SELECT coalesce(sum(wc::HUGEINT * wc * wc - wc), 0)
+                           ::DOUBLE AS tienum
+                FROM w),
+        f AS (SELECT count(*)::BIGINT AS k_groups,
+                     sum(ng)::BIGINT AS nt,
+                     list_reduce(
+                         list_prepend(
+                             0e0,
+                             list({analytics.KW_GROUP_TERM}
+                                  ORDER BY g)),
+                         (acc, x) -> acc + x) AS sumq
+              FROM pg),
+        z AS (SELECT k_groups, nt,
+                     {analytics.KW_H_EXPR} AS h_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     {analytics.KW_H_EXPR} AS chi2
+              FROM f CROSS JOIN tie)
+        SELECT k_groups, nt AS n_total, round(h_stat, 6) AS h_stat,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6)
+                   END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_kruskal_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's kruskal mode (round 11): "do the five
+    order priorities draw their prices from the same distribution?"
+    as a declarative spec — the rank-based reading of the question
+    anova_f_price_by_priority answers with means, lowering onto
+    kruskal_wallis_from_counts on a DIFFERENT frame than the batch
+    kruskal_wallis_value_by_type entry so the gate exercises the
+    clause's parameter plumbing. The quantizing value expression is
+    part of the spec contract (exact-cents integers). Map-side
+    collapse to the (priority, cents) alphabet before any
+    exchange."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "orders")},
+        stats_test={
+            "method": "kruskal",
+            "group_col": "o_orderpriority",
+            "value": "CAST(round(o_totalprice * 100) AS BIGINT)",
+        },
+    )
+    return build(spark, spec)

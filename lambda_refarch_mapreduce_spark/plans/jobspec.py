@@ -122,6 +122,10 @@ class JobSpec:
     #     "CAST(round(value * 100) AS BIGINT)"); lowers onto
     #     anova_f_from_groups over per-group integer moments -> ONE
     #     row (k_groups, n_total, f_stat, z_wh, significant). Method
+    #     "kruskal" (round 11) is the distribution-free companion to
+    #     "anova" on the same spec shape — Kruskal-Wallis rank test
+    #     across ALL groups via kruskal_wallis_from_counts -> ONE row
+    #     (k_groups, n_total, h_stat, z_wh, significant). Method
     #     "chi2" tests homogeneity of the value DISTRIBUTION across
     #     all groups over a fixed "bin_width" alphabet (default 50);
     #     lowers onto contingency_counts + chi2_from_contingency ->
@@ -571,6 +575,25 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 )
             )
             df = anova_f_from_groups(groups)
+        elif method == "kruskal":
+            # k-sample RANK test across ALL groups — the
+            # distribution-free companion to "anova" on the same
+            # spec shape; "value" is a SQL expression yielding an
+            # exact integer (caller quantizes)
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                kruskal_wallis_from_counts,
+            )
+
+            v = F.expr(t.get("value", "value"))
+            counts = (
+                df.select(
+                    F.col(t.get("group_col", "event_type")).alias("g"),
+                    v.alias("__v"),
+                )
+                .groupBy("g", "__v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            df = kruskal_wallis_from_counts(counts, "g", "__v", "c")
         elif method == "chi2":
             # distribution homogeneity across ALL groups over a fixed
             # bin alphabet — dense zero cells included by the kernel
@@ -592,7 +615,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
-                "anova, chi2)"
+                "anova, kruskal, chi2)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

@@ -733,3 +733,39 @@ def test_stats_test_clause_qq_matches_kernel(spark):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) == 9  # interior deciles
+
+
+def test_stats_test_clause_kruskal_matches_kernel(spark):
+    """The round-11 'kruskal' stats_test mode equals the direct
+    kernel call on the same grouping exactly."""
+    from pyspark.sql import functions as F
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kruskal_wallis_from_counts,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "kruskal",
+                "group_col": "event_type",
+                "value": "CAST(round(value * 100) AS BIGINT)",
+            },
+        ),
+    ).collect()[0]
+    counts = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = kruskal_wallis_from_counts(counts).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.k_groups == 5 and got.n_total > 0

@@ -375,6 +375,8 @@ def test_registry_wide_no_cartesian_product(spark):
         # equi-join; the difference array kills the t-explosion)
         "kruskal_wallis_value_by_type",  # 1-row tie-numerator term
         # against the 5-row group-moment frame
+        "jobspec_kruskal_price_by_priority",  # same shape via the
+        # stats_test clause
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
