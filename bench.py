@@ -118,6 +118,15 @@ HEADLINE = {
     "q_holt_winters": "holt_winters_daily_events",
     "q_backtest": "forecast_backtest_daily_revenue",
     "q_bh_fdr": "bh_fdr_dow_purchase_rate",
+    # round 11 additions (CUSUM/AD/seasonal-MK reuse the measured
+    # backtest/KS/kendall plan shapes; the four below are the
+    # genuinely new shapes: the centered-MA window + phase collapse,
+    # the 3-state seasonal fold, the pair->difference-array prefix
+    # sum, and the pooled-CDF rank collapse)
+    "q_decompose": "seasonal_decompose_daily_events",
+    "q_hw_backtest": "hw_backtest_daily_events",
+    "q_pettitt": "pettitt_changepoint_daily_revenue",
+    "q_kruskal": "kruskal_wallis_value_by_type",
 }
 
 

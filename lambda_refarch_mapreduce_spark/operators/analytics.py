@@ -2243,20 +2243,28 @@ def holt_winters_from_series(
         )
 
     fin = F.aggregate(rest, seed, step)
+    # materialize the fold ONCE before fanning out to the report
+    # columns: Catalyst does not common-subexpression-eliminate a
+    # higher-order `aggregate` across projection expressions, so
+    # referencing `fin` per output column re-runs the whole fold per
+    # reference (measured 4.3x at 100k keys — SCALING.md r11; the
+    # holt_linear_user_value entry had this right since round 6b)
+    mid = agg.select(
+        *key_cols, F.col("n_obs"), fin.alias("__fin")
+    )
+    f = F.col("__fin")
     enough = F.col("n_obs") >= 2 * m
-    out = agg.select(
+    out = mid.select(
         *key_cols,
         F.col("n_obs").cast("long").alias("n_obs"),
-        F.when(enough, F.round(fin["l"], 6)).alias("level"),
-        F.when(enough, F.round(fin["b"], 6)).alias("trend"),
-        F.when(enough, F.round(F.element_at(fin["s"], 1), 6)).alias(
+        F.when(enough, F.round(f["l"], 6)).alias("level"),
+        F.when(enough, F.round(f["b"], 6)).alias("trend"),
+        F.when(enough, F.round(F.element_at(f["s"], 1), 6)).alias(
             "season_next"
         ),
         F.when(
             enough,
-            F.round(
-                fin["l"] + fin["b"] + F.element_at(fin["s"], 1), 6
-            ),
+            F.round(f["l"] + f["b"] + F.element_at(f["s"], 1), 6),
         ).alias("forecast_next"),
     )
     return out
@@ -2360,13 +2368,16 @@ def rolling_backtest_holt(
         )
 
     fin = F.aggregate(rest, seed, step)
-    flat = agg.select(
+    # fold materialized once (no per-column re-evaluation — the
+    # holt_winters_from_series CSE note)
+    folded = agg.select(*key_cols, F.col("n"), fin.alias("__fin"))
+    flat = folded.select(
         *key_cols,
         F.col("n"),
-        fin["sae_h"].alias("sae_h"),
-        fin["sse_h"].alias("sse_h"),
-        fin["sae_n"].alias("sae_n"),
-        fin["sse_n"].alias("sse_n"),
+        F.col("__fin.sae_h").alias("sae_h"),
+        F.col("__fin.sse_h").alias("sse_h"),
+        F.col("__fin.sae_n").alias("sae_n"),
+        F.col("__fin.sse_n").alias("sse_n"),
     )
     return flat.selectExpr(
         *key_cols,
@@ -3202,15 +3213,18 @@ def rolling_backtest_hw(
         )
 
     fin = F.aggregate(rest, seed, step)
-    flat = agg.select(
+    # fold materialized once (no per-column re-evaluation — the
+    # holt_winters_from_series CSE note)
+    folded = agg.select(*key_cols, F.col("n"), fin.alias("__fin"))
+    flat = folded.select(
         *key_cols,
         F.col("n"),
-        fin["sae_hw"].alias("sae_hw"),
-        fin["sse_hw"].alias("sse_hw"),
-        fin["sae_h"].alias("sae_h"),
-        fin["sse_h"].alias("sse_h"),
-        fin["sae_sn"].alias("sae_sn"),
-        fin["sse_sn"].alias("sse_sn"),
+        F.col("__fin.sae_hw").alias("sae_hw"),
+        F.col("__fin.sse_hw").alias("sse_hw"),
+        F.col("__fin.sae_h").alias("sae_h"),
+        F.col("__fin.sse_h").alias("sse_h"),
+        F.col("__fin.sae_sn").alias("sae_sn"),
+        F.col("__fin.sse_sn").alias("sse_sn"),
     )
     return flat.selectExpr(
         *key_cols,

@@ -2720,12 +2720,17 @@ def cusum_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fin = F.aggregate(F.col("xs"), F.array(z, z, z, z, z), step)
-    return g.select(
+    # fold materialized once (no per-column re-evaluation — the
+    # holt_winters_from_series CSE note, SCALING.md r11)
+    mid = g.select(
+        "event_type", "n_days", fin.alias("__fin")
+    )
+    return mid.select(
         "event_type",
         "n_days",
-        F.round(fin[2], 6).alias("max_cusum_up"),
-        F.round(fin[3], 6).alias("max_cusum_down"),
-        fin[4].cast("long").alias("n_alarms"),
+        F.round(F.col("__fin")[2], 6).alias("max_cusum_up"),
+        F.round(F.col("__fin")[3], 6).alias("max_cusum_down"),
+        F.col("__fin")[4].cast("long").alias("n_alarms"),
     )
 
 
