@@ -3474,3 +3474,149 @@ def kruskal_wallis_from_counts(
         f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
         f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
+
+
+def brown_forsythe_from_counts(
+    counts: DataFrame,
+    g: str = "g",
+    v: str = "v",
+    c: str = "c",
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across k groups from
+    a per-(group, value) count frame — the missing member of the
+    k-sample family this module serves: anova_f_from_groups compares
+    MEANS, kruskal_wallis_from_counts compares DISTRIBUTIONS by rank,
+    and this compares SPREADS (Brown & Forsythe 1974 — Levene's test
+    with the group MEDIAN center, the robust variant): a one-way
+    ANOVA on the absolute deviations |x - median_g|. Everything
+    stays exact: the group median is the exact lower-middle order
+    statistic read off the per-group cumulative counts (a
+    group-partitioned window over the alphabet-sized count frame —
+    per-group alphabets are metadata), deviations are integer
+    |v - med_g| with their counts as weights, and the moment frame
+    (n, sum, sum-of-squares on decimal(38,0)) feeds
+    anova_f_from_groups unchanged — one shared F/Wilson-Hilferty
+    path for both tests. At 100 TB the corpus collapses map-side to
+    the (group, value) alphabet before any of this runs. Returns one
+    row: (k_groups, n_total, f_stat, z_wh, significant)."""
+    base = counts.select(
+        F.col(g).alias("__g"),
+        F.col(v).cast("long").alias("__v"),
+        F.col(c).cast("long").alias("__c"),
+    )
+    wcum = base.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy("__g")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ngrp = base.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    med = (
+        wcum.join(F.broadcast(ngrp), "__g")
+        # exact LOWER-MIDDLE order statistic: smallest v whose
+        # cumulative count reaches (n+1) div 2 (the repo's
+        # interpolation-free cross-engine median convention; `div`,
+        # not `/` — Spark's / on longs is DOUBLE division)
+        .filter(F.col("__cum") >= F.expr("(__ng + 1) div 2"))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__med"))
+    )
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.abs(F.col("__v") - F.col("__med")).alias("__z"),
+        "__c",
+    )
+    groups = dev.groupBy(F.col("__g").alias("g")).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__c") * F.col("__z")).alias("s"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__z")
+            * F.col("__z")
+        ).alias("q"),
+    )
+    return anova_f_from_groups(groups)
+
+
+# Cochran-Armitage trend z over exact integer moments of the per-
+# ordered-group success counts: nt/xt pooled trials/successes,
+# sn/sx/ssn the score-weighted sums (scores s_i integers). Degenerate
+# guards: an all-success/all-failure family or zero score variance
+# emits NULL. Shared verbatim with oracles.
+CA_Z_EXPR = (
+    "(CASE WHEN nt >= 2 AND xt > 0 AND xt < nt"
+    " AND (ssn * 1e0 - sn * 1e0 * sn / nt) > 0e0"
+    " THEN (sx * 1e0 - (xt * 1e0 / nt) * sn)"
+    " / sqrt((xt * 1e0 / nt) * (1e0 - xt * 1e0 / nt)"
+    " * (ssn * 1e0 - sn * 1e0 * sn / nt)) END)"
+)
+
+
+def cochran_armitage_trend(
+    counts: DataFrame,
+    s_col: str = "s",
+    x_col: str = "x",
+    n_col: str = "n",
+) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in proportions across
+    ordered groups (Cochran 1954, Armitage 1955) — the ordered
+    counterpart of the chi-square homogeneity entries: chi2 asks "do
+    the groups differ at all?", this asks "does the success RATE
+    rise or fall WITH the ordering?" (dose-response, rate-over-time),
+    which is the question a weekly conversion series actually poses.
+    Input: one row per ordered group ``(s, x, n)`` — integer score,
+    successes, trials (the caller collapses the corpus map-side to
+    the score alphabet). T = sum s_i (x_i - n_i * pbar) with the
+    pooled-variance normalization; every moment (sx, sn, ssn, xt,
+    nt) is an exact integer sum on decimal(38,0), the z is one
+    shared formula string, and the verdict labels the direction like
+    the Mann-Kendall entries. Note MK tests ANY monotone trend in a
+    numeric series; this is specifically the linear-in-score trend
+    of a PROPORTION, with binomial weighting MK doesn't have.
+    Returns one row: (n_groups, n_total, n_success, z_ca, trend)."""
+    base = counts.select(
+        F.col(s_col).cast("long").alias("__s"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(n_col).cast("long").alias("__n"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("__x"), F.lit(0)).alias("xt"),
+        F.coalesce(
+            F.sum(F.col("__s").cast("decimal(38,0)") * F.col("__n")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("sn"),
+        F.coalesce(
+            F.sum(F.col("__s").cast("decimal(38,0)") * F.col("__x")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("sx"),
+        F.coalesce(
+            F.sum(
+                F.col("__s").cast("decimal(38,0)")
+                * F.col("__s")
+                * F.col("__n")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("ssn"),
+    )
+    return agg.selectExpr(
+        "CAST(k AS BIGINT) AS n_groups",
+        "CAST(nt AS BIGINT) AS n_total",
+        "CAST(xt AS BIGINT) AS n_success",
+        f"round({CA_Z_EXPR}, 6) AS z_ca",
+        f"""CASE
+              WHEN {CA_Z_EXPR} IS NULL THEN NULL
+              WHEN abs({CA_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+              WHEN {CA_Z_EXPR} > 0 THEN 'increasing'
+              ELSE 'decreasing'
+            END AS trend""",
+    )

@@ -7834,3 +7834,152 @@ def jobspec_kruskal_price_by_priority(
         },
     )
     return build(spark, spec)
+
+
+@register(
+    "brown_forsythe_value_by_type",
+    # exact lower-middle group medians off the per-group cumulative
+    # counts, integer |v - med| deviations, then the shared ANOVA
+    # moment/F/Wilson-Hilferty strings verbatim
+    oracle=f"""
+        WITH s AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        cum AS (SELECT g, v, c,
+                       sum(c) OVER (PARTITION BY g ORDER BY v)
+                           ::BIGINT AS cm
+                FROM cnt),
+        ng AS (SELECT g, sum(c)::BIGINT AS nn FROM cnt GROUP BY 1),
+        med AS (SELECT cum.g, min(v)::BIGINT AS md
+                FROM cum JOIN ng ON cum.g = ng.g
+                WHERE cm >= (nn + 1) // 2
+                GROUP BY 1),
+        dev AS (SELECT cnt.g, abs(v - md)::BIGINT AS z, c
+                FROM cnt JOIN med ON cnt.g = med.g),
+        grp AS (SELECT g, sum(c)::BIGINT AS n,
+                       sum(c * z)::BIGINT AS s,
+                       sum(c::HUGEINT * z * z) AS q
+                FROM dev GROUP BY 1),
+        f AS (SELECT count(*) AS k, sum(n) AS nt,
+                     sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+                     list_reduce(
+                         list_prepend(
+                             0e0,
+                             list({analytics.ANOVA_GROUP_TERM}
+                                  ORDER BY g)),
+                         (acc, x) -> acc + x) AS sbp
+              FROM grp),
+        r AS (SELECT k::BIGINT AS k_groups, nt::BIGINT AS n_total,
+                     {analytics.ANOVA_F_EXPR} AS f_stat
+              FROM f),
+        z AS (SELECT k_groups, n_total, round(f_stat, 6) AS f_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     (k_groups - 1) * f_stat AS chi2
+              FROM r)
+        SELECT k_groups, n_total, f_stat,
+               round({analytics.WH_CHI2_Z}, 6) AS z_wh,
+               ({analytics.WH_CHI2_Z} > 1.645e0) AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def brown_forsythe_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test of event value across
+    ALL five event types (operators.analytics.
+    brown_forsythe_from_counts, round 11) — the SPREAD member
+    completing the k-sample family on this frame:
+    jobspec_anova_value_by_type compares means,
+    kruskal_wallis_value_by_type compares rank distributions, this
+    asks "do the types differ in VOLATILITY?" — the question behind
+    heteroscedasticity checks before the ANOVA itself and behind
+    'which segment's spend is erratic' product reads. Levene's test
+    with the group MEDIAN center (the robust 1974 variant): exact
+    lower-middle medians from per-group cumulative counts, integer
+    |v - med| deviations, and the identical anova_f_from_groups
+    moment path (one shared F + Wilson-Hilferty significance).
+    Map-side collapse to the (type, cents) alphabet first. Returns
+    one row: (k_groups, n_total, f_stat, z_wh, significant)."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return analytics.brown_forsythe_from_counts(counts)
+
+
+@register(
+    "cochran_armitage_purchase_by_week",
+    # score-weighted integer moments on HUGEINT/decimal(38,0), z and
+    # direction from the shared CA_Z_EXPR string
+    oracle=f"""
+        WITH wk AS (SELECT date_diff('day', DATE '1970-01-01',
+                                     ts::DATE) // 7 AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS is_p
+                    FROM events),
+        grp AS (SELECT s::BIGINT AS s, sum(is_p)::BIGINT AS x,
+                       count(*)::BIGINT AS n
+                FROM wk GROUP BY 1),
+        agg AS (SELECT count(*)::BIGINT AS k,
+                       coalesce(sum(n), 0)::BIGINT AS nt,
+                       coalesce(sum(x), 0)::BIGINT AS xt,
+                       coalesce(sum(s::HUGEINT * n), 0)::DOUBLE AS sn,
+                       coalesce(sum(s::HUGEINT * x), 0)::DOUBLE AS sx,
+                       coalesce(sum(s::HUGEINT * s * n), 0)::DOUBLE
+                           AS ssn
+                FROM grp)
+        SELECT k AS n_groups, nt AS n_total, xt AS n_success,
+               round({analytics.CA_Z_EXPR}, 6) AS z_ca,
+               CASE
+                 WHEN {analytics.CA_Z_EXPR} IS NULL THEN NULL
+                 WHEN abs({analytics.CA_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN {analytics.CA_Z_EXPR} > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM agg
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def cochran_armitage_purchase_by_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage linear-trend-in-proportions test of the
+    weekly purchase SHARE of traffic (operators.analytics.
+    cochran_armitage_trend, round 11) — the ordered counterpart of
+    the chi-square entries and the PROPORTION counterpart of
+    mann_kendall_daily_revenue: chi2 asks whether weeks differ at
+    all, MK asks whether a numeric series trends monotonically, this
+    asks specifically whether the purchase RATE rises or falls
+    linearly WITH the week index, with the binomial weighting
+    (bigger weeks count more) the rank tests don't have — the
+    dose-response / conversion-drift read. One map-side collapse to
+    the |weeks| alphabet, one exact-integer moment aggregate
+    (decimal(38,0) score products), one shared z string. Returns one
+    row: (n_groups, n_total, n_success, z_ca, trend)."""
+    wk = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("__d"),
+            (F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("__p"),
+        )
+        # integer FLOOR division (`div`), matching DuckDB's `//` even
+        # for a pre-epoch day — `/`+cast would truncate toward zero
+        .select(F.expr("__d div 7").alias("__w"), "__p")
+    )
+    grp = wk.groupBy(F.col("__w").alias("s")).agg(
+        F.sum("__p").alias("x"), F.count(F.lit(1)).alias("n")
+    )
+    return analytics.cochran_armitage_trend(grp)

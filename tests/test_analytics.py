@@ -3303,3 +3303,98 @@ def test_kruskal_wallis_matches_reference_and_invariances(spark):
     all_tied = kw([("a", 7, 5), ("b", 7, 9)])
     assert all_tied.k_groups == 2 and all_tied.n_total == 14
     assert all_tied.h_stat is None and all_tied.significant is None
+
+
+def test_brown_forsythe_matches_reference_and_invariances(spark):
+    """operators.analytics.brown_forsythe_from_counts vs a sequential
+    ANOVA-on-|x - group-lower-median| reference, plus the location
+    invariance a spread test must have: shifting ONE group's values
+    by a constant changes nothing (its deviations are unchanged)."""
+    import collections
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        brown_forsythe_from_counts,
+    )
+
+    data = {
+        "a": [1, 2, 2, 3, 7, 9],
+        "b": [2, 4, 5, 5, 6],
+        "c": [5, 6, 6, 8, 20],
+    }
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    cnt = collections.Counter(rows)
+
+    def bf(rows_counts):
+        df = spark.createDataFrame(rows_counts, "g string, v long, c long")
+        return brown_forsythe_from_counts(df).collect()[0]
+
+    got = bf([(g, v, c) for (g, v), c in cnt.items()])
+
+    def lower_med(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    devs = {
+        g: [abs(v - lower_med(vals)) for v in vals]
+        for g, vals in data.items()
+    }
+    N = sum(len(d) for d in devs.values())
+    k = len(devs)
+    gm = sum(sum(d) for d in devs.values()) / N
+    ssb = sum(
+        len(d) * (sum(d) / len(d) - gm) ** 2 for d in devs.values()
+    )
+    ssw = sum(
+        sum((x - sum(d) / len(d)) ** 2 for x in d)
+        for d in devs.values()
+    )
+    want_f = (ssb / (k - 1)) / (ssw / (N - k))
+    assert (got.k_groups, got.n_total) == (3, N)
+    assert abs(got.f_stat - round(want_f, 6)) < 1e-6
+
+    shifted = bf(
+        [
+            (g, v + (500 if g == "b" else 0), c)
+            for (g, v), c in cnt.items()
+        ]
+    )
+    assert tuple(shifted) == tuple(got)
+
+
+def test_cochran_armitage_matches_reference_and_degenerates(spark):
+    """operators.analytics.cochran_armitage_trend vs the textbook
+    T / sqrt(pbar qbar (S_ssn - S_sn^2/N)) formula; score-shift
+    invariance (adding a constant to every score leaves z unchanged);
+    all-success and single-group frames emit NULL."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cochran_armitage_trend,
+    )
+
+    wk = [(0, 10, 100), (1, 14, 110), (2, 18, 105), (3, 25, 120), (4, 30, 115)]
+
+    def ca(rows):
+        df = spark.createDataFrame(rows, "s long, x long, n long")
+        return cochran_armitage_trend(df).collect()[0]
+
+    got = ca(wk)
+    N = sum(n for _, _, n in wk)
+    X = sum(x for _, x, _ in wk)
+    p = X / N
+    T = sum(s * (x - n * p) for s, x, n in wk)
+    V = p * (1 - p) * (
+        sum(s * s * n for s, _, n in wk)
+        - sum(s * n for s, _, n in wk) ** 2 / N
+    )
+    want_z = T / math.sqrt(V)
+    assert (got.n_groups, got.n_total, got.n_success) == (5, N, X)
+    assert abs(got.z_ca - round(want_z, 6)) < 1e-9
+    assert got.trend == "increasing"
+
+    shifted = ca([(s + 100, x, n) for s, x, n in wk])
+    assert abs(shifted.z_ca - got.z_ca) < 1e-6
+    assert shifted.trend == got.trend
+
+    assert ca([(0, 5, 5), (1, 7, 7)]).z_ca is None  # all successes
+    assert ca([(3, 2, 10)]).z_ca is None  # zero score variance
