@@ -127,6 +127,8 @@ HEADLINE = {
     "q_hw_backtest": "hw_backtest_daily_events",
     "q_pettitt": "pettitt_changepoint_daily_revenue",
     "q_kruskal": "kruskal_wallis_value_by_type",
+    "q_brown_forsythe": "brown_forsythe_value_by_type",
+    "q_cochran_armitage": "cochran_armitage_purchase_by_week",
 }
 
 
