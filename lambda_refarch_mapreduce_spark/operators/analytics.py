@@ -468,10 +468,18 @@ def incremental_agg_update(
 # plain `2.0` is a DECIMAL literal in both engines, with divergent
 # division-scale rules).
 MW_Z_EXPR = (
-    "((u2 / 2e0 - n1 * 1e0 * n2 / 2e0)"
+    # degenerate guards (round 11, the ADVICE-r10 one-arm class made
+    # systematic): one arm empty, a single pooled row, or an
+    # all-values-tied frame (variance term exactly 0) is NULL z, not
+    # an ANSI DIVIDE_BY_ZERO — CASE evaluates lazily on both engines,
+    # and the guarded branch is the identical op tree on normal data
+    "(CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2"
+    " AND ((n1 + n2 + 1) - ties * 1e0"
+    "      / ((n1 + n2) * 1e0 * (n1 + n2 - 1))) > 0e0"
+    " THEN (u2 / 2e0 - n1 * 1e0 * n2 / 2e0)"
     " / sqrt((n1 * 1e0 * n2 / 12e0)"
     "        * ((n1 + n2 + 1) - ties * 1e0"
-    "           / ((n1 + n2) * 1e0 * (n1 + n2 - 1)))))"
+    "           / ((n1 + n2) * 1e0 * (n1 + n2 - 1)))) END)"
 )
 
 
@@ -521,7 +529,10 @@ def mann_whitney_from_value_counts(
     return a.selectExpr(
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "round(u2 / (2e0 * n1 * n2), 6) AS auc",
+        # one-arm guard: NULL auc instead of an ANSI 0-division when
+        # only one group has committed (the monitor serve contract)
+        "CASE WHEN n1 > 0 AND n2 > 0"
+        " THEN round(u2 / (2e0 * n1 * n2), 6) END AS auc",
         f"round({MW_Z_EXPR}, 6) AS z",
         f"(abs({MW_Z_EXPR}) > 1.96e0) AS significant",
     )
@@ -577,8 +588,15 @@ def ks_from_value_counts(
     )
     cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
     totals = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    d = F.abs(
-        F.col("ca_cum") / F.col("na") - F.col("cb_cum") / F.col("nb")
+    # one-arm guard (round 11, the ADVICE-r10 class made systematic):
+    # an empty arm makes both CDF divisions ANSI 0-divisions — NULL D
+    # and NULL verdict instead, with the real counts still reported
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    d = F.when(
+        both,
+        F.abs(
+            F.col("ca_cum") / F.col("na") - F.col("cb_cum") / F.col("nb")
+        ),
     )
     return (
         cum.crossJoin(F.broadcast(totals))
@@ -591,7 +609,8 @@ def ks_from_value_counts(
             F.col("__na").alias("n_a"),
             F.col("__nb").alias("n_b"),
             F.round("__d", 6).alias("ks_d"),
-            (
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
                 F.col("__d")
                 > alpha_c
                 # na * nb as DOUBLE: the int64 product overflows past
@@ -601,7 +620,7 @@ def ks_from_value_counts(
                 * F.sqrt(
                     (F.col("__na") + F.col("__nb"))
                     / (F.col("__na").cast("double") * F.col("__nb"))
-                )
+                ),
             ).alias("significant"),
         )
     )
@@ -637,19 +656,30 @@ def welch_from_value_counts(
         .cast("double")
         .alias("q2"),
     )
+    # degenerate guards (round 11, the ADVICE-r10 one-arm class made
+    # systematic): an empty or single-row arm, or two zero-variance
+    # arms, is NULL means/t instead of an ANSI 0-division — the
+    # guarded branch is the identical op tree on normal data
+    t_ok = (
+        "n1 > 1 AND n2 > 1"
+        " AND (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+        "      + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) > 0e0"
+    )
     return a.selectExpr(
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "round(s1 / n1 / 100.0, 6) AS mean_a",
-        "round(s2 / n2 / 100.0, 6) AS mean_b",
-        "round((s1 / n1 - s2 / n2) / 100.0, 6) AS mean_diff",
-        "round((s1 / n1 - s2 / n2)"
+        "CASE WHEN n1 > 0 THEN round(s1 / n1 / 100.0, 6) END AS mean_a",
+        "CASE WHEN n2 > 0 THEN round(s2 / n2 / 100.0, 6) END AS mean_b",
+        "CASE WHEN n1 > 0 AND n2 > 0"
+        " THEN round((s1 / n1 - s2 / n2) / 100.0, 6) END AS mean_diff",
+        f"CASE WHEN {t_ok} THEN round((s1 / n1 - s2 / n2)"
         " / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
-        "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat",
-        "(abs((s1 / n1 - s2 / n2)"
+        "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6)"
+        " END AS t_stat",
+        f"CASE WHEN {t_ok} THEN (abs((s1 / n1 - s2 / n2)"
         " / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
         "        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)) > 1.96e0)"
-        " AS significant",
+        " END AS significant",
     )
 
 
@@ -958,9 +988,15 @@ def mutual_info_from_contingency(cells: DataFrame) -> DataFrame:
 # SSB = sum_g s_g^2/n_g - S^2/N (the per-group terms folded in sorted
 # order), SSW = Q - sum_g s_g^2/n_g.
 ANOVA_GROUP_TERM = "(s * 1e0 * s / n)"
+# degenerate guards (round 11, the ADVICE-r10 one-arm class made
+# systematic): a single group (k-1 = 0), no residual dof (nt = k),
+# or zero within-group variance (qt = sbp) is NULL F, not an ANSI
+# DIVIDE_BY_ZERO — CASE evaluates lazily on both engines, and the
+# guarded branch is the identical op tree on normal data
 ANOVA_F_EXPR = (
-    "(((sbp - st * 1e0 * st / nt) / (k - 1))"
-    " / ((qt - sbp) / (nt - k)))"
+    "(CASE WHEN k >= 2 AND nt > k AND qt - sbp > 0e0"
+    " THEN ((sbp - st * 1e0 * st / nt) / (k - 1))"
+    " / ((qt - sbp) / (nt - k)) END)"
 )
 
 
@@ -999,8 +1035,12 @@ def anova_f_from_groups(groups: DataFrame) -> DataFrame:
         "k_groups",
         "n_total",
         "f_stat",
-        f"round({WH_CHI2_Z}, 6) AS z_wh",
-        f"({WH_CHI2_Z} > 1.645e0) AS significant",
+        # lazily guarded: at k = 1 the dof is 0 and the W-H form's
+        # 2/(9*dof) is an ANSI 0-division even under a NULL chi2
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
 
 

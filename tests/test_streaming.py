@@ -1996,6 +1996,19 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     assert ad1.n_a == 5 and ad1.n_b == 0
     assert ad1.a2 is None and ad1.significant is None
     assert abtest.qq_now(spark, ab_dir).collect() == []
+    # the round-11 sweep of the same class: MW/KS/Welch readouts on
+    # the one-arm index report real counts with NULL statistics
+    # instead of an ANSI DIVIDE_BY_ZERO
+    mw1 = abtest.mann_whitney_now(spark, ab_dir).collect()[0]
+    assert (mw1.n_a, mw1.n_b) == (5, 0)
+    assert mw1.auc is None and mw1.z is None and mw1.significant is None
+    ks1 = abtest.ks_now(spark, ab_dir).collect()[0]
+    assert (ks1.n_a, ks1.n_b) == (5, 0)
+    assert ks1.ks_d is None and ks1.significant is None
+    w1 = abtest.welch_now(spark, ab_dir).collect()[0]
+    assert (w1.n_a, w1.n_b) == (5, 0)
+    assert w1.mean_a is not None and w1.mean_b is None
+    assert w1.t_stat is None and w1.significant is None
 
 
 def test_streaming_sprt_epoch_guard_and_restart_readouts(
