@@ -2157,3 +2157,178 @@ def test_streaming_sprt_epoch_guard_and_restart_readouts(
         "rate_micro",
     ).collect()[0]
     assert tuple(got_rcp) == tuple(want_rcp)
+
+
+def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
+    """The k-group monitor (streaming/kgroup.py — the k-sample
+    generalization of the two-arm A/B monitor): events stream in
+    chunks, the committed (g, v, c) state equals the batch collapse
+    on the union, every readout (Kruskal-Wallis / Brown-Forsythe /
+    ANOVA) equals its batch kernel exactly, replays are no-ops, and
+    the serve-at-any-moment contract holds on the empty and the
+    one-group index."""
+    from lambda_refarch_mapreduce_spark import load_table
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anova_f_from_groups,
+        brown_forsythe_from_counts,
+        kruskal_wallis_from_counts,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import kgroup
+
+    # empty index: NULL statistics, zero/NULL counts, no errors
+    empty_dir = str(tmp_path / "empty_idx")
+    for ro in (kgroup.kruskal_now, kgroup.brown_forsythe_now, kgroup.anova_now):
+        r = ro(spark, empty_dir).collect()[0]
+        assert r.k_groups == 0 and r.significant is None
+
+    # one-group index: real counts, NULL statistics
+    one_dir = str(tmp_path / "one_idx")
+    one_grp = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 2, 5)],
+        "event_type string, value double",
+    )
+    kgroup._apply_group_counts_batch(one_grp, 0, one_dir)
+    kw1 = kgroup.kruskal_now(spark, one_dir).collect()[0]
+    assert (kw1.k_groups, kw1.n_total) == (1, 4)
+    assert kw1.z_wh is None and kw1.significant is None
+    bf1 = kgroup.brown_forsythe_now(spark, one_dir).collect()[0]
+    assert bf1.k_groups == 1 and bf1.f_stat is None
+    an1 = kgroup.anova_now(spark, one_dir).collect()[0]
+    assert an1.k_groups == 1 and an1.f_stat is None
+
+    # streamed in chunks == batch kernels on the union
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_src")
+    events.withColumn(
+        "_chunk", F.pmod(F.col("event_id"), F.lit(3))
+    ).write.partitionBy("_chunk").parquet(src)
+    schema = spark.read.parquet(src).drop("_chunk").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/_chunk=*")
+    )
+    index_dir = str(tmp_path / "kg_idx")
+    q = kgroup.ingest_group_counts(
+        stream, index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    want_counts = {
+        (r.g, r.v, r.c)
+        for r in kgroup.batch_group_counts(events).collect()
+    }
+    got_counts = {
+        (r.g, r.v, r.c)
+        for r in kgroup.running_group_counts(spark, index_dir).collect()
+    }
+    assert got_counts == want_counts
+
+    batch_counts = kgroup.batch_group_counts(events)
+    got_kw = kgroup.kruskal_now(spark, index_dir).collect()[0]
+    want_kw = kruskal_wallis_from_counts(batch_counts).collect()[0]
+    assert tuple(got_kw) == tuple(want_kw)
+    assert got_kw.k_groups == 5 and got_kw.h_stat is not None
+
+    got_bf = kgroup.brown_forsythe_now(spark, index_dir).collect()[0]
+    want_bf = brown_forsythe_from_counts(batch_counts).collect()[0]
+    assert tuple(got_bf) == tuple(want_bf)
+
+    got_an = kgroup.anova_now(spark, index_dir).collect()[0]
+    want_groups = batch_counts.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("c")
+        ).alias("q"),
+    )
+    want_an = anova_f_from_groups(want_groups).collect()[0]
+    assert tuple(got_an) == tuple(want_an)
+
+    # the batch entry consistency hook: the streamed KW equals the
+    # registered kruskal_wallis_value_by_type entry on the same SF
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog_analytics,
+    )
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+
+    want_entry = REGISTRY["kruskal_wallis_value_by_type"].spark(
+        spark, sf
+    ).collect()[0]
+    assert tuple(got_kw) == tuple(want_entry)
+
+    # replay idempotence: an already-committed batch id is a no-op
+    kgroup._apply_group_counts_batch(events.limit(30), 0, index_dir)
+    after = {
+        (r.g, r.v, r.c)
+        for r in kgroup.running_group_counts(spark, index_dir).collect()
+    }
+    assert after == want_counts
+
+
+def test_streaming_kgroup_epoch_guard_raises_on_fresh_checkpoint(
+    spark, tmp_path
+):
+    """Lifecycle contract for the k-group monitor (the shared guard,
+    both restart paths): a FRESH checkpoint meeting the surviving
+    index raises instead of silently undercounting; a SAME-checkpoint
+    restart drains new data."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+    from lambda_refarch_mapreduce_spark.streaming import kgroup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_type string, value double"
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], schema
+    ).write.parquet(os.path.join(src, "f0"))
+    index_dir = str(tmp_path / "idx")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f*")
+        )
+
+    q = kgroup.ingest_group_counts(
+        stream(), index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    base = {
+        (r.g, r.v, r.c)
+        for r in kgroup.running_group_counts(spark, index_dir).collect()
+    }
+    assert base
+
+    q2 = kgroup.ingest_group_counts(
+        stream(), index_dir, str(tmp_path / "ckpt2")
+    ).start()
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised and "checkpoint epoch mismatch" in raised, raised
+    after = {
+        (r.g, r.v, r.c)
+        for r in kgroup.running_group_counts(spark, index_dir).collect()
+    }
+    assert after == base
+
+    # same checkpoint + new file -> drains and merges
+    spark.createDataFrame([("c", 5.0)], schema).write.parquet(
+        os.path.join(src, "f1")
+    )
+    q3 = kgroup.ingest_group_counts(
+        stream(), index_dir, str(tmp_path / "ckpt")
+    ).start()
+    q3.awaitTermination(120)
+    merged = {
+        (r.g, r.v, r.c)
+        for r in kgroup.running_group_counts(spark, index_dir).collect()
+    }
+    assert ("c", 500, 1) in merged
