@@ -126,6 +126,14 @@ class JobSpec:
     #     "anova" on the same spec shape — Kruskal-Wallis rank test
     #     across ALL groups via kruskal_wallis_from_counts -> ONE row
     #     (k_groups, n_total, h_stat, z_wh, significant). Method
+    #     "brown_forsythe" (round 11) is the SPREAD member on the same
+    #     shape (Levene-with-median via brown_forsythe_from_counts)
+    #     -> ONE row (k_groups, n_total, f_stat, z_wh, significant).
+    #     Method "cochran_armitage" (round 11) tests a linear trend in
+    #     a PROPORTION across ordered scores: "score" is a SQL
+    #     expression yielding the integer group score, "success" a
+    #     boolean predicate per row -> ONE row (n_groups, n_total,
+    #     n_success, z_ca, trend). Method
     #     "chi2" tests homogeneity of the value DISTRIBUTION across
     #     all groups over a fixed "bin_width" alphabet (default 50);
     #     lowers onto contingency_counts + chi2_from_contingency ->
@@ -594,6 +602,44 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("c"))
             )
             df = kruskal_wallis_from_counts(counts, "g", "__v", "c")
+        elif method == "brown_forsythe":
+            # k-sample SPREAD test across ALL groups — the variance
+            # member beside "anova" (means) and "kruskal" (ranks);
+            # same spec shape, same exact-integer value contract
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                brown_forsythe_from_counts,
+            )
+
+            v = F.expr(t.get("value", "value"))
+            counts = (
+                df.select(
+                    F.col(t.get("group_col", "event_type")).alias("g"),
+                    v.alias("__v"),
+                )
+                .groupBy("g", "__v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            df = brown_forsythe_from_counts(counts, "g", "__v", "c")
+        elif method == "cochran_armitage":
+            # linear trend in a PROPORTION across ordered integer
+            # scores: "score" is a SQL expression yielding the group
+            # score, "success" a boolean SQL predicate per row
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                cochran_armitage_trend,
+            )
+
+            grp = (
+                df.select(
+                    F.expr(t["score"]).cast("long").alias("s"),
+                    F.expr(t["success"]).cast("long").alias("__p"),
+                )
+                .groupBy("s")
+                .agg(
+                    F.sum("__p").alias("x"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            df = cochran_armitage_trend(grp)
         elif method == "chi2":
             # distribution homogeneity across ALL groups over a fixed
             # bin alphabet — dense zero cells included by the kernel
@@ -615,7 +661,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
-                "anova, kruskal, chi2)"
+                "anova, kruskal, brown_forsythe, cochran_armitage, "
+                "chi2)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

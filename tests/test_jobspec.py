@@ -769,3 +769,70 @@ def test_stats_test_clause_kruskal_matches_kernel(spark):
     want = kruskal_wallis_from_counts(counts).collect()[0]
     assert tuple(got) == tuple(want)
     assert got.k_groups == 5 and got.n_total > 0
+
+
+def test_stats_test_clause_brown_forsythe_and_ca_match_kernels(spark):
+    """The round-11 'brown_forsythe' and 'cochran_armitage' stats_test
+    modes equal the direct kernel calls exactly (pre-staged for the
+    r12 oracle entries, the anderson_darling round-10 pattern)."""
+    from pyspark.sql import functions as F
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        brown_forsythe_from_counts,
+        cochran_armitage_trend,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+
+    got_bf = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "brown_forsythe",
+                "group_col": "event_type",
+                "value": "CAST(round(value * 100) AS BIGINT)",
+            },
+        ),
+    ).collect()[0]
+    counts = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want_bf = brown_forsythe_from_counts(counts).collect()[0]
+    assert tuple(got_bf) == tuple(want_bf)
+    assert got_bf.k_groups == 5
+
+    got_ca = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={
+                "method": "cochran_armitage",
+                "score": "datediff(to_date(ts), DATE '1970-01-01')"
+                " div 7",
+                "success": "event_type = 'purchase'",
+            },
+        ),
+    ).collect()[0]
+    grp = (
+        ev.select(
+            F.expr(
+                "datediff(to_date(ts), DATE '1970-01-01') div 7"
+            )
+            .cast("long")
+            .alias("s"),
+            F.expr("event_type = 'purchase'").cast("long").alias("p"),
+        )
+        .groupBy("s")
+        .agg(F.sum("p").alias("x"), F.count(F.lit(1)).alias("n"))
+    )
+    want_ca = cochran_armitage_trend(grp).collect()[0]
+    assert tuple(got_ca) == tuple(want_ca)
+    assert got_ca.n_total > 0
