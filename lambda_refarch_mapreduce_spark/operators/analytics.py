@@ -3660,3 +3660,145 @@ def cochran_armitage_trend(
               ELSE 'decreasing'
             END AS trend""",
     )
+
+
+# Tie-corrected Friedman statistic over exact integer moments in
+# DOUBLED-rank units (Conover's T1 rewritten so every term is an
+# integer): with R2_j the doubled within-block rank sum per
+# treatment, sr2 = sum_j (R2_j - b*(k+1))^2 and a2 = sum over all
+# cells of (doubled rank)^2,
+#   T1 = (k-1) * sr2 / (a2 - b*k*(k+1)^2),
+# which reduces to the classic 12/(bk(k+1)) sum R_j^2 - 3b(k+1) when
+# no ties exist (asserted by test). The all-tied-within-every-block
+# degenerate (denominator 0) is NULL, not an ANSI 0-division.
+FRIEDMAN_T_EXPR = (
+    "(CASE WHEN k >= 2 AND b >= 1"
+    " AND a2 - b * 1e0 * k * (k + 1e0) * (k + 1e0) > 0e0"
+    " THEN (k - 1e0) * sr2"
+    " / (a2 - b * 1e0 * k * (k + 1e0) * (k + 1e0)) END)"
+)
+
+
+def friedman_from_blocks(
+    df: DataFrame,
+    b_col: str = "b",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Friedman test across k treatments over b matched blocks
+    (Friedman 1937; Conover's tie-corrected T1) — the REPEATED-
+    MEASURES member of the k-sample rank family: Kruskal-Wallis
+    pools all values into one ranking, so a strong block effect
+    (weekend days dwarf weekdays for EVERY event type) drowns the
+    treatment signal; Friedman ranks WITHIN each block, so "does
+    type A consistently outrank type B day after day?" is answered
+    with the day effect cancelled by construction. Input: one row
+    per (block, treatment) with a numeric x (the caller collapses
+    the corpus map-side — e.g. days x event types x daily counts);
+    blocks missing any treatment are dropped (complete-block
+    design). Within-block average ranks use the DOUBLED-rank trick
+    (2r = 2*cum - c + 1, an exact integer even under ties), so the
+    rank sums, the centered squares, and the tie-corrected
+    denominator are ALL integers into one shared statistic string;
+    significance is the chi-square k-1 dof limit through the shared
+    Wilson-Hilferty form. Distributed shape: the (block, value)
+    collapse and the within-block window run over b*k cells of
+    metadata; blocks are independent so the window partitions
+    perfectly. Returns one row: (k_treatments, n_blocks, t1_stat,
+    z_wh, significant)."""
+    base = df.select(
+        F.col(b_col).alias("__b"),
+        F.col(t_col).alias("__t"),
+        F.col(x_col).cast("long").alias("__x"),
+    )
+    kk = base.agg(
+        F.count_distinct(F.col("__t")).alias("__k")
+    )
+    # complete blocks only: exactly one row per treatment
+    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    complete = base.join(
+        bsz.crossJoin(F.broadcast(kk))
+        .filter(F.col("__n") == F.col("__k"))
+        .select("__b"),
+        "__b",
+        "left_semi",
+    )
+    # within-block doubled average ranks from per-(block, value)
+    # counts: r2 = 2*cum - c + 1 (the Kruskal-Wallis construction,
+    # partitioned by block)
+    bv = complete.groupBy("__b", "__x").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = bv.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy("__b")
+            .orderBy("__x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select(
+        "__b",
+        "__x",
+        (2 * F.col("__cum") - F.col("__c") + 1).alias("__r2"),
+    )
+    ranked = complete.join(wcum, ["__b", "__x"])
+    per_t = ranked.groupBy("__t").agg(
+        F.sum("__r2").alias("__rs2"), F.count(F.lit(1)).alias("__bt")
+    )
+    a2 = ranked.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__r2").cast("decimal(38,0)") * F.col("__r2")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("double")
+        .alias("a2_sum")
+    )
+    # b = complete-block count; centered squares per treatment
+    bcount = complete.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    cent = (
+        per_t.crossJoin(F.broadcast(bcount))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            (
+                (F.col("__rs2") - F.col("b") * (F.col("__k") + 1))
+                .cast("decimal(38,0)")
+                * (F.col("__rs2") - F.col("b") * (F.col("__k") + 1))
+            ).alias("__sq")
+        )
+        .agg(
+            F.coalesce(F.sum("__sq"), F.lit(0).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sr2")
+        )
+    )
+    one = (
+        cent.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(bcount))
+        .crossJoin(F.broadcast(kk))
+        .selectExpr(
+            "CAST(__k AS BIGINT) AS k",
+            "CAST(b AS BIGINT) AS b",
+            "sr2",
+            "a2_sum AS a2",
+        )
+    )
+    flat = one.selectExpr(
+        "k AS k_treatments",
+        "b AS n_blocks",
+        f"round({FRIEDMAN_T_EXPR}, 6) AS t1_stat",
+        "(k - 1) * 1e0 AS dof",
+        f"{FRIEDMAN_T_EXPR} AS chi2",
+    )
+    return flat.selectExpr(
+        "k_treatments",
+        "n_blocks",
+        "t1_stat",
+        f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
+    )

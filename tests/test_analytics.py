@@ -3398,3 +3398,62 @@ def test_cochran_armitage_matches_reference_and_degenerates(spark):
 
     assert ca([(0, 5, 5), (1, 7, 7)]).z_ca is None  # all successes
     assert ca([(3, 2, 10)]).z_ca is None  # zero score variance
+
+
+def test_friedman_matches_references_and_degenerates(spark):
+    """operators.analytics.friedman_from_blocks (pre-staged for the
+    r12 window): equals the CLASSIC no-tie Friedman statistic on an
+    untied design (the tie-corrected T1 must reduce to it), equals a
+    hand-computed tie-corrected T1 under within-block ties,
+    drops incomplete blocks, and NULLs the all-tied and empty
+    degenerates."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        friedman_from_blocks,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "b long, t string, x long")
+        return friedman_from_blocks(df).collect()[0]
+
+    data = {
+        1: {"A": 10, "B": 12, "C": 15},
+        2: {"A": 8, "B": 14, "C": 16},
+        3: {"A": 9, "B": 11, "C": 13},
+        4: {"A": 7, "B": 15, "C": 18},
+    }
+    got = run([(b, t, x) for b, d in data.items() for t, x in d.items()])
+    b, k = 4, 3
+    R = [4, 8, 12]  # A always rank 1, B rank 2, C rank 3
+    fr = 12.0 / (b * k * (k + 1)) * sum(r * r for r in R) - 3 * b * (
+        k + 1
+    )
+    assert (got.k_treatments, got.n_blocks) == (3, 4)
+    assert abs(got.t1_stat - round(fr, 6)) < 1e-9
+    assert got.significant is True
+
+    data2 = {
+        1: {"A": 5, "B": 5, "C": 9},
+        2: {"A": 3, "B": 7, "C": 7},
+        3: {"A": 4, "B": 6, "C": 8},
+    }
+    rows2 = [(b, t, x) for b, d in data2.items() for t, x in d.items()]
+    got2 = run(rows2)
+    ranks = [1.5, 1.5, 3, 1, 2.5, 2.5, 1, 2, 3]
+    Rj = {"A": 3.5, "B": 6.0, "C": 8.5}
+    b2, k2 = 3, 3
+    A1 = sum(r * r for r in ranks)
+    C1 = b2 * k2 * (k2 + 1) ** 2 / 4
+    T1 = (
+        (k2 - 1)
+        * sum((Rj[t] - b2 * (k2 + 1) / 2) ** 2 for t in Rj)
+        / (A1 - C1)
+    )
+    assert abs(got2.t1_stat - round(T1, 6)) < 1e-9
+
+    got3 = run(rows2 + [(9, "A", 1), (9, "B", 2)])  # incomplete block
+    assert tuple(got3) == tuple(got2)
+
+    tied = run([(1, "A", 5), (1, "B", 5), (2, "A", 7), (2, "B", 7)])
+    assert tied.t1_stat is None and tied.significant is None
+    empty = run([])
+    assert empty.k_treatments == 0 and empty.t1_stat is None

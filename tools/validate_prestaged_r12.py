@@ -1,0 +1,215 @@
+"""Round-11 pre-staging validator for the round-12 window (the
+round-10 move repeated: kernels built WITHOUT catalog entries get
+their DuckDB oracle recipes validated against the kernel output NOW,
+so next round's registration is mechanical).
+
+Validated pairs (exact tuple equality, sf0.001 and sf0.01):
+- friedman_from_blocks          <- _FRIEDMAN_SQL  (days x event types
+  x daily counts — the repeated-measures rank test with the day
+  effect cancelled)
+- brown_forsythe_from_counts    <- _BF_PRIORITY_SQL (order price
+  cents across order priorities — the clause-mode frame, so the r12
+  jobspec_brown_forsythe entry's oracle is already proven)
+- cochran_armitage_trend        <- _CA_VALUEBIN_SQL (purchase share
+  across $50 value-bin scores — a second CA frame for the clause
+  entry)
+
+Usage: python tools/validate_prestaged_r12.py [sf_dir]
+Prints one PASS/FAIL line per pair; exit 0 iff all pass.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from lambda_refarch_mapreduce_spark import get_spark, load_table  # noqa: E402
+from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
+    ANOVA_F_EXPR,
+    ANOVA_GROUP_TERM,
+    CA_Z_EXPR,
+    FRIEDMAN_T_EXPR,
+    WH_CHI2_Z,
+    brown_forsythe_from_counts,
+    cochran_armitage_trend,
+    friedman_from_blocks,
+)
+
+_FRIEDMAN_SQL = f"""
+WITH cell AS (SELECT event_type AS t,
+                     date_diff('day', DATE '1970-01-01',
+                               ts::DATE)::BIGINT AS b,
+                     count(*)::BIGINT AS x
+              FROM events GROUP BY 1, 2),
+kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
+bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+complete AS (SELECT cell.* FROM cell
+             JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+bv AS (SELECT b, x, count(*)::BIGINT AS c FROM complete GROUP BY 1, 2),
+wc AS (SELECT b, x,
+              (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
+               - c + 1)::BIGINT AS r2
+       FROM bv),
+rk AS (SELECT complete.b, complete.t, wc.r2
+       FROM complete JOIN wc ON complete.b = wc.b
+                            AND complete.x = wc.x),
+pt AS (SELECT t, sum(r2)::BIGINT AS rs2 FROM rk GROUP BY 1),
+a2 AS (SELECT coalesce(sum(r2::HUGEINT * r2), 0)::DOUBLE AS a2_sum
+       FROM rk),
+bc AS (SELECT count(DISTINCT b)::BIGINT AS b FROM complete),
+cent AS (SELECT coalesce(sum((rs2 - b * (k + 1))::HUGEINT
+                             * (rs2 - b * (k + 1))), 0)::DOUBLE AS sr2
+         FROM pt CROSS JOIN bc CROSS JOIN kk),
+one AS (SELECT k, b, sr2, a2_sum AS a2
+        FROM cent CROSS JOIN a2 CROSS JOIN bc CROSS JOIN kk),
+flat AS (SELECT k AS k_treatments, b AS n_blocks,
+                round({FRIEDMAN_T_EXPR}, 6) AS t1_stat,
+                (k - 1) * 1e0 AS dof,
+                {FRIEDMAN_T_EXPR} AS chi2
+         FROM one)
+SELECT k_treatments, n_blocks, t1_stat,
+       CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM flat
+"""
+
+_BF_PRIORITY_SQL = f"""
+WITH s AS (SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+cum AS (SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cm
+        FROM cnt),
+ng AS (SELECT g, sum(c)::BIGINT AS nn FROM cnt GROUP BY 1),
+med AS (SELECT cum.g, min(v)::BIGINT AS md
+        FROM cum JOIN ng ON cum.g = ng.g
+        WHERE cm >= (nn + 1) // 2 GROUP BY 1),
+dev AS (SELECT cnt.g, abs(v - md)::BIGINT AS z, c
+        FROM cnt JOIN med ON cnt.g = med.g),
+grp AS (SELECT g, sum(c)::BIGINT AS n, sum(c * z)::BIGINT AS s,
+               sum(c::HUGEINT * z * z) AS q
+        FROM dev GROUP BY 1),
+f AS (SELECT count(*) AS k, sum(n) AS nt,
+             sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+             list_reduce(list_prepend(0e0,
+                 list({ANOVA_GROUP_TERM} ORDER BY g)),
+                 (acc, x) -> acc + x) AS sbp
+      FROM grp),
+r AS (SELECT k::BIGINT AS k_groups, nt::BIGINT AS n_total,
+             {ANOVA_F_EXPR} AS f_stat
+      FROM f),
+z AS (SELECT k_groups, n_total, round(f_stat, 6) AS f_stat,
+             (k_groups - 1) * 1e0 AS dof,
+             (k_groups - 1) * f_stat AS chi2
+      FROM r)
+SELECT k_groups, n_total, f_stat,
+       CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM z
+"""
+
+_CA_VALUEBIN_SQL = f"""
+WITH s AS (SELECT floor(value / 50)::BIGINT AS sc,
+                  CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END AS is_p
+           FROM events),
+grp AS (SELECT sc AS s, sum(is_p)::BIGINT AS x,
+               count(*)::BIGINT AS n
+        FROM s GROUP BY 1),
+agg AS (SELECT count(*)::BIGINT AS k,
+               coalesce(sum(n), 0)::BIGINT AS nt,
+               coalesce(sum(x), 0)::BIGINT AS xt,
+               coalesce(sum(s::HUGEINT * n), 0)::DOUBLE AS sn,
+               coalesce(sum(s::HUGEINT * x), 0)::DOUBLE AS sx,
+               coalesce(sum(s::HUGEINT * s * n), 0)::DOUBLE AS ssn
+        FROM grp)
+SELECT k AS n_groups, nt AS n_total, xt AS n_success,
+       round({CA_Z_EXPR}, 6) AS z_ca,
+       CASE
+         WHEN {CA_Z_EXPR} IS NULL THEN NULL
+         WHEN abs({CA_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+         WHEN {CA_Z_EXPR} > 0 THEN 'increasing'
+         ELSE 'decreasing'
+       END AS trend
+FROM agg
+"""
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("validate-prestaged-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+
+    ev = load_table(spark, sf, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+    bf_counts = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    ca_grp = (
+        ev.select(
+            F.floor(F.col("value") / 50).cast("long").alias("s"),
+            (F.col("event_type") == "purchase").cast("long").alias("p"),
+        )
+        .groupBy("s")
+        .agg(F.sum("p").alias("x"), F.count(F.lit(1)).alias("n"))
+    )
+
+    checks = [
+        (
+            "friedman_event_volume",
+            friedman_from_blocks(cell, "b", "t", "x"),
+            _FRIEDMAN_SQL,
+        ),
+        (
+            "brown_forsythe_priority",
+            brown_forsythe_from_counts(bf_counts),
+            _BF_PRIORITY_SQL,
+        ),
+        (
+            "cochran_armitage_valuebin",
+            cochran_armitage_trend(ca_grp),
+            _CA_VALUEBIN_SQL,
+        ),
+    ]
+    failed = 0
+    for name, df, sql in checks:
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        ok = got == want
+        failed += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {len(got)} rows")
+        if not ok:
+            bad = [(a, b) for a, b in zip(got, want) if a != b][:3]
+            print("   first mismatches:", bad)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
