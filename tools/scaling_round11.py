@@ -33,6 +33,9 @@ One variant per process (fresh JVM, UI on). Keys:
   kw_alpha_1k kw_alpha_10k kw_alpha_100k
   hwbt_keys_1x hwbt_keys_10x hwbt_keys_100x
   hw_keys_ref_100x   (byte-parity reference: the r10 HW fold at 100x)
+  fd_blocks_1x fd_blocks_10x fd_blocks_100x  (pre-staged Friedman:
+    blocks x 5 treatments; within-block windows partition perfectly,
+    expect linear)
 """
 
 from __future__ import annotations
@@ -148,6 +151,26 @@ def main() -> None:
         )
         row = _measure(spark, df)
         row["n_keys"] = HWBT_BASE_KEYS * scale
+    elif key.startswith("fd_blocks_"):
+        from lambda_refarch_mapreduce_spark.operators.analytics import (
+            friedman_from_blocks,
+        )
+
+        scale = int(key.removeprefix("fd_blocks_").removesuffix("x"))
+        nb = 1_000 * scale
+        k = 5
+        cells = spark.range(nb * k).select(
+            (F.col("id") / k).cast("long").alias("b"),
+            F.pmod(F.col("id"), F.lit(k)).cast("string").alias("t"),
+            (
+                1000
+                + F.pmod(F.col("id"), F.lit(k)) * 3
+                + F.pmod(F.xxhash64("id"), F.lit(50))
+            ).alias("x"),
+        )
+        df = friedman_from_blocks(cells, "b", "t", "x")
+        row = _measure(spark, df)
+        row["n_blocks"] = nb
     elif key == "hw_keys_ref_100x":
         df = holt_winters_from_series(
             _series_by_keys(spark, HWBT_BASE_KEYS * 100),
