@@ -3802,3 +3802,148 @@ def friedman_from_blocks(
         f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
         f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
+
+
+# Jonckheere-Terpstra: tie-corrected normal approximation over exact
+# integer moments. With j2 = 2J (each cross-group pair contributes 2
+# for a strict ascent, 1 for a tie), mean2 = E[j2] = nt^2 - sn2 twice
+# ... specifically E[J] = (nt^2 - sn2)/4 so E[j2] = (nt^2 - sn2)/2,
+# and the Hollander-Wolfe tie-corrected variance
+#   Var(J) = A/72 + gt2*vt2/(36 nt(nt-1)(nt-2)) + gt3*vt3/(8 nt(nt-1))
+#   A = nt(nt-1)(2nt+5) - gt1 - vt1
+# over the group moments gt* = sum_g f(n_g) and pooled value-tie
+# moments vt* = sum_v f(t_v), f1 = t(t-1)(2t+5), f2 = t(t-1)(t-2),
+# f3 = t(t-1). Validated against a 4000-permutation Monte-Carlo null
+# and, at k=2, byte-equal |z| with mann_whitney_from_value_counts
+# (tests/test_analytics.py). Degenerates (k < 2, nt < 3, zero
+# variance e.g. every value tied) emit NULL, never an ANSI error.
+# Shared verbatim with the DuckDB oracle recipes.
+JT_VAR_EXPR = (
+    "(CASE WHEN k >= 2 AND nt >= 3 THEN"
+    " (nt * (nt - 1e0) * (2e0 * nt + 5e0) - gt1 - vt1) / 72e0"
+    " + (gt2 * vt2) / (36e0 * nt * (nt - 1e0) * (nt - 2e0))"
+    " + (gt3 * vt3) / (8e0 * nt * (nt - 1e0)) END)"
+)
+JT_Z_EXPR = (
+    f"(CASE WHEN {JT_VAR_EXPR} > 0e0"
+    f" THEN (j2 - (nt * 1e0 * nt - sn2) / 2e0)"
+    f" / (2e0 * sqrt({JT_VAR_EXPR})) END)"
+)
+
+
+def jonckheere_terpstra_from_counts(
+    counts: DataFrame,
+    g: str = "g",
+    v: str = "v",
+    c: str = "c",
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    groups from a per-(group, value) count frame (Jonckheere 1954,
+    Terpstra 1952) — the missing direction-aware member of the
+    k-sample rank family this module serves: Kruskal-Wallis asks "do
+    the k groups differ AT ALL?", this asks "do the values RISE (or
+    fall) with the group ORDER?" (dose-response on a numeric
+    outcome; Cochran-Armitage is its binomial-proportion sibling).
+    Groups are ordered by the natural sort of ``g`` — the caller
+    encodes the hypothesis in the key (week index, dose level).
+
+    J = sum over group pairs i<j of the Mann-Whitney count
+    #(x_i < x_j) + 0.5 #(x_i = x_j), kept DOUBLED (j2 = 2J) so every
+    intermediate is an exact integer. From counts the pair sum never
+    materializes pairs: on the |values| x k alphabet GRID (pooled
+    value alphabet cross-joined with the broadcast group alphabet,
+    zero-filled), one per-GROUP cumulative over values gives each
+    cell's "strictly below in group i" count (2*cum - c), and one
+    per-VALUE cumulative over group order folds the i<j sum, so
+    j2 = sum c_j(v) * pre(v, j) in a single pass. Mean and the
+    tie-corrected variance come from per-group and per-value integer
+    moment sums (decimal(38,0) products — n^3 terms stay exact past
+    int64); z is the shared JT_Z_EXPR string. At k=2 this IS the
+    tie-corrected Mann-Whitney z up to the documented sign
+    convention (JT counts ascents toward later groups) — asserted in
+    tests. At 100 TB the corpus collapses map-side to the (group,
+    value) alphabet; the grid is |alphabet| x k metadata rows and
+    both windows partition perfectly (by group, by value). Returns
+    one row: (k_groups, n_total, jt_auc, z_jt, trend) where jt_auc =
+    j2 / (nt^2 - sn2) is the concordance probability analog of the
+    Mann-Whitney AUC (0.5 under H0); trend labels the direction like
+    the Mann-Kendall / Cochran-Armitage entries."""
+    base = (
+        counts.select(
+            F.col(g).alias("__g"),
+            F.col(v).cast("long").alias("__v"),
+            F.col(c).cast("long").alias("__c"),
+        )
+        .filter(F.col("__c") > 0)
+        # re-aggregate: the grid join below must see ONE row per
+        # (group, value) cell or the per-cell window terms double
+        .groupBy("__g", "__v")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    grps = base.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    vals = base.groupBy("__v").agg(F.sum("__c").alias("__tv"))
+    grid = (
+        vals.select("__v")
+        .crossJoin(F.broadcast(grps.select("__g")))
+        .join(base, ["__v", "__g"], "left")
+        .fillna(0, subset=["__c"])
+    )
+    w_g = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_v = (
+        Window.partitionBy("__v")
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        grid.withColumn("__cum", F.sum("__c").over(w_g))
+        .withColumn("__t", 2 * F.col("__cum") - F.col("__c"))
+        .withColumn(
+            "__pre", F.coalesce(F.sum("__t").over(w_v), F.lit(0))
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    j2 = pre.agg(
+        F.coalesce(
+            F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__pre")),
+            zero,
+        )
+        .cast("double")
+        .alias("j2")
+    )
+
+    def _d(col: Column) -> Column:
+        return F.coalesce(F.sum(col), zero).cast("double")
+
+    ng = F.col("__ng").cast("decimal(38,0)")
+    gm = grps.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("__ng"), F.lit(0)).alias("nt"),
+        _d(ng * ng).alias("sn2"),
+        _d(ng * (ng - 1) * (2 * ng + 5)).alias("gt1"),
+        _d(ng * (ng - 1) * (ng - 2)).alias("gt2"),
+        _d(ng * (ng - 1)).alias("gt3"),
+    )
+    tv = F.col("__tv").cast("decimal(38,0)")
+    vm = vals.agg(
+        _d(tv * (tv - 1) * (2 * tv + 5)).alias("vt1"),
+        _d(tv * (tv - 1) * (tv - 2)).alias("vt2"),
+        _d(tv * (tv - 1)).alias("vt3"),
+    )
+    one = gm.crossJoin(F.broadcast(vm)).crossJoin(F.broadcast(j2))
+    return one.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nt AS BIGINT) AS n_total",
+        "CASE WHEN nt * 1e0 * nt - sn2 > 0e0"
+        " THEN round(j2 / (nt * 1e0 * nt - sn2), 6) END AS jt_auc",
+        f"round({JT_Z_EXPR}, 6) AS z_jt",
+        f"""CASE
+              WHEN {JT_Z_EXPR} IS NULL THEN NULL
+              WHEN abs({JT_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+              WHEN {JT_Z_EXPR} > 0 THEN 'increasing'
+              ELSE 'decreasing'
+            END AS trend""",
+    )

@@ -199,3 +199,23 @@ def anova_now(spark: SparkSession, index_dir: str) -> DataFrame:
         ).alias("q"),
     )
     return anova_f_from_groups(groups)
+
+
+def jt_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra readout over the committed state — the
+    ORDERED member of the family: "do the values rise (or fall) with
+    the group order?" (operators.analytics.
+    jonckheere_terpstra_from_counts; groups ordered by the natural
+    sort of g, so the caller encodes the hypothesis in the key —
+    week index, dose level, variant rank). Beside kruskal_now's
+    any-difference test this is the dose-response alarm, from the
+    same frame. Returns one row: (k_groups, n_total, jt_auc, z_jt,
+    trend); NULL statistics while fewer than two arms have
+    committed."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        jonckheere_terpstra_from_counts,
+    )
+
+    return jonckheere_terpstra_from_counts(
+        running_group_counts(spark, index_dir)
+    )

@@ -2986,21 +2986,26 @@ def test_backtest_property_matches_sequential(spark, ys, a10, b10):
         bt = beta * (lt - l) + (1 - beta) * b
         l, b, prev = lt, bt, x
     nf = n - 2
-    assert abs(r.mae_holt - round(sum(map(abs, eh)) / nf, 6)) < 1e-6
+    # 2e-6, not 1e-6: both sides round to 6 decimals, and a true value
+    # sitting exactly on a rounding midpoint (e.g. 187.815918/4 =
+    # 46.9539795) legitimately rounds apart by exactly 1e-6 between
+    # Spark's HALF_UP and Python's repr-based round (hypothesis found
+    # the midpoint: ys=[21,0,1,0,0,0], a=b=0.1)
+    assert abs(r.mae_holt - round(sum(map(abs, eh)) / nf, 6)) < 2e-6
     assert (
         abs(
             r.rmse_holt
             - round(math.sqrt(sum(e * e for e in eh) / nf), 6)
         )
-        < 1e-6
+        < 2e-6
     )
-    assert abs(r.mae_naive - round(sum(map(abs, en)) / nf, 6)) < 1e-6
+    assert abs(r.mae_naive - round(sum(map(abs, en)) / nf, 6)) < 2e-6
     sse_n = sum(e * e for e in en)
     if sse_n > 0:
         want_skill = 1 - math.sqrt(sum(e * e for e in eh) / nf) / math.sqrt(
             sse_n / nf
         )
-        assert abs(r.skill_vs_naive - round(want_skill, 6)) < 1e-6
+        assert abs(r.skill_vs_naive - round(want_skill, 6)) < 2e-6
     else:
         assert r.skill_vs_naive is None
 
@@ -3457,3 +3462,137 @@ def test_friedman_matches_references_and_degenerates(spark):
     assert tied.t1_stat is None and tied.significant is None
     empty = run([])
     assert empty.k_treatments == 0 and empty.t1_stat is None
+
+
+def test_jonckheere_terpstra_matches_bruteforce_and_mw(spark):
+    """operators.analytics.jonckheere_terpstra_from_counts (pre-staged
+    for the r12 window): the grid-computed doubled pair count equals a
+    pure-Python all-pairs count, the tie-corrected z equals an
+    independent implementation of the Hollander-Wolfe moments, the
+    three-term variance reduces to the classic no-tie form on untied
+    data, k=2 reproduces the Mann-Whitney z (sign-flipped by the
+    ascent convention), group-order reversal flips the sign, count-row
+    splitting and value shifts are invariant, and the degenerates
+    (empty, one group, all-tied) serve NULLs."""
+    import math
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        jonckheere_terpstra_from_counts,
+        mann_whitney_from_value_counts,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v long, c long")
+        return jonckheere_terpstra_from_counts(df).collect()[0]
+
+    def counts_of(groups):
+        rows = []
+        for gname, xs in groups.items():
+            for val, cnt in Counter(xs).items():
+                rows.append((gname, val, cnt))
+        return rows
+
+    def brute(groups):
+        """Independent J2 + Hollander-Wolfe moments, all-pairs."""
+        keys = sorted(groups)
+        j2 = 0
+        for i, ki in enumerate(keys):
+            for kj in keys[i + 1 :]:
+                for a in groups[ki]:
+                    for b in groups[kj]:
+                        j2 += 2 if a < b else (1 if a == b else 0)
+        ns = [len(groups[k]) for k in keys]
+        nt = sum(ns)
+        tv = Counter(x for xs in groups.values() for x in xs).values()
+        sn2 = sum(n * n for n in ns)
+        a_term = (
+            nt * (nt - 1) * (2 * nt + 5)
+            - sum(n * (n - 1) * (2 * n + 5) for n in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tv)
+        )
+        var = (
+            a_term / 72
+            + sum(n * (n - 1) * (n - 2) for n in ns)
+            * sum(t * (t - 1) * (t - 2) for t in tv)
+            / (36 * nt * (nt - 1) * (nt - 2))
+            + sum(n * (n - 1) for n in ns)
+            * sum(t * (t - 1) for t in tv)
+            / (8 * nt * (nt - 1))
+        )
+        z = (j2 - (nt * nt - sn2) / 2) / (2 * math.sqrt(var))
+        return j2, nt * nt - sn2, var, z
+
+    rng = random.Random(11)
+    groups = {
+        "g1": [rng.randint(0, 12) for _ in range(23)],
+        "g2": [rng.randint(2, 14) for _ in range(31)],
+        "g3": [rng.randint(4, 16) for _ in range(17)],
+        "g4": [rng.randint(3, 18) for _ in range(26)],
+    }
+    j2, mean2x2, var, z = brute(groups)
+    got = run(counts_of(groups))
+    assert got.k_groups == 4 and got.n_total == 97
+    assert abs(got.jt_auc - round(j2 / mean2x2, 6)) < 1e-9
+    assert abs(got.z_jt - round(z, 6)) < 1e-9
+    assert got.trend == (
+        "no_trend" if abs(z) <= 1.96 else ("increasing" if z > 0 else "decreasing")
+    )
+
+    # no ties -> the three-term variance must equal the classic form
+    untied = {"a": [1, 5, 9, 14], "b": [2, 7, 11], "c": [3, 8, 13, 20, 22]}
+    nt = 12
+    classic = (
+        nt * nt * (2 * nt + 3)
+        - sum(
+            len(x) ** 2 * (2 * len(x) + 3) for x in untied.values()
+        )
+    ) / 72
+    _, _, var_u, z_u = brute(untied)
+    assert abs(var_u - classic) < 1e-9
+    got_u = run(counts_of(untied))
+    assert abs(got_u.z_jt - round(z_u, 6)) < 1e-9
+
+    # k=2 == Mann-Whitney (sign-flipped: MW's u2 counts first-arm
+    # ABOVE second-arm pairs, JT counts ascents toward later groups)
+    two = {"a": groups["g1"], "b": groups["g2"]}
+    got2 = run(counts_of(two))
+    mw_rows = {}
+    for val, cnt in Counter(two["a"]).items():
+        mw_rows.setdefault(val, [0, 0])[0] = cnt
+    for val, cnt in Counter(two["b"]).items():
+        mw_rows.setdefault(val, [0, 0])[1] = cnt
+    mw = mann_whitney_from_value_counts(
+        spark.createDataFrame(
+            [(v, ca, cb) for v, (ca, cb) in mw_rows.items()],
+            "v long, cp long, cc long",
+        )
+    ).collect()[0]
+    assert abs(got2.z_jt + mw.z) < 2e-6
+
+    # invariances: value shift; group-order reversal flips the sign;
+    # splitting a count row changes nothing
+    shifted = run([(g_, v_ + 1000, c_) for g_, v_, c_ in counts_of(groups)])
+    assert tuple(shifted) == tuple(got)
+    rev = run(
+        [
+            ({"g1": "h4", "g2": "h3", "g3": "h2", "g4": "h1"}[g_], v_, c_)
+            for g_, v_, c_ in counts_of(groups)
+        ]
+    )
+    assert abs(rev.z_jt + got.z_jt) < 2e-6
+    assert abs(rev.jt_auc + got.jt_auc - 1.0) < 2e-6
+    split = run(
+        [(g_, v_, 1) for g_, v_, c_ in counts_of(groups) for _ in range(c_)]
+    )
+    assert tuple(split) == tuple(got)
+
+    # degenerates: empty / one group / every value tied -> NULL, no
+    # ANSI division error (the monitor serve contract)
+    empty = run([])
+    assert empty.k_groups == 0 and empty.z_jt is None and empty.jt_auc is None
+    one_g = run([("only", 3, 5), ("only", 7, 2)])
+    assert one_g.z_jt is None and one_g.jt_auc is None
+    tied = run([("a", 5, 4), ("b", 5, 9), ("c", 5, 2)])
+    assert tied.z_jt is None and tied.trend is None

@@ -2164,13 +2164,14 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     generalization of the two-arm A/B monitor): events stream in
     chunks, the committed (g, v, c) state equals the batch collapse
     on the union, every readout (Kruskal-Wallis / Brown-Forsythe /
-    ANOVA) equals its batch kernel exactly, replays are no-ops, and
+    ANOVA / Jonckheere-Terpstra) equals its batch kernel exactly, replays are no-ops, and
     the serve-at-any-moment contract holds on the empty and the
     one-group index."""
     from lambda_refarch_mapreduce_spark import load_table
     from lambda_refarch_mapreduce_spark.operators.analytics import (
         anova_f_from_groups,
         brown_forsythe_from_counts,
+        jonckheere_terpstra_from_counts,
         kruskal_wallis_from_counts,
     )
     from lambda_refarch_mapreduce_spark.streaming import kgroup
@@ -2180,6 +2181,8 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     for ro in (kgroup.kruskal_now, kgroup.brown_forsythe_now, kgroup.anova_now):
         r = ro(spark, empty_dir).collect()[0]
         assert r.k_groups == 0 and r.significant is None
+    jt0 = kgroup.jt_now(spark, empty_dir).collect()[0]
+    assert jt0.k_groups == 0 and jt0.z_jt is None and jt0.trend is None
 
     # one-group index: real counts, NULL statistics
     one_dir = str(tmp_path / "one_idx")
@@ -2195,6 +2198,9 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     assert bf1.k_groups == 1 and bf1.f_stat is None
     an1 = kgroup.anova_now(spark, one_dir).collect()[0]
     assert an1.k_groups == 1 and an1.f_stat is None
+    jt1 = kgroup.jt_now(spark, one_dir).collect()[0]
+    assert (jt1.k_groups, jt1.n_total) == (1, 4)
+    assert jt1.jt_auc is None and jt1.z_jt is None
 
     # streamed in chunks == batch kernels on the union
     sf = "/root/testdata/sf0.001"
@@ -2234,6 +2240,11 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     got_bf = kgroup.brown_forsythe_now(spark, index_dir).collect()[0]
     want_bf = brown_forsythe_from_counts(batch_counts).collect()[0]
     assert tuple(got_bf) == tuple(want_bf)
+
+    got_jt = kgroup.jt_now(spark, index_dir).collect()[0]
+    want_jt = jonckheere_terpstra_from_counts(batch_counts).collect()[0]
+    assert tuple(got_jt) == tuple(want_jt)
+    assert got_jt.jt_auc is not None and got_jt.trend is not None
 
     got_an = kgroup.anova_now(spark, index_dir).collect()[0]
     want_groups = batch_counts.groupBy("g").agg(

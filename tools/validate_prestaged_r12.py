@@ -13,6 +13,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - cochran_armitage_trend        <- _CA_VALUEBIN_SQL (purchase share
   across $50 value-bin scores — a second CA frame for the clause
   entry)
+- jonckheere_terpstra_from_counts <- _JT_WEEK_SQL (event value cents
+  across epoch-week order — the ordered-alternative k-sample test,
+  KW's direction-aware sibling)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -34,10 +37,12 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     ANOVA_GROUP_TERM,
     CA_Z_EXPR,
     FRIEDMAN_T_EXPR,
+    JT_Z_EXPR,
     WH_CHI2_Z,
     brown_forsythe_from_counts,
     cochran_armitage_trend,
     friedman_from_blocks,
+    jonckheere_terpstra_from_counts,
 )
 
 _FRIEDMAN_SQL = f"""
@@ -145,6 +150,59 @@ FROM agg
 """
 
 
+_JT_WEEK_SQL = f"""
+WITH s AS (SELECT (date_diff('day', DATE '1970-01-01',
+                             ts::DATE) // 7)::BIGINT AS g,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+grps AS (SELECT g, sum(c)::BIGINT AS ng FROM cnt GROUP BY 1),
+vals AS (SELECT v, sum(c)::BIGINT AS tv FROM cnt GROUP BY 1),
+grid AS (SELECT b.v, b.g, coalesce(c, 0)::BIGINT AS c
+         FROM (SELECT vals.v, grps.g
+               FROM vals CROSS JOIN grps) b
+         LEFT JOIN cnt ON b.v = cnt.v AND b.g = cnt.g),
+t1 AS (SELECT v, g, c,
+              (2 * sum(c) OVER (PARTITION BY g ORDER BY v)
+               - c)::BIGINT AS t
+       FROM grid),
+t2 AS (SELECT v, g, c,
+              coalesce(sum(t) OVER (PARTITION BY v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS pre
+       FROM t1),
+j2t AS (SELECT coalesce(sum(c::HUGEINT * pre), 0)::DOUBLE AS j2
+        FROM t2),
+gm AS (SELECT count(*)::BIGINT AS k,
+              coalesce(sum(ng), 0)::BIGINT AS nt,
+              coalesce(sum(ng::HUGEINT * ng), 0)::DOUBLE AS sn2,
+              coalesce(sum(ng::HUGEINT * (ng - 1) * (2 * ng + 5)),
+                       0)::DOUBLE AS gt1,
+              coalesce(sum(ng::HUGEINT * (ng - 1) * (ng - 2)),
+                       0)::DOUBLE AS gt2,
+              coalesce(sum(ng::HUGEINT * (ng - 1)), 0)::DOUBLE AS gt3
+       FROM grps),
+vm AS (SELECT coalesce(sum(tv::HUGEINT * (tv - 1) * (2 * tv + 5)),
+                       0)::DOUBLE AS vt1,
+              coalesce(sum(tv::HUGEINT * (tv - 1) * (tv - 2)),
+                       0)::DOUBLE AS vt2,
+              coalesce(sum(tv::HUGEINT * (tv - 1)), 0)::DOUBLE AS vt3
+       FROM vals),
+one AS (SELECT * FROM gm CROSS JOIN vm CROSS JOIN j2t)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+       CASE WHEN nt * 1e0 * nt - sn2 > 0e0
+            THEN round(j2 / (nt * 1e0 * nt - sn2), 6) END AS jt_auc,
+       round({JT_Z_EXPR}, 6) AS z_jt,
+       CASE
+         WHEN {JT_Z_EXPR} IS NULL THEN NULL
+         WHEN abs({JT_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+         WHEN {JT_Z_EXPR} > 0 THEN 'increasing'
+         ELSE 'decreasing'
+       END AS trend
+FROM one
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -181,6 +239,21 @@ def main() -> None:
         .agg(F.sum("p").alias("x"), F.count(F.lit(1)).alias("n"))
     )
 
+    jt_counts = (
+        ev.groupBy(
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -196,6 +269,11 @@ def main() -> None:
             "cochran_armitage_valuebin",
             cochran_armitage_trend(ca_grp),
             _CA_VALUEBIN_SQL,
+        ),
+        (
+            "jonckheere_terpstra_value_by_week",
+            jonckheere_terpstra_from_counts(jt_counts),
+            _JT_WEEK_SQL,
         ),
     ]
     failed = 0
