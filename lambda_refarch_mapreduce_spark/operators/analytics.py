@@ -1055,17 +1055,13 @@ ACF_EXPR = (
 )
 
 
-def acf_lags(
+def _acf_frames(
     series: DataFrame, key_col: str, y_col: str, max_lag: int
-) -> DataFrame:
-    """Autocorrelation function at lags 1..max_lag of an AGGREGATED
-    series ``(key, y)`` (unique keys, y exact integer — cents): the
-    sequence index comes from relational.global_rank (range exchange,
-    never a single-partition window over raw data), each lag is an
-    equi-join of the indexed series against itself shifted by k (the
-    series is bounded metadata after aggregation — |days|, not rows),
-    and every statistic reduces to exact integer sums entering one
-    shared float expression. Returns (lag, n_obs, acf) rows."""
+) -> tuple[DataFrame, DataFrame]:
+    """(per_lag, tot) — the exact-integer lag-join frames shared by
+    acf_lags and ljung_box_from_series: the sequence index from
+    relational.global_rank, per-lag equi-joins of the indexed series
+    against itself shifted by k, and the full-series moment row."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         global_rank,
     )
@@ -1099,6 +1095,21 @@ def acf_lags(
         F.sum("__ya").alias("sa"),
         F.sum("__yb").alias("sb"),
     )
+    return per_lag, tot
+
+
+def acf_lags(
+    series: DataFrame, key_col: str, y_col: str, max_lag: int
+) -> DataFrame:
+    """Autocorrelation function at lags 1..max_lag of an AGGREGATED
+    series ``(key, y)`` (unique keys, y exact integer — cents): the
+    sequence index comes from relational.global_rank (range exchange,
+    never a single-partition window over raw data), each lag is an
+    equi-join of the indexed series against itself shifted by k (the
+    series is bounded metadata after aggregation — |days|, not rows),
+    and every statistic reduces to exact integer sums entering one
+    shared float expression. Returns (lag, n_obs, acf) rows."""
+    per_lag, tot = _acf_frames(series, key_col, y_col, max_lag)
     return (
         per_lag.crossJoin(F.broadcast(tot))
         .selectExpr(
@@ -1107,6 +1118,53 @@ def acf_lags(
             f"round({ACF_EXPR}, 6) AS acf",
         )
         .orderBy("lag")
+    )
+
+
+def ljung_box_from_series(
+    series: DataFrame, key_col: str, y_col: str, max_lag: int
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test over an AGGREGATED
+    series (Ljung & Box 1978) — the HYPOTHESIS-TEST companion to
+    acf_lags: the ACF entry shows per-lag memory, this answers the
+    one question a residual diagnostic actually asks — "is there ANY
+    autocorrelation in the first h lags?" — as one chi-square(h)
+    statistic, Q = n(n+2) sum_k rho_k^2/(n-k). It rides the exact
+    same lag-join frames as acf_lags (_acf_frames — exact-integer
+    lag products, the shared ACF_EXPR estimator string), folds the h
+    per-lag terms in lag order (sorted_fold_sum — both engines add
+    the identical IEEE sequence), and reads significance through the
+    shared Wilson-Hilferty normal approximation at h dof. Degenerate
+    series (fewer than 2 points, zero variance) serve NULL
+    statistics instead of an ANSI division error. At 100 TB the
+    post-aggregation series is |days| rows of metadata; max_lag is a
+    plan literal. Returns one row: (n_obs, n_lags, q_stat, z_wh,
+    significant)."""
+    per_lag, tot = _acf_frames(series, key_col, y_col, max_lag)
+    terms = per_lag.crossJoin(F.broadcast(tot)).selectExpr(
+        "lag",
+        f"CASE WHEN q * 1e0 - s * 1e0 * s / n > 0e0"
+        f" THEN ({ACF_EXPR}) * ({ACF_EXPR}) / (n * 1e0 - lag)"
+        f" END AS __term",
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).alias("h"),
+        sorted_fold_sum(["lag"], "__term").alias("ssum"),
+    )
+    flat = folded.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(h AS BIGINT) AS n_lags",
+        "CASE WHEN h >= 1 THEN n * (n + 2e0) * ssum END AS chi2",
+        "h * 1e0 AS dof",
+    )
+    return flat.selectExpr(
+        "n_obs",
+        "n_lags",
+        "round(chi2, 6) AS q_stat",
+        f"CASE WHEN chi2 IS NOT NULL AND n_lags >= 1"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND n_lags >= 1"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
 
 

@@ -354,3 +354,24 @@ def rank_changepoint_now(
         "dd", "(x * 1000000) div m AS rate_micro"
     )
     return pettitt_changepoint(day, "dd", "rate_micro", alpha)
+
+
+def ljung_box_now(
+    spark: SparkSession, index_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Ljung-Box white-noise readout over the committed daily TRIAL
+    series — the residual-memory alarm beside trend_now's monotone
+    test on the same (dd, x, m) frame: a significant Q says the
+    daily volume still carries autocorrelation (weekly cycle,
+    campaign waves) that the forecast readouts must model rather
+    than average away (operators.analytics.ljung_box_from_series at
+    lags 1..max_lag). Returns one row: (n_obs, n_lags, q_stat, z_wh,
+    significant); NULL statistics until at least two distinct days
+    with nonconstant volume are committed."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ljung_box_from_series,
+    )
+
+    return ljung_box_from_series(
+        running_day_counts(spark, index_dir), "dd", "m", max_lag
+    )

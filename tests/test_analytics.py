@@ -3596,3 +3596,70 @@ def test_jonckheere_terpstra_matches_bruteforce_and_mw(spark):
     assert one_g.z_jt is None and one_g.jt_auc is None
     tied = run([("a", 5, 4), ("b", 5, 9), ("c", 5, 2)])
     assert tied.z_jt is None and tied.trend is None
+
+
+def test_ljung_box_matches_sequential_and_degenerates(spark):
+    """operators.analytics.ljung_box_from_series (pre-staged for the
+    r12 window): Q equals a sequential Box-Jenkins computation on a
+    seasonal series, agrees with acf_lags' rounded per-lag estimates,
+    a strongly periodic series is significant while the constant /
+    too-short / empty degenerates serve NULLs, and max_lag runs past
+    the series length without fabricating terms."""
+    import random
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        acf_lags,
+        ljung_box_from_series,
+    )
+
+    def run(ys, max_lag=7):
+        df = spark.createDataFrame(
+            list(enumerate(ys)), "t long, v long"
+        )
+        return ljung_box_from_series(df, "t", "v", max_lag).collect()[0]
+
+    rng = random.Random(3)
+    ys = [rng.randint(50, 150) + (60 if t % 7 == 0 else 0) for t in range(70)]
+    got = run(ys)
+    n, mean = len(ys), sum(ys) / len(ys)
+    den = sum((y - mean) ** 2 for y in ys)
+    q = n * (n + 2) * sum(
+        (
+            sum((ys[t] - mean) * (ys[t - k] - mean) for t in range(k, n))
+            / den
+        )
+        ** 2
+        / (n - k)
+        for k in range(1, 8)
+    )
+    assert (got.n_obs, got.n_lags) == (70, 7)
+    assert abs(got.q_stat - q) < 1e-5
+    assert got.significant is True  # the planted weekly cycle
+
+    # consistency with the per-lag ACF entry's estimates
+    acfs = acf_lags(
+        spark.createDataFrame(list(enumerate(ys)), "t long, v long"),
+        "t",
+        "v",
+        7,
+    ).collect()
+    q_from_acf = n * (n + 2) * sum(
+        r.acf**2 / (n - r.lag) for r in acfs
+    )
+    assert abs(got.q_stat - q_from_acf) < 1e-2  # acf rounded to 6dp
+
+    # pure noise: usually not significant (fixed seed, checked value)
+    noise = [rng.randint(0, 1000) for _ in range(80)]
+    got_n = run(noise)
+    assert got_n.q_stat is not None and got_n.significant is False
+
+    # degenerates: constant, singleton, empty, max_lag > n
+    const = run([5] * 10)
+    assert const.n_lags == 7 and const.q_stat is None
+    single = run([42])
+    assert (single.n_obs, single.n_lags) == (1, 0)
+    assert single.q_stat is None and single.significant is None
+    empty = run([])
+    assert empty.n_obs == 0 and empty.q_stat is None
+    short = run([1, 5, 2], max_lag=10)
+    assert short.n_lags == 2 and short.q_stat is not None

@@ -1915,6 +1915,25 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_hwbt) == tuple(want_hwbt)
 
+    # ...and the Ljung-Box white-noise readout on the committed daily
+    # trial-volume series equals the batch kernel on the union
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ljung_box_from_series,
+    )
+
+    got_lb = sprt.ljung_box_now(spark, index_dir).collect()[0]
+    want_lb = ljung_box_from_series(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ),
+        "dd",
+        "m",
+        7,
+    ).collect()[0]
+    assert tuple(got_lb) == tuple(want_lb)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
@@ -1972,6 +1991,10 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
 
     smk = sprt.seasonal_trend_now(spark, sprt_dir).collect()[0]
     assert smk.n_obs == 0 and smk.s_mk == 0
+
+    lb = sprt.ljung_box_now(spark, sprt_dir).collect()[0]
+    assert lb.n_obs == 0 and lb.n_lags == 0
+    assert lb.q_stat is None and lb.significant is None
 
     vc = abtest.running_value_counts(spark, ab_dir)
     assert vc.count() == 0

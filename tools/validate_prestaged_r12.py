@@ -16,6 +16,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - jonckheere_terpstra_from_counts <- _JT_WEEK_SQL (event value cents
   across epoch-week order — the ordered-alternative k-sample test,
   KW's direction-aware sibling)
+- ljung_box_from_series         <- _LB_REVENUE_SQL (daily revenue,
+  lags 1..7 — the portmanteau white-noise test riding the acf entry's
+  exact lag-join frames)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -36,6 +39,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     ANOVA_F_EXPR,
     ANOVA_GROUP_TERM,
     CA_Z_EXPR,
+    ACF_EXPR,
     FRIEDMAN_T_EXPR,
     JT_Z_EXPR,
     WH_CHI2_Z,
@@ -43,6 +47,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     cochran_armitage_trend,
     friedman_from_blocks,
     jonckheere_terpstra_from_counts,
+    ljung_box_from_series,
 )
 
 _FRIEDMAN_SQL = f"""
@@ -203,6 +208,52 @@ FROM one
 """
 
 
+_LB_MAX_LAG = 7
+
+_LB_REVENUE_SQL = f"""
+WITH daily AS (SELECT o_orderdate AS d,
+                      sum(round(o_totalprice * 100)::BIGINT)
+                          ::BIGINT AS y
+               FROM orders GROUP BY 1),
+idx AS (SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily),
+tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS s,
+               sum(y::HUGEINT * y)::DOUBLE AS q
+        FROM idx),
+lags AS (SELECT unnest(range(1, {_LB_MAX_LAG} + 1)) AS lag),
+j AS (SELECT lags.lag, a.y AS ya, b.y AS yb
+      FROM idx a CROSS JOIN lags
+      JOIN idx b ON b.t = a.t - lags.lag),
+p AS (SELECT lag, count(*) AS cnt,
+             sum(ya::HUGEINT * yb)::DOUBLE AS pk,
+             sum(ya)::BIGINT AS sa, sum(yb)::BIGINT AS sb
+      FROM j GROUP BY 1),
+terms AS (SELECT lag,
+                 CASE WHEN q * 1e0 - s * 1e0 * s / n > 0e0
+                      THEN ({ACF_EXPR}) * ({ACF_EXPR})
+                           / (n * 1e0 - lag)
+                 END AS term
+          FROM p CROSS JOIN tot),
+folded AS (SELECT count(*)::BIGINT AS h,
+                  list_reduce(list_prepend(0e0,
+                      list(term ORDER BY lag)),
+                      (acc, x) -> acc + x) AS ssum
+           FROM terms),
+flat AS (SELECT CAST(n AS BIGINT) AS n_obs,
+                CAST(h AS BIGINT) AS n_lags,
+                CASE WHEN h >= 1
+                     THEN n * (n + 2e0) * ssum END AS chi2,
+                h * 1e0 AS dof
+         FROM folded CROSS JOIN tot)
+SELECT n_obs, n_lags,
+       round(chi2, 6) AS q_stat,
+       CASE WHEN chi2 IS NOT NULL AND n_lags >= 1
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND n_lags >= 1
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM flat
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -254,6 +305,16 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
+    lb_daily = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -274,6 +335,11 @@ def main() -> None:
             "jonckheere_terpstra_value_by_week",
             jonckheere_terpstra_from_counts(jt_counts),
             _JT_WEEK_SQL,
+        ),
+        (
+            "ljung_box_daily_revenue",
+            ljung_box_from_series(lb_daily, "d", "y", _LB_MAX_LAG),
+            _LB_REVENUE_SQL,
         ),
     ]
     failed = 0
