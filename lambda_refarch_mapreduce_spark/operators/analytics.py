@@ -483,6 +483,44 @@ MW_Z_EXPR = (
 )
 
 
+def _mw_moments(
+    counts: DataFrame, v: str, ca: str, cb: str
+) -> DataFrame:
+    """One row (n1, n2, u2, ties) of exact-integer Mann-Whitney
+    moments from a per-distinct-value count frame — shared by
+    mann_whitney_from_value_counts and cliffs_delta_from_value_counts
+    (same pair count, different normalizations).
+
+    The per-row products widen to decimal(38,0) BEFORE multiplying
+    (mirroring welch_from_value_counts' v^2 guard): in int64 the tie
+    cube t^3 wraps silently past t ~ 2.1M rows sharing one cents
+    value, and the pair product cp * cc_cum past ~3e9 rows per side —
+    both well inside this tier's claimed scale. Exact integers fit
+    decimal(38,0) to 1e38 (t < 4.6e12 rows per value); the DuckDB
+    twin's per-row products ride int128 because its cp/cc are sum()
+    outputs (HUGEINT — verified: the product/cube expressions type as
+    HUGEINT), and the oracle casts ::HUGEINT explicitly anyway so
+    the guarantee survives a DuckDB sum()-typing change."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    g = counts.select(
+        F.col(v).alias("v"), F.col(ca).alias("cp"), F.col(cb).alias("cc")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["cc"])
+    t = (F.col("cp") + F.col("cc")).cast("decimal(38,0)")
+    return cum.agg(
+        F.sum("cp").alias("n1"),
+        F.sum("cc").alias("n2"),
+        F.sum(
+            F.col("cp").cast("decimal(38,0)")
+            * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
+        ).alias("u2"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+
+
 def mann_whitney_from_value_counts(
     counts: DataFrame,
     v: str = "v",
@@ -498,34 +536,7 @@ def mann_whitney_from_value_counts(
     CDF comes from relational.prefix_sums (range exchange, never a
     single-partition window). Returns one row: (n_a, n_b, auc, z,
     significant)."""
-    from lambda_refarch_mapreduce_spark.operators.relational import (
-        prefix_sums,
-    )
-
-    g = counts.select(
-        F.col(v).alias("v"), F.col(ca).alias("cp"), F.col(cb).alias("cc")
-    )
-    cum = prefix_sums(g, [F.col("v")], ["cc"])
-    # Widen the per-row products to decimal(38,0) BEFORE multiplying
-    # (mirroring welch_from_value_counts' v^2 guard): in int64 the tie
-    # cube t^3 wraps silently past t ~ 2.1M rows sharing one cents
-    # value, and the pair product cp * cc_cum past ~3e9 rows per side —
-    # both well inside this tier's claimed scale. Exact integers fit
-    # decimal(38,0) to 1e38 (t < 4.6e12 rows per value); the DuckDB
-    # twin's per-row products ride int128 because its cp/cc are sum()
-    # outputs (HUGEINT — verified: the product/cube expressions type as
-    # HUGEINT), and the oracle now casts ::HUGEINT explicitly anyway so
-    # the guarantee survives a DuckDB sum()-typing change.
-    t = (F.col("cp") + F.col("cc")).cast("decimal(38,0)")
-    a = cum.agg(
-        F.sum("cp").alias("n1"),
-        F.sum("cc").alias("n2"),
-        F.sum(
-            F.col("cp").cast("decimal(38,0)")
-            * (2 * (F.col("cc_cum") - F.col("cc")) + F.col("cc"))
-        ).alias("u2"),
-        F.sum(t * t * t - t).alias("ties"),
-    )
+    a = _mw_moments(counts, v, ca, cb)
     return a.selectExpr(
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
@@ -4004,4 +4015,51 @@ def jonckheere_terpstra_from_counts(
               WHEN {JT_Z_EXPR} > 0 THEN 'increasing'
               ELSE 'decreasing'
             END AS trend""",
+    )
+
+
+# Cliff's delta over the shared Mann-Whitney moments: with u2 = 2U
+# (U = #(a>b) + 0.5 #(a=b)), delta = P(a>b) - P(a<b) = u2/(n1*n2) - 1
+# exactly (the half-tie credits cancel). Magnitude bands are the
+# standard Romano et al. 2006 thresholds. Shared verbatim with the
+# DuckDB oracle recipes.
+CLIFFS_D_EXPR = (
+    "(CASE WHEN n1 > 0 AND n2 > 0"
+    " THEN u2 / (n1 * 1e0 * n2) - 1e0 END)"
+)
+
+
+def cliffs_delta_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "cp",
+    cb: str = "cc",
+) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE between two samples from a
+    per-distinct-value count frame (Cliff 1993) — the magnitude
+    reading the Mann-Whitney entry's yes/no answer lacks: at corpus
+    scale everything is "significant", and delta = P(a>b) - P(a<b)
+    in [-1, 1] (equivalently the rank-biserial correlation, 2*AUC-1)
+    says whether the difference MATTERS, banded by the standard
+    Romano et al. 2006 thresholds (|d| < .147 negligible, < .33
+    small, < .474 medium, else large). Shares the exact-integer
+    moment row with mann_whitney_from_value_counts (_mw_moments —
+    one prefix_sums range exchange over the value alphabet; the
+    tie-corrected z rides along so the effect size and its test read
+    from one row). Degenerates (either arm empty) serve NULLs.
+    Returns one row: (n_a, n_b, delta, magnitude, z, significant)."""
+    a = _mw_moments(counts, v, ca, cb)
+    return a.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        f"round({CLIFFS_D_EXPR}, 6) AS delta",
+        f"""CASE
+              WHEN {CLIFFS_D_EXPR} IS NULL THEN NULL
+              WHEN abs({CLIFFS_D_EXPR}) < 0.147e0 THEN 'negligible'
+              WHEN abs({CLIFFS_D_EXPR}) < 0.33e0 THEN 'small'
+              WHEN abs({CLIFFS_D_EXPR}) < 0.474e0 THEN 'medium'
+              ELSE 'large'
+            END AS magnitude""",
+        f"round({MW_Z_EXPR}, 6) AS z",
+        f"(abs({MW_Z_EXPR}) > 1.96e0) AS significant",
     )

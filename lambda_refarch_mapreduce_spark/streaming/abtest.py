@@ -240,3 +240,21 @@ def ad_now(spark: SparkSession, index_dir: str) -> DataFrame:
     return anderson_darling_from_value_counts(
         running_value_counts(spark, index_dir)
     )
+
+
+def cliffs_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Cliff's delta readout over the committed state — the EFFECT
+    SIZE beside mann_whitney_now's significance test, from the same
+    (v, ca, cb) frame (operators.analytics.
+    cliffs_delta_from_value_counts): at monitor scale the z crosses
+    1.96 long before the difference matters, and the banded delta is
+    the "does it matter" reading. Returns one row: (n_a, n_b, delta,
+    magnitude, z, significant); NULL delta while either arm has not
+    committed."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cliffs_delta_from_value_counts,
+    )
+
+    return cliffs_delta_from_value_counts(
+        running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )

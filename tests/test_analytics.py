@@ -3663,3 +3663,65 @@ def test_ljung_box_matches_sequential_and_degenerates(spark):
     assert empty.n_obs == 0 and empty.q_stat is None
     short = run([1, 5, 2], max_lag=10)
     assert short.n_lags == 2 and short.q_stat is not None
+
+
+def test_cliffs_delta_matches_bruteforce_and_mw(spark):
+    """operators.analytics.cliffs_delta_from_value_counts (pre-staged
+    for the r12 window): delta equals the all-pairs dominance count,
+    equals 2*AUC - 1 against the Mann-Whitney kernel on the same
+    frame, the Romano magnitude bands label constructed effects
+    correctly, swapping the arms negates delta, and the one-arm /
+    empty degenerates serve NULLs."""
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cliffs_delta_from_value_counts,
+        mann_whitney_from_value_counts,
+    )
+
+    def frame(a, b):
+        rows = {}
+        for val, cnt in Counter(a).items():
+            rows.setdefault(val, [0, 0])[0] = cnt
+        for val, cnt in Counter(b).items():
+            rows.setdefault(val, [0, 0])[1] = cnt
+        return spark.createDataFrame(
+            [(v, ca, cb) for v, (ca, cb) in rows.items()],
+            "v long, cp long, cc long",
+        )
+
+    def run(a, b):
+        return cliffs_delta_from_value_counts(frame(a, b)).collect()[0]
+
+    rng = random.Random(5)
+    a = [rng.randint(0, 20) for _ in range(45)]
+    b = [rng.randint(5, 25) for _ in range(60)]
+    got = run(a, b)
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    want = (gt - lt) / (len(a) * len(b))
+    assert (got.n_a, got.n_b) == (45, 60)
+    assert abs(got.delta - round(want, 6)) < 1e-9
+
+    mw = mann_whitney_from_value_counts(frame(a, b)).collect()[0]
+    assert abs(got.delta - (2 * mw.auc - 1)) < 5e-6
+    assert got.z == mw.z and got.significant == mw.significant
+
+    # magnitude bands on constructed shifts (same spread, moved mean)
+    base = [rng.randint(0, 100) for _ in range(300)]
+    for shift, band in ((0, "negligible"), (12, "small"),
+                        (22, "medium"), (300, "large")):
+        r = run([x + shift for x in base], list(base))
+        assert r.magnitude == band, (shift, r.delta, r.magnitude)
+
+    # antisymmetry: swapping the arms negates delta
+    rev = run(b, a)
+    assert abs(rev.delta + got.delta) < 2e-6
+
+    # degenerates: one arm, empty
+    one = run(a, [])
+    assert (one.n_a, one.n_b) == (45, 0)
+    assert one.delta is None and one.magnitude is None and one.z is None
+    empty = run([], [])
+    assert empty.delta is None and empty.significant is None

@@ -1229,6 +1229,22 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     assert got.auc == want.auc and got.z == want.z
     assert got.significant == want.significant
 
+    # the Cliff's delta readout shares the same moment row: delta is
+    # the effect-size reading of the same committed state
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cliffs_delta_from_value_counts,
+    )
+
+    got_cd = abtest.cliffs_now(spark, index_dir).collect()[0]
+    want_cd = cliffs_delta_from_value_counts(
+        abtest.batch_value_counts(events, "purchase", "click"),
+        "v",
+        "ca",
+        "cb",
+    ).collect()[0]
+    assert tuple(got_cd) == tuple(want_cd)
+    assert got_cd.z == got.z and abs(got_cd.delta - (2 * got.auc - 1)) < 5e-6
+
     # replay idempotence (foreachBatch is at-least-once): a second
     # application of an ALREADY-COMMITTED batch id must be a no-op —
     # exercised directly against the module-level batch function the
@@ -2032,6 +2048,9 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     assert (w1.n_a, w1.n_b) == (5, 0)
     assert w1.mean_a is not None and w1.mean_b is None
     assert w1.t_stat is None and w1.significant is None
+    cd1 = abtest.cliffs_now(spark, ab_dir).collect()[0]
+    assert (cd1.n_a, cd1.n_b) == (5, 0)
+    assert cd1.delta is None and cd1.magnitude is None
 
 
 def test_streaming_sprt_epoch_guard_and_restart_readouts(

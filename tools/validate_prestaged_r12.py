@@ -19,6 +19,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - ljung_box_from_series         <- _LB_REVENUE_SQL (daily revenue,
   lags 1..7 — the portmanteau white-noise test riding the acf entry's
   exact lag-join frames)
+- cliffs_delta_from_value_counts <- _CLIFFS_SQL (purchase-vs-click
+  value effect size with Romano magnitude bands — the "does it
+  matter" reading beside the Mann-Whitney entry)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -40,12 +43,15 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     ANOVA_GROUP_TERM,
     CA_Z_EXPR,
     ACF_EXPR,
+    CLIFFS_D_EXPR,
     FRIEDMAN_T_EXPR,
     JT_Z_EXPR,
+    MW_Z_EXPR,
     WH_CHI2_Z,
     brown_forsythe_from_counts,
     cochran_armitage_trend,
     friedman_from_blocks,
+    cliffs_delta_from_value_counts,
     jonckheere_terpstra_from_counts,
     ljung_box_from_series,
 )
@@ -254,6 +260,36 @@ FROM flat
 """
 
 
+_CLIFFS_SQL = f"""
+WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END AS ip,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END AS ic
+           FROM events
+           WHERE event_type IN ('purchase', 'click')),
+g AS (SELECT v, sum(ip) AS cp, sum(ic) AS cc FROM s GROUP BY 1),
+c AS (SELECT v, cp, cc, sum(cc) OVER (ORDER BY v) AS cc_cum FROM g),
+a AS (SELECT sum(cp) AS n1, sum(cc) AS n2,
+             sum(cp::HUGEINT * (2 * (cc_cum - cc) + cc)) AS u2,
+             sum((cp + cc)::HUGEINT * (cp + cc) * (cp + cc)
+                 - (cp + cc)) AS ties
+      FROM c)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       round({CLIFFS_D_EXPR}, 6) AS delta,
+       CASE
+         WHEN {CLIFFS_D_EXPR} IS NULL THEN NULL
+         WHEN abs({CLIFFS_D_EXPR}) < 0.147e0 THEN 'negligible'
+         WHEN abs({CLIFFS_D_EXPR}) < 0.33e0 THEN 'small'
+         WHEN abs({CLIFFS_D_EXPR}) < 0.474e0 THEN 'medium'
+         ELSE 'large'
+       END AS magnitude,
+       round({MW_Z_EXPR}, 6) AS z,
+       (abs({MW_Z_EXPR}) > 1.96e0) AS significant
+FROM a
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -315,6 +351,19 @@ def main() -> None:
         )
     )
 
+    cd_counts = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("cp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("long")
+            ).alias("cc"),
+        )
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -340,6 +389,11 @@ def main() -> None:
             "ljung_box_daily_revenue",
             ljung_box_from_series(lb_daily, "d", "y", _LB_MAX_LAG),
             _LB_REVENUE_SQL,
+        ),
+        (
+            "cliffs_delta_purchase_vs_click",
+            cliffs_delta_from_value_counts(cd_counts),
+            _CLIFFS_SQL,
         ),
     ]
     failed = 0
