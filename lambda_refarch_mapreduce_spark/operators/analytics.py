@@ -4063,3 +4063,103 @@ def cliffs_delta_from_value_counts(
         f"round({MW_Z_EXPR}, 6) AS z",
         f"(abs({MW_Z_EXPR}) > 1.96e0) AS significant",
     )
+
+
+# Wald-Wolfowitz runs test around the series median over exact
+# integer counts: r = observed runs, n_above/n_below the two sign
+# counts (median-tied observations dropped, the standard convention).
+# mu = 2ab/(a+b) + 1, var = 2ab(2ab-a-b)/((a+b)^2 (a+b-1)); the
+# degenerate arms (one sign absent, n_above = n_below = 1 -> var 0)
+# emit NULL, never an ANSI error. Shared verbatim with the DuckDB
+# oracle recipes.
+RUNS_Z_EXPR = (
+    "(CASE WHEN n_above > 0 AND n_below > 0"
+    " AND (2e0 * n_above * n_below - n_above - n_below) > 0e0"
+    " THEN (n_runs - (2e0 * n_above * n_below"
+    " / (n_above + n_below) + 1e0))"
+    " / sqrt(2e0 * n_above * n_below"
+    " * (2e0 * n_above * n_below - n_above - n_below)"
+    " / ((n_above + n_below) * 1e0 * (n_above + n_below)"
+    " * (n_above + n_below - 1e0))) END)"
+)
+
+
+def runs_test_from_series(
+    series: DataFrame, key_col: str, y_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for RANDOMNESS of an aggregated
+    series ``(key, y)`` around its median (Wald & Wolfowitz 1940) —
+    the sequence-memory diagnostic the trend tests can't give:
+    Mann-Kendall asks "is it drifting?", Ljung-Box asks "is there
+    linear autocorrelation?", this asks the weaker, assumption-free
+    question "is the above/below-median PATTERN random at all?"
+    (too few runs = clustering/regimes, too many = alternation).
+
+    Dichotomization uses the exact median read off pooled value
+    counts (relational.prefix_sums — a range exchange over the value
+    alphabet, never a single-partition window); median-tied rows are
+    dropped (the standard convention). The run count never walks the
+    sequence: signs are indexed by relational.global_rank and runs =
+    1 + #(sign boundaries) via the same shift-by-one equi-join the
+    ACF machinery uses. All moments are exact integers into the
+    shared RUNS_Z_EXPR string. At 100 TB the caller collapses the
+    corpus map-side to the series (|days| rows of metadata) before
+    this runs. Returns one row: (n_above, n_below, n_runs, z_runs,
+    verdict) with verdict in (random, clustered, alternating)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        prefix_sums,
+    )
+
+    s = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    w = s.groupBy("__y").agg(F.count(F.lit(1)).alias("__c"))
+    cum = prefix_sums(w, [F.col("__y")], ["__c"])
+    n_tot = s.agg(F.count(F.lit(1)).alias("__n"))
+    med = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .filter(2 * F.col("__c_cum") >= F.col("__n") + 1)
+        .agg(F.min("__y").alias("__med"))
+    )
+    marked = (
+        s.crossJoin(F.broadcast(med))
+        .filter(F.col("__y") != F.col("__med"))
+        .select(
+            "__k", (F.col("__y") > F.col("__med")).cast("int").alias("__s")
+        )
+    )
+    idx = global_rank(marked, [F.col("__k")], rank_col="__t")
+    a = idx.select(F.col("__t").alias("__ta"), F.col("__s").alias("__sa"))
+    b = idx.select(
+        (F.col("__t") + 1).alias("__tb"), F.col("__s").alias("__sb")
+    )
+    bounds = a.join(b, F.col("__ta") == F.col("__tb")).agg(
+        F.coalesce(
+            F.sum((F.col("__sa") != F.col("__sb")).cast("long")), F.lit(0)
+        ).alias("__switches")
+    )
+    per = idx.agg(
+        F.coalesce(F.sum("__s"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(1 - F.col("__s")), F.lit(0)).alias("n0"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    one = per.crossJoin(F.broadcast(bounds)).selectExpr(
+        "CAST(n1 AS BIGINT) AS n_above",
+        "CAST(n0 AS BIGINT) AS n_below",
+        "CAST(CASE WHEN nn > 0 THEN __switches + 1 ELSE 0 END"
+        " AS BIGINT) AS n_runs",
+    )
+    return one.selectExpr(
+        "n_above",
+        "n_below",
+        "n_runs",
+        f"round({RUNS_Z_EXPR}, 6) AS z_runs",
+        f"""CASE
+              WHEN {RUNS_Z_EXPR} IS NULL THEN NULL
+              WHEN {RUNS_Z_EXPR} < -1.96e0 THEN 'clustered'
+              WHEN {RUNS_Z_EXPR} > 1.96e0 THEN 'alternating'
+              ELSE 'random'
+            END AS verdict""",
+    )

@@ -375,3 +375,23 @@ def ljung_box_now(
     return ljung_box_from_series(
         running_day_counts(spark, index_dir), "dd", "m", max_lag
     )
+
+
+def runs_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs readout over the committed daily
+    conversion RATE series (the changepoint_now micro-rate units) —
+    the assumption-free randomness alarm beside the parametric
+    family: CUSUM asks WHERE the rate broke, Mann-Kendall whether it
+    drifts, this whether the above/below-median pattern is random at
+    all (too few runs = regimes, too many = alternation) —
+    operators.analytics.runs_test_from_series. Returns one row:
+    (n_above, n_below, n_runs, z_runs, verdict); NULL statistics
+    until both signs appear in the committed days."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        runs_test_from_series,
+    )
+
+    day = running_day_counts(spark, index_dir).selectExpr(
+        "dd", "(x * 1000000) div m AS rate_micro"
+    )
+    return runs_test_from_series(day, "dd", "rate_micro")

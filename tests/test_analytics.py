@@ -3725,3 +3725,74 @@ def test_cliffs_delta_matches_bruteforce_and_mw(spark):
     assert one.delta is None and one.magnitude is None and one.z is None
     empty = run([], [])
     assert empty.delta is None and empty.significant is None
+
+
+def test_runs_test_matches_bruteforce_and_patterns(spark):
+    """operators.analytics.runs_test_from_series (pre-staged for the
+    r12 window): the run count and tie-corrected z equal a sequential
+    pure-Python computation (median by the same 2*cum >= n+1 probe,
+    median-tied rows dropped), a two-regime series reads clustered
+    and a sawtooth reads alternating, value shifts are invariant, and
+    the degenerates (empty, constant, one-sided) serve NULLs."""
+    import math
+    import random
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        runs_test_from_series,
+    )
+
+    def run(ys):
+        df = spark.createDataFrame(
+            list(enumerate(ys)), "t long, v long"
+        )
+        return runs_test_from_series(df, "t", "v").collect()[0]
+
+    def brute(ys):
+        sy, n = sorted(ys), len(ys)
+        med = sy[math.ceil((n + 1) / 2) - 1]
+        signs = [1 if y > med else 0 for y in ys if y != med]
+        r = 1 + sum(
+            1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+        )
+        a, b = sum(signs), len(signs) - sum(signs)
+        if a == 0 or b == 0 or 2 * a * b - a - b <= 0:
+            return a, b, (r if signs else 0), None
+        mu = 2 * a * b / (a + b) + 1
+        var = 2 * a * b * (2 * a * b - a - b) / ((a + b) ** 2 * (a + b - 1))
+        return a, b, r, (r - mu) / math.sqrt(var)
+
+    rng = random.Random(9)
+    ys = [rng.randint(0, 1000) for _ in range(61)]
+    got = run(ys)
+    a, b, r, z = brute(ys)
+    assert (got.n_above, got.n_below, got.n_runs) == (a, b, r)
+    assert abs(got.z_runs - round(z, 6)) < 1e-9
+    assert got.verdict == "random"
+
+    # two regimes -> far fewer runs than expected -> clustered
+    regimes = [rng.randint(0, 100) for _ in range(30)] + [
+        rng.randint(900, 1000) for _ in range(30)
+    ]
+    got_c = run(regimes)
+    assert got_c.n_runs == 2 and got_c.verdict == "clustered"
+
+    # strict sawtooth (distinct values so the median ties only one
+    # row) -> near-maximal runs -> alternating
+    saw = [(i if i % 2 == 0 else 1000 + i) for i in range(40)]
+    got_a = run(saw)
+    sa, sb, sr, sz = brute(saw)
+    assert (got_a.n_above, got_a.n_below, got_a.n_runs) == (sa, sb, sr)
+    assert got_a.verdict == "alternating" and got_a.n_runs >= 38
+
+    # shift invariance (the median shifts with the values)
+    shifted = run([y + 5000 for y in ys])
+    assert tuple(shifted) == tuple(got)
+
+    # degenerates: empty, constant (all median-tied), single sign
+    empty = run([])
+    assert empty.n_runs == 0 and empty.z_runs is None
+    const = run([7] * 12)
+    assert (const.n_above, const.n_below) == (0, 0)
+    assert const.z_runs is None and const.verdict is None
+    one_side = run([10, 10, 10, 1])
+    assert one_side.z_runs is None

@@ -1950,6 +1950,23 @@ def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_lb) == tuple(want_lb)
 
+    # ...and the runs-test readout on the committed micro-rate series
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        runs_test_from_series,
+    )
+
+    got_rt = sprt.runs_now(spark, index_dir).collect()[0]
+    want_rt = runs_test_from_series(
+        sprt.batch_day_counts(
+            events,
+            "event_type = 'purchase'",
+            "event_type IN ('purchase', 'click')",
+        ).selectExpr("dd", "(x * 1000000) div m AS rate_micro"),
+        "dd",
+        "rate_micro",
+    ).collect()[0]
+    assert tuple(got_rt) == tuple(want_rt)
+
     # replay idempotence: an already-committed batch id is a no-op
     sprt._apply_day_counts_batch(
         events.limit(30),
@@ -2011,6 +2028,10 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     lb = sprt.ljung_box_now(spark, sprt_dir).collect()[0]
     assert lb.n_obs == 0 and lb.n_lags == 0
     assert lb.q_stat is None and lb.significant is None
+
+    rt = sprt.runs_now(spark, sprt_dir).collect()[0]
+    assert (rt.n_above, rt.n_below, rt.n_runs) == (0, 0, 0)
+    assert rt.z_runs is None and rt.verdict is None
 
     vc = abtest.running_value_counts(spark, ab_dir)
     assert vc.count() == 0

@@ -22,6 +22,8 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - cliffs_delta_from_value_counts <- _CLIFFS_SQL (purchase-vs-click
   value effect size with Romano magnitude bands — the "does it
   matter" reading beside the Mann-Whitney entry)
+- runs_test_from_series         <- _RUNS_REVENUE_SQL (daily revenue
+  around its median — the Wald-Wolfowitz randomness diagnostic)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -47,6 +49,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     FRIEDMAN_T_EXPR,
     JT_Z_EXPR,
     MW_Z_EXPR,
+    RUNS_Z_EXPR,
     WH_CHI2_Z,
     brown_forsythe_from_counts,
     cochran_armitage_trend,
@@ -54,6 +57,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     cliffs_delta_from_value_counts,
     jonckheere_terpstra_from_counts,
     ljung_box_from_series,
+    runs_test_from_series,
 )
 
 _FRIEDMAN_SQL = f"""
@@ -290,6 +294,43 @@ FROM a
 """
 
 
+_RUNS_REVENUE_SQL = f"""
+WITH daily AS (SELECT o_orderdate AS d,
+                      sum(round(o_totalprice * 100)::BIGINT)
+                          ::BIGINT AS y
+               FROM orders GROUP BY 1),
+w AS (SELECT y, count(*)::BIGINT AS c FROM daily GROUP BY 1),
+cum AS (SELECT y, c, sum(c) OVER (ORDER BY y)::BIGINT AS cm FROM w),
+nt AS (SELECT count(*)::BIGINT AS n FROM daily),
+med AS (SELECT min(y)::BIGINT AS med
+        FROM cum CROSS JOIN nt WHERE 2 * cm >= n + 1),
+marked AS (SELECT d, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+           FROM daily CROSS JOIN med WHERE y != med),
+idx AS (SELECT s, row_number() OVER (ORDER BY d) AS t FROM marked),
+bounds AS (SELECT coalesce(sum(CASE WHEN a.s != b.s
+                                    THEN 1 ELSE 0 END),
+                           0)::BIGINT AS sw
+           FROM idx a JOIN idx b ON a.t = b.t + 1),
+per AS (SELECT coalesce(sum(s), 0)::BIGINT AS n1,
+               coalesce(sum(1 - s), 0)::BIGINT AS n0,
+               count(*)::BIGINT AS nn
+        FROM idx),
+one AS (SELECT n1 AS n_above, n0 AS n_below,
+               (CASE WHEN nn > 0 THEN sw + 1 ELSE 0 END)::BIGINT
+                   AS n_runs
+        FROM per CROSS JOIN bounds)
+SELECT n_above, n_below, n_runs,
+       round({RUNS_Z_EXPR}, 6) AS z_runs,
+       CASE
+         WHEN {RUNS_Z_EXPR} IS NULL THEN NULL
+         WHEN {RUNS_Z_EXPR} < -1.96e0 THEN 'clustered'
+         WHEN {RUNS_Z_EXPR} > 1.96e0 THEN 'alternating'
+         ELSE 'random'
+       END AS verdict
+FROM one
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -394,6 +435,11 @@ def main() -> None:
             "cliffs_delta_purchase_vs_click",
             cliffs_delta_from_value_counts(cd_counts),
             _CLIFFS_SQL,
+        ),
+        (
+            "runs_test_daily_revenue",
+            runs_test_from_series(lb_daily, "d", "y"),
+            _RUNS_REVENUE_SQL,
         ),
     ]
     failed = 0
