@@ -4163,3 +4163,148 @@ def runs_test_from_series(
               ELSE 'random'
             END AS verdict""",
     )
+
+
+# McNemar's test with continuity correction over the two discordant
+# counts (b = only-A, c = only-B): chi2 = (|b-c|-1)^2/(b+c), 1 dof,
+# significant iff chi2 > 3.841 (= 1.96^2). The no-discordance frame
+# (b + c = 0) emits NULL, never an ANSI error. Shared verbatim with
+# the DuckDB oracle recipes.
+MCNEMAR_CHI2_EXPR = (
+    "(CASE WHEN n_only_a + n_only_b > 0"
+    " THEN (abs(n_only_a - n_only_b) - 1e0)"
+    " * (abs(n_only_a - n_only_b) - 1e0)"
+    " / (n_only_a + n_only_b * 1e0) END)"
+)
+
+
+def mcnemar_from_pairs(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (McNemar 1947) —
+    the within-subject counterpart of the two-proportion z tests
+    this module serves: comparing "clicked" vs "purchased" rates on
+    the SAME subjects (or one subject's before vs after a change)
+    must condition on the pairing, and McNemar does exactly that by
+    looking only at the DISCORDANT pairs — concordant subjects carry
+    no information about a marginal difference. Input: one row per
+    subject with two boolean columns; the whole frame collapses
+    map-side to four exact-integer cell counts (one partial-agg
+    shuffle of one row — the cheapest statistic in the module), and
+    the Edwards continuity-corrected chi-square reads off the two
+    discordant cells through the shared MCNEMAR_CHI2_EXPR string.
+    Subjects with NULL flags are dropped. At 100 TB nothing but the
+    four-counter aggregation ever runs. Returns one row: (n_pairs,
+    n_both, n_only_a, n_only_b, n_neither, chi2_cc, significant,
+    direction) with direction in (a_over_b, b_over_a, none)."""
+    base = pairs.select(
+        F.col(a).cast("boolean").alias("__a"),
+        F.col(b).cast("boolean").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("__a") & F.col("__b")).cast("long")), F.lit(0)
+        ).alias("n_both"),
+        F.coalesce(
+            F.sum((F.col("__a") & ~F.col("__b")).cast("long")), F.lit(0)
+        ).alias("n_only_a"),
+        F.coalesce(
+            F.sum((~F.col("__a") & F.col("__b")).cast("long")), F.lit(0)
+        ).alias("n_only_b"),
+        F.coalesce(
+            F.sum((~F.col("__a") & ~F.col("__b")).cast("long")), F.lit(0)
+        ).alias("n_neither"),
+    )
+    return cells.selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(n_both AS BIGINT) AS n_both",
+        "CAST(n_only_a AS BIGINT) AS n_only_a",
+        "CAST(n_only_b AS BIGINT) AS n_only_b",
+        "CAST(n_neither AS BIGINT) AS n_neither",
+        f"round({MCNEMAR_CHI2_EXPR}, 6) AS chi2_cc",
+        f"CASE WHEN {MCNEMAR_CHI2_EXPR} IS NOT NULL"
+        f" THEN ({MCNEMAR_CHI2_EXPR} > 3.841e0) END AS significant",
+        f"""CASE
+              WHEN {MCNEMAR_CHI2_EXPR} IS NULL THEN NULL
+              WHEN NOT ({MCNEMAR_CHI2_EXPR} > 3.841e0) THEN 'none'
+              WHEN n_only_a > n_only_b THEN 'a_over_b'
+              ELSE 'b_over_a'
+            END AS direction""",
+    )
+
+
+# Cohen's kappa over exact integer contingency sums: with N items,
+# po_num = sum of diagonal counts and pe_num = sum_l rowmargin(l) *
+# colmargin(l), kappa = (po - pe)/(1 - pe) = (po_num*N - pe_num) /
+# (N^2 - pe_num) — every term an exact integer until one final
+# division. The chance-saturated degenerate (both raters constant on
+# one shared label: N^2 = pe_num) emits NULL. Shared verbatim with
+# the DuckDB oracle recipes.
+KAPPA_EXPR = (
+    "(CASE WHEN n_items > 0"
+    " AND n_items * 1e0 * n_items - pe_num > 0e0"
+    " THEN (po_num * 1e0 * n_items - pe_num)"
+    " / (n_items * 1e0 * n_items - pe_num) END)"
+)
+
+
+def cohens_kappa_from_pairs(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960) between two
+    categorical labelings of the same items — the statistic a
+    labeling pipeline needs the moment it has two judges (a heuristic
+    quality rater vs a trained classifier, two model generations, a
+    human sample vs the production rule): raw percent agreement
+    rewards constant raters on skewed labels, kappa subtracts the
+    agreement their MARGINS would produce by chance. The corpus
+    collapses map-side to the (label_a, label_b) contingency alphabet;
+    the diagonal sum and the margin-product sum are exact integers on
+    decimal(38,0) into the shared KAPPA_EXPR string, banded by the
+    Landis-Koch scale. Items with a NULL label on either side are
+    dropped. Returns one row: (n_items, po, pe, kappa, agreement)."""
+    base = pairs.select(
+        F.col(a).cast("string").alias("__a"),
+        F.col(b).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    ra = cells.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    tot = cells.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_items"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
+            F.lit(0),
+        ).alias("po_num"),
+    )
+    pe = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__ra").cast("decimal(38,0)") * F.col("__cb")),
+                zero,
+            )
+            .cast("double")
+            .alias("pe_num")
+        )
+    )
+    one = tot.crossJoin(F.broadcast(pe))
+    return one.selectExpr(
+        "CAST(n_items AS BIGINT) AS n_items",
+        "CASE WHEN n_items > 0"
+        " THEN round(po_num * 1e0 / n_items, 6) END AS po",
+        "CASE WHEN n_items > 0"
+        " THEN round(pe_num / (n_items * 1e0 * n_items), 6) END AS pe",
+        f"round({KAPPA_EXPR}, 6) AS kappa",
+        f"""CASE
+              WHEN {KAPPA_EXPR} IS NULL THEN NULL
+              WHEN {KAPPA_EXPR} < 0e0 THEN 'poor'
+              WHEN {KAPPA_EXPR} < 0.2e0 THEN 'slight'
+              WHEN {KAPPA_EXPR} < 0.4e0 THEN 'fair'
+              WHEN {KAPPA_EXPR} < 0.6e0 THEN 'moderate'
+              WHEN {KAPPA_EXPR} < 0.8e0 THEN 'substantial'
+              ELSE 'almost_perfect'
+            END AS agreement""",
+    )

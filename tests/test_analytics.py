@@ -3796,3 +3796,130 @@ def test_runs_test_matches_bruteforce_and_patterns(spark):
     assert const.z_runs is None and const.verdict is None
     one_side = run([10, 10, 10, 1])
     assert one_side.z_runs is None
+
+
+def test_mcnemar_matches_reference_and_degenerates(spark):
+    """operators.analytics.mcnemar_from_pairs (pre-staged for the r12
+    window): the continuity-corrected chi-square equals the textbook
+    computation on the discordant cells, concordant-pair injections
+    change nothing, swapping the flags mirrors the direction, NULL
+    flags are dropped, and the no-discordance / empty degenerates
+    serve NULLs."""
+    import random
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mcnemar_from_pairs,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        return mcnemar_from_pairs(df).collect()[0]
+
+    rng = random.Random(4)
+    rows = [
+        (rng.random() < 0.4, rng.random() < 0.25) for _ in range(300)
+    ]
+    got = run(rows)
+    b = sum(1 for x, y in rows if x and not y)
+    c = sum(1 for x, y in rows if y and not x)
+    assert (got.n_only_a, got.n_only_b) == (b, c)
+    assert abs(got.chi2_cc - round((abs(b - c) - 1) ** 2 / (b + c), 6)) < 1e-9
+    assert got.significant == ((abs(b - c) - 1) ** 2 / (b + c) > 3.841)
+    assert got.direction == ("a_over_b" if b > c else "b_over_a")
+
+    # concordant pairs are uninformative: injecting them moves only
+    # the concordant counters
+    padded = run(rows + [(True, True)] * 40 + [(False, False)] * 60)
+    assert padded.chi2_cc == got.chi2_cc
+    assert padded.significant == got.significant
+    assert padded.n_both == got.n_both + 40
+
+    # swap symmetry
+    swapped = run([(y, x) for x, y in rows])
+    assert swapped.chi2_cc == got.chi2_cc
+    assert (swapped.n_only_a, swapped.n_only_b) == (c, b)
+    assert swapped.direction == "b_over_a"
+
+    # NULL flags dropped
+    df_null = spark.createDataFrame(
+        rows + [(None, True), (False, None)], "a boolean, b boolean"
+    )
+    got_null = mcnemar_from_pairs(df_null).collect()[0]
+    assert tuple(got_null) == tuple(got)
+
+    # degenerates
+    empty = run([])
+    assert empty.n_pairs == 0 and empty.chi2_cc is None
+    concordant = run([(True, True)] * 5 + [(False, False)] * 3)
+    assert concordant.chi2_cc is None and concordant.direction is None
+
+
+def test_cohens_kappa_matches_reference_and_degenerates(spark):
+    """operators.analytics.cohens_kappa_from_pairs (pre-staged for
+    the r12 window): kappa equals the textbook margins computation,
+    perfect agreement reads 1/almost_perfect, label-swap symmetry
+    holds, independent-margin data sits near 0, NULL labels are
+    dropped, and the chance-saturated / empty degenerates serve
+    NULLs."""
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cohens_kappa_from_pairs,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        return cohens_kappa_from_pairs(df).collect()[0]
+
+    def ref(rows):
+        n = len(rows)
+        po = sum(1 for x, y in rows if x == y) / n
+        ca = Counter(x for x, _ in rows)
+        cb = Counter(y for _, y in rows)
+        pe = sum(ca[l] * cb[l] for l in set(ca) | set(cb)) / n / n
+        return po, pe, (po - pe) / (1 - pe)
+
+    rng = random.Random(12)
+    rows = [
+        (
+            lab,
+            lab if rng.random() < 0.7 else rng.choice("LMH"),
+        )
+        for lab in (rng.choice("LMH") for _ in range(400))
+    ]
+    got = run(rows)
+    po, pe, kappa = ref(rows)
+    assert got.n_items == 400
+    assert abs(got.po - round(po, 6)) < 1e-9
+    assert abs(got.pe - round(pe, 6)) < 1e-9
+    assert abs(got.kappa - round(kappa, 6)) < 1e-9
+    assert got.agreement == "substantial"
+
+    # symmetry: kappa(a, b) == kappa(b, a)
+    swapped = run([(y, x) for x, y in rows])
+    assert swapped.kappa == got.kappa
+
+    # perfect agreement (two labels, so pe < 1)
+    perfect = run([("x", "x")] * 5 + [("y", "y")] * 5)
+    assert perfect.kappa == 1.0 and perfect.agreement == "almost_perfect"
+
+    # independent raters: near zero, 'slight' or 'poor'
+    ind = [(rng.choice("LMH"), rng.choice("LMH")) for _ in range(3000)]
+    got_ind = run(ind)
+    assert abs(got_ind.kappa) < 0.05
+
+    # NULL labels dropped
+    df_null = spark.createDataFrame(
+        rows + [(None, "L"), ("M", None)], "a string, b string"
+    )
+    assert tuple(cohens_kappa_from_pairs(df_null).collect()[0]) == tuple(
+        got
+    )
+
+    # degenerates: empty; both raters constant on one shared label
+    empty = run([])
+    assert empty.n_items == 0 and empty.kappa is None
+    const = run([("x", "x")] * 7)
+    assert const.po == 1.0 and const.pe == 1.0
+    assert const.kappa is None and const.agreement is None

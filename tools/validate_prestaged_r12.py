@@ -24,6 +24,10 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
   matter" reading beside the Mann-Whitney entry)
 - runs_test_from_series         <- _RUNS_REVENUE_SQL (daily revenue
   around its median — the Wald-Wolfowitz randomness diagnostic)
+- mcnemar_from_pairs            <- _MCNEMAR_SQL (paired click-vs-
+  purchase flags per user-day — the within-subject marginal test)
+- cohens_kappa_from_pairs       <- _KAPPA_SQL (two rule-based document
+  length raters — chance-corrected agreement, Landis-Koch bands)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -48,6 +52,8 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     CLIFFS_D_EXPR,
     FRIEDMAN_T_EXPR,
     JT_Z_EXPR,
+    KAPPA_EXPR,
+    MCNEMAR_CHI2_EXPR,
     MW_Z_EXPR,
     RUNS_Z_EXPR,
     WH_CHI2_Z,
@@ -55,7 +61,9 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     cochran_armitage_trend,
     friedman_from_blocks,
     cliffs_delta_from_value_counts,
+    cohens_kappa_from_pairs,
     jonckheere_terpstra_from_counts,
+    mcnemar_from_pairs,
     ljung_box_from_series,
     runs_test_from_series,
 )
@@ -331,12 +339,83 @@ FROM one
 """
 
 
+_MCNEMAR_SQL = f"""
+WITH subj AS (SELECT user_id, ts::DATE AS d,
+                     max(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS b
+              FROM events GROUP BY 1, 2),
+cells AS (SELECT count(*)::BIGINT AS n_pairs,
+                 coalesce(sum(CASE WHEN a = 1 AND b = 1
+                                   THEN 1 END), 0)::BIGINT AS n_both,
+                 coalesce(sum(CASE WHEN a = 1 AND b = 0
+                                   THEN 1 END), 0)::BIGINT AS n_only_a,
+                 coalesce(sum(CASE WHEN a = 0 AND b = 1
+                                   THEN 1 END), 0)::BIGINT AS n_only_b,
+                 coalesce(sum(CASE WHEN a = 0 AND b = 0
+                                   THEN 1 END), 0)::BIGINT AS n_neither
+          FROM subj)
+SELECT n_pairs, n_both, n_only_a, n_only_b, n_neither,
+       round({MCNEMAR_CHI2_EXPR}, 6) AS chi2_cc,
+       CASE WHEN {MCNEMAR_CHI2_EXPR} IS NOT NULL
+            THEN ({MCNEMAR_CHI2_EXPR} > 3.841e0) END AS significant,
+       CASE
+         WHEN {MCNEMAR_CHI2_EXPR} IS NULL THEN NULL
+         WHEN NOT ({MCNEMAR_CHI2_EXPR} > 3.841e0) THEN 'none'
+         WHEN n_only_a > n_only_b THEN 'a_over_b'
+         ELSE 'b_over_a'
+       END AS direction
+FROM cells
+"""
+
+_KAPPA_SQL = f"""
+WITH lab AS (SELECT CASE WHEN n_chars < 500 THEN 'short'
+                         WHEN n_chars < 2000 THEN 'mid'
+                         ELSE 'long' END AS a,
+                    CASE WHEN len(string_split(text, ' ')) < 80
+                         THEN 'short'
+                         WHEN len(string_split(text, ' ')) < 320
+                         THEN 'mid'
+                         ELSE 'long' END AS b
+             FROM documents),
+cells AS (SELECT a, b, count(*)::BIGINT AS n FROM lab GROUP BY 1, 2),
+ra AS (SELECT a, sum(n)::BIGINT AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(n)::BIGINT AS cb FROM cells GROUP BY 1),
+tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS n_items,
+               coalesce(sum(CASE WHEN a = b THEN n END), 0)::BIGINT
+                   AS po_num
+        FROM cells),
+pe AS (SELECT coalesce(sum(ra.ra::HUGEINT * cb.cb), 0)::DOUBLE
+                  AS pe_num
+       FROM ra JOIN cb ON ra.a = cb.b),
+one AS (SELECT * FROM tot CROSS JOIN pe)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CASE WHEN n_items > 0
+            THEN round(po_num * 1e0 / n_items, 6) END AS po,
+       CASE WHEN n_items > 0
+            THEN round(pe_num / (n_items * 1e0 * n_items), 6)
+       END AS pe,
+       round({KAPPA_EXPR}, 6) AS kappa,
+       CASE
+         WHEN {KAPPA_EXPR} IS NULL THEN NULL
+         WHEN {KAPPA_EXPR} < 0e0 THEN 'poor'
+         WHEN {KAPPA_EXPR} < 0.2e0 THEN 'slight'
+         WHEN {KAPPA_EXPR} < 0.4e0 THEN 'fair'
+         WHEN {KAPPA_EXPR} < 0.6e0 THEN 'moderate'
+         WHEN {KAPPA_EXPR} < 0.8e0 THEN 'substantial'
+         ELSE 'almost_perfect'
+       END AS agreement
+FROM one
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("events", "orders"):
+    for t in ("events", "orders", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
@@ -405,6 +484,29 @@ def main() -> None:
         )
     )
 
+    mc_pairs = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int"))
+        .cast("boolean")
+        .alias("a"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("boolean")
+        .alias("b"),
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kp_pairs = docs.select(
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 2000, "mid")
+        .otherwise("long")
+        .alias("a"),
+        F.when(F.size(F.split(F.col("text"), " ")) < 80, "short")
+        .when(F.size(F.split(F.col("text"), " ")) < 320, "mid")
+        .otherwise("long")
+        .alias("b"),
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -440,6 +542,16 @@ def main() -> None:
             "runs_test_daily_revenue",
             runs_test_from_series(lb_daily, "d", "y"),
             _RUNS_REVENUE_SQL,
+        ),
+        (
+            "mcnemar_click_vs_purchase_userday",
+            mcnemar_from_pairs(mc_pairs),
+            _MCNEMAR_SQL,
+        ),
+        (
+            "cohens_kappa_doc_length_raters",
+            cohens_kappa_from_pairs(kp_pairs),
+            _KAPPA_SQL,
         ),
     ]
     failed = 0
