@@ -4308,3 +4308,102 @@ def cohens_kappa_from_pairs(
               ELSE 'almost_perfect'
             END AS agreement""",
     )
+
+
+# Gehan-Breslow-Wilcoxon per-event-time terms over the same dense
+# two-group risk table as the log-rank strings: weighting each time's
+# O - E by the total at risk nt makes the numerator term
+# nt*(da - dt*nat/nt) = nt*da - dt*nat an EXACT INTEGER, and the
+# weighted variance nt^2 * v_t collapses to
+# dt*nat*nbt*(nt-dt)/(nt-1) — one division per term. The nt = 1
+# terminal case contributes 0 by the log-rank convention; a
+# variance-free frame (v1 = 0) emits NULL. Shared verbatim with the
+# DuckDB oracle recipes.
+GEHAN_V_TERM = (
+    "(CASE WHEN nt > 1 THEN"
+    " dt * 1e0 * nat * nbt * ((nt - dt) * 1e0 / (nt - 1e0))"
+    " ELSE 0e0 END)"
+)
+GEHAN_Z_EXPR = "(CASE WHEN v1 > 0e0 THEN u1 / sqrt(v1) END)"
+
+
+def gehan_wilcoxon_from_counts(per_gt: DataFrame) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank test from the
+    collapsed per-(group, time) survival count frame ``(g, t, d, c)``
+    (Gehan 1965; Breslow 1970) — the EARLY-difference member of the
+    survival pair: the log-rank entry weights every event time
+    equally, so it is most sensitive to late, proportional-hazards
+    divergence; Gehan weights each time by the total still at risk,
+    so early churn differences (exactly where a retention
+    intervention acts) dominate. A cohort pair where the curves cross
+    — early harm, late benefit — reads opposite signs on the two
+    tests, which is the diagnostic. Same dense risk table and
+    prefix-sums at-risk construction as log_rank_from_counts; the
+    weighted numerator sum_t (nt*da - dt*nat) stays an exact integer
+    on decimal(38,0), only the variance terms fold as
+    order-deterministic sorted floats. Counts are additive across
+    chunks, so the streaming survival monitor serves the exact union
+    statistic through this same kernel. Returns one row: (n_a, n_b,
+    u_gehan, z_gehan, significant) at alpha = .05."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    per_gt = per_gt.groupBy("g", "t").agg(
+        F.sum("d").alias("d"), F.sum("c").alias("c")
+    )
+    dense = (
+        per_gt.groupBy("t")
+        .pivot("g", ["a", "b"])
+        .agg(
+            F.coalesce(F.first(F.col("d") + F.col("c")), F.lit(0)).alias(
+                "dc"
+            ),
+            F.coalesce(F.first("d"), F.lit(0)).alias("d"),
+        )
+        .select(
+            "t",
+            F.coalesce("a_dc", F.lit(0)).alias("dca"),
+            F.coalesce("b_dc", F.lit(0)).alias("dcb"),
+            F.coalesce("a_d", F.lit(0)).alias("da"),
+            F.coalesce("b_d", F.lit(0)).alias("db"),
+        )
+    )
+    cum = prefix_sums(dense, [F.col("t")], ["dca", "dcb"])
+    tot = dense.agg(F.sum("dca").alias("na"), F.sum("dcb").alias("nb"))
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "da",
+        "db",
+        (F.col("na") - (F.col("dca_cum") - F.col("dca"))).alias("nat"),
+        (F.col("nb") - (F.col("dcb_cum") - F.col("dcb"))).alias("nbt"),
+        "na",
+        "nb",
+    )
+    ev = (
+        risk.withColumn("dt", F.col("da") + F.col("db"))
+        .filter(F.col("dt") > 0)
+        .withColumn("nt", F.col("nat") + F.col("nbt"))
+        .withColumn(
+            "__u",
+            F.col("nt").cast("decimal(38,0)") * F.col("da")
+            - F.col("dt").cast("decimal(38,0)") * F.col("nat"),
+        )
+        .withColumn("__v", F.expr(GEHAN_V_TERM))
+    )
+    agg = ev.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.coalesce(F.sum("__u"), F.lit(0).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("u1"),
+        sorted_fold_sum(["t"], "__v").alias("v1"),
+    )
+    return agg.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "round(u1, 6) AS u_gehan",
+        f"round({GEHAN_Z_EXPR}, 6) AS z_gehan",
+        f"CASE WHEN {GEHAN_Z_EXPR} IS NOT NULL"
+        f" THEN (abs({GEHAN_Z_EXPR}) > 1.96e0) END AS significant",
+    )

@@ -207,3 +207,20 @@ def nelson_aalen_now(
     if group is not None:
         counts = counts.filter(F.col("g") == group)
     return nelson_aalen_from_counts(counts.select("t", "d", "c"))
+
+
+def gehan_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon readout over the committed survival
+    state — the EARLY-difference alarm beside log_rank_now's
+    equal-weight test on the same (g, t, d, c) frame (operators.
+    analytics.gehan_wilcoxon_from_counts): opposite signs on the two
+    readouts flag crossing survival curves. Returns one row: (n_a,
+    n_b, u_gehan, z_gehan, significant); NULL statistics while the
+    committed frame has no variance (one arm, no events)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        gehan_wilcoxon_from_counts,
+    )
+
+    return gehan_wilcoxon_from_counts(
+        running_survival_counts(spark, index_dir)
+    )

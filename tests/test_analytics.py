@@ -3923,3 +3923,101 @@ def test_cohens_kappa_matches_reference_and_degenerates(spark):
     const = run([("x", "x")] * 7)
     assert const.po == 1.0 and const.pe == 1.0
     assert const.kappa is None and const.agreement is None
+
+
+def test_gehan_wilcoxon_matches_bruteforce_and_crossing(spark):
+    """operators.analytics.gehan_wilcoxon_from_counts (pre-staged for
+    the r12 window): the weighted statistic equals a sequential
+    at-risk-table computation, chunk-split count frames serve the
+    exact union (the streaming additivity contract), a
+    crossing-curves design reads opposite emphasis vs the log-rank
+    kernel, and the no-event / one-arm / empty degenerates serve
+    NULLs."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        gehan_wilcoxon_from_counts,
+        log_rank_from_counts,
+    )
+
+    def counts_frame(rows):
+        cnt = defaultdict(lambda: [0, 0])
+        for g, t, ev in rows:
+            cnt[(g, t)][0 if ev else 1] += 1
+        return spark.createDataFrame(
+            [(g, t, d, c) for (g, t), (d, c) in cnt.items()],
+            "g string, t long, d long, c long",
+        )
+
+    def brute(rows):
+        times = sorted({t for _, t, _ in rows})
+        u = v = 0.0
+        for t in times:
+            nat = sum(1 for g, tt, _ in rows if g == "a" and tt >= t)
+            nbt = sum(1 for g, tt, _ in rows if g == "b" and tt >= t)
+            da = sum(1 for g, tt, ev in rows if g == "a" and tt == t and ev)
+            db = sum(1 for g, tt, ev in rows if g == "b" and tt == t and ev)
+            dt, nt = da + db, nat + nbt
+            if dt == 0:
+                continue
+            u += nt * da - dt * nat
+            if nt > 1:
+                v += dt * nat * nbt * (nt - dt) / (nt - 1)
+        return u, (u / math.sqrt(v) if v > 0 else None)
+
+    rng = random.Random(8)
+    rows = []
+    for g, lam in (("a", 0.12), ("b", 0.2)):
+        for _ in range(120):
+            t = min(int(rng.expovariate(lam)) + 1, 30)
+            ev = 0 if t >= 30 or rng.random() < 0.2 else 1
+            rows.append((g, t, ev))
+    got = gehan_wilcoxon_from_counts(counts_frame(rows)).collect()[0]
+    u, z = brute(rows)
+    assert (got.n_a, got.n_b) == (120, 120)
+    assert got.u_gehan == round(u, 6)
+    assert abs(got.z_gehan - round(z, 6)) < 1e-9
+
+    # additivity: two disjoint chunks fed as one frame with duplicate
+    # (g, t) rows serve the union exactly
+    half = len(rows) // 2
+    c1, c2 = counts_frame(rows[:half]), counts_frame(rows[half:])
+    merged = gehan_wilcoxon_from_counts(c1.unionByName(c2)).collect()[0]
+    assert tuple(merged) == tuple(got)
+
+    # crossing emphasis — the textbook diagnostic: arm a takes its 30
+    # deaths EARLY (t=1, all 200 at risk), arm b the same 30 LATE
+    # (t=15, 170 at risk) — the equal-weight log-rank nearly cancels
+    # while Gehan's at-risk weighting amplifies the early excess
+    cross = (
+        [("a", 1, 1)] * 30 + [("a", 20, 0)] * 70
+        + [("b", 15, 1)] * 30 + [("b", 20, 0)] * 70
+    )
+    zg = gehan_wilcoxon_from_counts(counts_frame(cross)).collect()[0]
+    zl = log_rank_from_counts(counts_frame(cross)).collect()[0]
+    # exact hand values: e1 = 30*100/200 + 30*70/170 = 27.352941, so
+    # the equal-weight test barely reacts; Gehan's at-risk weighting
+    # nearly doubles the standardized early excess
+    assert zl.exp_a == 27.352941 and 0 < zl.z_lr < 1.0
+    assert zg.u_gehan == 900.0 and zg.z_gehan > zl.z_lr * 1.5
+
+    # degenerates: empty frame, one arm only, censor-only frame
+    empty = gehan_wilcoxon_from_counts(
+        spark.createDataFrame([], "g string, t long, d long, c long")
+    ).collect()[0]
+    assert empty.u_gehan == 0.0 and empty.z_gehan is None
+    one_arm = gehan_wilcoxon_from_counts(
+        spark.createDataFrame(
+            [("a", 3, 2, 1)], "g string, t long, d long, c long"
+        )
+    ).collect()[0]
+    assert one_arm.z_gehan is None and one_arm.significant is None
+    censored = gehan_wilcoxon_from_counts(
+        spark.createDataFrame(
+            [("a", 3, 0, 5), ("b", 4, 0, 6)],
+            "g string, t long, d long, c long",
+        )
+    ).collect()[0]
+    assert censored.z_gehan is None

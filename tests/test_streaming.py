@@ -1647,6 +1647,19 @@ def test_streaming_survival_monitor_matches_batch_kernels(spark, tmp_path):
     ).collect()[0]
     assert tuple(got_lr) == tuple(want_lr)
 
+    # Gehan-Wilcoxon readout == batch kernel on the same state (the
+    # early-weighted member of the survival pair)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        gehan_wilcoxon_from_counts,
+    )
+
+    got_gw = survival.gehan_now(spark, index_dir).collect()[0]
+    want_gw = gehan_wilcoxon_from_counts(
+        survival.batch_survival_counts(subjects, seg_a, seg_b)
+    ).collect()[0]
+    assert tuple(got_gw) == tuple(want_gw)
+    assert (got_gw.n_a, got_gw.n_b) == (got_lr.n_a, got_lr.n_b)
+
     # replay idempotence: re-applying an already-committed batch id is
     # a no-op (module-level function, abtest.py's contract)
     survival._apply_survival_batch(

@@ -28,6 +28,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
   purchase flags per user-day — the within-subject marginal test)
 - cohens_kappa_from_pairs       <- _KAPPA_SQL (two rule-based document
   length raters — chance-corrected agreement, Landis-Koch bands)
+- gehan_wilcoxon_from_counts    <- _GEHAN_SQL (the log-rank entry's
+  churn frame reweighted by the at-risk count — the early-difference
+  member of the survival pair)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -51,6 +54,8 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     ACF_EXPR,
     CLIFFS_D_EXPR,
     FRIEDMAN_T_EXPR,
+    GEHAN_V_TERM,
+    GEHAN_Z_EXPR,
     JT_Z_EXPR,
     KAPPA_EXPR,
     MCNEMAR_CHI2_EXPR,
@@ -62,6 +67,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     friedman_from_blocks,
     cliffs_delta_from_value_counts,
     cohens_kappa_from_pairs,
+    gehan_wilcoxon_from_counts,
     jonckheere_terpstra_from_counts,
     mcnemar_from_pairs,
     ljung_box_from_series,
@@ -410,12 +416,73 @@ FROM one
 """
 
 
+_GEHAN_GAP_DAYS = 365
+_GEHAN_SEG_A = "BUILDING"
+_GEHAN_SEG_B = "MACHINERY"
+
+_GEHAN_SQL = f"""
+WITH pu AS (SELECT o_custkey,
+                   min(o_orderdate::DATE) AS f,
+                   max(o_orderdate::DATE) AS l
+            FROM orders GROUP BY 1),
+hz AS (SELECT max(o_orderdate::DATE) AS h FROM orders),
+subj AS (SELECT (date_diff('day', f, l) + 1)::BIGINT AS t,
+                CASE WHEN date_diff('day', l, h)
+                          >= {_GEHAN_GAP_DAYS}
+                     THEN 1 ELSE 0 END AS ev,
+                CASE WHEN c_mktsegment = '{_GEHAN_SEG_A}'
+                     THEN 'a' ELSE 'b' END AS g
+         FROM pu
+         JOIN customer ON c_custkey = o_custkey
+         CROSS JOIN hz
+         WHERE c_mktsegment IN ('{_GEHAN_SEG_A}',
+                                '{_GEHAN_SEG_B}')),
+per AS (SELECT t,
+               sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT
+                   AS dca,
+               sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT
+                   AS dcb,
+               sum(CASE WHEN g = 'a' THEN ev ELSE 0 END)::BIGINT
+                   AS da,
+               sum(CASE WHEN g = 'b' THEN ev ELSE 0 END)::BIGINT
+                   AS db
+        FROM subj GROUP BY 1),
+tot AS (SELECT sum(dca)::BIGINT AS na, sum(dcb)::BIGINT AS nb
+        FROM per),
+cum AS (SELECT t, da, db, dca, dcb,
+               sum(dca) OVER (ORDER BY t)::BIGINT AS ca,
+               sum(dcb) OVER (ORDER BY t)::BIGINT AS cb
+        FROM per),
+risk AS (SELECT t, da, db,
+                (na - (ca - dca))::BIGINT AS nat,
+                (nb - (cb - dcb))::BIGINT AS nbt,
+                na, nb
+         FROM cum CROSS JOIN tot),
+evt AS (SELECT t, da, (da + db)::BIGINT AS dt, nat, nbt,
+               (nat + nbt)::BIGINT AS nt, na, nb
+        FROM risk WHERE da + db > 0),
+fin AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+               coalesce(sum(nt::HUGEINT * da - dt::HUGEINT * nat),
+                        0)::DOUBLE AS u1,
+               list_reduce(
+                   list_prepend(0e0,
+                       list({GEHAN_V_TERM} ORDER BY t)),
+                   (acc, x) -> acc + x) AS v1
+        FROM evt)
+SELECT n_a, n_b, round(u1, 6) AS u_gehan,
+       round({GEHAN_Z_EXPR}, 6) AS z_gehan,
+       CASE WHEN {GEHAN_Z_EXPR} IS NOT NULL
+            THEN (abs({GEHAN_Z_EXPR}) > 1.96e0) END AS significant
+FROM fin
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("events", "orders", "documents"):
+    for t in ("events", "orders", "documents", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
@@ -507,6 +574,38 @@ def main() -> None:
         .alias("b"),
     )
 
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    hz = o.agg(F.max("d").alias("h"))
+    seg = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    gehan_gt = (
+        pu.join(seg, "o_custkey")
+        .crossJoin(F.broadcast(hz))
+        .filter(
+            F.col("c_mktsegment").isin(_GEHAN_SEG_A, _GEHAN_SEG_B)
+        )
+        .select(
+            (F.datediff("l", "f") + 1).cast("long").alias("t"),
+            (F.datediff("h", "l") >= _GEHAN_GAP_DAYS)
+            .cast("long")
+            .alias("ev"),
+            F.when(F.col("c_mktsegment") == _GEHAN_SEG_A, "a")
+            .otherwise("b")
+            .alias("g"),
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(1 - F.col("ev")).alias("c"),
+        )
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -552,6 +651,11 @@ def main() -> None:
             "cohens_kappa_doc_length_raters",
             cohens_kappa_from_pairs(kp_pairs),
             _KAPPA_SQL,
+        ),
+        (
+            "gehan_wilcoxon_churn_by_segment",
+            gehan_wilcoxon_from_counts(gehan_gt),
+            _GEHAN_SQL,
         ),
     ]
     failed = 0
