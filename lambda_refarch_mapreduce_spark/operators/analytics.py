@@ -3748,6 +3748,50 @@ FRIEDMAN_T_EXPR = (
 )
 
 
+def _block_ranked(
+    df: DataFrame, b_col: str, t_col: str, x_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked, kk) — the complete-block within-block DOUBLED-rank
+    frame shared by friedman_from_blocks and page_l_from_blocks:
+    blocks missing any treatment are dropped, and each surviving
+    (block, treatment, x) row gains __r2 = 2*cum - c + 1, the exact
+    doubled average rank of x within its block (Kruskal-Wallis
+    construction partitioned by block)."""
+    base = df.select(
+        F.col(b_col).alias("__b"),
+        F.col(t_col).alias("__t"),
+        F.col(x_col).cast("long").alias("__x"),
+    )
+    kk = base.agg(
+        F.count_distinct(F.col("__t")).alias("__k")
+    )
+    # complete blocks only: exactly one row per treatment
+    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    complete = base.join(
+        bsz.crossJoin(F.broadcast(kk))
+        .filter(F.col("__n") == F.col("__k"))
+        .select("__b"),
+        "__b",
+        "left_semi",
+    )
+    bv = complete.groupBy("__b", "__x").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = bv.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy("__b")
+            .orderBy("__x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select(
+        "__b",
+        "__x",
+        (2 * F.col("__cum") - F.col("__c") + 1).alias("__r2"),
+    )
+    return complete.join(wcum, ["__b", "__x"]), kk
+
+
 def friedman_from_blocks(
     df: DataFrame,
     b_col: str = "b",
@@ -3775,42 +3819,7 @@ def friedman_from_blocks(
     metadata; blocks are independent so the window partitions
     perfectly. Returns one row: (k_treatments, n_blocks, t1_stat,
     z_wh, significant)."""
-    base = df.select(
-        F.col(b_col).alias("__b"),
-        F.col(t_col).alias("__t"),
-        F.col(x_col).cast("long").alias("__x"),
-    )
-    kk = base.agg(
-        F.count_distinct(F.col("__t")).alias("__k")
-    )
-    # complete blocks only: exactly one row per treatment
-    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    complete = base.join(
-        bsz.crossJoin(F.broadcast(kk))
-        .filter(F.col("__n") == F.col("__k"))
-        .select("__b"),
-        "__b",
-        "left_semi",
-    )
-    # within-block doubled average ranks from per-(block, value)
-    # counts: r2 = 2*cum - c + 1 (the Kruskal-Wallis construction,
-    # partitioned by block)
-    bv = complete.groupBy("__b", "__x").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    wcum = bv.withColumn(
-        "__cum",
-        F.sum("__c").over(
-            Window.partitionBy("__b")
-            .orderBy("__x")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).select(
-        "__b",
-        "__x",
-        (2 * F.col("__cum") - F.col("__c") + 1).alias("__r2"),
-    )
-    ranked = complete.join(wcum, ["__b", "__x"])
+    ranked, kk = _block_ranked(df, b_col, t_col, x_col)
     per_t = ranked.groupBy("__t").agg(
         F.sum("__r2").alias("__rs2"), F.count(F.lit(1)).alias("__bt")
     )
@@ -3825,7 +3834,7 @@ def friedman_from_blocks(
         .alias("a2_sum")
     )
     # b = complete-block count; centered squares per treatment
-    bcount = complete.select("__b").distinct().agg(
+    bcount = ranked.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("b")
     )
     cent = (
@@ -4406,4 +4415,132 @@ def gehan_wilcoxon_from_counts(per_gt: DataFrame) -> DataFrame:
         f"round({GEHAN_Z_EXPR}, 6) AS z_gehan",
         f"CASE WHEN {GEHAN_Z_EXPR} IS NOT NULL"
         f" THEN (abs({GEHAN_Z_EXPR}) > 1.96e0) END AS significant",
+    )
+
+
+# Page's L trend test in DOUBLED units over exact integer moments:
+# with l2 = sum_cells pos * r2 (pos the 1..k hypothesized treatment
+# order, r2 the doubled within-block rank), E[l2] = b*(k+1)*k*(k+1)/2
+# and the tie-corrected permutation variance of the linear rank
+# statistic, Var(l2) = (sc4/4) * sr2 / (k-1), where
+# sc4 = sum_j (2*pos_j - (k+1))^2 (a pure function of k) and
+# sr2 = sum over blocks of sum_j (r2_bj - (k+1))^2 (each block's
+# doubled-rank spread; (k+1) IS the doubled mean rank). With no ties
+# this reduces exactly to the classic Var(L) = b k^2 (k+1)(k^2-1)/144
+# (asserted in tests, with a Monte-Carlo permutation null for the
+# tied case). Degenerates (k < 2, no complete blocks, every block
+# fully tied -> sr2 = 0) emit NULL. Shared verbatim with the DuckDB
+# oracle recipes.
+PAGE_VAR_EXPR = (
+    "(CASE WHEN k >= 2 AND b >= 1 AND sr2 > 0e0"
+    " THEN (sc4 / 4e0) * sr2 / (k - 1e0) END)"
+)
+PAGE_Z_EXPR = (
+    f"(CASE WHEN {PAGE_VAR_EXPR} > 0e0"
+    f" THEN (l2 - b * (k + 1e0) * k * (k + 1e0) / 2e0)"
+    f" / sqrt({PAGE_VAR_EXPR}) END)"
+)
+
+
+def page_l_from_blocks(
+    df: DataFrame,
+    b_col: str = "b",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative across k treatments
+    over b matched blocks (Page 1963) — the repeated-measures member
+    of the trend family, completing the square: Friedman is to
+    Kruskal-Wallis (any-difference, block-cancelled) what Page is to
+    Jonckheere-Terpstra (ordered, block-cancelled). "Does engagement
+    rise monotonically across the campaign's week positions, judged
+    within each user?" needs exactly this: JT would let heavy users
+    drown the signal, Friedman would answer only "weeks differ".
+    Treatments take their hypothesized order from the natural sort
+    of ``t`` (the caller encodes the hypothesis in the key).
+
+    Shares the complete-block doubled-rank frame with
+    friedman_from_blocks (_block_ranked); positions come from one
+    row_number window over the k-row treatment alphabet, L2 = sum
+    pos*r2 rides decimal(38,0), and the variance is the exact
+    permutation variance of a linear rank statistic — correct under
+    ties, reducing to the classic Page form when none (see
+    PAGE_VAR_EXPR). Distributed shape: b*k metadata cells, perfectly
+    partitioned windows, one broadcast alphabet join. Returns one
+    row: (k_treatments, n_blocks, l_stat, z_page, trend) with l_stat
+    in classic (halved) units."""
+    ranked, kk = _block_ranked(df, b_col, t_col, x_col)
+    pos = (
+        ranked.select("__t")
+        .distinct()
+        .withColumn(
+            "__pos",
+            F.row_number().over(Window.orderBy("__t")),
+        )
+    )
+    cells = ranked.join(F.broadcast(pos), "__t")
+    zero = F.lit(0).cast("decimal(38,0)")
+    bcount = ranked.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    l2 = cells.agg(
+        F.coalesce(
+            F.sum(F.col("__pos").cast("decimal(38,0)") * F.col("__r2")),
+            zero,
+        )
+        .cast("double")
+        .alias("l2")
+    )
+    # sr2 = per-block doubled-rank spread around the doubled mean
+    # (k+1), summed over blocks — needs k per row, a broadcast scalar
+    sr2 = (
+        cells.crossJoin(F.broadcast(kk))
+        .select(
+            (
+                (F.col("__r2") - (F.col("__k") + 1)).cast("decimal(38,0)")
+                * (F.col("__r2") - (F.col("__k") + 1))
+            ).alias("__sq")
+        )
+        .agg(
+            F.coalesce(F.sum("__sq"), zero).cast("double").alias("sr2")
+        )
+    )
+    sc4 = (
+        pos.crossJoin(F.broadcast(kk))
+        .select(
+            (
+                (2 * F.col("__pos") - (F.col("__k") + 1)).cast(
+                    "decimal(38,0)"
+                )
+                * (2 * F.col("__pos") - (F.col("__k") + 1))
+            ).alias("__sq")
+        )
+        .agg(
+            F.coalesce(F.sum("__sq"), zero).cast("double").alias("sc4")
+        )
+    )
+    one = (
+        l2.crossJoin(F.broadcast(sr2))
+        .crossJoin(F.broadcast(sc4))
+        .crossJoin(F.broadcast(bcount))
+        .crossJoin(F.broadcast(kk))
+        .selectExpr(
+            "CAST(__k AS BIGINT) AS k",
+            "CAST(b AS BIGINT) AS b",
+            "l2",
+            "sr2",
+            "sc4",
+        )
+    )
+    return one.selectExpr(
+        "k AS k_treatments",
+        "b AS n_blocks",
+        "CASE WHEN b >= 1 THEN round(l2 / 2e0, 6) END AS l_stat",
+        f"round({PAGE_Z_EXPR}, 6) AS z_page",
+        f"""CASE
+              WHEN {PAGE_Z_EXPR} IS NULL THEN NULL
+              WHEN abs({PAGE_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+              WHEN {PAGE_Z_EXPR} > 0 THEN 'increasing'
+              ELSE 'decreasing'
+            END AS trend""",
     )

@@ -4021,3 +4021,137 @@ def test_gehan_wilcoxon_matches_bruteforce_and_crossing(spark):
         )
     ).collect()[0]
     assert censored.z_gehan is None
+
+
+def test_page_l_matches_reference_and_permutation_null(spark):
+    """operators.analytics.page_l_from_blocks (pre-staged for the r12
+    window): L and the tie-corrected z equal an independent mid-rank
+    computation, the permutation variance reduces to the classic Page
+    form on untied designs AND matches a Monte-Carlo permutation null
+    under ties, incomplete blocks drop, order reversal flips the
+    sign, and the degenerates (empty, one treatment, fully tied
+    blocks) serve NULLs."""
+    import math
+    import random
+    import statistics
+    from collections import defaultdict
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        page_l_from_blocks,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "b long, t string, x long")
+        return page_l_from_blocks(df).collect()[0]
+
+    def ref(rows):
+        blocks = defaultdict(dict)
+        for b, t, x in rows:
+            blocks[b][t] = x
+        ks = sorted({t for _, t, _ in rows})
+        k, bn = len(ks), len(blocks)
+        L = sr2 = 0.0
+        for d in blocks.values():
+            vals = sorted(d.values())
+
+            def rank(x):
+                lo = sum(1 for v in vals if v < x)
+                eq = sum(1 for v in vals if v == x)
+                return lo + (eq + 1) / 2
+
+            for j, t in enumerate(ks):
+                r = rank(d[t])
+                L += (j + 1) * r
+                sr2 += (2 * r - (k + 1)) ** 2
+        sc4 = sum((2 * (j + 1) - (k + 1)) ** 2 for j in range(k))
+        el = bn * (k + 1) * k * (k + 1) / 4
+        var = (sc4 / 4) * sr2 / (k - 1) / 4
+        return L, el, var, (L - el) / math.sqrt(var) if var > 0 else None
+
+    rng = random.Random(6)
+    rows = []
+    for b in range(12):
+        base = rng.randint(0, 50)
+        for j, t in enumerate("ABCD"):
+            rows.append((b, t, base + j * 3 + rng.randint(0, 4)))
+    got = run(rows)
+    L, el, var, z = ref(rows)
+    assert (got.k_treatments, got.n_blocks) == (4, 12)
+    assert got.l_stat == round(L, 6)
+    assert abs(got.z_page - round(z, 6)) < 1e-9
+    assert got.trend == "increasing"
+
+    # untied design: the tie-corrected variance must equal the
+    # classic Var(L) = b k^2 (k+1)(k^2-1)/144
+    untied = [
+        (b, t, (b * 7 + j * j + (b + j) % 3) * 4 + j)
+        for b in range(8)
+        for j, t in enumerate("ABC")
+    ]
+    # force untied within each block by construction check
+    for b in range(8):
+        xs = [x for bb, _, x in untied if bb == b]
+        assert len(set(xs)) == 3
+    _, _, var_u, _ = ref(untied)
+    k, bn = 3, 8
+    classic = bn * k * k * (k + 1) * (k * k - 1) / 144
+    assert abs(var_u - classic) < 1e-9
+    got_u = run(untied)
+    _, _, _, z_u = ref(untied)
+    assert abs(got_u.z_page - round(z_u, 6)) < 1e-9
+
+    # Monte-Carlo permutation null under HEAVY ties: the formula
+    # variance of L must match the empirical one (within-block
+    # shuffles preserve the tie pattern)
+    tied_rows = [
+        (b, t, rng.randint(0, 2))
+        for b in range(30)
+        for t in "ABCD"
+    ]
+    _, el_t, var_t, _ = ref(tied_rows)
+    blocks = defaultdict(dict)
+    for b, t, x in tied_rows:
+        blocks[b][t] = x
+    sims = []
+    for _ in range(3000):
+        Ls = 0.0
+        for d in blocks.values():
+            vals = sorted(d.values())
+
+            def rank(x):
+                lo = sum(1 for v in vals if v < x)
+                eq = sum(1 for v in vals if v == x)
+                return lo + (eq + 1) / 2
+
+            perm = list(d.values())
+            rng.shuffle(perm)
+            Ls += sum((j + 1) * rank(x) for j, x in enumerate(perm))
+        sims.append(Ls)
+    assert abs(statistics.mean(sims) - el_t) < 4 * math.sqrt(
+        var_t / len(sims)
+    )
+    assert abs(statistics.variance(sims) / var_t - 1) < 0.1
+    got_t = run(tied_rows)
+    _, _, _, z_t = ref(tied_rows)
+    assert abs(got_t.z_page - round(z_t, 6)) < 1e-9
+
+    # incomplete blocks drop (the friedman contract, shared helper)
+    got_inc = run(rows + [(99, "A", 5), (99, "B", 7)])
+    assert tuple(got_inc) == tuple(got)
+
+    # order reversal flips the sign exactly
+    rev = run(
+        [
+            (b, {"A": "Z4", "B": "Z3", "C": "Z2", "D": "Z1"}[t], x)
+            for b, t, x in rows
+        ]
+    )
+    assert abs(rev.z_page + got.z_page) < 2e-6
+
+    # degenerates
+    empty = run([])
+    assert empty.k_treatments == 0 and empty.z_page is None
+    one_t = run([(1, "A", 5), (2, "A", 9)])
+    assert one_t.z_page is None and one_t.trend is None
+    all_tied = run([(b, t, 7) for b in range(5) for t in "AB"])
+    assert all_tied.z_page is None and all_tied.l_stat is not None

@@ -31,6 +31,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - gehan_wilcoxon_from_counts    <- _GEHAN_SQL (the log-rank entry's
   churn frame reweighted by the at-risk count — the early-difference
   member of the survival pair)
+- page_l_from_blocks            <- _PAGE_SQL (the Friedman block frame
+  with the treatment order as the hypothesis — ordered repeated
+  measures, completing the trend-family square)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -60,6 +63,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     KAPPA_EXPR,
     MCNEMAR_CHI2_EXPR,
     MW_Z_EXPR,
+    PAGE_Z_EXPR,
     RUNS_Z_EXPR,
     WH_CHI2_Z,
     brown_forsythe_from_counts,
@@ -71,6 +75,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     jonckheere_terpstra_from_counts,
     mcnemar_from_pairs,
     ljung_box_from_series,
+    page_l_from_blocks,
     runs_test_from_series,
 )
 
@@ -477,6 +482,53 @@ FROM fin
 """
 
 
+_PAGE_SQL = f"""
+WITH cell AS (SELECT event_type AS t,
+                     date_diff('day', DATE '1970-01-01',
+                               ts::DATE)::BIGINT AS b,
+                     count(*)::BIGINT AS x
+              FROM events GROUP BY 1, 2),
+kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
+bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+complete AS (SELECT cell.* FROM cell
+             JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+bv AS (SELECT b, x, count(*)::BIGINT AS c FROM complete GROUP BY 1, 2),
+wc AS (SELECT b, x,
+              (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
+               - c + 1)::BIGINT AS r2
+       FROM bv),
+rk AS (SELECT complete.b, complete.t, wc.r2
+       FROM complete JOIN wc ON complete.b = wc.b
+                            AND complete.x = wc.x),
+pos AS (SELECT t, row_number() OVER (ORDER BY t)::BIGINT AS pos
+        FROM (SELECT DISTINCT t FROM rk) dt),
+cells AS (SELECT rk.b, rk.r2, pos.pos
+          FROM rk JOIN pos ON rk.t = pos.t),
+l2t AS (SELECT coalesce(sum(pos::HUGEINT * r2), 0)::DOUBLE AS l2
+        FROM cells),
+sr2t AS (SELECT coalesce(sum((r2 - (k + 1))::HUGEINT
+                             * (r2 - (k + 1))), 0)::DOUBLE AS sr2
+         FROM cells CROSS JOIN kk),
+sc4t AS (SELECT coalesce(sum((2 * pos - (k + 1))::HUGEINT
+                             * (2 * pos - (k + 1))), 0)::DOUBLE AS sc4
+         FROM pos CROSS JOIN kk),
+bc AS (SELECT count(DISTINCT b)::BIGINT AS b FROM complete),
+one AS (SELECT k::BIGINT AS k, b::BIGINT AS b, l2, sr2, sc4
+        FROM l2t CROSS JOIN sr2t CROSS JOIN sc4t
+        CROSS JOIN bc CROSS JOIN kk)
+SELECT k AS k_treatments, b AS n_blocks,
+       CASE WHEN b >= 1 THEN round(l2 / 2e0, 6) END AS l_stat,
+       round({PAGE_Z_EXPR}, 6) AS z_page,
+       CASE
+         WHEN {PAGE_Z_EXPR} IS NULL THEN NULL
+         WHEN abs({PAGE_Z_EXPR}) <= 1.96e0 THEN 'no_trend'
+         WHEN {PAGE_Z_EXPR} > 0 THEN 'increasing'
+         ELSE 'decreasing'
+       END AS trend
+FROM one
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -656,6 +708,11 @@ def main() -> None:
             "gehan_wilcoxon_churn_by_segment",
             gehan_wilcoxon_from_counts(gehan_gt),
             _GEHAN_SQL,
+        ),
+        (
+            "page_l_event_volume_by_type",
+            page_l_from_blocks(cell, "b", "t", "x"),
+            _PAGE_SQL,
         ),
     ]
     failed = 0
