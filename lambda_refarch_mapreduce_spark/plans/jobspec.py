@@ -146,7 +146,26 @@ class JobSpec:
     #     to those WHETHER tests: the quantile-shift table between
     #     the two groups over the same count frame, one row per
     #     interior grid point (grid_i, q_a, q_b, shift); "n_grid"
-    #     picks the grid (default 20 = ventiles).
+    #     picks the grid (default 20 = ventiles). Method
+    #     "cliffs_delta" (round 11) is the EFFECT-SIZE member over
+    #     the same two-group count frame -> ONE row (n_a, n_b, delta,
+    #     magnitude, z, significant; Romano bands). Method
+    #     "jonckheere" (round 11) is the ORDERED k-sample trend on
+    #     the kruskal spec shape (group order = natural sort of
+    #     group_col) -> ONE row (k_groups, n_total, jt_auc, z_jt,
+    #     trend). Methods "friedman" / "page" (round 11) are the
+    #     repeated-measures pair over "block" / "treatment" / "value"
+    #     SQL expressions (any-difference vs ordered, block effect
+    #     cancelled) -> ONE row. Method "mcnemar" (round 11) tests
+    #     paired binary "flag_a" / "flag_b" exprs (one row per
+    #     subject upstream) -> ONE row (n_pairs, cells, chi2_cc,
+    #     significant, direction). Method "cohens_kappa" (round 11)
+    #     scores agreement between "rater_a" / "rater_b" label exprs
+    #     -> ONE row (n_items, po, pe, kappa, agreement). Methods
+    #     "runs" / "ljung_box" (round 11) are series diagnostics over
+    #     "key" / "value" exprs: Wald-Wolfowitz randomness around the
+    #     median, and the portmanteau white-noise Q at lags
+    #     1.."max_lag" (default 7).
     #   interval_join={"source": <source dict>, "on": [cols],
     #                  "l_select": {alias: SQL}?, "r_select": {alias: SQL}?,
     #                  "l_start": col, "l_end": col,
@@ -526,6 +545,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             "welch",
             "anderson_darling",
             "qq",
+            "cliffs_delta",
         ):
             counts = group_value_counts(
                 df,
@@ -536,6 +556,14 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             )
             if method == "mann_whitney":
                 df = mann_whitney_from_value_counts(
+                    counts, ca="ca", cb="cb"
+                )
+            elif method == "cliffs_delta":
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    cliffs_delta_from_value_counts,
+                )
+
+                df = cliffs_delta_from_value_counts(
                     counts, ca="ca", cb="cb"
                 )
             elif method == "ks":
@@ -657,12 +685,103 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 ),
             )
             df = chi2_from_contingency(contingency_counts(s2, "a", "b"))
+        elif method == "jonckheere":
+            # ordered k-sample trend — KW's direction-aware sibling
+            # on the same spec shape; groups take their hypothesized
+            # order from the natural sort of group_col's value
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                jonckheere_terpstra_from_counts,
+            )
+
+            v = F.expr(t.get("value", "value"))
+            counts = (
+                df.select(
+                    F.expr(t.get("group_col", "event_type")).alias("g"),
+                    v.alias("__v"),
+                )
+                .groupBy("g", "__v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            df = jonckheere_terpstra_from_counts(counts, "g", "__v", "c")
+        elif method in ("friedman", "page"):
+            # repeated-measures modes over (block, treatment, value)
+            # SQL expressions — Friedman = any-difference with the
+            # block effect cancelled, Page = the ordered alternative
+            # (treatment order = natural sort of the treatment expr)
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                friedman_from_blocks,
+                page_l_from_blocks,
+            )
+
+            cells = df.select(
+                F.expr(t["block"]).alias("b"),
+                F.expr(t["treatment"]).alias("t"),
+                F.expr(t.get("value", "value")).alias("x"),
+            )
+            kern = (
+                friedman_from_blocks
+                if method == "friedman"
+                else page_l_from_blocks
+            )
+            df = kern(cells, "b", "t", "x")
+        elif method == "mcnemar":
+            # paired binary flags per row of the incoming frame (the
+            # caller shapes one row per subject upstream — e.g. a
+            # group_by stage): flag_a / flag_b are boolean SQL exprs
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                mcnemar_from_pairs,
+            )
+
+            pairs = df.select(
+                F.expr(t["flag_a"]).alias("a"),
+                F.expr(t["flag_b"]).alias("b"),
+            )
+            df = mcnemar_from_pairs(pairs)
+        elif method == "cohens_kappa":
+            # chance-corrected agreement between two categorical
+            # labelings: rater_a / rater_b are SQL expressions
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                cohens_kappa_from_pairs,
+            )
+
+            pairs = df.select(
+                F.expr(t["rater_a"]).alias("a"),
+                F.expr(t["rater_b"]).alias("b"),
+            )
+            df = cohens_kappa_from_pairs(pairs)
+        elif method == "runs":
+            # Wald-Wolfowitz randomness of the (key, value) series
+            # around its median; key orders the sequence
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                runs_test_from_series,
+            )
+
+            series = df.select(
+                F.expr(t["key"]).alias("k"),
+                F.expr(t.get("value", "value")).alias("v"),
+            )
+            df = runs_test_from_series(series, "k", "v")
+        elif method == "ljung_box":
+            # portmanteau white-noise test of the (key, value) series
+            # at lags 1..max_lag
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                ljung_box_from_series,
+            )
+
+            series = df.select(
+                F.expr(t["key"]).alias("k"),
+                F.expr(t.get("value", "value")).alias("v"),
+            )
+            df = ljung_box_from_series(
+                series, "k", "v", int(t.get("max_lag", 7))
+            )
         else:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
-                "anova, kruskal, brown_forsythe, cochran_armitage, "
-                "chi2)"
+                "cliffs_delta, anova, kruskal, jonckheere, "
+                "brown_forsythe, cochran_armitage, chi2, friedman, "
+                "page, mcnemar, cohens_kappa, runs, ljung_box)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

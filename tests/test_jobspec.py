@@ -836,3 +836,166 @@ def test_stats_test_clause_brown_forsythe_and_ca_match_kernels(spark):
     want_ca = cochran_armitage_trend(grp).collect()[0]
     assert tuple(got_ca) == tuple(want_ca)
     assert got_ca.n_total > 0
+
+
+def test_stats_test_clause_round11b_modes_match_kernels(spark):
+    """The round-11 second-wave stats_test modes (cliffs_delta,
+    jonckheere, friedman, page, mcnemar, cohens_kappa, runs,
+    ljung_box) each equal the direct kernel call on the same frame
+    exactly (pre-staged for the r12 oracle entries, the
+    anderson_darling round-10 pattern)."""
+    from pyspark.sql import functions as F
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cliffs_delta_from_value_counts,
+        cohens_kappa_from_pairs,
+        friedman_from_blocks,
+        group_value_counts,
+        jonckheere_terpstra_from_counts,
+        ljung_box_from_series,
+        mcnemar_from_pairs,
+        page_l_from_blocks,
+        runs_test_from_series,
+    )
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+
+    def run(spec):
+        return build(
+            spark, JobSpec(source={"df": ev}, stats_test=spec)
+        ).collect()
+
+    # cliffs_delta — the two-group count frame shape
+    got = run(
+        {
+            "method": "cliffs_delta",
+            "group_a": "purchase",
+            "group_b": "click",
+        }
+    )[0]
+    counts = group_value_counts(ev, "purchase", "click")
+    want = cliffs_delta_from_value_counts(
+        counts, ca="ca", cb="cb"
+    ).collect()[0]
+    assert tuple(got) == tuple(want) and got.delta is not None
+
+    # jonckheere — the kruskal spec shape, ordered by group_col
+    week = "datediff(to_date(ts), DATE '1970-01-01') div 7"
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    got = run(
+        {"method": "jonckheere", "group_col": week, "value": cents}
+    )[0]
+    jt_counts = (
+        ev.select(F.expr(week).alias("g"), F.expr(cents).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = jonckheere_terpstra_from_counts(jt_counts).collect()[0]
+    assert tuple(got) == tuple(want) and got.z_jt is not None
+
+    # friedman / page — block x treatment cells
+    day = "datediff(to_date(ts), DATE '1970-01-01')"
+    cells = (
+        ev.groupBy(
+            F.expr(day).alias("b"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    for method, kern in (
+        ("friedman", friedman_from_blocks),
+        ("page", page_l_from_blocks),
+    ):
+        got = build(
+            spark,
+            JobSpec(
+                source={"df": cells},
+                stats_test={
+                    "method": method,
+                    "block": "b",
+                    "treatment": "t",
+                    "value": "x",
+                },
+            ),
+        ).collect()[0]
+        want = kern(cells, "b", "t", "x").collect()[0]
+        assert tuple(got) == tuple(want), method
+
+    # mcnemar — per-(user, day) paired flags shaped upstream
+    subj = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("ca"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "cp"
+        ),
+    )
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": subj},
+            stats_test={
+                "method": "mcnemar",
+                "flag_a": "ca = 1",
+                "flag_b": "cp = 1",
+            },
+        ),
+    ).collect()[0]
+    want = mcnemar_from_pairs(
+        subj.select(
+            F.expr("ca = 1").alias("a"), F.expr("cp = 1").alias("b")
+        )
+    ).collect()[0]
+    assert tuple(got) == tuple(want) and got.n_pairs > 0
+
+    # cohens_kappa — two derived raters on documents
+    docs = load_table(spark, sf, "documents")
+    ra = "CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END"
+    rb = (
+        "CASE WHEN size(split(text, ' ')) < 55 THEN 'short'"
+        " ELSE 'long' END"
+    )
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": docs},
+            stats_test={
+                "method": "cohens_kappa",
+                "rater_a": ra,
+                "rater_b": rb,
+            },
+        ),
+    ).collect()[0]
+    want = cohens_kappa_from_pairs(
+        docs.select(F.expr(ra).alias("a"), F.expr(rb).alias("b"))
+    ).collect()[0]
+    assert tuple(got) == tuple(want) and got.kappa is not None
+
+    # runs / ljung_box — the daily event-volume series
+    daily = ev.groupBy(F.expr(day).alias("d")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": daily},
+            stats_test={"method": "runs", "key": "d", "value": "m"},
+        ),
+    ).collect()[0]
+    want = runs_test_from_series(daily, "d", "m").collect()[0]
+    assert tuple(got) == tuple(want)
+
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": daily},
+            stats_test={
+                "method": "ljung_box",
+                "key": "d",
+                "value": "m",
+                "max_lag": 5,
+            },
+        ),
+    ).collect()[0]
+    want = ljung_box_from_series(daily, "d", "m", 5).collect()[0]
+    assert tuple(got) == tuple(want) and got.n_lags == 5

@@ -381,12 +381,12 @@ FROM cells
 """
 
 _KAPPA_SQL = f"""
-WITH lab AS (SELECT CASE WHEN n_chars < 500 THEN 'short'
-                         WHEN n_chars < 2000 THEN 'mid'
+WITH lab AS (SELECT CASE WHEN n_chars < 200 THEN 'short'
+                         WHEN n_chars < 400 THEN 'mid'
                          ELSE 'long' END AS a,
-                    CASE WHEN len(string_split(text, ' ')) < 80
+                    CASE WHEN len(string_split(text, ' ')) < 36
                          THEN 'short'
-                         WHEN len(string_split(text, ' ')) < 320
+                         WHEN len(string_split(text, ' ')) < 72
                          THEN 'mid'
                          ELSE 'long' END AS b
              FROM documents),
@@ -616,12 +616,12 @@ def main() -> None:
 
     docs = load_table(spark, sf, "documents")
     kp_pairs = docs.select(
-        F.when(F.col("n_chars") < 500, "short")
-        .when(F.col("n_chars") < 2000, "mid")
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "mid")
         .otherwise("long")
         .alias("a"),
-        F.when(F.size(F.split(F.col("text"), " ")) < 80, "short")
-        .when(F.size(F.split(F.col("text"), " ")) < 320, "mid")
+        F.when(F.size(F.split(F.col("text"), " ")) < 36, "short")
+        .when(F.size(F.split(F.col("text"), " ")) < 72, "mid")
         .otherwise("long")
         .alias("b"),
     )
