@@ -4544,3 +4544,105 @@ def page_l_from_blocks(
               ELSE 'decreasing'
             END AS trend""",
     )
+
+
+# Cochran's Q over exact integer totals: with k treatments, N total
+# successes, st2 = sum_j T_j^2 (treatment column totals) and
+# su2 = sum_i u_i^2 (block row totals), Q = (k-1)(k*st2 - N^2) /
+# (k*N - su2), chi-square k-1 dof through the shared Wilson-Hilferty
+# string. The saturated degenerate (every complete block all-0 or
+# all-1: k*N = su2) emits NULL. Shared verbatim with the DuckDB
+# oracle recipes.
+COCHRAN_Q_EXPR = (
+    "(CASE WHEN k >= 2 AND (k * nsucc - su2) > 0e0"
+    " THEN (k - 1e0) * (k * st2 - nsucc * 1e0 * nsucc)"
+    " / (k * nsucc - su2) END)"
+)
+
+
+def cochran_q_from_blocks(
+    df: DataFrame,
+    b_col: str = "b",
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Cochran's Q test for k matched BINARY treatments (Cochran
+    1950) — the k-sample generalization of McNemar the paired tier
+    was missing: "do the k variants differ in success RATE, judged
+    within each subject?" (did the same user-day convert under
+    variant A but not B or C?). McNemar is exactly the k=2 special
+    case; Friedman is the ordinal sibling on ranks. Input: one row
+    per (block, treatment) with a 0/1 x (any nonzero counts as 1);
+    blocks missing any treatment drop (complete-block design, the
+    friedman contract), and all-0/all-1 blocks contribute nothing —
+    they cancel in Q by construction, which the test pins. Every
+    moment (treatment totals, block totals, their squares) is an
+    exact integer on decimal(38,0); significance is chi-square k-1
+    dof through the shared Wilson-Hilferty form. Distributed shape:
+    b*k metadata cells, two alphabet-sized aggregates, one broadcast
+    join — no windows at all. Returns one row: (k_treatments,
+    n_blocks, n_success, q_stat, z_wh, significant)."""
+    base = df.select(
+        F.col(b_col).alias("__b"),
+        F.col(t_col).alias("__t"),
+        (F.col(x_col).cast("long") != 0).cast("long").alias("__x"),
+    )
+    kk = base.agg(F.count_distinct(F.col("__t")).alias("__k"))
+    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    complete = base.join(
+        bsz.crossJoin(F.broadcast(kk))
+        .filter(F.col("__n") == F.col("__k"))
+        .select("__b"),
+        "__b",
+        "left_semi",
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    tj = complete.groupBy("__t").agg(F.sum("__x").alias("__tj"))
+    st2 = tj.agg(
+        F.coalesce(
+            F.sum(F.col("__tj").cast("decimal(38,0)") * F.col("__tj")),
+            zero,
+        )
+        .cast("double")
+        .alias("st2")
+    )
+    ui = complete.groupBy("__b").agg(F.sum("__x").alias("__ui"))
+    blocks = ui.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("__ui"), F.lit(0)).alias("nsucc"),
+        F.coalesce(
+            F.sum(F.col("__ui").cast("decimal(38,0)") * F.col("__ui")),
+            zero,
+        )
+        .cast("double")
+        .alias("su2"),
+    )
+    one = (
+        blocks.crossJoin(F.broadcast(st2))
+        .crossJoin(F.broadcast(kk))
+        .selectExpr(
+            "CAST(__k AS BIGINT) AS k",
+            "CAST(b AS BIGINT) AS b",
+            "CAST(nsucc AS BIGINT) AS nsucc",
+            "st2",
+            "su2",
+        )
+    )
+    flat = one.selectExpr(
+        "k AS k_treatments",
+        "b AS n_blocks",
+        "nsucc AS n_success",
+        f"round({COCHRAN_Q_EXPR}, 6) AS q_stat",
+        "(k - 1) * 1e0 AS dof",
+        f"{COCHRAN_Q_EXPR} AS chi2",
+    )
+    return flat.selectExpr(
+        "k_treatments",
+        "n_blocks",
+        "n_success",
+        "q_stat",
+        f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
+    )

@@ -703,11 +703,12 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("c"))
             )
             df = jonckheere_terpstra_from_counts(counts, "g", "__v", "c")
-        elif method in ("friedman", "page"):
+        elif method in ("friedman", "page", "cochran_q"):
             # repeated-measures modes over (block, treatment, value)
             # SQL expressions — Friedman = any-difference with the
             # block effect cancelled, Page = the ordered alternative
-            # (treatment order = natural sort of the treatment expr)
+            # (treatment order = natural sort of the treatment expr),
+            # Cochran's Q = the BINARY member (value coerces 0/1)
             from lambda_refarch_mapreduce_spark.operators.analytics import (
                 friedman_from_blocks,
                 page_l_from_blocks,
@@ -718,11 +719,15 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 F.expr(t["treatment"]).alias("t"),
                 F.expr(t.get("value", "value")).alias("x"),
             )
-            kern = (
-                friedman_from_blocks
-                if method == "friedman"
-                else page_l_from_blocks
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                cochran_q_from_blocks,
             )
+
+            kern = {
+                "friedman": friedman_from_blocks,
+                "page": page_l_from_blocks,
+                "cochran_q": cochran_q_from_blocks,
+            }[method]
             df = kern(cells, "b", "t", "x")
         elif method == "mcnemar":
             # paired binary flags per row of the incoming frame (the
@@ -781,7 +786,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
                 "cliffs_delta, anova, kruskal, jonckheere, "
                 "brown_forsythe, cochran_armitage, chi2, friedman, "
-                "page, mcnemar, cohens_kappa, runs, ljung_box)"
+                "page, cochran_q, mcnemar, cohens_kappa, runs, "
+                "ljung_box)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

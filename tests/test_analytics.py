@@ -4155,3 +4155,83 @@ def test_page_l_matches_reference_and_permutation_null(spark):
     assert one_t.z_page is None and one_t.trend is None
     all_tied = run([(b, t, 7) for b in range(5) for t in "AB"])
     assert all_tied.z_page is None and all_tied.l_stat is not None
+
+
+def test_cochran_q_matches_reference_and_mcnemar(spark):
+    """operators.analytics.cochran_q_from_blocks (pre-staged for the
+    r12 window): Q equals the textbook totals computation, reduces at
+    k=2 to the UNcorrected McNemar chi-square, all-0/all-1 blocks
+    cancel, incomplete blocks drop, nonzero x coerces to 1, and the
+    saturated / empty degenerates serve NULLs."""
+    import random
+    from collections import defaultdict
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cochran_q_from_blocks,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "b long, t string, x long")
+        return cochran_q_from_blocks(df).collect()[0]
+
+    def ref(rows):
+        ks = sorted({t for _, t, _ in rows})
+        k = len(ks)
+        tj, ui = defaultdict(int), defaultdict(int)
+        for b, t, x in rows:
+            tj[t] += x
+            ui[b] += x
+        n = sum(tj.values())
+        den = k * n - sum(v * v for v in ui.values())
+        if den <= 0:
+            return None
+        return (
+            (k - 1)
+            * (k * sum(v * v for v in tj.values()) - n * n)
+            / den
+        )
+
+    rng = random.Random(2)
+    rows = []
+    for b in range(80):
+        for j, t in enumerate("ABC"):
+            rows.append((b, t, 1 if rng.random() < (0.3, 0.45, 0.5)[j] else 0))
+    got = run(rows)
+    assert (got.k_treatments, got.n_blocks) == (3, 80)
+    assert abs(got.q_stat - round(ref(rows), 6)) < 1e-9
+
+    # k=2 == UNcorrected McNemar chi-square (b-c)^2/(b+c)
+    rows2 = [(b, t, x) for b, t, x in rows if t in "AB"]
+    per_b = defaultdict(dict)
+    for b, t, x in rows2:
+        per_b[b][t] = x
+    disc_b = sum(1 for d in per_b.values() if d["A"] == 1 and d["B"] == 0)
+    disc_c = sum(1 for d in per_b.values() if d["A"] == 0 and d["B"] == 1)
+    got2 = run(rows2)
+    assert abs(
+        got2.q_stat
+        - round((disc_b - disc_c) ** 2 / (disc_b + disc_c), 6)
+    ) < 1e-9
+
+    # all-0 / all-1 blocks cancel: injecting them changes Q not at all
+    padded = run(
+        rows
+        + [(900 + i, t, 1) for i in range(5) for t in "ABC"]
+        + [(800 + i, t, 0) for i in range(7) for t in "ABC"]
+    )
+    assert padded.q_stat == got.q_stat
+    assert padded.n_blocks == got.n_blocks + 12
+
+    # incomplete blocks drop; nonzero x coerces to 1
+    got_inc = run(rows + [(999, "A", 1)])
+    assert tuple(got_inc) == tuple(got)
+    got_coerce = run([(b, t, x * 7) for b, t, x in rows])
+    assert tuple(got_coerce) == tuple(got)
+
+    # degenerates: empty; saturated (every block all-0 or all-1)
+    empty = run([])
+    assert empty.k_treatments == 0 and empty.q_stat is None
+    sat = run(
+        [(1, "A", 1), (1, "B", 1), (2, "A", 0), (2, "B", 0)]
+    )
+    assert sat.q_stat is None and sat.significant is None

@@ -840,8 +840,8 @@ def test_stats_test_clause_brown_forsythe_and_ca_match_kernels(spark):
 
 def test_stats_test_clause_round11b_modes_match_kernels(spark):
     """The round-11 second-wave stats_test modes (cliffs_delta,
-    jonckheere, friedman, page, mcnemar, cohens_kappa, runs,
-    ljung_box) each equal the direct kernel call on the same frame
+    jonckheere, friedman, page, cochran_q, mcnemar, cohens_kappa,
+    runs, ljung_box) each equal the direct kernel call on the same frame
     exactly (pre-staged for the r12 oracle entries, the
     anderson_darling round-10 pattern)."""
     from pyspark.sql import functions as F
@@ -904,9 +904,14 @@ def test_stats_test_clause_round11b_modes_match_kernels(spark):
         )
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cochran_q_from_blocks,
+    )
+
     for method, kern in (
         ("friedman", friedman_from_blocks),
         ("page", page_l_from_blocks),
+        ("cochran_q", cochran_q_from_blocks),
     ):
         got = build(
             spark,

@@ -34,6 +34,8 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - page_l_from_blocks            <- _PAGE_SQL (the Friedman block frame
   with the treatment order as the hypothesis — ordered repeated
   measures, completing the trend-family square)
+- cochran_q_from_blocks         <- _CQ_SQL (did-user-do-type flags on
+  a dense user x event-type grid, week one — the k-sample McNemar)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -56,6 +58,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     CA_Z_EXPR,
     ACF_EXPR,
     CLIFFS_D_EXPR,
+    COCHRAN_Q_EXPR,
     FRIEDMAN_T_EXPR,
     GEHAN_V_TERM,
     GEHAN_Z_EXPR,
@@ -70,6 +73,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     cochran_armitage_trend,
     friedman_from_blocks,
     cliffs_delta_from_value_counts,
+    cochran_q_from_blocks,
     cohens_kappa_from_pairs,
     gehan_wilcoxon_from_counts,
     jonckheere_terpstra_from_counts,
@@ -529,6 +533,46 @@ FROM one
 """
 
 
+_CQ_SQL = f"""
+WITH cell AS (SELECT user_id AS b, event_type AS t,
+                     CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS x
+              FROM events
+              WHERE ts::DATE < DATE '2024-01-08'
+              GROUP BY 1, 2),
+uhz AS (SELECT DISTINCT user_id AS b FROM events
+        WHERE ts::DATE < DATE '2024-01-08'),
+thz AS (SELECT DISTINCT event_type AS t FROM events
+        WHERE ts::DATE < DATE '2024-01-08'),
+grid AS (SELECT uhz.b, thz.t, coalesce(cell.x, 0)::BIGINT AS x
+         FROM uhz CROSS JOIN thz
+         LEFT JOIN cell ON cell.b = uhz.b AND cell.t = thz.t),
+kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM grid),
+tj AS (SELECT t, sum(x)::BIGINT AS tj FROM grid GROUP BY 1),
+st2t AS (SELECT coalesce(sum(tj::HUGEINT * tj), 0)::DOUBLE AS st2
+         FROM tj),
+ui AS (SELECT b, sum(x)::BIGINT AS ui FROM grid GROUP BY 1),
+blocks AS (SELECT count(*)::BIGINT AS b,
+                  coalesce(sum(ui), 0)::BIGINT AS nsucc,
+                  coalesce(sum(ui::HUGEINT * ui), 0)::DOUBLE AS su2
+           FROM ui),
+one AS (SELECT k::BIGINT AS k, b::BIGINT AS b,
+               nsucc::BIGINT AS nsucc, st2, su2
+        FROM blocks CROSS JOIN st2t CROSS JOIN kk),
+flat AS (SELECT k AS k_treatments, b AS n_blocks,
+                nsucc AS n_success,
+                round({COCHRAN_Q_EXPR}, 6) AS q_stat,
+                (k - 1) * 1e0 AS dof,
+                {COCHRAN_Q_EXPR} AS chi2
+         FROM one)
+SELECT k_treatments, n_blocks, n_success, q_stat,
+       CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM flat
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -658,6 +702,24 @@ def main() -> None:
         )
     )
 
+    week1 = ev.filter(
+        F.to_date("ts") < F.lit("2024-01-08").cast("date")
+    )
+    cq_cell = week1.groupBy(
+        F.col("user_id").alias("b"),
+        F.col("event_type").alias("t"),
+    ).agg(F.lit(1).alias("x"))
+    cq_grid = (
+        week1.select(F.col("user_id").alias("b")).distinct()
+        .crossJoin(
+            F.broadcast(
+                week1.select(F.col("event_type").alias("t")).distinct()
+            )
+        )
+        .join(cq_cell, ["b", "t"], "left")
+        .fillna(0, subset=["x"])
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -713,6 +775,11 @@ def main() -> None:
             "page_l_event_volume_by_type",
             page_l_from_blocks(cell, "b", "t", "x"),
             _PAGE_SQL,
+        ),
+        (
+            "cochran_q_user_by_event_type",
+            cochran_q_from_blocks(cq_grid, "b", "t", "x"),
+            _CQ_SQL,
         ),
     ]
     failed = 0
