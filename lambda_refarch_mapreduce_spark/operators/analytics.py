@@ -4646,3 +4646,98 @@ def cochran_q_from_blocks(
         f"CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2"
         f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
+
+
+# Wilcoxon signed-rank over exact integer moments in DOUBLED-rank
+# units: with nn nonzero differences, w2p = doubled positive-rank sum
+# and ties = sum(t^3 - t) over the |d| alphabet,
+#   z = (w2p/2 - nn(nn+1)/4) / sqrt(nn(nn+1)(2nn+1)/24 - ties/48)
+# (Pratt's zero-drop convention; tie-corrected normal approximation,
+# validated against a 6000-flip Monte-Carlo sign-permutation null in
+# tests). The degenerate arms (no nonzero differences, every |d|
+# tied so the variance underflows to 0) emit NULL. Shared verbatim
+# with the DuckDB oracle recipes.
+WSR_VAR_EXPR = (
+    "(nn * (nn + 1e0) * (2e0 * nn + 1e0) / 24e0 - ties / 48e0)"
+)
+WSR_Z_EXPR = (
+    f"(CASE WHEN nn >= 1 AND {WSR_VAR_EXPR} > 0e0"
+    f" THEN (w2p / 2e0 - nn * (nn + 1e0) / 4e0)"
+    f" / sqrt({WSR_VAR_EXPR}) END)"
+)
+
+
+def wilcoxon_signed_rank_from_pairs(
+    pairs: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED numeric outcomes
+    (Wilcoxon 1945) — the quantitative member of the paired tier:
+    McNemar compares paired BINARY flags, Cochran's Q k binary
+    variants, this asks "did the same subject's VALUE shift between
+    two conditions?" (spend before vs after, week one vs week two)
+    without the normality Welch leans on and without the pairing
+    loss Mann-Whitney commits. Input: one row per subject with two
+    exact-integer columns (cents); zero differences drop (the
+    standard convention), NULL on either side drops the pair.
+
+    Never ranks rows: differences collapse map-side to the |d| value
+    alphabet with per-sign counts, doubled average ranks come off
+    one prefix_sums range exchange (2r = 2*cum - ct + 1), and the
+    positive-rank sum, tie cubes, and every variance moment are
+    exact integers on decimal(38,0) into the shared WSR_Z_EXPR
+    string. At 100 TB the only corpus-sized stage is the (|d|, sign)
+    collapse. Returns one row: (n_pairs, n_nonzero, w_plus, z_wsr,
+    significant, direction) — w_plus in classic (halved) units."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    d = (
+        pairs.select(
+            (
+                F.col(a).cast("long") - F.col(b).cast("long")
+            ).alias("__d")
+        )
+        .filter(F.col("__d").isNotNull())
+    )
+    n_all = d.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nz = d.filter(F.col("__d") != 0)
+    byv = nz.groupBy(F.abs(F.col("__d")).alias("__ad")).agg(
+        F.sum((F.col("__d") > 0).cast("long")).alias("__cpos"),
+        F.count(F.lit(1)).alias("__ct"),
+    )
+    cum = prefix_sums(byv, [F.col("__ad")], ["__ct"])
+    r2 = cum.select(
+        "__cpos",
+        "__ct",
+        (2 * F.col("__ct_cum") - F.col("__ct") + 1).alias("__r2"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    ct = F.col("__ct").cast("decimal(38,0)")
+    agg = r2.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("nn"),
+        F.coalesce(
+            F.sum(F.col("__cpos").cast("decimal(38,0)") * F.col("__r2")),
+            zero,
+        )
+        .cast("double")
+        .alias("w2p"),
+        F.coalesce(F.sum(ct * ct * ct - ct), zero)
+        .cast("double")
+        .alias("ties"),
+    )
+    one = agg.crossJoin(F.broadcast(n_all))
+    return one.selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(nn AS BIGINT) AS n_nonzero",
+        "CASE WHEN nn >= 1 THEN round(w2p / 2e0, 6) END AS w_plus",
+        f"round({WSR_Z_EXPR}, 6) AS z_wsr",
+        f"CASE WHEN {WSR_Z_EXPR} IS NOT NULL"
+        f" THEN (abs({WSR_Z_EXPR}) > 1.96e0) END AS significant",
+        f"""CASE
+              WHEN {WSR_Z_EXPR} IS NULL THEN NULL
+              WHEN NOT (abs({WSR_Z_EXPR}) > 1.96e0) THEN 'none'
+              WHEN {WSR_Z_EXPR} > 0 THEN 'a_over_b'
+              ELSE 'b_over_a'
+            END AS direction""",
+    )

@@ -159,6 +159,9 @@ class JobSpec:
     #     cancelled) -> ONE row. Method "mcnemar" (round 11) tests
     #     paired binary "flag_a" / "flag_b" exprs (one row per
     #     subject upstream) -> ONE row (n_pairs, cells, chi2_cc,
+    #     significant, direction); "wilcoxon_signed_rank" (round 11)
+    #     is its NUMERIC sibling over "val_a" / "val_b" exact-integer
+    #     expressions -> ONE row (n_pairs, n_nonzero, w_plus, z_wsr,
     #     significant, direction). Method "cohens_kappa" (round 11)
     #     scores agreement between "rater_a" / "rater_b" label exprs
     #     -> ONE row (n_items, po, pe, kappa, agreement). Methods
@@ -729,6 +732,19 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 "cochran_q": cochran_q_from_blocks,
             }[method]
             df = kern(cells, "b", "t", "x")
+        elif method == "wilcoxon_signed_rank":
+            # paired NUMERIC values per row of the incoming frame
+            # (one row per subject upstream): val_a / val_b are
+            # exact-integer SQL expressions (caller quantizes)
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                wilcoxon_signed_rank_from_pairs,
+            )
+
+            pairs = df.select(
+                F.expr(t["val_a"]).alias("a"),
+                F.expr(t["val_b"]).alias("b"),
+            )
+            df = wilcoxon_signed_rank_from_pairs(pairs)
         elif method == "mcnemar":
             # paired binary flags per row of the incoming frame (the
             # caller shapes one row per subject upstream — e.g. a
@@ -786,8 +802,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
                 "cliffs_delta, anova, kruskal, jonckheere, "
                 "brown_forsythe, cochran_armitage, chi2, friedman, "
-                "page, cochran_q, mcnemar, cohens_kappa, runs, "
-                "ljung_box)"
+                "page, cochran_q, mcnemar, wilcoxon_signed_rank, "
+                "cohens_kappa, runs, ljung_box)"
             )
     if spec.select:
         df = df.select(*[F.expr(e).alias(a) for a, e in spec.select.items()])

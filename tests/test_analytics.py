@@ -4235,3 +4235,82 @@ def test_cochran_q_matches_reference_and_mcnemar(spark):
         [(1, "A", 1), (1, "B", 1), (2, "A", 0), (2, "B", 0)]
     )
     assert sat.q_stat is None and sat.significant is None
+
+
+def test_wilcoxon_signed_rank_matches_reference_and_mc_null(spark):
+    """operators.analytics.wilcoxon_signed_rank_from_pairs
+    (pre-staged for the r12 window): W+ and the tie-corrected z equal
+    an independent doubled-rank computation, the variance matches a
+    Monte-Carlo sign-flip null under heavy ties, swap antisymmetry
+    and shift-of-both invariance hold, zero diffs and NULL pairs
+    drop, and the all-tied / empty degenerates serve NULLs."""
+    import math
+    import random
+    import statistics
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        wilcoxon_signed_rank_from_pairs,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "a long, b long")
+        return wilcoxon_signed_rank_from_pairs(df).collect()[0]
+
+    def ref(rows):
+        d = [x - y for x, y in rows if x is not None and y is not None]
+        d = [x for x in d if x != 0]
+        n = len(d)
+        cnt = Counter(abs(x) for x in d)
+        cum, r2 = 0, {}
+        for v in sorted(cnt):
+            c = cnt[v]
+            r2[v] = 2 * cum + c + 1
+            cum += c
+        w2p = sum(r2[abs(x)] for x in d if x > 0)
+        ties = sum(c**3 - c for c in cnt.values())
+        var = n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+        z = (w2p / 2 - n * (n + 1) / 4) / math.sqrt(var) if var > 0 else None
+        return w2p / 2, n, var, z, [r2[abs(x)] / 2 for x in d]
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 30), rng.randint(0, 25)) for _ in range(120)]
+    got = run(rows)
+    w_plus, n, var, z, ranks = ref(rows)
+    assert (got.n_pairs, got.n_nonzero) == (120, n)
+    assert got.w_plus == round(w_plus, 6)
+    assert abs(got.z_wsr - round(z, 6)) < 1e-9
+    assert got.direction == "a_over_b" and got.significant is True
+
+    # Monte-Carlo sign-flip null under the SAME tie pattern: the
+    # formula variance must match the empirical one
+    sims = [
+        sum(r for r in ranks if rng.random() < 0.5) for _ in range(6000)
+    ]
+    assert abs(statistics.mean(sims) - n * (n + 1) / 4) < 4 * math.sqrt(
+        var / 6000
+    )
+    assert abs(statistics.variance(sims) / var - 1) < 0.1
+
+    # swap antisymmetry; shifting BOTH sides is invariant
+    swapped = run([(y, x) for x, y in rows])
+    assert abs(swapped.z_wsr + got.z_wsr) < 2e-6
+    assert swapped.direction == "b_over_a"
+    shifted = run([(x + 500, y + 500) for x, y in rows])
+    assert tuple(shifted) == tuple(got)
+
+    # zero diffs and NULL pairs drop
+    df_pad = spark.createDataFrame(
+        rows + [(7, 7)] * 10 + [(None, 3), (4, None)], "a long, b long"
+    )
+    got_pad = wilcoxon_signed_rank_from_pairs(df_pad).collect()[0]
+    assert got_pad.n_pairs == 130  # zero diffs counted as pairs
+    assert got_pad.n_nonzero == got.n_nonzero
+    assert got_pad.w_plus == got.w_plus and got_pad.z_wsr == got.z_wsr
+
+    # degenerates: empty; all-tied (every diff zero)
+    empty = run([])
+    assert empty.n_pairs == 0 and empty.z_wsr is None
+    all_zero = run([(5, 5)] * 9)
+    assert all_zero.n_nonzero == 0 and all_zero.w_plus is None
+    assert all_zero.direction is None

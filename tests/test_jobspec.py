@@ -840,8 +840,8 @@ def test_stats_test_clause_brown_forsythe_and_ca_match_kernels(spark):
 
 def test_stats_test_clause_round11b_modes_match_kernels(spark):
     """The round-11 second-wave stats_test modes (cliffs_delta,
-    jonckheere, friedman, page, cochran_q, mcnemar, cohens_kappa,
-    runs, ljung_box) each equal the direct kernel call on the same frame
+    jonckheere, friedman, page, cochran_q, mcnemar,
+    wilcoxon_signed_rank, cohens_kappa, runs, ljung_box) each equal the direct kernel call on the same frame
     exactly (pre-staged for the r12 oracle entries, the
     anderson_darling round-10 pattern)."""
     from pyspark.sql import functions as F
@@ -952,6 +952,42 @@ def test_stats_test_clause_round11b_modes_match_kernels(spark):
         )
     ).collect()[0]
     assert tuple(got) == tuple(want) and got.n_pairs > 0
+
+    # wilcoxon_signed_rank — the numeric sibling on a per-user
+    # half-window value frame
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        wilcoxon_signed_rank_from_pairs,
+    )
+
+    halves = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") >= 16,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("h2"),
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") < 16,
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("h1"),
+    )
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": halves},
+            stats_test={
+                "method": "wilcoxon_signed_rank",
+                "val_a": "h2",
+                "val_b": "h1",
+            },
+        ),
+    ).collect()[0]
+    want = wilcoxon_signed_rank_from_pairs(
+        halves.select(F.col("h2").alias("a"), F.col("h1").alias("b"))
+    ).collect()[0]
+    assert tuple(got) == tuple(want) and got.n_nonzero > 0
 
     # cohens_kappa — two derived raters on documents
     docs = load_table(spark, sf, "documents")

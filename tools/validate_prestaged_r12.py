@@ -36,6 +36,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
   measures, completing the trend-family square)
 - cochran_q_from_blocks         <- _CQ_SQL (did-user-do-type flags on
   a dense user x event-type grid, week one — the k-sample McNemar)
+- wilcoxon_signed_rank_from_pairs <- _WSR_SQL (per-user event value,
+  second half vs first half of the window — the paired-numeric member
+  beside McNemar)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -69,6 +72,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     PAGE_Z_EXPR,
     RUNS_Z_EXPR,
     WH_CHI2_Z,
+    WSR_Z_EXPR,
     brown_forsythe_from_counts,
     cochran_armitage_trend,
     friedman_from_blocks,
@@ -81,6 +85,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     ljung_box_from_series,
     page_l_from_blocks,
     runs_test_from_series,
+    wilcoxon_signed_rank_from_pairs,
 )
 
 _FRIEDMAN_SQL = f"""
@@ -573,6 +578,46 @@ FROM flat
 """
 
 
+_WSR_SQL = f"""
+WITH per AS (SELECT user_id,
+                    sum(CASE WHEN ts::DATE < DATE '2024-01-16'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS v1,
+                    sum(CASE WHEN ts::DATE >= DATE '2024-01-16'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS v2
+             FROM events GROUP BY 1),
+d AS (SELECT (v2 - v1)::BIGINT AS d FROM per),
+np AS (SELECT count(*)::BIGINT AS n_pairs FROM d),
+byv AS (SELECT abs(d)::BIGINT AS ad,
+               sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS cpos,
+               count(*)::BIGINT AS ct
+        FROM d WHERE d != 0 GROUP BY 1),
+cum AS (SELECT cpos, ct,
+               (2 * sum(ct) OVER (ORDER BY ad) - ct + 1)::BIGINT AS r2
+        FROM byv),
+agg AS (SELECT coalesce(sum(ct), 0)::BIGINT AS nn,
+               coalesce(sum(cpos::HUGEINT * r2), 0)::DOUBLE AS w2p,
+               coalesce(sum(ct::HUGEINT * ct * ct - ct), 0)::DOUBLE
+                   AS ties
+        FROM cum),
+one AS (SELECT * FROM agg CROSS JOIN np)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(nn AS BIGINT) AS n_nonzero,
+       CASE WHEN nn >= 1 THEN round(w2p / 2e0, 6) END AS w_plus,
+       round({WSR_Z_EXPR}, 6) AS z_wsr,
+       CASE WHEN {WSR_Z_EXPR} IS NOT NULL
+            THEN (abs({WSR_Z_EXPR}) > 1.96e0) END AS significant,
+       CASE
+         WHEN {WSR_Z_EXPR} IS NULL THEN NULL
+         WHEN NOT (abs({WSR_Z_EXPR}) > 1.96e0) THEN 'none'
+         WHEN {WSR_Z_EXPR} > 0 THEN 'a_over_b'
+         ELSE 'b_over_a'
+       END AS direction
+FROM one
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -720,6 +765,23 @@ def main() -> None:
         .fillna(0, subset=["x"])
     )
 
+    # a = second-half spend, b = first-half spend per user, so the
+    # kernel's a - b matches the oracle's v2 - v1
+    wsr_pairs = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.to_date("ts") >= F.lit("2024-01-16").cast("date"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(
+                F.to_date("ts") < F.lit("2024-01-16").cast("date"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("b"),
+    ).select("a", "b")
+
     checks = [
         (
             "friedman_event_volume",
@@ -780,6 +842,11 @@ def main() -> None:
             "cochran_q_user_by_event_type",
             cochran_q_from_blocks(cq_grid, "b", "t", "x"),
             _CQ_SQL,
+        ),
+        (
+            "wilcoxon_signed_rank_user_halves",
+            wilcoxon_signed_rank_from_pairs(wsr_pairs),
+            _WSR_SQL,
         ),
     ]
     failed = 0
