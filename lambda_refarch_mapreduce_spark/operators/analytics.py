@@ -4741,3 +4741,173 @@ def wilcoxon_signed_rank_from_pairs(
               ELSE 'b_over_a'
             END AS direction""",
     )
+
+
+def kuiper_critical(alpha: float = 0.05) -> float:
+    """Critical value of the asymptotic Kuiper distribution by
+    bisection on its series P(V > x) = sum_{j>=1} (8j^2x^2 - 2)
+    exp(-2 j^2 x^2) (Kuiper 1960; ~1.747 at alpha = .05) — a
+    PLAN-BUILD-time double literal, the kolmogorov_critical
+    pattern."""
+    import math
+
+    def sf(x: float) -> float:
+        s = 0.0
+        for j in range(1, 101):
+            s += (8 * j * j * x * x - 2) * math.exp(-2.0 * j * j * x * x)
+        return s
+
+    lo, hi = 0.3, 5.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if sf(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def kuiper_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "ca",
+    cb: str = "cb",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample Kuiper test from the per-distinct-value count
+    frame — the CYCLIC/shift-equitable member of the two-sample CDF
+    family: KS's single max |gap| goes blind when one CDF leads early
+    and lags late (the gaps cancel at the max), Kuiper's V = D+ + D-
+    keeps both one-sided excursions, making it the right test for
+    hour-of-day / day-of-week style wraparound shifts and equally
+    sensitive across the support. Both one-sided maxima are EXACT
+    integer maxima of D_j = nb*ca_cum - na*cb_cum over the pooled
+    alphabet (the AD kernel's integer; the last pooled value pins
+    D = 0, so the maxima are well-defined without synthetic rows),
+    divided once by na*nb; significance compares V*sqrt(ne) against
+    the plan-build-time asymptotic literal (kuiper_critical — the
+    series bisection, ~1.747 at .05). One prefix_sums range exchange,
+    one totals broadcast. One-arm/empty frames serve NULLs. Returns
+    one row: (n_a, n_b, kuiper_v, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    crit = kuiper_critical(alpha)
+    g = counts.select(
+        F.col(v).alias("v"), F.col(ca).alias("ca"), F.col(cb).alias("cb")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
+    totals = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    dj = F.col("nb").cast("decimal(38,0)") * F.col("ca_cum") - F.col(
+        "na"
+    ).cast("decimal(38,0)") * F.col("cb_cum")
+    agg = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("na").alias("__na"),
+            F.first("nb").alias("__nb"),
+            F.max(dj).cast("double").alias("__dpos"),
+            F.max(-dj).cast("double").alias("__dneg"),
+        )
+    )
+    both = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    v_stat = F.when(
+        both,
+        (F.col("__dpos") + F.col("__dneg"))
+        / (F.col("__na").cast("double") * F.col("__nb")),
+    )
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(v_stat, 6).alias("kuiper_v"),
+        F.when(
+            both,
+            v_stat
+            * F.sqrt(
+                F.col("__na").cast("double")
+                * F.col("__nb")
+                / (F.col("__na") + F.col("__nb"))
+            )
+            > F.lit(crit),
+        ).alias("significant"),
+    )
+
+
+# Asymptotic 95% point of the two-sample Cramér-von Mises omega^2
+# limit distribution (Anderson & Darling 1952; Anderson 1962) —
+# verified against a Monte-Carlo null in tests. N-independent like
+# the AD 2.492 point, so no runtime variance formula is needed.
+CVM_CRIT_05 = 0.46136
+
+
+def cvm_from_value_counts(
+    counts: DataFrame,
+    v: str = "v",
+    ca: str = "ca",
+    cb: str = "cb",
+    crit: float = CVM_CRIT_05,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises T from the per-distinct-value
+    count frame — the INTEGRAL member completing the CDF family the
+    (v, ca, cb) state serves: KS takes the single biggest gap,
+    Kuiper the two one-sided excursions, AD the tail-weighted
+    integral, and CvM the PLAIN integral of the squared gap — the
+    all-of-distribution test with no tail emphasis. Discrete/tie
+    form over the right-continuous pooled ECDF:
+
+        T = sum_j w_j * D_j^2 / (na * nb * N^2)
+
+    with w_j the pooled count at value j and D_j = nb*ca_cum -
+    na*cb_cum the shared exact integer (= na*nb*(Fa - Fb)). Per-value
+    terms are doubles folding in value order via sorted_fold_sum (the
+    AD kernel's alphabet-sized order-deterministic bound); the
+    verdict compares against the asymptotic 95% point 0.46136
+    (CVM_CRIT_05). One-arm/empty frames serve NULLs. Returns one
+    row: (n_a, n_b, cvm_t, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    g = counts.select(
+        F.col(v).alias("v"), F.col(ca).alias("ca"), F.col(cb).alias("cb")
+    )
+    cum = prefix_sums(g, [F.col("v")], ["ca", "cb"])
+    totals = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        "ca_cum",
+        "cb_cum",
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("nn"),
+    )
+    dj = (
+        F.col("nb").cast("decimal(38,0)") * F.col("ca_cum")
+        - F.col("na").cast("decimal(38,0)") * F.col("cb_cum")
+    ).cast("double")
+    term = (
+        F.col("w")
+        * (dj * dj)
+        / (
+            F.col("na").cast("double")
+            * F.col("nb")
+            * F.col("nn")
+            * F.col("nn")
+        )
+    )
+    guarded = F.when((F.col("na") > 0) & (F.col("nb") > 0), term)
+    terms = j.select("v", "na", "nb", guarded.alias("__term"))
+    agg = terms.agg(
+        F.first("na").alias("__na"),
+        F.first("nb").alias("__nb"),
+        sorted_fold_sum(["v"], "__term").alias("__t"),
+    )
+    return agg.selectExpr(
+        "CAST(__na AS BIGINT) AS n_a",
+        "CAST(__nb AS BIGINT) AS n_b",
+        "round(__t, 6) AS cvm_t",
+        f"CASE WHEN __t IS NOT NULL"
+        f" THEN (__t > {float(crit):.17e}) END AS significant",
+    )

@@ -149,7 +149,10 @@ class JobSpec:
     #     picks the grid (default 20 = ventiles). Method
     #     "cliffs_delta" (round 11) is the EFFECT-SIZE member over
     #     the same two-group count frame -> ONE row (n_a, n_b, delta,
-    #     magnitude, z, significant; Romano bands). Method
+    #     magnitude, z, significant; Romano bands). Methods "kuiper"
+    #     / "cvm" (round 11) complete the CDF-distance family over
+    #     the same frame: V = D+ + D- (cyclic-sensitive) and the
+    #     plain integral of the squared gap -> ONE row each. Method
     #     "jonckheere" (round 11) is the ORDERED k-sample trend on
     #     the kruskal spec shape (group order = natural sort of
     #     group_col) -> ONE row (k_groups, n_total, jt_auc, z_jt,
@@ -549,6 +552,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             "anderson_darling",
             "qq",
             "cliffs_delta",
+            "kuiper",
+            "cvm",
         ):
             counts = group_value_counts(
                 df,
@@ -577,6 +582,18 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 )
 
                 df = anderson_darling_from_value_counts(counts)
+            elif method == "kuiper":
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    kuiper_from_value_counts,
+                )
+
+                df = kuiper_from_value_counts(counts)
+            elif method == "cvm":
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    cvm_from_value_counts,
+                )
+
+                df = cvm_from_value_counts(counts)
             elif method == "qq":
                 from lambda_refarch_mapreduce_spark.operators.analytics import (
                     qq_from_value_counts,
@@ -800,6 +817,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
             raise ValueError(
                 f"stats_test method {method!r} not supported "
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
+                "kuiper, cvm, "
                 "cliffs_delta, anova, kruskal, jonckheere, "
                 "brown_forsythe, cochran_armitage, chi2, friedman, "
                 "page, cochran_q, mcnemar, wilcoxon_signed_rank, "

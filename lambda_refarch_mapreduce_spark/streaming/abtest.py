@@ -258,3 +258,35 @@ def cliffs_now(spark: SparkSession, index_dir: str) -> DataFrame:
     return cliffs_delta_from_value_counts(
         running_value_counts(spark, index_dir), "v", "ca", "cb"
     )
+
+
+def kuiper_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Kuiper readout over the committed state — the cyclic /
+    shift-equitable member of the CDF family on the same (v, ca, cb)
+    frame (operators.analytics.kuiper_from_value_counts): where
+    ks_now's single max gap cancels an early-lead/late-lag crossing,
+    V = D+ + D- keeps both excursions. Returns one row: (n_a, n_b,
+    kuiper_v, significant); NULLs while either arm is empty."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        kuiper_from_value_counts,
+    )
+
+    return kuiper_from_value_counts(
+        running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )
+
+
+def cvm_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Cramér-von Mises readout over the committed state — the plain
+    integral of the squared CDF gap, completing the family beside
+    ks_now (max gap), kuiper_now (both excursions) and ad_now
+    (tail-weighted integral), from the same frame (operators.
+    analytics.cvm_from_value_counts). Returns one row: (n_a, n_b,
+    cvm_t, significant); NULLs while either arm is empty."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cvm_from_value_counts,
+    )
+
+    return cvm_from_value_counts(
+        running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )

@@ -4314,3 +4314,112 @@ def test_wilcoxon_signed_rank_matches_reference_and_mc_null(spark):
     all_zero = run([(5, 5)] * 9)
     assert all_zero.n_nonzero == 0 and all_zero.w_plus is None
     assert all_zero.direction is None
+
+
+def test_kuiper_and_cvm_match_bruteforce_and_mc_criticals(spark):
+    """operators.analytics.kuiper_from_value_counts /
+    cvm_from_value_counts (pre-staged for the r12 window): both equal
+    sequential pooled-CDF computations, Kuiper catches a cyclic shift
+    KS underrates, the asymptotic critical points match Monte-Carlo
+    H0 nulls (the series-bisection 1.747 and the published 0.46136),
+    and the one-arm / empty degenerates serve NULLs (CvM's empty fold
+    is 0.0, the AD family convention)."""
+    import math
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cvm_from_value_counts,
+        ks_from_value_counts,
+        kuiper_critical,
+        kuiper_from_value_counts,
+    )
+
+    def frame(a, b):
+        rows = {}
+        for val, cnt in Counter(a).items():
+            rows.setdefault(val, [0, 0])[0] = cnt
+        for val, cnt in Counter(b).items():
+            rows.setdefault(val, [0, 0])[1] = cnt
+        return spark.createDataFrame(
+            [(v, x, y) for v, (x, y) in rows.items()],
+            "v long, ca long, cb long",
+        )
+
+    def refs(a, b):
+        na, nb = len(a), len(b)
+        ca, cb = Counter(a), Counter(b)
+        fa = fb = 0
+        dplus = dminus = ssum = 0.0
+        for v in sorted(set(a) | set(b)):
+            fa += ca[v]
+            fb += cb[v]
+            d = fa / na - fb / nb
+            dplus = max(dplus, d)
+            dminus = max(dminus, -d)
+            ssum += (ca[v] + cb[v]) * d * d
+        return dplus + dminus, na * nb / (na + nb) ** 2 * ssum
+
+    rng = random.Random(1)
+    a = [rng.randint(0, 40) for _ in range(150)]
+    b = [(rng.randint(0, 40) + 6) % 41 for _ in range(130)]
+    v_ref, t_ref = refs(a, b)
+    kp = kuiper_from_value_counts(frame(a, b)).collect()[0]
+    cv = cvm_from_value_counts(frame(a, b)).collect()[0]
+    assert (kp.n_a, kp.n_b) == (150, 130)
+    assert abs(kp.kuiper_v - round(v_ref, 6)) < 1e-9
+    assert abs(cv.cvm_t - round(t_ref, 6)) < 1e-9
+
+    # the cyclic diagnostic: a center-peaked distribution shifted
+    # halfway around the cycle produces two near-equal one-sided
+    # excursions — Kuiper's V keeps both, KS's single max gap only
+    # the larger one
+    big_a = [
+        (rng.randint(0, 99) + rng.randint(0, 99)) // 2
+        for _ in range(1500)
+    ]
+    big_b = [
+        ((rng.randint(0, 99) + rng.randint(0, 99)) // 2 + 50) % 100
+        for _ in range(1500)
+    ]
+    kp2 = kuiper_from_value_counts(frame(big_a, big_b)).collect()[0]
+    ks2 = ks_from_value_counts(frame(big_a, big_b)).collect()[0]
+    assert kp2.significant is True
+    assert kp2.kuiper_v > 1.5 * ks2.ks_d  # both excursions survive
+
+    # Monte-Carlo H0 nulls pin both asymptotic criticals
+    n = m = 150
+    ne = n * m / (n + m)
+    sims_v, sims_t = [], []
+    for _ in range(1500):
+        xs = sorted(rng.random() for _ in range(n))
+        ys = sorted(rng.random() for _ in range(m))
+        ia = ib = 0
+        dp = dm = ss = 0.0
+        for x in sorted(xs + ys):
+            while ia < n and xs[ia] <= x:
+                ia += 1
+            while ib < m and ys[ib] <= x:
+                ib += 1
+            d = ia / n - ib / m
+            dp = max(dp, d)
+            dm = max(dm, -d)
+            ss += d * d
+        sims_v.append((dp + dm) * math.sqrt(ne))
+        sims_t.append(n * m / (n + m) ** 2 * ss)
+    sims_v.sort()
+    sims_t.sort()
+    crit_v = kuiper_critical(0.05)
+    assert abs(crit_v - 1.7472599458506268) < 1e-12
+    assert abs(sims_v[int(0.95 * 1500)] - crit_v) < 0.12
+    assert abs(sims_t[int(0.95 * 1500)] - 0.46136) < 0.08
+
+    # degenerates: one arm -> NULL statistics; empty frames
+    one = frame([3, 3, 7], [])
+    kp1 = kuiper_from_value_counts(one).collect()[0]
+    cv1 = cvm_from_value_counts(one).collect()[0]
+    assert kp1.kuiper_v is None and kp1.significant is None
+    assert cv1.cvm_t is None and cv1.significant is None
+    e = spark.createDataFrame([], "v long, ca long, cb long")
+    assert kuiper_from_value_counts(e).collect()[0].kuiper_v is None
+    assert cvm_from_value_counts(e).collect()[0].cvm_t == 0.0

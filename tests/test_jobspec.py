@@ -882,6 +882,25 @@ def test_stats_test_clause_round11b_modes_match_kernels(spark):
     ).collect()[0]
     assert tuple(got) == tuple(want) and got.delta is not None
 
+    # kuiper / cvm — the CDF-family completions on the same shape
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cvm_from_value_counts,
+        kuiper_from_value_counts,
+    )
+
+    got_kp = run(
+        {"method": "kuiper", "group_a": "purchase", "group_b": "click"}
+    )[0]
+    want_kp = kuiper_from_value_counts(
+        counts, ca="ca", cb="cb"
+    ).collect()[0]
+    assert tuple(got_kp) == tuple(want_kp) and got_kp.kuiper_v is not None
+    got_cm = run(
+        {"method": "cvm", "group_a": "purchase", "group_b": "click"}
+    )[0]
+    want_cm = cvm_from_value_counts(counts, ca="ca", cb="cb").collect()[0]
+    assert tuple(got_cm) == tuple(want_cm) and got_cm.cvm_t is not None
+
     # jonckheere — the kruskal spec shape, ordered by group_col
     week = "datediff(to_date(ts), DATE '1970-01-01') div 7"
     cents = "CAST(round(value * 100) AS BIGINT)"

@@ -1245,6 +1245,31 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
     assert tuple(got_cd) == tuple(want_cd)
     assert got_cd.z == got.z and abs(got_cd.delta - (2 * got.auc - 1)) < 5e-6
 
+    # ...and the Kuiper / CvM readouts complete the CDF family on the
+    # same committed frame
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cvm_from_value_counts,
+        kuiper_from_value_counts,
+    )
+
+    got_kp = abtest.kuiper_now(spark, index_dir).collect()[0]
+    want_kp = kuiper_from_value_counts(
+        abtest.batch_value_counts(events, "purchase", "click"),
+        "v",
+        "ca",
+        "cb",
+    ).collect()[0]
+    assert tuple(got_kp) == tuple(want_kp)
+    got_cm = abtest.cvm_now(spark, index_dir).collect()[0]
+    want_cm = cvm_from_value_counts(
+        abtest.batch_value_counts(events, "purchase", "click"),
+        "v",
+        "ca",
+        "cb",
+    ).collect()[0]
+    assert tuple(got_cm) == tuple(want_cm)
+    assert got_kp.kuiper_v is not None and got_cm.cvm_t is not None
+
     # replay idempotence (foreachBatch is at-least-once): a second
     # application of an ALREADY-COMMITTED batch id must be a no-op —
     # exercised directly against the module-level batch function the
@@ -2085,6 +2110,12 @@ def test_monitor_readouts_serve_before_first_commit(spark, tmp_path):
     cd1 = abtest.cliffs_now(spark, ab_dir).collect()[0]
     assert (cd1.n_a, cd1.n_b) == (5, 0)
     assert cd1.delta is None and cd1.magnitude is None
+    kp1 = abtest.kuiper_now(spark, ab_dir).collect()[0]
+    assert (kp1.n_a, kp1.n_b) == (5, 0)
+    assert kp1.kuiper_v is None and kp1.significant is None
+    cm1 = abtest.cvm_now(spark, ab_dir).collect()[0]
+    assert (cm1.n_a, cm1.n_b) == (5, 0)
+    assert cm1.cvm_t is None and cm1.significant is None
 
 
 def test_streaming_sprt_epoch_guard_and_restart_readouts(

@@ -39,6 +39,10 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - wilcoxon_signed_rank_from_pairs <- _WSR_SQL (per-user event value,
   second half vs first half of the window — the paired-numeric member
   beside McNemar)
+- kuiper_from_value_counts      <- _KUIPER_SQL (purchase-vs-click on
+  the cliffs frame — the cyclic-sensitive V = D+ + D-)
+- cvm_from_value_counts         <- _CVM_SQL (same frame — the plain
+  integral of the squared CDF gap, completing the family)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -78,9 +82,12 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     friedman_from_blocks,
     cliffs_delta_from_value_counts,
     cochran_q_from_blocks,
+    cvm_from_value_counts,
     cohens_kappa_from_pairs,
     gehan_wilcoxon_from_counts,
     jonckheere_terpstra_from_counts,
+    kuiper_critical,
+    kuiper_from_value_counts,
     mcnemar_from_pairs,
     ljung_box_from_series,
     page_l_from_blocks,
@@ -618,6 +625,77 @@ FROM one
 """
 
 
+_KUIPER_CRIT = kuiper_critical(0.05)
+
+_KUIPER_SQL = f"""
+WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END AS ip,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END AS ic
+           FROM events
+           WHERE event_type IN ('purchase', 'click')),
+g AS (SELECT v, sum(ip) AS ca, sum(ic) AS cc FROM s GROUP BY 1),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cc)::BIGINT AS nb FROM g),
+c AS (SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+             sum(cc) OVER (ORDER BY v)::BIGINT AS ccb
+      FROM g),
+m AS (SELECT max(nb::HUGEINT * cca - na::HUGEINT * ccb)::DOUBLE
+                 AS dpos,
+             max(-(nb::HUGEINT * cca - na::HUGEINT * ccb))::DOUBLE
+                 AS dneg,
+             max(na) AS na, max(nb) AS nb
+      FROM c CROSS JOIN t)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na > 0 AND nb > 0
+            THEN round((dpos + dneg)
+                       / (CAST(na AS DOUBLE) * nb), 6)
+       END AS kuiper_v,
+       CASE WHEN na > 0 AND nb > 0
+            THEN ((dpos + dneg) / (CAST(na AS DOUBLE) * nb)
+                  * sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                  > {_KUIPER_CRIT:.17e})
+       END AS significant
+FROM m
+"""
+
+_CVM_SQL = f"""
+WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END AS ip,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END AS ic
+           FROM events
+           WHERE event_type IN ('purchase', 'click')),
+g AS (SELECT v, sum(ip) AS ca, sum(ic) AS cc FROM s GROUP BY 1),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cc)::BIGINT AS nb FROM g),
+c AS (SELECT v, ca, cc,
+             sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+             sum(cc) OVER (ORDER BY v)::BIGINT AS ccb
+      FROM g),
+j AS (SELECT v, (ca + cc)::BIGINT AS w,
+             (nb::HUGEINT * cca - na::HUGEINT * ccb)::DOUBLE AS dj,
+             na, nb, (na + nb)::BIGINT AS nn
+      FROM c CROSS JOIN t),
+terms AS (SELECT v, na, nb,
+                 CASE WHEN na > 0 AND nb > 0
+                      THEN w * (dj * dj)
+                           / (CAST(na AS DOUBLE) * nb * nn * nn)
+                 END AS term
+          FROM j),
+agg AS (SELECT max(na) AS na, max(nb) AS nb,
+               list_reduce(list_prepend(0e0,
+                   list(term ORDER BY v)),
+                   (acc, x) -> acc + x) AS t_stat
+        FROM terms)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(t_stat, 6) AS cvm_t,
+       CASE WHEN t_stat IS NOT NULL
+            THEN (t_stat > 4.61360000000000015e-1) END AS significant
+FROM agg
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -847,6 +925,16 @@ def main() -> None:
             "wilcoxon_signed_rank_user_halves",
             wilcoxon_signed_rank_from_pairs(wsr_pairs),
             _WSR_SQL,
+        ),
+        (
+            "kuiper_purchase_vs_click",
+            kuiper_from_value_counts(cd_counts, ca="cp", cb="cc"),
+            _KUIPER_SQL,
+        ),
+        (
+            "cvm_purchase_vs_click",
+            cvm_from_value_counts(cd_counts, ca="cp", cb="cc"),
+            _CVM_SQL,
         ),
     ]
     failed = 0
