@@ -36,6 +36,13 @@ One variant per process (fresh JVM, UI on). Keys:
   gehan_times_1k gehan_times_10k gehan_times_100k
   page_blocks_1x page_blocks_10x page_blocks_100x
   mcnemar_rows_1m mcnemar_rows_10m mcnemar_rows_100m
+  wsr_rows_1m wsr_rows_10m wsr_rows_100m   (|d| alphabet fixed at
+    ~20k: the signed-rank collapse saturates like the MW family)
+  cq_blocks_1x cq_blocks_10x cq_blocks_100x  (blocks x 5 binary
+    treatments: two alphabet aggregates, no windows)
+  kuiper_alpha_1k kuiper_alpha_10k kuiper_alpha_100k
+  cvm_alpha_1k cvm_alpha_10k cvm_alpha_100k  (both on the KS family's
+    10M-row frame: one prefix_sums exchange, linear in the alphabet)
 """
 
 from __future__ import annotations
@@ -51,12 +58,16 @@ from pyspark.sql import functions as F  # noqa: E402
 from lambda_refarch_mapreduce_spark import get_spark  # noqa: E402
 from lambda_refarch_mapreduce_spark.metrics import MeasuredRun  # noqa: E402
 from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
+    cochran_q_from_blocks,
+    cvm_from_value_counts,
     gehan_wilcoxon_from_counts,
+    kuiper_from_value_counts,
     jonckheere_terpstra_from_counts,
     ljung_box_from_series,
     mcnemar_from_pairs,
     page_l_from_blocks,
     runs_test_from_series,
+    wilcoxon_signed_rank_from_pairs,
 )
 
 JT_BASE_ROWS = 1_000_000
@@ -181,6 +192,51 @@ def main() -> None:
         df = mcnemar_from_pairs(pairs)
         row = _measure(spark, df)
         row["n_rows"] = n
+    elif key.startswith("wsr_rows_"):
+        n = {"1m": 1_000_000, "10m": 10_000_000, "100m": 100_000_000}[
+            key.removeprefix("wsr_rows_")
+        ]
+        pairs = spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("a"),
+            F.pmod(F.xxhash64("id", "id"), F.lit(10_500)).alias("b"),
+        )
+        df = wilcoxon_signed_rank_from_pairs(pairs)
+        row = _measure(spark, df)
+        row["n_rows"] = n
+    elif key.startswith("cq_blocks_"):
+        scale = int(key.removeprefix("cq_blocks_").removesuffix("x"))
+        nb = 1_000 * scale
+        k = 5
+        cells = spark.range(nb * k).select(
+            (F.col("id") / k).cast("long").alias("b"),
+            F.pmod(F.col("id"), F.lit(k)).cast("string").alias("t"),
+            (F.pmod(F.xxhash64("id"), F.lit(10)) < 3 + F.pmod("id", F.lit(k)))
+            .cast("long")
+            .alias("x"),
+        )
+        df = cochran_q_from_blocks(cells, "b", "t", "x")
+        row = _measure(spark, df)
+        row["n_blocks"] = nb
+    elif key.startswith("kuiper_alpha_") or key.startswith("cvm_alpha_"):
+        alpha = {"1k": 1_000, "10k": 10_000, "100k": 100_000}[
+            key.rsplit("_", 1)[1]
+        ]
+        rows = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(alpha)).alias("v"),
+            F.pmod(F.col("id"), F.lit(2)).alias("side"),
+        )
+        counts = rows.groupBy("v").agg(
+            F.sum((F.col("side") == 0).cast("long")).alias("ca"),
+            F.sum((F.col("side") == 1).cast("long")).alias("cb"),
+        )
+        kern = (
+            kuiper_from_value_counts
+            if key.startswith("kuiper_")
+            else cvm_from_value_counts
+        )
+        df = kern(counts)
+        row = _measure(spark, df)
+        row["alphabet"] = alpha
     else:
         raise SystemExit(f"unknown key {key!r}")
     row["key"] = key
