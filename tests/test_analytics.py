@@ -4423,3 +4423,164 @@ def test_kuiper_and_cvm_match_bruteforce_and_mc_criticals(spark):
     e = spark.createDataFrame([], "v long, ca long, cb long")
     assert kuiper_from_value_counts(e).collect()[0].kuiper_v is None
     assert cvm_from_value_counts(e).collect()[0].cvm_t == 0.0
+
+
+@given(
+    ga=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    gb=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    gc=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+)
+@settings(**_PROP_SETTINGS)
+def test_jonckheere_property_matches_bruteforce(spark, ga, gb, gc):
+    """Property (hypothesis): jonckheere_terpstra_from_counts equals
+    the all-pairs brute force for arbitrary small tied groups,
+    including empty groups, degenerate alphabets and k collapsing
+    below 2 when groups are empty."""
+    import math
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        jonckheere_terpstra_from_counts,
+    )
+
+    groups = {k: v for k, v in (("a", ga), ("b", gb), ("c", gc)) if v}
+    rows = [
+        (g, val, cnt)
+        for g, xs in groups.items()
+        for val, cnt in Counter(xs).items()
+    ]
+    got = jonckheere_terpstra_from_counts(
+        spark.createDataFrame(rows, "g string, v long, c long")
+    ).collect()[0]
+
+    keys = sorted(groups)
+    j2 = sum(
+        2 if a < b else (1 if a == b else 0)
+        for i, ki in enumerate(keys)
+        for kj in keys[i + 1 :]
+        for a in groups[ki]
+        for b in groups[kj]
+    )
+    ns = [len(groups[k]) for k in keys]
+    nt = sum(ns)
+    tv = Counter(x for xs in groups.values() for x in xs).values()
+    sn2 = sum(n * n for n in ns)
+    assert got.k_groups == len(keys) and got.n_total == nt
+    if nt * nt - sn2 > 0:
+        assert abs(got.jt_auc - round(j2 / (nt * nt - sn2), 6)) < 1e-9
+    else:
+        assert got.jt_auc is None
+    if len(keys) >= 2 and nt >= 3:
+        a_term = (
+            nt * (nt - 1) * (2 * nt + 5)
+            - sum(n * (n - 1) * (2 * n + 5) for n in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tv)
+        )
+        var = (
+            a_term / 72
+            + sum(n * (n - 1) * (n - 2) for n in ns)
+            * sum(t * (t - 1) * (t - 2) for t in tv)
+            / (36 * nt * (nt - 1) * (nt - 2))
+            + sum(n * (n - 1) for n in ns)
+            * sum(t * (t - 1) for t in tv)
+            / (8 * nt * (nt - 1))
+        )
+        if var > 0:
+            z = (j2 - (nt * nt - sn2) / 2) / (2 * math.sqrt(var))
+            assert abs(got.z_jt - round(z, 6)) < 1e-9
+        else:
+            assert got.z_jt is None
+    else:
+        assert got.z_jt is None
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-9, max_value=9), min_size=0, max_size=20
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_runs_test_property_matches_bruteforce(spark, ys):
+    """Property (hypothesis): runs_test_from_series equals the
+    sequential computation (same median probe, same tie-drop) for
+    arbitrary short integer series including constants, two-point
+    series and empties."""
+    import math
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        runs_test_from_series,
+    )
+
+    got = runs_test_from_series(
+        spark.createDataFrame(list(enumerate(ys)), "t long, v long"),
+        "t",
+        "v",
+    ).collect()[0]
+    if not ys:
+        assert (got.n_above, got.n_below, got.n_runs) == (0, 0, 0)
+        assert got.z_runs is None
+        return
+    sy, n = sorted(ys), len(ys)
+    med = sy[math.ceil((n + 1) / 2) - 1]
+    signs = [1 if y > med else 0 for y in ys if y != med]
+    r = (1 if signs else 0) + sum(
+        1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+    )
+    a, b = sum(signs), len(signs) - sum(signs)
+    assert (got.n_above, got.n_below, got.n_runs) == (a, b, r)
+    if a > 0 and b > 0 and 2 * a * b - a - b > 0:
+        mu = 2 * a * b / (a + b) + 1
+        var = (
+            2 * a * b * (2 * a * b - a - b) / ((a + b) ** 2 * (a + b - 1))
+        )
+        assert abs(got.z_runs - round((r - mu) / math.sqrt(var), 6)) < 1e-9
+    else:
+        assert got.z_runs is None
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-10, max_value=10),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_wilcoxon_signed_rank_property_matches_bruteforce(spark, pairs):
+    """Property (hypothesis): wilcoxon_signed_rank_from_pairs equals
+    the doubled-rank sequential computation for arbitrary small
+    paired integers, including all-zero-diff and empty frames."""
+    import math
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        wilcoxon_signed_rank_from_pairs,
+    )
+
+    got = wilcoxon_signed_rank_from_pairs(
+        spark.createDataFrame(pairs, "a long, b long")
+    ).collect()[0]
+    d = [x - y for x, y in pairs if x != y]
+    assert (got.n_pairs, got.n_nonzero) == (len(pairs), len(d))
+    if not d:
+        assert got.w_plus is None and got.z_wsr is None
+        return
+    cnt = Counter(abs(x) for x in d)
+    cum, r2 = 0, {}
+    for v in sorted(cnt):
+        c = cnt[v]
+        r2[v] = 2 * cum + c + 1
+        cum += c
+    w2p = sum(r2[abs(x)] for x in d if x > 0)
+    n = len(d)
+    assert got.w_plus == round(w2p / 2, 6)
+    ties = sum(c**3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+    if var > 0:
+        z = (w2p / 2 - n * (n + 1) / 4) / math.sqrt(var)
+        assert abs(got.z_wsr - round(z, 6)) < 1e-9
+    else:
+        assert got.z_wsr is None
