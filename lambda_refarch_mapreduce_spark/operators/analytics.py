@@ -4911,3 +4911,50 @@ def cvm_from_value_counts(
         f"CASE WHEN __t IS NOT NULL"
         f" THEN (__t > {float(crit):.17e}) END AS significant",
     )
+
+
+def g_test_from_contingency(cells: DataFrame) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence from the shared
+    contingency frame — the information-theoretic twin of
+    chi2_from_contingency on the SAME cells: G = 2 * sum n * ln(n*N /
+    (ra*cb)), which is exactly 2*N*MI, so this kernel IS the bridge
+    between the chi-square tier's significance reading and the
+    mutual-information tier's strength reading (G and 2*N*mi_nats
+    agree to the fold, asserted in tests). Preferred over Pearson
+    chi2 when expected counts are small or cells are sparse (the
+    log-ratio is exact under the multinomial likelihood; Pearson is
+    its second-order Taylor approximation). Zero cells contribute
+    zero (the 0*ln(0) limit — the MI kernel's n > 0 filter), terms
+    fold in cell order via sorted_fold_sum, and significance is the
+    shared Wilson-Hilferty form at (ka-1)(kb-1) dof. Degenerates
+    (empty frame, a single row or column level) serve NULLs. Returns
+    one row: (ka, kb, n_total, dof, g_stat, z_wh, significant)."""
+    agg = (
+        cells.filter(F.col("n") > 0)
+        .withColumn("__term", F.expr(MI_CELL_TERM))
+        .agg(
+            F.count_distinct(F.col("a")).alias("ka"),
+            F.count_distinct(F.col("b")).alias("kb"),
+            F.max("total").alias("total"),
+            sorted_fold_sum(["a", "b"], "__term").alias("s"),
+        )
+    )
+    flat = agg.selectExpr(
+        "CAST(ka AS BIGINT) AS ka",
+        "CAST(kb AS BIGINT) AS kb",
+        "CAST(total AS BIGINT) AS n_total",
+        "(ka - 1e0) * (kb - 1e0) AS dof",
+        "CASE WHEN ka >= 2 AND kb >= 2 AND total IS NOT NULL"
+        " THEN 2e0 * s END AS chi2",
+    )
+    return flat.selectExpr(
+        "ka",
+        "kb",
+        "n_total",
+        "dof",
+        "round(chi2, 6) AS g_stat",
+        f"CASE WHEN chi2 IS NOT NULL AND dof >= 1e0"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND dof >= 1e0"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
+    )

@@ -138,7 +138,9 @@ class JobSpec:
     #     all groups over a fixed "bin_width" alphabet (default 50);
     #     lowers onto contingency_counts + chi2_from_contingency ->
     #     ONE row (ka, kb, n_total, dof, chi2, cramers_v, z_wh,
-    #     significant). Both collapse map-side to alphabet-sized
+    #     significant); "g_test" (round 11) is the log-likelihood-
+    #     ratio twin on the same binned cells -> ONE row (ka, kb,
+    #     n_total, dof, g_stat, z_wh, significant). Both collapse map-side to alphabet-sized
     #     frames before any exchange. Method "anderson_darling" is
     #     the tail-weighted two-sample member over the same
     #     group_a/group_b count frame -> ONE row (n_a, n_b, a2,
@@ -688,7 +690,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 )
             )
             df = cochran_armitage_trend(grp)
-        elif method == "chi2":
+        elif method in ("chi2", "g_test"):
             # distribution homogeneity across ALL groups over a fixed
             # bin alphabet — dense zero cells included by the kernel
             from lambda_refarch_mapreduce_spark.operators.analytics import (
@@ -704,7 +706,17 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                     "b"
                 ),
             )
-            df = chi2_from_contingency(contingency_counts(s2, "a", "b"))
+            cells = contingency_counts(s2, "a", "b")
+            if method == "g_test":
+                # the log-likelihood-ratio twin on the same cells —
+                # preferred when expected counts are small/sparse
+                from lambda_refarch_mapreduce_spark.operators.analytics import (
+                    g_test_from_contingency,
+                )
+
+                df = g_test_from_contingency(cells)
+            else:
+                df = chi2_from_contingency(cells)
         elif method == "jonckheere":
             # ordered k-sample trend — KW's direction-aware sibling
             # on the same spec shape; groups take their hypothesized
@@ -819,7 +831,8 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
                 "kuiper, cvm, "
                 "cliffs_delta, anova, kruskal, jonckheere, "
-                "brown_forsythe, cochran_armitage, chi2, friedman, "
+                "brown_forsythe, cochran_armitage, chi2, g_test, "
+                "friedman, "
                 "page, cochran_q, mcnemar, wilcoxon_signed_rank, "
                 "cohens_kappa, runs, ljung_box)"
             )

@@ -4584,3 +4584,67 @@ def test_wilcoxon_signed_rank_property_matches_bruteforce(spark, pairs):
         assert abs(got.z_wsr - round(z, 6)) < 1e-9
     else:
         assert got.z_wsr is None
+
+
+def test_g_test_matches_reference_and_mi_bridge(spark):
+    """operators.analytics.g_test_from_contingency (pre-staged for
+    the r12 window): G equals the textbook log-likelihood-ratio sum,
+    equals 2*N*MI from the mutual-information kernel on the same
+    cells (the tier bridge), detects a planted dependence chi2 also
+    detects, and the empty / single-level degenerates serve NULLs."""
+    import math
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        chi2_from_contingency,
+        contingency_counts,
+        g_test_from_contingency,
+        mutual_info_from_contingency,
+    )
+
+    def cells_of(rows):
+        return contingency_counts(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        )
+
+    rng = random.Random(7)
+    rows = [(rng.choice("XYZ"), rng.choice("PQ")) for _ in range(400)]
+    got = g_test_from_contingency(cells_of(rows)).collect()[0]
+    ca = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    cab = Counter(rows)
+    g_ref = 2 * sum(
+        n * math.log(n * 400 / (ca[a] * cb[b]))
+        for (a, b), n in cab.items()
+    )
+    assert (got.ka, got.kb, got.n_total) == (3, 2, 400)
+    assert abs(got.g_stat - round(g_ref, 6)) < 1e-9
+
+    # the tier bridge: G == 2 * N * mi_nats to the shared fold
+    mi = mutual_info_from_contingency(cells_of(rows)).collect()[0]
+    assert abs(got.g_stat - 2 * 400 * mi.mi_nats) < 1e-2  # mi rounded
+
+    # planted dependence: both G and chi2 fire, and they approximate
+    # each other (Pearson is G's second-order expansion)
+    dep = [
+        ("X" if rng.random() < 0.8 else "Y", "P")
+        for _ in range(300)
+    ] + [
+        ("Y" if rng.random() < 0.8 else "X", "Q")
+        for _ in range(300)
+    ]
+    got_dep = g_test_from_contingency(cells_of(dep)).collect()[0]
+    chi_dep = chi2_from_contingency(cells_of(dep)).collect()[0]
+    assert got_dep.significant is True and chi_dep.significant is True
+    assert abs(got_dep.g_stat / chi_dep.chi2 - 1) < 0.15
+
+    # degenerates: empty; single row-level (dof 0)
+    empty = g_test_from_contingency(
+        cells_of([])
+    ).collect()[0]
+    assert empty.ka == 0 and empty.g_stat is None
+    one = g_test_from_contingency(
+        cells_of([("x", "p"), ("x", "q")])
+    ).collect()[0]
+    assert one.dof == 0.0 and one.g_stat is None and one.z_wh is None

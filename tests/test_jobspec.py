@@ -1059,3 +1059,31 @@ def test_stats_test_clause_round11b_modes_match_kernels(spark):
     ).collect()[0]
     want = ljung_box_from_series(daily, "d", "m", 5).collect()[0]
     assert tuple(got) == tuple(want) and got.n_lags == 5
+
+    # g_test — the chi2 mode's log-likelihood-ratio twin on the same
+    # binned cells
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        contingency_counts,
+        g_test_from_contingency,
+    )
+
+    got = build(
+        spark,
+        JobSpec(
+            source={"df": ev},
+            stats_test={"method": "g_test", "bin_width": 100},
+        ),
+    ).collect()[0]
+    want = g_test_from_contingency(
+        contingency_counts(
+            ev.select(
+                F.col("event_type").alias("a"),
+                F.expr(
+                    "CAST(floor((value) / 100) AS BIGINT)"
+                ).alias("b"),
+            ),
+            "a",
+            "b",
+        )
+    ).collect()[0]
+    assert tuple(got) == tuple(want) and got.g_stat is not None

@@ -43,6 +43,9 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
   the cliffs frame — the cyclic-sensitive V = D+ + D-)
 - cvm_from_value_counts         <- _CVM_SQL (same frame — the plain
   integral of the squared CDF gap, completing the family)
+- g_test_from_contingency       <- _G_TEST_SQL (the chi2 entry's
+  event-type x day-of-week cells — the log-likelihood-ratio twin,
+  = 2*N*MI, bridging the association and information tiers)
 
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
@@ -71,6 +74,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     GEHAN_Z_EXPR,
     JT_Z_EXPR,
     KAPPA_EXPR,
+    MI_CELL_TERM,
     MCNEMAR_CHI2_EXPR,
     MW_Z_EXPR,
     PAGE_Z_EXPR,
@@ -84,6 +88,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     cochran_q_from_blocks,
     cvm_from_value_counts,
     cohens_kappa_from_pairs,
+    g_test_from_contingency,
     gehan_wilcoxon_from_counts,
     jonckheere_terpstra_from_counts,
     kuiper_critical,
@@ -696,6 +701,43 @@ FROM agg
 """
 
 
+_G_TEST_SQL = f"""
+WITH s AS (SELECT event_type AS a,
+                  ((ts::DATE - DATE '1970-01-01') + 4) % 7 AS b
+           FROM events),
+cells0 AS (SELECT a, b, count(*) AS n FROM s GROUP BY 1, 2),
+ram AS (SELECT a, sum(n)::BIGINT AS ra FROM cells0 GROUP BY 1),
+cbm AS (SELECT b, sum(n)::BIGINT AS cb FROM cells0 GROUP BY 1),
+tt AS (SELECT sum(n)::BIGINT AS total FROM cells0),
+cells AS (SELECT ram.a, cbm.b, ra, cb,
+                 coalesce(n, 0)::BIGINT AS n, total
+          FROM ram CROSS JOIN cbm
+          LEFT JOIN cells0 ON cells0.a = ram.a AND cells0.b = cbm.b
+          CROSS JOIN tt),
+nz AS (SELECT *, {MI_CELL_TERM} AS term FROM cells WHERE n > 0),
+agg AS (SELECT count(DISTINCT a)::BIGINT AS ka,
+               count(DISTINCT b)::BIGINT AS kb,
+               max(total)::BIGINT AS total,
+               list_reduce(list_prepend(0e0,
+                   list(term ORDER BY a, b)),
+                   (acc, x) -> acc + x) AS s
+        FROM nz),
+flat AS (SELECT ka, kb, total AS n_total,
+                (ka - 1e0) * (kb - 1e0) AS dof,
+                CASE WHEN ka >= 2 AND kb >= 2
+                          AND total IS NOT NULL
+                     THEN 2e0 * s END AS chi2
+         FROM agg)
+SELECT ka, kb, n_total, dof,
+       round(chi2, 6) AS g_stat,
+       CASE WHEN chi2 IS NOT NULL AND dof >= 1e0
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND dof >= 1e0
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM flat
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -860,6 +902,28 @@ def main() -> None:
         ).alias("b"),
     ).select("a", "b")
 
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        contingency_counts,
+    )
+
+    g_cells = contingency_counts(
+        ev.select(
+            F.col("event_type").alias("a"),
+            (
+                (
+                    F.datediff(
+                        F.to_date("ts"),
+                        F.lit("1970-01-01").cast("date"),
+                    )
+                    + 4
+                )
+                % 7
+            ).alias("b"),
+        ),
+        "a",
+        "b",
+    )
+
     checks = [
         (
             "friedman_event_volume",
@@ -935,6 +999,11 @@ def main() -> None:
             "cvm_purchase_vs_click",
             cvm_from_value_counts(cd_counts, ca="cp", cb="cc"),
             _CVM_SQL,
+        ),
+        (
+            "g_test_event_dow",
+            g_test_from_contingency(g_cells),
+            _G_TEST_SQL,
         ),
     ]
     failed = 0
