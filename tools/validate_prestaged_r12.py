@@ -47,6 +47,19 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
   event-type x day-of-week cells — the log-likelihood-ratio twin,
   = 2*N*MI, bridging the association and information tiers)
 
+Round-12 registration plan (window math): 16 validated recipes
+above; after the r11 window the stalest green block is the 48-entry
+r6 set, so a 50-slot driver window takes all 16 new entries plus the
+34 stalest r6 re-samples (the r6 block completes in r13). Each
+registration is mechanical: lift the Spark frame and the SQL string
+from this file into an @register entry (alias columns are already
+aligned), add the bench key only if the entry is headline-worthy.
+The jobspec stats_test clause already serves every kernel below
+(modes: cliffs_delta, jonckheere, friedman, page, cochran_q,
+mcnemar, wilcoxon_signed_rank, cohens_kappa, runs, ljung_box,
+kuiper, cvm, g_test) — clause-mode entries can reuse these recipes
+with the mode's frame, the r11 jobspec_kruskal pattern.
+
 Usage: python tools/validate_prestaged_r12.py [sf_dir]
 Prints one PASS/FAIL line per pair; exit 0 iff all pass.
 """
