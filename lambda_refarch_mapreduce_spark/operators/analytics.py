@@ -4958,3 +4958,118 @@ def g_test_from_contingency(cells: DataFrame) -> DataFrame:
         f"CASE WHEN chi2 IS NOT NULL AND dof >= 1e0"
         f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
     )
+
+
+def mood_median_from_counts(
+    counts: DataFrame,
+    g: str = "g",
+    v: str = "v",
+    c: str = "c",
+) -> DataFrame:
+    """Mood's median test across k groups from the per-(group, value)
+    count frame (Mood 1950) — the coarsest and most outlier-proof
+    member of the k-sample family this module serves: Kruskal-Wallis
+    uses full rank information, Brown-Forsythe the spread around
+    group medians; this reduces every value to one bit ("above the
+    POOLED median or not"), so single wild values cannot move it at
+    all — the right test when the value column is heavy-tailed or
+    censoring clips the extremes. The pooled median is the exact
+    2*cum >= n+1 order statistic off the value-alphabet prefix sums
+    (the runs-test probe); at-median values count as not-above (the
+    standard convention), the 2 x k table is exact integers, and the
+    chi-square with k-1 dof reads through chi2_from_group_value_counts'
+    cell machinery inline: chi2 = sum_g (a_g - n_g*A/N)^2 /
+    (n_g*A/N * (1 - A/N)) folded in group order. Significance is the
+    shared Wilson-Hilferty form. Degenerates (k < 2, every value on
+    one side — A = 0 or A = N) serve NULLs. At 100 TB the corpus
+    collapses map-side to the (group, value) alphabet; one
+    prefix_sums exchange and one broadcast scalar. Returns one row:
+    (k_groups, n_total, n_above, chi2, z_wh, significant)."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    base = counts.select(
+        F.col(g).alias("__g"),
+        F.col(v).cast("long").alias("__v"),
+        F.col(c).cast("long").alias("__c"),
+    ).filter(F.col("__c") > 0)
+    w = base.groupBy("__v").agg(F.sum("__c").alias("__w"))
+    cum = prefix_sums(w, [F.col("__v")], ["__w"])
+    n_tot = base.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+    med = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .filter(2 * F.col("__w_cum") >= F.col("__n") + 1)
+        .agg(F.min("__v").alias("__med"))
+    )
+    per_g = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("ng"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__v") > F.col("__med"), F.col("__c"))
+                ),
+                F.lit(0),
+            ).alias("ag"),
+        )
+    )
+    # chi2 term per group over the 2xk table with margins (A, N):
+    # expected above = ng*A/N; the (a - e)^2/e + (b - (ng-e))^2/(ng-e)
+    # pair collapses to (a - e)^2 / (e * (1 - A/N))
+    term = (
+        "((ag - ng * 1e0 * at / nt) * (ag - ng * 1e0 * at / nt)"
+        " / (ng * 1e0 * at / nt * (1e0 - at * 1e0 / nt)))"
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("ng"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("ag"), F.lit(0)).alias("at"),
+        F.array_sort(
+            F.collect_list(F.struct("__g", "ng", "ag"))
+        ).alias("__cells"),
+    )
+    folded = agg.select(
+        "k",
+        "nt",
+        "at",
+        F.aggregate(
+            F.col("__cells"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.when(
+                (F.col("at") > 0) & (F.col("at") < F.col("nt")),
+                (s["ag"] - s["ng"] * F.lit(1e0) * F.col("at") / F.col("nt"))
+                * (
+                    s["ag"]
+                    - s["ng"] * F.lit(1e0) * F.col("at") / F.col("nt")
+                )
+                / (
+                    s["ng"]
+                    * F.lit(1e0)
+                    * F.col("at")
+                    / F.col("nt")
+                    * (F.lit(1e0) - F.col("at") * F.lit(1e0) / F.col("nt"))
+                ),
+            ),
+        ).alias("__chi2"),
+    )
+    flat = folded.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nt AS BIGINT) AS n_total",
+        "CAST(at AS BIGINT) AS n_above",
+        "CASE WHEN k >= 2 AND at > 0 AND at < nt"
+        " THEN __chi2 END AS chi2",
+        "(k - 1) * 1e0 AS dof",
+    )
+    return flat.selectExpr(
+        "k_groups",
+        "n_total",
+        "n_above",
+        "round(chi2, 6) AS chi2",
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN round({WH_CHI2_Z}, 6) END AS z_wh",
+        f"CASE WHEN chi2 IS NOT NULL AND k_groups >= 2"
+        f" THEN ({WH_CHI2_Z} > 1.645e0) END AS significant",
+    )

@@ -158,7 +158,10 @@ class JobSpec:
     #     "jonckheere" (round 11) is the ORDERED k-sample trend on
     #     the kruskal spec shape (group order = natural sort of
     #     group_col) -> ONE row (k_groups, n_total, jt_auc, z_jt,
-    #     trend). Methods "friedman" / "page" (round 11) are the
+    #     trend); "mood_median" (round 11) is the one-bit
+    #     outlier-proof member on the same shape -> ONE row
+    #     (k_groups, n_total, n_above, chi2, z_wh, significant).
+    #     Methods "friedman" / "page" (round 11) are the
     #     repeated-measures pair over "block" / "treatment" / "value"
     #     SQL expressions (any-difference vs ordered, block effect
     #     cancelled) -> ONE row. Method "mcnemar" (round 11) tests
@@ -717,6 +720,23 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 df = g_test_from_contingency(cells)
             else:
                 df = chi2_from_contingency(cells)
+        elif method == "mood_median":
+            # one-bit outlier-proof k-sample test on the kruskal spec
+            # shape: every value reduces to above-pooled-median or not
+            from lambda_refarch_mapreduce_spark.operators.analytics import (
+                mood_median_from_counts,
+            )
+
+            v = F.expr(t.get("value", "value"))
+            counts = (
+                df.select(
+                    F.expr(t.get("group_col", "event_type")).alias("g"),
+                    v.alias("__v"),
+                )
+                .groupBy("g", "__v")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            df = mood_median_from_counts(counts, "g", "__v", "c")
         elif method == "jonckheere":
             # ordered k-sample trend — KW's direction-aware sibling
             # on the same spec shape; groups take their hypothesized
@@ -831,6 +851,7 @@ def build(spark: SparkSession, spec: JobSpec) -> DataFrame:
                 "(mann_whitney, ks, welch, anderson_darling, qq, "
                 "kuiper, cvm, "
                 "cliffs_delta, anova, kruskal, jonckheere, "
+                "mood_median, "
                 "brown_forsythe, cochran_armitage, chi2, g_test, "
                 "friedman, "
                 "page, cochran_q, mcnemar, wilcoxon_signed_rank, "

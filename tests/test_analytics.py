@@ -4648,3 +4648,82 @@ def test_g_test_matches_reference_and_mi_bridge(spark):
         cells_of([("x", "p"), ("x", "q")])
     ).collect()[0]
     assert one.dof == 0.0 and one.g_stat is None and one.z_wh is None
+
+
+def test_mood_median_matches_reference_and_degenerates(spark):
+    """operators.analytics.mood_median_from_counts (pre-staged for
+    the r12 window): chi2 equals the textbook 2 x k computation with
+    the same median probe and at-median-goes-below convention, a
+    single wild outlier moves NOTHING (the robustness contract
+    Kruskal-Wallis can't make), count-row splitting is invariant,
+    and the one-group / one-sided / empty degenerates serve NULLs."""
+    import math
+    import random
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v long, c long")
+        return mood_median_from_counts(df).collect()[0]
+
+    def counts_of(groups):
+        return [
+            (g, v, c)
+            for g, xs in groups.items()
+            for v, c in Counter(xs).items()
+        ]
+
+    def ref(groups):
+        pooled = sorted(x for xs in groups.values() for x in xs)
+        n = len(pooled)
+        med = pooled[math.ceil((n + 1) / 2) - 1]
+        a_tot = sum(1 for x in pooled if x > med)
+        if a_tot == 0 or a_tot == n or len(groups) < 2:
+            return med, a_tot, None
+        chi2 = 0.0
+        for g in sorted(groups):
+            ng = len(groups[g])
+            ag = sum(1 for x in groups[g] if x > med)
+            e = ng * a_tot / n
+            chi2 += (ag - e) ** 2 / (e * (1 - a_tot / n))
+        return med, a_tot, chi2
+
+    rng = random.Random(3)
+    groups = {
+        "a": [rng.randint(0, 20) for _ in range(50)],
+        "b": [rng.randint(4, 24) for _ in range(60)],
+        "c": [rng.randint(2, 22) for _ in range(40)],
+    }
+    got = run(counts_of(groups))
+    _, a_tot, chi2 = ref(groups)
+    assert (got.k_groups, got.n_total, got.n_above) == (3, 150, a_tot)
+    assert abs(got.chi2 - round(chi2, 6)) < 1e-9
+
+    # robustness: one absurd outlier leaves the statistic UNCHANGED
+    # as long as it doesn't cross the median (it replaces a value on
+    # the same side)
+    wild = dict(groups)
+    wild["b"] = groups["b"][:-1] + [10**12]
+    if groups["b"][-1] > sorted(
+        x for xs in groups.values() for x in xs
+    )[math.ceil(151 / 2) - 1]:
+        got_w = run(counts_of(wild))
+        assert got_w.chi2 == got.chi2
+
+    # count-row splitting is invariant
+    split = run(
+        [(g, v, 1) for g, v, c in counts_of(groups) for _ in range(c)]
+    )
+    assert tuple(split) == tuple(got)
+
+    # degenerates: empty / one group / everything at or below the
+    # pooled median (A = 0)
+    empty = run([])
+    assert empty.k_groups == 0 and empty.chi2 is None
+    one_g = run([("only", 3, 5), ("only", 9, 2)])
+    assert one_g.chi2 is None and one_g.significant is None
+    tied = run([("a", 5, 3), ("b", 5, 4)])
+    assert tied.n_above == 0 and tied.chi2 is None

@@ -840,7 +840,7 @@ def test_stats_test_clause_brown_forsythe_and_ca_match_kernels(spark):
 
 def test_stats_test_clause_round11b_modes_match_kernels(spark):
     """The round-11 second-wave stats_test modes (cliffs_delta,
-    jonckheere, friedman, page, cochran_q, mcnemar,
+    jonckheere, mood_median, friedman, page, cochran_q, mcnemar,
     wilcoxon_signed_rank, cohens_kappa, runs, ljung_box) each equal the direct kernel call on the same frame
     exactly (pre-staged for the r12 oracle entries, the
     anderson_darling round-10 pattern)."""
@@ -914,6 +914,28 @@ def test_stats_test_clause_round11b_modes_match_kernels(spark):
     )
     want = jonckheere_terpstra_from_counts(jt_counts).collect()[0]
     assert tuple(got) == tuple(want) and got.z_jt is not None
+
+    # mood_median — the one-bit member on the same shape
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    got = run(
+        {
+            "method": "mood_median",
+            "group_col": "event_type",
+            "value": cents,
+        }
+    )[0]
+    md_counts = (
+        ev.select(
+            F.col("event_type").alias("g"), F.expr(cents).alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = mood_median_from_counts(md_counts).collect()[0]
+    assert tuple(got) == tuple(want) and got.chi2 is not None
 
     # friedman / page — block x treatment cells
     day = "datediff(to_date(ts), DATE '1970-01-01')"

@@ -46,11 +46,13 @@ Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - g_test_from_contingency       <- _G_TEST_SQL (the chi2 entry's
   event-type x day-of-week cells — the log-likelihood-ratio twin,
   = 2*N*MI, bridging the association and information tiers)
+- mood_median_from_counts       <- _MOOD_SQL (value cents by event
+  type — the one-bit outlier-proof member of the k-sample family)
 
-Round-12 registration plan (window math): 16 validated recipes
+Round-12 registration plan (window math): 17 validated recipes
 above; after the r11 window the stalest green block is the 48-entry
-r6 set, so a 50-slot driver window takes all 16 new entries plus the
-34 stalest r6 re-samples (the r6 block completes in r13). Each
+r6 set, so a 50-slot driver window takes all 17 new entries plus the
+33 stalest r6 re-samples (the r6 block completes in r13). Each
 registration is mechanical: lift the Spark frame and the SQL string
 from this file into an @register entry (alias columns are already
 aligned), add the bench key only if the entry is headline-worthy.
@@ -107,6 +109,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (  # noqa: E402
     kuiper_critical,
     kuiper_from_value_counts,
     mcnemar_from_pairs,
+    mood_median_from_counts,
     ljung_box_from_series,
     page_l_from_blocks,
     runs_test_from_series,
@@ -751,6 +754,53 @@ FROM flat
 """
 
 
+_MOOD_SQL = f"""
+WITH cnt AS (SELECT event_type AS g,
+                    CAST(round(value * 100) AS BIGINT) AS v,
+                    count(*)::BIGINT AS c
+             FROM events GROUP BY 1, 2),
+w AS (SELECT v, sum(c)::BIGINT AS w FROM cnt GROUP BY 1),
+cum AS (SELECT v, sum(w) OVER (ORDER BY v)::BIGINT AS cm FROM w),
+nt0 AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cnt),
+med AS (SELECT min(v)::BIGINT AS med
+        FROM cum CROSS JOIN nt0 WHERE 2 * cm >= n + 1),
+per_g AS (SELECT g, sum(c)::BIGINT AS ng,
+                 coalesce(sum(CASE WHEN v > med THEN c END),
+                          0)::BIGINT AS ag
+          FROM cnt CROSS JOIN med GROUP BY 1),
+agg AS (SELECT count(*)::BIGINT AS k,
+               coalesce(sum(ng), 0)::BIGINT AS nt,
+               coalesce(sum(ag), 0)::BIGINT AS at,
+               list(struct_pack(g := g, ng := ng, ag := ag)
+                    ORDER BY g) AS cells
+        FROM per_g),
+folded AS (SELECT k, nt, at,
+                  list_reduce(
+                      list_prepend(0e0,
+                          list_transform(cells, s ->
+                              CASE WHEN at > 0 AND at < nt THEN
+                                (s.ag - s.ng * 1e0 * at / nt)
+                                * (s.ag - s.ng * 1e0 * at / nt)
+                                / (s.ng * 1e0 * at / nt
+                                   * (1e0 - at * 1e0 / nt))
+                              END)),
+                      (acc, x) -> acc + x) AS chi2r
+           FROM agg),
+flat AS (SELECT k AS k_groups, nt AS n_total, at AS n_above,
+                CASE WHEN k >= 2 AND at > 0 AND at < nt
+                     THEN chi2r END AS chi2,
+                (k - 1) * 1e0 AS dof
+         FROM folded)
+SELECT k_groups, n_total, n_above,
+       round(chi2, 6) AS chi2,
+       CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+            THEN round({WH_CHI2_Z}, 6) END AS z_wh,
+       CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+            THEN ({WH_CHI2_Z} > 1.645e0) END AS significant
+FROM flat
+"""
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("validate-prestaged-r12")
@@ -1017,6 +1067,18 @@ def main() -> None:
             "g_test_event_dow",
             g_test_from_contingency(g_cells),
             _G_TEST_SQL,
+        ),
+        (
+            "mood_median_value_by_type",
+            mood_median_from_counts(
+                ev.groupBy(
+                    F.col("event_type").alias("g"),
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("v"),
+                ).agg(F.count(F.lit(1)).alias("c"))
+            ),
+            _MOOD_SQL,
         ),
     ]
     failed = 0
