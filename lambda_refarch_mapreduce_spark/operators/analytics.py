@@ -3765,11 +3765,21 @@ def _block_ranked(
     kk = base.agg(
         F.count_distinct(F.col("__t")).alias("__k")
     )
-    # complete blocks only: exactly one row per treatment
-    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # complete blocks only: exactly one row per treatment — both the
+    # row count AND the distinct-treatment count must equal k, else a
+    # block with a duplicated treatment and a missing one would pass
+    # on rows alone and skew the ranks (out-of-contract input drops
+    # instead of failing silently)
+    bsz = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("__t")).alias("__nd"),
+    )
     complete = base.join(
         bsz.crossJoin(F.broadcast(kk))
-        .filter(F.col("__n") == F.col("__k"))
+        .filter(
+            (F.col("__n") == F.col("__k"))
+            & (F.col("__nd") == F.col("__k"))
+        )
         .select("__b"),
         "__b",
         "left_semi",
@@ -4588,10 +4598,19 @@ def cochran_q_from_blocks(
         (F.col(x_col).cast("long") != 0).cast("long").alias("__x"),
     )
     kk = base.agg(F.count_distinct(F.col("__t")).alias("__k"))
-    bsz = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # exactly one row per treatment: rows == k AND distinct == k (the
+    # _block_ranked contract — a duplicated-treatment block must drop,
+    # not pass on its row count)
+    bsz = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("__t")).alias("__nd"),
+    )
     complete = base.join(
         bsz.crossJoin(F.broadcast(kk))
-        .filter(F.col("__n") == F.col("__k"))
+        .filter(
+            (F.col("__n") == F.col("__k"))
+            & (F.col("__nd") == F.col("__k"))
+        )
         .select("__b"),
         "__b",
         "left_semi",
@@ -4652,7 +4671,8 @@ def cochran_q_from_blocks(
 # units: with nn nonzero differences, w2p = doubled positive-rank sum
 # and ties = sum(t^3 - t) over the |d| alphabet,
 #   z = (w2p/2 - nn(nn+1)/4) / sqrt(nn(nn+1)(2nn+1)/24 - ties/48)
-# (Pratt's zero-drop convention; tie-corrected normal approximation,
+# (the standard Wilcoxon zero-drop convention — Pratt's method is the
+# zero-INCLUSION variant; tie-corrected normal approximation,
 # validated against a 6000-flip Monte-Carlo sign-permutation null in
 # tests). The degenerate arms (no nonzero differences, every |d|
 # tied so the variance underflows to 0) emit NULL. Shared verbatim
@@ -4904,11 +4924,16 @@ def cvm_from_value_counts(
         F.first("nb").alias("__nb"),
         sorted_fold_sum(["v"], "__term").alias("__t"),
     )
+    # a fully EMPTY counts frame folds to the 0.0 init — mask it back
+    # to the documented NULL serve (the kuiper kernel's `both` guard;
+    # one-arm frames already serve NULL through the guarded term)
     return agg.selectExpr(
         "CAST(__na AS BIGINT) AS n_a",
         "CAST(__nb AS BIGINT) AS n_b",
-        "round(__t, 6) AS cvm_t",
-        f"CASE WHEN __t IS NOT NULL"
+        "CASE WHEN __na IS NOT NULL AND __nb IS NOT NULL"
+        " THEN round(__t, 6) END AS cvm_t",
+        f"CASE WHEN __na IS NOT NULL AND __nb IS NOT NULL"
+        f" AND __t IS NOT NULL"
         f" THEN (__t > {float(crit):.17e}) END AS significant",
     )
 
@@ -5017,11 +5042,8 @@ def mood_median_from_counts(
     )
     # chi2 term per group over the 2xk table with margins (A, N):
     # expected above = ng*A/N; the (a - e)^2/e + (b - (ng-e))^2/(ng-e)
-    # pair collapses to (a - e)^2 / (e * (1 - A/N))
-    term = (
-        "((ag - ng * 1e0 * at / nt) * (ag - ng * 1e0 * at / nt)"
-        " / (ng * 1e0 * at / nt * (1e0 - at * 1e0 / nt)))"
-    )
+    # pair collapses to (a - e)^2 / (e * (1 - A/N)) — the fold below
+    # computes exactly this per cell
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"),
         F.coalesce(F.sum("ng"), F.lit(0)).alias("nt"),

@@ -7983,3 +7983,1368 @@ def cochran_armitage_purchase_by_week(
         F.sum("__p").alias("x"), F.count(F.lit(1)).alias("n")
     )
     return analytics.cochran_armitage_trend(grp)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the 17 kernels pre-staged (and oracle-validated end-to-end
+# at sf0.001/sf0.01) in round 11 — tools/validate_prestaged_r12.py
+# proved every (Spark frame, DuckDB SQL) pair below by exact tuple
+# equality before registration; this section lifts them verbatim.
+# With these the classical-statistics family square (two-sample /
+# k-sample / paired / repeated-measures x rank / CDF / moment /
+# association / information) is COMPLETE and the tier is CLOSED
+# (COVERAGE.md r12) — no further hypothesis-test entries unless a
+# streaming monitor contract needs a specific missing member.
+# ---------------------------------------------------------------------------
+
+
+def _event_day_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(treatment=event_type, block=epoch day, x=daily count) — the
+    shared complete-block frame of the repeated-measures pair
+    (Friedman any-difference, Page ordered): one map-side collapse of
+    the corpus to the |types| x |days| alphabet; every downstream
+    window partitions by block, so the frame scales as metadata."""
+    return _t(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+
+def _purchase_click_value_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-distinct-cents (purchase count, click count) frame — the
+    shared two-sample CDF/rank state serving mann_whitney / AD / KS
+    and, this round, Cliff's delta, Kuiper and Cramér-von Mises: the
+    corpus collapses map-side to the value alphabet once and every
+    member reads the same prefix sums."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("cp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("long")
+            ).alias("cc"),
+        )
+    )
+
+
+@register(
+    "friedman_event_volume",
+    # within-block doubled ranks off per-block cumulative counts keep
+    # every rank sum integer; centered squares and the tie denominator
+    # ride HUGEINT/decimal(38,0); T1 + Wilson-Hilferty z from the
+    # shared statistic strings (validated end-to-end by
+    # tools/validate_prestaged_r12.py at sf0.001/sf0.01 in r11)
+    oracle=f"""
+        WITH cell AS (SELECT event_type AS t,
+                             date_diff('day', DATE '1970-01-01',
+                                       ts::DATE)::BIGINT AS b,
+                             count(*)::BIGINT AS x
+                      FROM events GROUP BY 1, 2),
+        kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
+        bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+        complete AS (SELECT cell.* FROM cell
+                     JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+        bv AS (SELECT b, x, count(*)::BIGINT AS c
+               FROM complete GROUP BY 1, 2),
+        wc AS (SELECT b, x,
+                      (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
+                       - c + 1)::BIGINT AS r2
+               FROM bv),
+        rk AS (SELECT complete.b, complete.t, wc.r2
+               FROM complete JOIN wc ON complete.b = wc.b
+                                    AND complete.x = wc.x),
+        pt AS (SELECT t, sum(r2)::BIGINT AS rs2 FROM rk GROUP BY 1),
+        a2 AS (SELECT coalesce(sum(r2::HUGEINT * r2), 0)::DOUBLE AS a2_sum
+               FROM rk),
+        bc AS (SELECT count(DISTINCT b)::BIGINT AS b FROM complete),
+        cent AS (SELECT coalesce(sum((rs2 - b * (k + 1))::HUGEINT
+                                     * (rs2 - b * (k + 1))), 0)::DOUBLE
+                            AS sr2
+                 FROM pt CROSS JOIN bc CROSS JOIN kk),
+        one AS (SELECT k, b, sr2, a2_sum AS a2
+                FROM cent CROSS JOIN a2 CROSS JOIN bc CROSS JOIN kk),
+        flat AS (SELECT k AS k_treatments, b AS n_blocks,
+                        round({analytics.FRIEDMAN_T_EXPR}, 6) AS t1_stat,
+                        (k - 1) * 1e0 AS dof,
+                        {analytics.FRIEDMAN_T_EXPR} AS chi2
+                 FROM one)
+        SELECT k_treatments, n_blocks, t1_stat,
+               CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM flat
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def friedman_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test of daily event volume
+    across the five event types (operators.analytics.
+    friedman_from_blocks, pre-staged r11, registered r12) — the
+    BLOCKED member the k-sample family needed: Kruskal-Wallis pools
+    all values into one ranking, so the day effect (weekends dwarf
+    weekdays for EVERY type) drowns the treatment signal; Friedman
+    ranks WITHIN each day, answering "does type A consistently
+    outrank type B day after day?" with the day effect cancelled by
+    construction. Within-block average ranks use the exact DOUBLED
+    integers (2r = 2*cum - c + 1), blocks missing any treatment drop
+    (complete-block design), and the tie-corrected Conover T1 plus
+    its Wilson-Hilferty significance come from the shared statistic
+    strings. The corpus collapses map-side to |types| x |days| cells;
+    the ranking window partitions perfectly by day. Returns one row:
+    (k_treatments, n_blocks, t1_stat, z_wh, significant)."""
+    cell = _event_day_type_counts(spark, sf_dir)
+    return analytics.friedman_from_blocks(cell, "b", "t", "x")
+
+
+@register(
+    "page_l_event_volume_by_type",
+    # the Friedman block frame with the treatment ORDER as the
+    # hypothesis: L2 = sum(pos * 2r) exact integers, variance from
+    # the centered-square sums, z from the shared PAGE_Z_EXPR
+    oracle=f"""
+        WITH cell AS (SELECT event_type AS t,
+                             date_diff('day', DATE '1970-01-01',
+                                       ts::DATE)::BIGINT AS b,
+                             count(*)::BIGINT AS x
+                      FROM events GROUP BY 1, 2),
+        kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
+        bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+        complete AS (SELECT cell.* FROM cell
+                     JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+        bv AS (SELECT b, x, count(*)::BIGINT AS c
+               FROM complete GROUP BY 1, 2),
+        wc AS (SELECT b, x,
+                      (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
+                       - c + 1)::BIGINT AS r2
+               FROM bv),
+        rk AS (SELECT complete.b, complete.t, wc.r2
+               FROM complete JOIN wc ON complete.b = wc.b
+                                    AND complete.x = wc.x),
+        pos AS (SELECT t, row_number() OVER (ORDER BY t)::BIGINT AS pos
+                FROM (SELECT DISTINCT t FROM rk) dt),
+        cells AS (SELECT rk.b, rk.r2, pos.pos
+                  FROM rk JOIN pos ON rk.t = pos.t),
+        l2t AS (SELECT coalesce(sum(pos::HUGEINT * r2), 0)::DOUBLE AS l2
+                FROM cells),
+        sr2t AS (SELECT coalesce(sum((r2 - (k + 1))::HUGEINT
+                                     * (r2 - (k + 1))), 0)::DOUBLE AS sr2
+                 FROM cells CROSS JOIN kk),
+        sc4t AS (SELECT coalesce(sum((2 * pos - (k + 1))::HUGEINT
+                                     * (2 * pos - (k + 1))), 0)::DOUBLE
+                            AS sc4
+                 FROM pos CROSS JOIN kk),
+        bc AS (SELECT count(DISTINCT b)::BIGINT AS b FROM complete),
+        one AS (SELECT k::BIGINT AS k, b::BIGINT AS b, l2, sr2, sc4
+                FROM l2t CROSS JOIN sr2t CROSS JOIN sc4t
+                CROSS JOIN bc CROSS JOIN kk)
+        SELECT k AS k_treatments, b AS n_blocks,
+               CASE WHEN b >= 1 THEN round(l2 / 2e0, 6) END AS l_stat,
+               round({analytics.PAGE_Z_EXPR}, 6) AS z_page,
+               CASE
+                 WHEN {analytics.PAGE_Z_EXPR} IS NULL THEN NULL
+                 WHEN abs({analytics.PAGE_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN {analytics.PAGE_Z_EXPR} > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM one
+    """,
+    tags=("analytics", "stats"),
+)
+def page_l_event_volume_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's L trend test on the Friedman block frame
+    (operators.analytics.page_l_from_blocks, pre-staged r11) — the
+    ORDERED-alternative member of the repeated-measures pair,
+    completing the trend-family square: Jonckheere-Terpstra is the
+    ordered reading of Kruskal-Wallis (independent groups), Page's L
+    is the ordered reading of Friedman (matched blocks) — "do the
+    within-day ranks of the event types rise WITH the types'
+    hypothesized order?" (here the natural sort of the type name,
+    the clause contract). L2 = sum(position x doubled rank) stays an
+    exact integer, the null moments come from the same centered
+    squares as Friedman, and the z is a shared statistic string.
+    Same |types| x |days| metadata shape as friedman_event_volume —
+    the two entries share the ranked frame byte-for-byte. Returns
+    one row: (k_treatments, n_blocks, l_stat, z_page, trend)."""
+    cell = _event_day_type_counts(spark, sf_dir)
+    return analytics.page_l_from_blocks(cell, "b", "t", "x")
+
+
+@register(
+    "jonckheere_terpstra_value_by_week",
+    # the dense (value x week) grid off two alphabet-sized frames;
+    # doubled Mann-Whitney pair counts per week-pair via one window
+    # prefix, Hollander-Wolfe tie-corrected moments on HUGEINT
+    oracle=f"""
+        WITH s AS (SELECT (date_diff('day', DATE '1970-01-01',
+                                     ts::DATE) // 7)::BIGINT AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        grps AS (SELECT g, sum(c)::BIGINT AS ng FROM cnt GROUP BY 1),
+        vals AS (SELECT v, sum(c)::BIGINT AS tv FROM cnt GROUP BY 1),
+        grid AS (SELECT b.v, b.g, coalesce(c, 0)::BIGINT AS c
+                 FROM (SELECT vals.v, grps.g
+                       FROM vals CROSS JOIN grps) b
+                 LEFT JOIN cnt ON b.v = cnt.v AND b.g = cnt.g),
+        t1 AS (SELECT v, g, c,
+                      (2 * sum(c) OVER (PARTITION BY g ORDER BY v)
+                       - c)::BIGINT AS t
+               FROM grid),
+        t2 AS (SELECT v, g, c,
+                      coalesce(sum(t) OVER (PARTITION BY v ORDER BY g
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS pre
+               FROM t1),
+        j2t AS (SELECT coalesce(sum(c::HUGEINT * pre), 0)::DOUBLE AS j2
+                FROM t2),
+        gm AS (SELECT count(*)::BIGINT AS k,
+                      coalesce(sum(ng), 0)::BIGINT AS nt,
+                      coalesce(sum(ng::HUGEINT * ng), 0)::DOUBLE AS sn2,
+                      coalesce(sum(ng::HUGEINT * (ng - 1)
+                                   * (2 * ng + 5)), 0)::DOUBLE AS gt1,
+                      coalesce(sum(ng::HUGEINT * (ng - 1) * (ng - 2)),
+                               0)::DOUBLE AS gt2,
+                      coalesce(sum(ng::HUGEINT * (ng - 1)), 0)::DOUBLE
+                          AS gt3
+               FROM grps),
+        vm AS (SELECT coalesce(sum(tv::HUGEINT * (tv - 1)
+                                   * (2 * tv + 5)), 0)::DOUBLE AS vt1,
+                      coalesce(sum(tv::HUGEINT * (tv - 1) * (tv - 2)),
+                               0)::DOUBLE AS vt2,
+                      coalesce(sum(tv::HUGEINT * (tv - 1)), 0)::DOUBLE
+                          AS vt3
+               FROM vals),
+        one AS (SELECT * FROM gm CROSS JOIN vm CROSS JOIN j2t)
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(nt AS BIGINT) AS n_total,
+               CASE WHEN nt * 1e0 * nt - sn2 > 0e0
+                    THEN round(j2 / (nt * 1e0 * nt - sn2), 6)
+                   END AS jt_auc,
+               round({analytics.JT_Z_EXPR}, 6) AS z_jt,
+               CASE
+                 WHEN {analytics.JT_Z_EXPR} IS NULL THEN NULL
+                 WHEN abs({analytics.JT_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN {analytics.JT_Z_EXPR} > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM one
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def jonckheere_terpstra_value_by_week(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test of event value
+    across epoch weeks (operators.analytics.
+    jonckheere_terpstra_from_counts, pre-staged r11) — the
+    DIRECTION-AWARE sibling of kruskal_wallis_value_by_type: KW asks
+    "do the weeks differ at all?", JT asks "do the values RISE with
+    the week order?" — the dose-response read on a numeric outcome
+    (cochran_armitage_purchase_by_week is its binomial-proportion
+    twin on the same axis). All between-group Mann-Whitney pair
+    counts come off ONE dense (value x week) grid with a per-value
+    running prefix (no pairwise joins), doubled so ties stay exact
+    integers; the Hollander-Wolfe tie-corrected variance rides
+    HUGEINT/decimal(38,0). At 100 TB the corpus collapses map-side
+    to the (week, cents) alphabet; the grid is |values| x |weeks|
+    metadata. Returns one row: (k_groups, n_total, jt_auc, z_jt,
+    trend)."""
+    jt_counts = _t(spark, sf_dir, "events").groupBy(
+        F.floor(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return analytics.jonckheere_terpstra_from_counts(jt_counts)
+
+
+_LB_MAX_LAG = 7
+
+
+@register(
+    "ljung_box_daily_revenue",
+    # rides the acf entry's exact lag-join frames: per-lag integer
+    # products, the shared ACF_EXPR estimator, the h-term fold in lag
+    # order, chi-square(h) through the shared Wilson-Hilferty form
+    oracle=f"""
+        WITH daily AS (SELECT o_orderdate AS d,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS y
+                       FROM orders GROUP BY 1),
+        idx AS (SELECT y, row_number() OVER (ORDER BY d) AS t
+                FROM daily),
+        tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS s,
+                       sum(y::HUGEINT * y)::DOUBLE AS q
+                FROM idx),
+        lags AS (SELECT unnest(range(1, {_LB_MAX_LAG} + 1)) AS lag),
+        j AS (SELECT lags.lag, a.y AS ya, b.y AS yb
+              FROM idx a CROSS JOIN lags
+              JOIN idx b ON b.t = a.t - lags.lag),
+        p AS (SELECT lag, count(*) AS cnt,
+                     sum(ya::HUGEINT * yb)::DOUBLE AS pk,
+                     sum(ya)::BIGINT AS sa, sum(yb)::BIGINT AS sb
+              FROM j GROUP BY 1),
+        terms AS (SELECT lag,
+                         CASE WHEN q * 1e0 - s * 1e0 * s / n > 0e0
+                              THEN ({analytics.ACF_EXPR})
+                                   * ({analytics.ACF_EXPR})
+                                   / (n * 1e0 - lag)
+                         END AS term
+                  FROM p CROSS JOIN tot),
+        folded AS (SELECT count(*)::BIGINT AS h,
+                          list_reduce(list_prepend(0e0,
+                              list(term ORDER BY lag)),
+                              (acc, x) -> acc + x) AS ssum
+                   FROM terms),
+        flat AS (SELECT CAST(n AS BIGINT) AS n_obs,
+                        CAST(h AS BIGINT) AS n_lags,
+                        CASE WHEN h >= 1
+                             THEN n * (n + 2e0) * ssum END AS chi2,
+                        h * 1e0 AS dof
+                 FROM folded CROSS JOIN tot)
+        SELECT n_obs, n_lags,
+               round(chi2, 6) AS q_stat,
+               CASE WHEN chi2 IS NOT NULL AND n_lags >= 1
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND n_lags >= 1
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM flat
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def ljung_box_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test of daily order revenue
+    at lags 1..7 (operators.analytics.ljung_box_from_series,
+    pre-staged r11) — the HYPOTHESIS-TEST companion to
+    acf_daily_revenue on the identical series: the ACF entry shows
+    per-lag memory, this answers the single question a residual
+    diagnostic asks — "is there ANY autocorrelation in the first h
+    lags?" — as one chi-square(h) statistic Q = n(n+2) sum rho_k^2 /
+    (n-k). Rides the exact same lag-join frames and shared ACF_EXPR
+    estimator as the ACF entry (exact-integer lag products off the
+    _daily_revenue_cents collapse), folds the 7 per-lag terms in lag
+    order, and reads significance through the shared Wilson-Hilferty
+    form. Alphabet-sized end to end: |days| rows into a 7-row lag
+    frame. Returns one row: (n_obs, n_lags, q_stat, z_wh,
+    significant)."""
+    return analytics.ljung_box_from_series(
+        _daily_revenue_cents(spark, sf_dir), "x", "y", _LB_MAX_LAG
+    )
+
+
+@register(
+    "runs_test_daily_revenue",
+    # exact pooled median off value-alphabet prefix sums, at-median
+    # days drop, the switch count off the t/t+1 self-join, z from the
+    # shared RUNS_Z_EXPR
+    oracle=f"""
+        WITH daily AS (SELECT o_orderdate AS d,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS y
+                       FROM orders GROUP BY 1),
+        w AS (SELECT y, count(*)::BIGINT AS c FROM daily GROUP BY 1),
+        cum AS (SELECT y, c, sum(c) OVER (ORDER BY y)::BIGINT AS cm
+                FROM w),
+        nt AS (SELECT count(*)::BIGINT AS n FROM daily),
+        med AS (SELECT min(y)::BIGINT AS med
+                FROM cum CROSS JOIN nt WHERE 2 * cm >= n + 1),
+        marked AS (SELECT d, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+                   FROM daily CROSS JOIN med WHERE y != med),
+        idx AS (SELECT s, row_number() OVER (ORDER BY d) AS t
+                FROM marked),
+        bounds AS (SELECT coalesce(sum(CASE WHEN a.s != b.s
+                                            THEN 1 ELSE 0 END),
+                                   0)::BIGINT AS sw
+                   FROM idx a JOIN idx b ON a.t = b.t + 1),
+        per AS (SELECT coalesce(sum(s), 0)::BIGINT AS n1,
+                       coalesce(sum(1 - s), 0)::BIGINT AS n0,
+                       count(*)::BIGINT AS nn
+                FROM idx),
+        one AS (SELECT n1 AS n_above, n0 AS n_below,
+                       (CASE WHEN nn > 0 THEN sw + 1 ELSE 0
+                            END)::BIGINT AS n_runs
+                FROM per CROSS JOIN bounds)
+        SELECT n_above, n_below, n_runs,
+               round({analytics.RUNS_Z_EXPR}, 6) AS z_runs,
+               CASE
+                 WHEN {analytics.RUNS_Z_EXPR} IS NULL THEN NULL
+                 WHEN {analytics.RUNS_Z_EXPR} < -1.96e0
+                     THEN 'clustered'
+                 WHEN {analytics.RUNS_Z_EXPR} > 1.96e0
+                     THEN 'alternating'
+                 ELSE 'random'
+               END AS verdict
+        FROM one
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def runs_test_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily order revenue
+    around its median (operators.analytics.runs_test_from_series,
+    pre-staged r11) — the assumption-free sequence diagnostic
+    completing the timeseries read on the shared
+    _daily_revenue_cents frame: Mann-Kendall asks "is it drifting?",
+    Ljung-Box "is there linear autocorrelation?", this asks the
+    weaker question "is the above/below-median PATTERN random at
+    all?" — too few runs = clustering/regimes (the changepoint
+    entries' hint), too many = alternation. The median is the exact
+    2*cum >= n+1 order statistic off pooled value counts, at-median
+    days drop (the standard convention), and the run count is the
+    adjacent-switch count + 1 via a lag window. Alphabet-sized end
+    to end. Returns one row: (n_above, n_below, n_runs, z_runs,
+    verdict)."""
+    return analytics.runs_test_from_series(
+        _daily_revenue_cents(spark, sf_dir), "x", "y"
+    )
+
+
+@register(
+    "cliffs_delta_purchase_vs_click",
+    # shares the exact-integer Mann-Whitney moment row (doubled U off
+    # the pooled prefix sums); delta and the Romano bands plus the MW
+    # z ride the shared statistic strings
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END AS ip,
+                          CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END AS ic
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ip) AS cp, sum(ic) AS cc FROM s GROUP BY 1),
+        c AS (SELECT v, cp, cc, sum(cc) OVER (ORDER BY v) AS cc_cum
+              FROM g),
+        a AS (SELECT sum(cp) AS n1, sum(cc) AS n2,
+                     sum(cp::HUGEINT * (2 * (cc_cum - cc) + cc)) AS u2,
+                     sum((cp + cc)::HUGEINT * (cp + cc) * (cp + cc)
+                         - (cp + cc)) AS ties
+              FROM c)
+        SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+               round({analytics.CLIFFS_D_EXPR}, 6) AS delta,
+               CASE
+                 WHEN {analytics.CLIFFS_D_EXPR} IS NULL THEN NULL
+                 WHEN abs({analytics.CLIFFS_D_EXPR}) < 0.147e0
+                     THEN 'negligible'
+                 WHEN abs({analytics.CLIFFS_D_EXPR}) < 0.33e0
+                     THEN 'small'
+                 WHEN abs({analytics.CLIFFS_D_EXPR}) < 0.474e0
+                     THEN 'medium'
+                 ELSE 'large'
+               END AS magnitude,
+               round({analytics.MW_Z_EXPR}, 6) AS z,
+               (abs({analytics.MW_Z_EXPR}) > 1.96e0) AS significant
+        FROM a
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def cliffs_delta_purchase_vs_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between purchase and click
+    values (operators.analytics.cliffs_delta_from_value_counts,
+    pre-staged r11) — the MAGNITUDE reading beside
+    mann_whitney_auc_value's yes/no answer: at corpus scale
+    everything is "significant", and delta = P(a>b) - P(a<b) in
+    [-1, 1] (the rank-biserial correlation, 2*AUC - 1) says whether
+    the difference MATTERS, banded by the Romano et al. 2006
+    thresholds. Shares the exact-integer Mann-Whitney moment row —
+    doubled U off one pooled prefix-sums exchange over the
+    _purchase_click_value_counts alphabet, ties on
+    HUGEINT/decimal(38,0) — so the entry costs the MW entry's plan
+    plus two projections. Returns one row: (n_a, n_b, delta,
+    magnitude, z, significant)."""
+    return analytics.cliffs_delta_from_value_counts(
+        _purchase_click_value_counts(spark, sf_dir)
+    )
+
+
+_KUIPER_CRIT_05 = analytics.kuiper_critical(0.05)
+
+
+@register(
+    "kuiper_purchase_vs_click",
+    # both one-sided CDF excursions as exact integer maxima of
+    # D_j = nb*ca_cum - na*cb_cum; the verdict compares V*sqrt(ne)
+    # against the plan-build-time asymptotic literal (series
+    # bisection, ~1.747 at .05) evaluated identically here
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END AS ip,
+                          CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END AS ic
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ip) AS ca, sum(ic) AS cc FROM s GROUP BY 1),
+        t AS (SELECT sum(ca)::BIGINT AS na, sum(cc)::BIGINT AS nb
+              FROM g),
+        c AS (SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+                     sum(cc) OVER (ORDER BY v)::BIGINT AS ccb
+              FROM g),
+        m AS (SELECT max(nb::HUGEINT * cca - na::HUGEINT * ccb)::DOUBLE
+                         AS dpos,
+                     max(-(nb::HUGEINT * cca - na::HUGEINT * ccb))
+                         ::DOUBLE AS dneg,
+                     max(na) AS na, max(nb) AS nb
+              FROM c CROSS JOIN t)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN round((dpos + dneg)
+                               / (CAST(na AS DOUBLE) * nb), 6)
+               END AS kuiper_v,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN ((dpos + dneg) / (CAST(na AS DOUBLE) * nb)
+                          * sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                          > {_KUIPER_CRIT_05:.17e})
+               END AS significant
+        FROM m
+    """,
+    tags=("analytics", "stats"),
+)
+def kuiper_purchase_vs_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Kuiper test of purchase vs click value
+    distributions (operators.analytics.kuiper_from_value_counts,
+    pre-staged r11) — the CYCLIC/shift-equitable member of the CDF
+    family on the shared value-counts frame: KS's single max |gap|
+    goes blind when one CDF leads early and lags late (the gaps
+    cancel at the max); Kuiper's V = D+ + D- keeps both one-sided
+    excursions, the right test for hour-of-day / day-of-week
+    wraparound shifts and equally sensitive across the support. Both
+    maxima are exact integer maxima of the shared D_j = nb*ca_cum -
+    na*cb_cum; significance compares V*sqrt(ne) against the
+    plan-build-time asymptotic literal (kuiper_critical's series
+    bisection — no runtime special functions in either engine). One
+    prefix-sums exchange over the value alphabet. Returns one row:
+    (n_a, n_b, kuiper_v, significant)."""
+    return analytics.kuiper_from_value_counts(
+        _purchase_click_value_counts(spark, sf_dir), ca="cp", cb="cc"
+    )
+
+
+@register(
+    "cvm_purchase_vs_click",
+    # the plain integral of the squared CDF gap: per-value doubles
+    # w_j * D_j^2 / (na*nb*N^2) folded in value order, verdict
+    # against the N-independent asymptotic 95% point 0.46136
+    oracle=f"""
+        WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END AS ip,
+                          CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END AS ic
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        g AS (SELECT v, sum(ip) AS ca, sum(ic) AS cc FROM s GROUP BY 1),
+        t AS (SELECT sum(ca)::BIGINT AS na, sum(cc)::BIGINT AS nb
+              FROM g),
+        c AS (SELECT v, ca, cc,
+                     sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+                     sum(cc) OVER (ORDER BY v)::BIGINT AS ccb
+              FROM g),
+        j AS (SELECT v, (ca + cc)::BIGINT AS w,
+                     (nb::HUGEINT * cca - na::HUGEINT * ccb)::DOUBLE
+                         AS dj,
+                     na, nb, (na + nb)::BIGINT AS nn
+              FROM c CROSS JOIN t),
+        terms AS (SELECT v, na, nb,
+                         CASE WHEN na > 0 AND nb > 0
+                              THEN w * (dj * dj)
+                                   / (CAST(na AS DOUBLE) * nb
+                                      * nn * nn)
+                         END AS term
+                  FROM j),
+        agg AS (SELECT max(na) AS na, max(nb) AS nb,
+                       list_reduce(list_prepend(0e0,
+                           list(term ORDER BY v)),
+                           (acc, x) -> acc + x) AS t_stat
+                FROM terms)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(t_stat, 6) AS cvm_t,
+               CASE WHEN t_stat IS NOT NULL
+                    THEN (t_stat > 4.61360000000000015e-1)
+                   END AS significant
+        FROM agg
+    """,
+    tags=("analytics", "stats"),
+)
+def cvm_purchase_vs_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test of purchase vs click values
+    (operators.analytics.cvm_from_value_counts, pre-staged r11) —
+    the INTEGRAL member completing the CDF family the shared
+    value-counts state serves: KS takes the single biggest gap,
+    Kuiper the two one-sided excursions, Anderson-Darling the
+    tail-weighted integral, CvM the PLAIN integral of the squared
+    gap — the all-of-distribution test with no tail emphasis.
+    Discrete/tie form T = sum w_j D_j^2 / (na nb N^2) over the
+    right-continuous pooled ECDF with the shared exact integer D_j;
+    terms fold in value order (order-deterministic doubles), verdict
+    against the N-independent asymptotic 95% point CVM_CRIT_05.
+    Returns one row: (n_a, n_b, cvm_t, significant)."""
+    return analytics.cvm_from_value_counts(
+        _purchase_click_value_counts(spark, sf_dir), ca="cp", cb="cc"
+    )
+
+
+@register(
+    "mcnemar_click_vs_purchase_userday",
+    # the whole corpus collapses map-side to FOUR exact-integer cells;
+    # continuity-corrected chi2 from the shared MCNEMAR_CHI2_EXPR
+    oracle=f"""
+        WITH subj AS (SELECT user_id, ts::DATE AS d,
+                             max(CASE WHEN event_type = 'click'
+                                      THEN 1 ELSE 0 END) AS a,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS b
+                      FROM events GROUP BY 1, 2),
+        cells AS (SELECT count(*)::BIGINT AS n_pairs,
+                         coalesce(sum(CASE WHEN a = 1 AND b = 1
+                                           THEN 1 END), 0)::BIGINT
+                             AS n_both,
+                         coalesce(sum(CASE WHEN a = 1 AND b = 0
+                                           THEN 1 END), 0)::BIGINT
+                             AS n_only_a,
+                         coalesce(sum(CASE WHEN a = 0 AND b = 1
+                                           THEN 1 END), 0)::BIGINT
+                             AS n_only_b,
+                         coalesce(sum(CASE WHEN a = 0 AND b = 0
+                                           THEN 1 END), 0)::BIGINT
+                             AS n_neither
+                  FROM subj)
+        SELECT n_pairs, n_both, n_only_a, n_only_b, n_neither,
+               round({analytics.MCNEMAR_CHI2_EXPR}, 6) AS chi2_cc,
+               CASE WHEN {analytics.MCNEMAR_CHI2_EXPR} IS NOT NULL
+                    THEN ({analytics.MCNEMAR_CHI2_EXPR} > 3.841e0)
+                   END AS significant,
+               CASE
+                 WHEN {analytics.MCNEMAR_CHI2_EXPR} IS NULL THEN NULL
+                 WHEN NOT ({analytics.MCNEMAR_CHI2_EXPR} > 3.841e0)
+                     THEN 'none'
+                 WHEN n_only_a > n_only_b THEN 'a_over_b'
+                 ELSE 'b_over_a'
+               END AS direction
+        FROM cells
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def mcnemar_click_vs_purchase_userday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test of paired click-vs-purchase flags per user-day
+    (operators.analytics.mcnemar_from_pairs, pre-staged r11) — the
+    WITHIN-SUBJECT marginal test the paired tier was missing:
+    comparing "clicked" vs "purchased" rates on the SAME user-days
+    must condition on the pairing, and McNemar does exactly that by
+    reading only the discordant cells (concordant days carry no
+    information about a marginal difference) with the continuity-
+    corrected chi-square. The corpus collapses to one row per
+    (user, day) with two boolean flags, then to FOUR exact-integer
+    cells — the cheapest statistic in the module. Returns one row:
+    (n_pairs, n_both, n_only_a, n_only_b, n_neither, chi2_cc,
+    significant, direction)."""
+    mc_pairs = _t(spark, sf_dir, "events").groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int"))
+        .cast("boolean")
+        .alias("a"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("boolean")
+        .alias("b"),
+    )
+    return analytics.mcnemar_from_pairs(mc_pairs)
+
+
+@register(
+    "cohens_kappa_doc_length_raters",
+    # the corpus collapses to the 3x3 label contingency alphabet;
+    # diagonal and margin-product sums exact on HUGEINT, kappa and
+    # the Landis-Koch bands from the shared KAPPA_EXPR
+    oracle=f"""
+        WITH lab AS (SELECT CASE WHEN n_chars < 200 THEN 'short'
+                                 WHEN n_chars < 400 THEN 'mid'
+                                 ELSE 'long' END AS a,
+                            CASE WHEN len(string_split(text, ' ')) < 36
+                                 THEN 'short'
+                                 WHEN len(string_split(text, ' ')) < 72
+                                 THEN 'mid'
+                                 ELSE 'long' END AS b
+                     FROM documents),
+        cells AS (SELECT a, b, count(*)::BIGINT AS n
+                  FROM lab GROUP BY 1, 2),
+        ra AS (SELECT a, sum(n)::BIGINT AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, sum(n)::BIGINT AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS n_items,
+                       coalesce(sum(CASE WHEN a = b THEN n END), 0)
+                           ::BIGINT AS po_num
+                FROM cells),
+        pe AS (SELECT coalesce(sum(ra.ra::HUGEINT * cb.cb), 0)::DOUBLE
+                          AS pe_num
+               FROM ra JOIN cb ON ra.a = cb.b),
+        one AS (SELECT * FROM tot CROSS JOIN pe)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CASE WHEN n_items > 0
+                    THEN round(po_num * 1e0 / n_items, 6) END AS po,
+               CASE WHEN n_items > 0
+                    THEN round(pe_num / (n_items * 1e0 * n_items), 6)
+               END AS pe,
+               round({analytics.KAPPA_EXPR}, 6) AS kappa,
+               CASE
+                 WHEN {analytics.KAPPA_EXPR} IS NULL THEN NULL
+                 WHEN {analytics.KAPPA_EXPR} < 0e0 THEN 'poor'
+                 WHEN {analytics.KAPPA_EXPR} < 0.2e0 THEN 'slight'
+                 WHEN {analytics.KAPPA_EXPR} < 0.4e0 THEN 'fair'
+                 WHEN {analytics.KAPPA_EXPR} < 0.6e0 THEN 'moderate'
+                 WHEN {analytics.KAPPA_EXPR} < 0.8e0
+                     THEN 'substantial'
+                 ELSE 'almost_perfect'
+               END AS agreement
+        FROM one
+    """,
+    tags=("analytics", "stats", "llm"),
+)
+def cohens_kappa_doc_length_raters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between two rule-based document length raters —
+    a char-count bander vs a whitespace-token bander
+    (operators.analytics.cohens_kappa_from_pairs, pre-staged r11) —
+    the statistic a labeling pipeline needs the moment it has two
+    judges (heuristic rater vs trained classifier, two model
+    generations, human sample vs production rule): raw agreement
+    rewards constant raters on skewed labels; kappa subtracts the
+    agreement the MARGINS would produce by chance, banded by
+    Landis-Koch. The corpus collapses map-side to the 3x3 label
+    contingency alphabet; the diagonal sum and margin-product sum
+    are exact integers into the shared KAPPA_EXPR. Returns one row:
+    (n_items, po, pe, kappa, agreement)."""
+    docs = _t(spark, sf_dir, "documents")
+    kp_pairs = docs.select(
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+        .alias("a"),
+        F.when(F.size(F.split(F.col("text"), " ")) < 36, "short")
+        .when(F.size(F.split(F.col("text"), " ")) < 72, "mid")
+        .otherwise("long")
+        .alias("b"),
+    )
+    return analytics.cohens_kappa_from_pairs(kp_pairs)
+
+
+_GEHAN_GAP_DAYS = 365
+_GEHAN_SEG_A = "BUILDING"
+_GEHAN_SEG_B = "MACHINERY"
+
+
+@register(
+    "gehan_wilcoxon_churn_by_segment",
+    # the log-rank entry's churn frame reweighted by the total at
+    # risk: U = sum_t (nt*da - dt*nat) exact on HUGEINT, variance
+    # terms folded in time order via the shared GEHAN_V_TERM
+    oracle=f"""
+        WITH pu AS (SELECT o_custkey,
+                           min(o_orderdate::DATE) AS f,
+                           max(o_orderdate::DATE) AS l
+                    FROM orders GROUP BY 1),
+        hz AS (SELECT max(o_orderdate::DATE) AS h FROM orders),
+        subj AS (SELECT (date_diff('day', f, l) + 1)::BIGINT AS t,
+                        CASE WHEN date_diff('day', l, h)
+                                  >= {_GEHAN_GAP_DAYS}
+                             THEN 1 ELSE 0 END AS ev,
+                        CASE WHEN c_mktsegment = '{_GEHAN_SEG_A}'
+                             THEN 'a' ELSE 'b' END AS g
+                 FROM pu
+                 JOIN customer ON c_custkey = o_custkey
+                 CROSS JOIN hz
+                 WHERE c_mktsegment IN ('{_GEHAN_SEG_A}',
+                                        '{_GEHAN_SEG_B}')),
+        per AS (SELECT t,
+                       sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT
+                           AS dca,
+                       sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT
+                           AS dcb,
+                       sum(CASE WHEN g = 'a' THEN ev ELSE 0 END)
+                           ::BIGINT AS da,
+                       sum(CASE WHEN g = 'b' THEN ev ELSE 0 END)
+                           ::BIGINT AS db
+                FROM subj GROUP BY 1),
+        tot AS (SELECT sum(dca)::BIGINT AS na, sum(dcb)::BIGINT AS nb
+                FROM per),
+        cum AS (SELECT t, da, db, dca, dcb,
+                       sum(dca) OVER (ORDER BY t)::BIGINT AS ca,
+                       sum(dcb) OVER (ORDER BY t)::BIGINT AS cb
+                FROM per),
+        risk AS (SELECT t, da, db,
+                        (na - (ca - dca))::BIGINT AS nat,
+                        (nb - (cb - dcb))::BIGINT AS nbt,
+                        na, nb
+                 FROM cum CROSS JOIN tot),
+        evt AS (SELECT t, da, (da + db)::BIGINT AS dt, nat, nbt,
+                       (nat + nbt)::BIGINT AS nt, na, nb
+                FROM risk WHERE da + db > 0),
+        fin AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                       coalesce(sum(nt::HUGEINT * da
+                                    - dt::HUGEINT * nat), 0)::DOUBLE
+                           AS u1,
+                       list_reduce(
+                           list_prepend(0e0,
+                               list({analytics.GEHAN_V_TERM}
+                                    ORDER BY t)),
+                           (acc, x) -> acc + x) AS v1
+                FROM evt)
+        SELECT n_a, n_b, round(u1, 6) AS u_gehan,
+               round({analytics.GEHAN_Z_EXPR}, 6) AS z_gehan,
+               CASE WHEN {analytics.GEHAN_Z_EXPR} IS NOT NULL
+                    THEN (abs({analytics.GEHAN_Z_EXPR}) > 1.96e0)
+                   END AS significant
+        FROM fin
+    """,
+    tags=("analytics", "stats", "survival"),
+)
+def gehan_wilcoxon_churn_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank test of customer
+    churn between the BUILDING and MACHINERY segments
+    (operators.analytics.gehan_wilcoxon_from_counts, pre-staged r11)
+    — the EARLY-difference member of the survival pair on the
+    log_rank entry's exact churn frame: log-rank weights every event
+    time equally (most sensitive to late, proportional-hazards
+    divergence); Gehan weights each time by the total still at risk,
+    so early churn differences — exactly where a retention
+    intervention acts — dominate. Curves that cross read opposite
+    signs on the two tests, which is the diagnostic. Tenure = days
+    between first and last order; churn = no order within 365 days
+    of the horizon. Same dense risk table and prefix-sums
+    construction as log_rank_churn_by_segment; the weighted
+    numerator stays an exact integer. Returns one row: (n_a, n_b,
+    u_gehan, z_gehan, significant)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    hz = o.agg(F.max("d").alias("h"))
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    per_gt = (
+        pu.join(seg, "o_custkey")
+        .crossJoin(F.broadcast(hz))
+        .filter(
+            F.col("c_mktsegment").isin(_GEHAN_SEG_A, _GEHAN_SEG_B)
+        )
+        .select(
+            (F.datediff("l", "f") + 1).cast("long").alias("t"),
+            (F.datediff("h", "l") >= _GEHAN_GAP_DAYS)
+            .cast("long")
+            .alias("ev"),
+            F.when(F.col("c_mktsegment") == _GEHAN_SEG_A, "a")
+            .otherwise("b")
+            .alias("g"),
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.sum("ev").alias("d"),
+            F.sum(1 - F.col("ev")).alias("c"),
+        )
+    )
+    return analytics.gehan_wilcoxon_from_counts(per_gt)
+
+
+@register(
+    "cochran_q_user_by_event_type",
+    # did-user-do-type flags on the DENSE user x type grid (absent
+    # cells are explicit zeros — the complete-block contract); every
+    # moment exact integer, Q + Wilson-Hilferty from shared strings
+    oracle=f"""
+        WITH cell AS (SELECT user_id AS b, event_type AS t,
+                             CASE WHEN count(*) > 0 THEN 1 ELSE 0
+                                 END AS x
+                      FROM events
+                      WHERE ts::DATE < DATE '2024-01-08'
+                      GROUP BY 1, 2),
+        uhz AS (SELECT DISTINCT user_id AS b FROM events
+                WHERE ts::DATE < DATE '2024-01-08'),
+        thz AS (SELECT DISTINCT event_type AS t FROM events
+                WHERE ts::DATE < DATE '2024-01-08'),
+        grid AS (SELECT uhz.b, thz.t, coalesce(cell.x, 0)::BIGINT AS x
+                 FROM uhz CROSS JOIN thz
+                 LEFT JOIN cell ON cell.b = uhz.b AND cell.t = thz.t),
+        kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM grid),
+        tj AS (SELECT t, sum(x)::BIGINT AS tj FROM grid GROUP BY 1),
+        st2t AS (SELECT coalesce(sum(tj::HUGEINT * tj), 0)::DOUBLE
+                            AS st2
+                 FROM tj),
+        ui AS (SELECT b, sum(x)::BIGINT AS ui FROM grid GROUP BY 1),
+        blocks AS (SELECT count(*)::BIGINT AS b,
+                          coalesce(sum(ui), 0)::BIGINT AS nsucc,
+                          coalesce(sum(ui::HUGEINT * ui), 0)::DOUBLE
+                              AS su2
+                   FROM ui),
+        one AS (SELECT k::BIGINT AS k, b::BIGINT AS b,
+                       nsucc::BIGINT AS nsucc, st2, su2
+                FROM blocks CROSS JOIN st2t CROSS JOIN kk),
+        flat AS (SELECT k AS k_treatments, b AS n_blocks,
+                        nsucc AS n_success,
+                        round({analytics.COCHRAN_Q_EXPR}, 6) AS q_stat,
+                        (k - 1) * 1e0 AS dof,
+                        {analytics.COCHRAN_Q_EXPR} AS chi2
+                 FROM one)
+        SELECT k_treatments, n_blocks, n_success, q_stat,
+               CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_treatments >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM flat
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def cochran_q_user_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q test of "did the user do this event type at all?"
+    flags across the five event types, week one
+    (operators.analytics.cochran_q_from_blocks, pre-staged r11) —
+    the k-sample McNemar and the BINARY member of the
+    repeated-measures tier: Friedman ranks numeric outcomes within
+    blocks, Q asks whether k 0/1 treatments differ in success rate
+    judged WITHIN each subject (all-0 and all-1 users cancel by
+    construction — only mixed users carry information). The grid is
+    densified (absent user-type cells are explicit zeros) so every
+    user is a complete block; treatment totals, block totals and
+    their squares stay exact integers on decimal(38,0). b*k metadata
+    cells, two alphabet-sized aggregates, no windows. Returns one
+    row: (k_treatments, n_blocks, n_success, q_stat, z_wh,
+    significant)."""
+    week1 = _t(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-08").cast("date")
+    )
+    cq_cell = week1.groupBy(
+        F.col("user_id").alias("b"),
+        F.col("event_type").alias("t"),
+    ).agg(F.lit(1).alias("x"))
+    cq_grid = (
+        week1.select(F.col("user_id").alias("b"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                week1.select(F.col("event_type").alias("t")).distinct()
+            )
+        )
+        .join(cq_cell, ["b", "t"], "left")
+        .fillna(0, subset=["x"])
+    )
+    return analytics.cochran_q_from_blocks(cq_grid, "b", "t", "x")
+
+
+@register(
+    "wilcoxon_signed_rank_user_halves",
+    # per-user spend deltas collapse to the |d| alphabet with
+    # per-sign counts; doubled ranks off one prefix exchange, W+,
+    # tie cubes and the variance exact on decimal(38,0) into the
+    # shared WSR_Z_EXPR
+    oracle=f"""
+        WITH per AS (SELECT user_id,
+                            sum(CASE WHEN ts::DATE < DATE '2024-01-16'
+                                     THEN CAST(round(value * 100)
+                                               AS BIGINT)
+                                     ELSE 0 END) AS v1,
+                            sum(CASE WHEN ts::DATE >= DATE '2024-01-16'
+                                     THEN CAST(round(value * 100)
+                                               AS BIGINT)
+                                     ELSE 0 END) AS v2
+                     FROM events GROUP BY 1),
+        d AS (SELECT (v2 - v1)::BIGINT AS d FROM per),
+        np AS (SELECT count(*)::BIGINT AS n_pairs FROM d),
+        byv AS (SELECT abs(d)::BIGINT AS ad,
+                       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS cpos,
+                       count(*)::BIGINT AS ct
+                FROM d WHERE d != 0 GROUP BY 1),
+        cum AS (SELECT cpos, ct,
+                       (2 * sum(ct) OVER (ORDER BY ad) - ct + 1)
+                           ::BIGINT AS r2
+                FROM byv),
+        agg AS (SELECT coalesce(sum(ct), 0)::BIGINT AS nn,
+                       coalesce(sum(cpos::HUGEINT * r2), 0)::DOUBLE
+                           AS w2p,
+                       coalesce(sum(ct::HUGEINT * ct * ct - ct), 0)
+                           ::DOUBLE AS ties
+                FROM cum),
+        one AS (SELECT * FROM agg CROSS JOIN np)
+        SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(nn AS BIGINT) AS n_nonzero,
+               CASE WHEN nn >= 1 THEN round(w2p / 2e0, 6)
+                   END AS w_plus,
+               round({analytics.WSR_Z_EXPR}, 6) AS z_wsr,
+               CASE WHEN {analytics.WSR_Z_EXPR} IS NOT NULL
+                    THEN (abs({analytics.WSR_Z_EXPR}) > 1.96e0)
+                   END AS significant,
+               CASE
+                 WHEN {analytics.WSR_Z_EXPR} IS NULL THEN NULL
+                 WHEN NOT (abs({analytics.WSR_Z_EXPR}) > 1.96e0)
+                     THEN 'none'
+                 WHEN {analytics.WSR_Z_EXPR} > 0 THEN 'a_over_b'
+                 ELSE 'b_over_a'
+               END AS direction
+        FROM one
+    """,
+    tags=("analytics", "stats", "experimentation"),
+)
+def wilcoxon_signed_rank_user_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test of per-user event spend, second half
+    of the window vs first (operators.analytics.
+    wilcoxon_signed_rank_from_pairs, pre-staged r11) — the
+    paired-NUMERIC member beside McNemar (paired binary) and
+    Cochran's Q (k binary): "did the same user's spend shift between
+    the two halves?" without the normality Welch leans on and
+    without the pairing loss Mann-Whitney commits. Zero differences
+    drop (the standard Wilcoxon convention), differences collapse
+    map-side to the |d| cents alphabet with per-sign counts, doubled
+    average ranks come off one prefix-sums exchange, and W+, the tie
+    cubes and the variance are exact integers into the shared
+    WSR_Z_EXPR. a = second-half spend so direction 'a_over_b' reads
+    "spend rose". Returns one row: (n_pairs, n_nonzero, w_plus,
+    z_wsr, significant, direction)."""
+    wsr_pairs = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.to_date("ts") >= F.lit("2024-01-16").cast("date"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(
+                F.to_date("ts") < F.lit("2024-01-16").cast("date"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("b"),
+    ).select("a", "b")
+    return analytics.wilcoxon_signed_rank_from_pairs(wsr_pairs)
+
+
+@register(
+    "g_test_event_dow",
+    # the chi2 entry's dense event-type x day-of-week cells; zero
+    # cells contribute zero (the 0*ln0 limit), terms fold in cell
+    # order, G = 2*sum n*ln(n*N/(ra*cb)) = 2*N*MI
+    oracle=f"""
+        WITH s AS (SELECT event_type AS a,
+                          ((ts::DATE - DATE '1970-01-01') + 4) % 7 AS b
+                   FROM events),
+        cells0 AS (SELECT a, b, count(*) AS n FROM s GROUP BY 1, 2),
+        ram AS (SELECT a, sum(n)::BIGINT AS ra FROM cells0 GROUP BY 1),
+        cbm AS (SELECT b, sum(n)::BIGINT AS cb FROM cells0 GROUP BY 1),
+        tt AS (SELECT sum(n)::BIGINT AS total FROM cells0),
+        cells AS (SELECT ram.a, cbm.b, ra, cb,
+                         coalesce(n, 0)::BIGINT AS n, total
+                  FROM ram CROSS JOIN cbm
+                  LEFT JOIN cells0 ON cells0.a = ram.a
+                                  AND cells0.b = cbm.b
+                  CROSS JOIN tt),
+        nz AS (SELECT *, {analytics.MI_CELL_TERM} AS term
+               FROM cells WHERE n > 0),
+        agg AS (SELECT count(DISTINCT a)::BIGINT AS ka,
+                       count(DISTINCT b)::BIGINT AS kb,
+                       max(total)::BIGINT AS total,
+                       list_reduce(list_prepend(0e0,
+                           list(term ORDER BY a, b)),
+                           (acc, x) -> acc + x) AS s
+                FROM nz),
+        flat AS (SELECT ka, kb, total AS n_total,
+                        (ka - 1e0) * (kb - 1e0) AS dof,
+                        CASE WHEN ka >= 2 AND kb >= 2
+                                  AND total IS NOT NULL
+                             THEN 2e0 * s END AS chi2
+                 FROM agg)
+        SELECT ka, kb, n_total, dof,
+               round(chi2, 6) AS g_stat,
+               CASE WHEN chi2 IS NOT NULL AND dof >= 1e0
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND dof >= 1e0
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM flat
+    """,
+    tags=("analytics", "stats"),
+)
+def g_test_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between event
+    type and day-of-week (operators.analytics.g_test_from_contingency,
+    pre-staged r11) — the information-theoretic twin of
+    chi2_event_type_dow on the SAME contingency cells, bridging the
+    association and information tiers: G = 2 sum n ln(n N / (ra cb))
+    is exactly 2*N*MI, so the significance reading here and the
+    mutual-information strength reading agree to the fold (asserted
+    in tests). Preferred over Pearson when expected counts are small
+    or sparse (the log-ratio is exact under the multinomial
+    likelihood; Pearson is its second-order Taylor approximation).
+    Zero cells contribute zero (the 0*ln0 limit); terms fold in cell
+    order. Alphabet-sized: 5x7 cells. Returns one row: (ka, kb,
+    n_total, dof, g_stat, z_wh, significant)."""
+    cells = analytics.contingency_counts(
+        _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("a"),
+            (
+                (
+                    F.datediff(
+                        F.to_date("ts"),
+                        F.lit("1970-01-01").cast("date"),
+                    )
+                    + 4
+                )
+                % 7
+            ).alias("b"),
+        ),
+        "a",
+        "b",
+    )
+    return analytics.g_test_from_contingency(cells)
+
+
+@register(
+    "mood_median_value_by_type",
+    # exact pooled median off the value-alphabet prefix sums,
+    # at-median values count as not-above, the 2xk table exact
+    # integers, the chi2 fold in group order, shared Wilson-Hilferty
+    oracle=f"""
+        WITH cnt AS (SELECT event_type AS g,
+                            CAST(round(value * 100) AS BIGINT) AS v,
+                            count(*)::BIGINT AS c
+                     FROM events GROUP BY 1, 2),
+        w AS (SELECT v, sum(c)::BIGINT AS w FROM cnt GROUP BY 1),
+        cum AS (SELECT v, sum(w) OVER (ORDER BY v)::BIGINT AS cm
+                FROM w),
+        nt0 AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM cnt),
+        med AS (SELECT min(v)::BIGINT AS med
+                FROM cum CROSS JOIN nt0 WHERE 2 * cm >= n + 1),
+        per_g AS (SELECT g, sum(c)::BIGINT AS ng,
+                         coalesce(sum(CASE WHEN v > med THEN c END),
+                                  0)::BIGINT AS ag
+                  FROM cnt CROSS JOIN med GROUP BY 1),
+        agg AS (SELECT count(*)::BIGINT AS k,
+                       coalesce(sum(ng), 0)::BIGINT AS nt,
+                       coalesce(sum(ag), 0)::BIGINT AS at,
+                       list(struct_pack(g := g, ng := ng, ag := ag)
+                            ORDER BY g) AS cells
+                FROM per_g),
+        folded AS (SELECT k, nt, at,
+                          list_reduce(
+                              list_prepend(0e0,
+                                  list_transform(cells, s ->
+                                      CASE WHEN at > 0 AND at < nt THEN
+                                        (s.ag - s.ng * 1e0 * at / nt)
+                                        * (s.ag - s.ng * 1e0 * at / nt)
+                                        / (s.ng * 1e0 * at / nt
+                                           * (1e0 - at * 1e0 / nt))
+                                      END)),
+                              (acc, x) -> acc + x) AS chi2r
+                   FROM agg),
+        flat AS (SELECT k AS k_groups, nt AS n_total, at AS n_above,
+                        CASE WHEN k >= 2 AND at > 0 AND at < nt
+                             THEN chi2r END AS chi2,
+                        (k - 1) * 1e0 AS dof
+                 FROM folded)
+        SELECT k_groups, n_total, n_above,
+               round(chi2, 6) AS chi2,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM flat
+    """,
+    tags=("analytics", "stats", "scale"),
+)
+def mood_median_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test of event value across ALL five event types
+    (operators.analytics.mood_median_from_counts, pre-staged r11) —
+    the coarsest, most OUTLIER-PROOF member closing the k-sample
+    family on this frame: ANOVA compares means, Kruskal-Wallis full
+    rank distributions, Brown-Forsythe spread; Mood reduces every
+    value to one bit ("above the POOLED median or not"), so single
+    wild values cannot move it at all — the right test when the
+    value column is heavy-tailed or censoring clips the extremes.
+    The pooled median is the exact 2*cum >= n+1 order statistic off
+    the value-alphabet prefix sums; the 2xk table is exact integers
+    and the chi-square folds in group order. Map-side collapse to
+    the (type, cents) alphabet first. Returns one row: (k_groups,
+    n_total, n_above, chi2, z_wh, significant)."""
+    counts = _t(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return analytics.mood_median_from_counts(counts)
+
+
+@register(
+    "jobspec_brown_forsythe_price_by_priority",
+    # the clause's oracle is the brown_forsythe_value_by_type shape
+    # on a DIFFERENT frame (order price cents across the five order
+    # priorities — the anova/kruskal clause frame) — parameter
+    # plumbing, not a memorized answer
+    oracle=f"""
+        WITH s AS (SELECT o_orderpriority AS g,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS v
+                   FROM orders),
+        cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        cum AS (SELECT g, v, c,
+                       sum(c) OVER (PARTITION BY g ORDER BY v)
+                           ::BIGINT AS cm
+                FROM cnt),
+        ng AS (SELECT g, sum(c)::BIGINT AS nn FROM cnt GROUP BY 1),
+        med AS (SELECT cum.g, min(v)::BIGINT AS md
+                FROM cum JOIN ng ON cum.g = ng.g
+                WHERE cm >= (nn + 1) // 2 GROUP BY 1),
+        dev AS (SELECT cnt.g, abs(v - md)::BIGINT AS z, c
+                FROM cnt JOIN med ON cnt.g = med.g),
+        grp AS (SELECT g, sum(c)::BIGINT AS n, sum(c * z)::BIGINT AS s,
+                       sum(c::HUGEINT * z * z) AS q
+                FROM dev GROUP BY 1),
+        f AS (SELECT count(*) AS k, sum(n) AS nt,
+                     sum(s)::DOUBLE AS st, sum(q)::DOUBLE AS qt,
+                     list_reduce(list_prepend(0e0,
+                         list({analytics.ANOVA_GROUP_TERM}
+                              ORDER BY g)),
+                         (acc, x) -> acc + x) AS sbp
+              FROM grp),
+        r AS (SELECT k::BIGINT AS k_groups, nt::BIGINT AS n_total,
+                     {analytics.ANOVA_F_EXPR} AS f_stat
+              FROM f),
+        z AS (SELECT k_groups, n_total, round(f_stat, 6) AS f_stat,
+                     (k_groups - 1) * 1e0 AS dof,
+                     (k_groups - 1) * f_stat AS chi2
+              FROM r)
+        SELECT k_groups, n_total, f_stat,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN round({analytics.WH_CHI2_Z}, 6) END AS z_wh,
+               CASE WHEN chi2 IS NOT NULL AND k_groups >= 2
+                    THEN ({analytics.WH_CHI2_Z} > 1.645e0)
+                   END AS significant
+        FROM z
+    """,
+    tags=("analytics", "stats", "jobspec"),
+)
+def jobspec_brown_forsythe_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's brown_forsythe mode (pre-staged r11):
+    "do the five order priorities differ in price VOLATILITY?" as a
+    declarative spec — the spread reading of the question
+    anova_f_price_by_priority answers with means and
+    jobspec_kruskal_price_by_priority with ranks, lowering onto
+    brown_forsythe_from_counts on a DIFFERENT frame than the batch
+    brown_forsythe_value_by_type entry so the gate exercises the
+    clause's parameter plumbing. The quantizing value expression is
+    part of the spec contract (exact-cents integers); exact
+    lower-middle group medians, integer deviations, the shared ANOVA
+    moment path. Map-side collapse to the (priority, cents) alphabet
+    before any exchange."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "orders")},
+        stats_test={
+            "method": "brown_forsythe",
+            "group_col": "o_orderpriority",
+            "value": "CAST(round(o_totalprice * 100) AS BIGINT)",
+        },
+    )
+    return build(spark, spec)
+
+
+@register(
+    "jobspec_ca_purchase_by_value_bin",
+    # a SECOND Cochran-Armitage frame for the clause entry (the batch
+    # entry scores by week; this scores by $50 value bin): the dose-
+    # response read "does purchase share rise with ticket size?"
+    oracle=f"""
+        WITH s AS (SELECT floor(value / 50)::BIGINT AS sc,
+                          CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END AS is_p
+                   FROM events),
+        grp AS (SELECT sc AS s, sum(is_p)::BIGINT AS x,
+                       count(*)::BIGINT AS n
+                FROM s GROUP BY 1),
+        agg AS (SELECT count(*)::BIGINT AS k,
+                       coalesce(sum(n), 0)::BIGINT AS nt,
+                       coalesce(sum(x), 0)::BIGINT AS xt,
+                       coalesce(sum(s::HUGEINT * n), 0)::DOUBLE AS sn,
+                       coalesce(sum(s::HUGEINT * x), 0)::DOUBLE AS sx,
+                       coalesce(sum(s::HUGEINT * s * n), 0)::DOUBLE
+                           AS ssn
+                FROM grp)
+        SELECT k AS n_groups, nt AS n_total, xt AS n_success,
+               round({analytics.CA_Z_EXPR}, 6) AS z_ca,
+               CASE
+                 WHEN {analytics.CA_Z_EXPR} IS NULL THEN NULL
+                 WHEN abs({analytics.CA_Z_EXPR}) <= 1.96e0
+                     THEN 'no_trend'
+                 WHEN {analytics.CA_Z_EXPR} > 0 THEN 'increasing'
+                 ELSE 'decreasing'
+               END AS trend
+        FROM agg
+    """,
+    tags=("analytics", "stats", "jobspec", "experimentation"),
+)
+def jobspec_ca_purchase_by_value_bin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stats_test clause's cochran_armitage mode (pre-staged
+    r11): "does the purchase SHARE of traffic rise with the $50
+    value bin?" as a declarative spec — the dose-response read on
+    ticket size, lowering onto cochran_armitage_trend with a
+    DIFFERENT score axis than the batch
+    cochran_armitage_purchase_by_week entry (week index there, value
+    bin here) so the gate exercises the clause's score/success
+    expression plumbing. Score and success predicate are SQL
+    expressions in the spec; one map-side collapse to the |bins|
+    alphabet, one exact-integer moment aggregate on decimal(38,0),
+    one shared z string."""
+    from lambda_refarch_mapreduce_spark.plans.jobspec import JobSpec, build
+
+    spec = JobSpec(
+        source={"df": _t(spark, sf_dir, "events")},
+        stats_test={
+            "method": "cochran_armitage",
+            "score": "CAST(floor(value / 50) AS BIGINT)",
+            "success": "event_type = 'purchase'",
+        },
+    )
+    return build(spark, spec)

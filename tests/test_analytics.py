@@ -3457,6 +3457,10 @@ def test_friedman_matches_references_and_degenerates(spark):
 
     got3 = run(rows2 + [(9, "A", 1), (9, "B", 2)])  # incomplete block
     assert tuple(got3) == tuple(got2)
+    # duplicated-treatment block (k rows, k-1 distinct treatments)
+    # drops as incomplete too (ADVICE r11)
+    got3b = run(rows2 + [(9, "A", 1), (9, "A", 2), (9, "B", 3)])
+    assert tuple(got3b) == tuple(got2)
 
     tied = run([(1, "A", 5), (1, "B", 5), (2, "A", 7), (2, "B", 7)])
     assert tied.t1_stat is None and tied.significant is None
@@ -4225,6 +4229,11 @@ def test_cochran_q_matches_reference_and_mcnemar(spark):
     # incomplete blocks drop; nonzero x coerces to 1
     got_inc = run(rows + [(999, "A", 1)])
     assert tuple(got_inc) == tuple(got)
+    # a block with a DUPLICATED treatment and a missing one has k rows
+    # but only k-1 distinct treatments — it must drop too (ADVICE r11:
+    # row count alone passed it as complete)
+    got_dup = run(rows + [(998, "A", 1), (998, "A", 0), (998, "B", 1)])
+    assert tuple(got_dup) == tuple(got)
     got_coerce = run([(b, t, x * 7) for b, t, x in rows])
     assert tuple(got_coerce) == tuple(got)
 
@@ -4422,7 +4431,8 @@ def test_kuiper_and_cvm_match_bruteforce_and_mc_criticals(spark):
     assert cv1.cvm_t is None and cv1.significant is None
     e = spark.createDataFrame([], "v long, ca long, cb long")
     assert kuiper_from_value_counts(e).collect()[0].kuiper_v is None
-    assert cvm_from_value_counts(e).collect()[0].cvm_t == 0.0
+    cve = cvm_from_value_counts(e).collect()[0]
+    assert cve.cvm_t is None and cve.significant is None
 
 
 @given(

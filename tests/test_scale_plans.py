@@ -377,6 +377,34 @@ def test_registry_wide_no_cartesian_product(spark):
         # against the 5-row group-moment frame
         "jobspec_kruskal_price_by_priority",  # same shape via the
         # stats_test clause
+        # round 12 — the 17 pre-staged registrations; same classes:
+        # broadcast single-row stat frames and alphabet-sized grids,
+        # never two data-sized sides
+        "friedman_event_volume",       # 1-row k + 1-row b frames
+        # against the |types| x |days| block cells
+        "page_l_event_volume_by_type",  # same ranked frame + 1-row
+        # moment frames
+        "jonckheere_terpstra_value_by_week",  # dense |values| x
+        # |weeks| grid off two alphabet-sized frames + 1-row moments
+        "ljung_box_daily_revenue",     # 7-row lag grid + 1-row
+        # moments (the acf_daily_revenue shape)
+        "runs_test_daily_revenue",     # 1-row median + 1-row totals
+        # against the |days| series
+        "kuiper_purchase_vs_click",    # 1-row (na, nb) totals against
+        # the value alphabet (the ks_test shape)
+        "cvm_purchase_vs_click",       # same totals-vs-alphabet shape
+        "cohens_kappa_doc_length_raters",  # 1-row po x 1-row pe
+        # over the 3x3 label alphabet
+        "gehan_wilcoxon_churn_by_segment",  # 1-row horizon + 1-row
+        # totals (the log_rank_churn_by_segment shape)
+        "cochran_q_user_by_event_type",  # dense user x type grid with
+        # the BROADCAST 5-row type side; 1-row k/moment frames
+        "wilcoxon_signed_rank_user_halves",  # 1-row n_pairs against
+        # the 1-row moment frame
+        "g_test_event_dow",            # |types| x 7 margin cross +
+        # 1-row total (the chi2_independence_event_dow cells)
+        "mood_median_value_by_type",   # 1-row median + 1-row n
+        # against the (type, cents) alphabet
     }
     offenders, bnlj_new = [], []
     for name, qd in catalog.REGISTRY.items():
