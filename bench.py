@@ -129,7 +129,61 @@ HEADLINE = {
     "q_kruskal": "kruskal_wallis_value_by_type",
     "q_brown_forsythe": "brown_forsythe_value_by_type",
     "q_cochran_armitage": "cochran_armitage_purchase_by_week",
+    # round 12 additions: of the 17 registered pre-staged kernels only
+    # the two genuinely NEW exchange shapes get keys (VERDICT r11 #7)
+    # — the within-block ranking window over the |types| x |days|
+    # block grid, and the h-way self-equi-join lag frame. The other 15
+    # ride value-counts / pair / contingency frames q_kruskal, q_ks,
+    # q_chi2 and q_mann_whitney already measure.
+    "q_friedman": "friedman_event_volume",
+    "q_ljung_box": "ljung_box_daily_revenue",
 }
+
+
+# Load guard (VERDICT r11 "What's wrong" #2): BENCH_NOTES r11 records
+# a real mis-adjudication where a run started at 1-min load 3.6
+# attributed the warmup query's stages to the first key's MeasuredRun
+# window and flagged a phantom PLAN/DATA-CHANGE. Two code guards turn
+# that prose caveat into mechanism: (1) the 1-min load is checked
+# before the measured loop and the artifact is TAGGED (warn, not
+# refuse — the round driver must still get its record) when it
+# exceeds the threshold; (2) the first key is re-measured once when
+# its stage-metric byte signature equals the warmup's (the
+# misattribution fingerprint).
+LOAD1_WARN_DEFAULT = 2.0
+
+
+def check_load(threshold: float | None = None) -> tuple[float | None, bool]:
+    """(1-min loadavg, exceeds-threshold flag). Threshold comes from
+    $SPARK_GRAFT_MAX_LOAD1 (default 2.0 — the r11 incident started at
+    3.6; anything above ~2 on the bench box means a co-tenant is
+    active and wall times are suspect). Platforms without getloadavg
+    report (None, False)."""
+    if threshold is None:
+        threshold = float(
+            os.environ.get("SPARK_GRAFT_MAX_LOAD1", str(LOAD1_WARN_DEFAULT))
+        )
+    try:
+        load1 = os.getloadavg()[0]
+    except (OSError, AttributeError):
+        return None, False
+    return round(load1, 2), load1 > threshold
+
+
+def first_key_echoes_warmup(
+    first_bytes: int | None, warmup_bytes: int | None
+) -> bool:
+    """True iff the first measured key's shuffle-byte signature equals
+    the warmup query's — the r11 misattribution fingerprint (the
+    warmup's stages landed inside the first key's MeasuredRun window).
+    Unmeasured (None) on either side is NOT an echo: re-running on
+    missing metrics would loop on REST-read hiccups, and the byte
+    column already records the miss as null."""
+    return (
+        first_bytes is not None
+        and warmup_bytes is not None
+        and first_bytes == warmup_bytes
+    )
 
 
 def main() -> None:
@@ -147,12 +201,27 @@ def main() -> None:
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches, excluded from timings
-    catalog.REGISTRY["substr_groupby_sum"].spark(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    load1, load_warn = check_load()
+    if load_warn:
+        print(
+            f"WARNING: 1-min load {load1} exceeds the bench guard "
+            "threshold — wall times this run are suspect (co-tenant "
+            "activity); the artifact is tagged load_warn",
+            file=sys.stderr,
+        )
 
     from lambda_refarch_mapreduce_spark.metrics import MeasuredRun
+
+    # warmup: JVM + parquet footer caches, excluded from timings —
+    # measured anyway so its byte signature can fingerprint
+    # misattribution into the first key's window
+    with MeasuredRun(spark) as wm:
+        catalog.REGISTRY["substr_groupby_sum"].spark(
+            spark, sf_dir
+        ).write.format("noop").mode("overwrite").save()
+    warmup_bytes = (
+        wm.stats.shuffle_bytes if wm.stats.bytes_measured else None
+    )
 
     # best-of-2 per query: the second run has JIT/codegen caches warm,
     # which is the steady-state a long-running cluster actually sees.
@@ -162,32 +231,42 @@ def main() -> None:
     # wall-time, so cross-round deltas separate plan changes (bytes
     # move) from box drift (bytes identical). The REST reads add ~ms
     # to run 1's wall; run 2 is unaffected and is usually the best.
+    def measured_leg(qname: str) -> tuple[float, int | None, int | None]:
+        # construction INSIDE the timer: plan building is ~ms for
+        # lazy queries, but operators with eager stages (pagerank's
+        # edge materialization + iteration) do real work there and
+        # must not be excluded
+        t0 = time.monotonic()
+        with MeasuredRun(spark) as m:
+            df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        if not m.stats.bytes_measured:
+            return wall, None, None
+        return wall, m.stats.shuffle_bytes, m.stats.extra.get("n_stages")
+
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int | None] = {}
     stages: dict[str, int | None] = {}
-    for label, qname in HEADLINE.items():
-        best = float("inf")
-        for i in range(2):
-            # construction INSIDE the timer: plan building is ~ms for
-            # lazy queries, but operators with eager stages (pagerank's
-            # edge materialization + iteration) do real work there and
-            # must not be excluded
-            t0 = time.monotonic()
-            if i == 0:
-                with MeasuredRun(spark) as m:
-                    df = catalog.REGISTRY[qname].spark(spark, sf_dir)
-                    df.write.format("noop").mode("overwrite").save()
-                measured = m.stats.bytes_measured
-                shuffle_bytes[label] = (
-                    m.stats.shuffle_bytes if measured else None
-                )
-                stages[label] = (
-                    m.stats.extra.get("n_stages") if measured else None
-                )
-            else:
-                df = catalog.REGISTRY[qname].spark(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
+    first_key_remeasured = False
+    for idx, (label, qname) in enumerate(HEADLINE.items()):
+        wall, sb, ns = measured_leg(qname)
+        if idx == 0 and first_key_echoes_warmup(sb, warmup_bytes):
+            # the warmup's stages were attributed to this window
+            # (the r11 incident) — one re-measure replaces the
+            # poisoned byte signature; the suspect wall still joins
+            # best-of (it can only lose)
+            first_key_remeasured = True
+            wall2, sb, ns = measured_leg(qname)
+            wall = min(wall, wall2)
+        shuffle_bytes[label], stages[label] = sb, ns
+        best = wall
+        # second leg: JIT/codegen caches warm — the steady state a
+        # long-running cluster actually sees; no REST reads
+        t0 = time.monotonic()
+        df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
         timings[label] = round(best, 3)
 
     # Trained tiers measured twice more with the index BUILD (centroid/
@@ -206,6 +285,9 @@ def main() -> None:
         "shuffle_bytes": shuffle_bytes,
         "stages": stages,
         "trained": trained,
+        "load1": load1,
+        "load_warn": load_warn,
+        "first_key_remeasured": first_key_remeasured,
         "sf": sf,
     }
     # The summary stays O(1) in headline-key count (VERDICT r10 #1):
@@ -230,8 +312,13 @@ def main() -> None:
             for k in ("q1a_scan", "q1b_scan_wide", "q2a_substr_agg")
             if k in timings
         },
+        "load1": load1,
         "sf": sf,
     }
+    if load_warn:
+        summary["load_warn"] = True
+    if first_key_remeasured:
+        summary["first_key_remeasured"] = True
     # full record to a committed-able file (best-effort: a read-only
     # checkout must not fail the bench)
     try:

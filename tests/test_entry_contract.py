@@ -344,7 +344,11 @@ def test_bench_summary_line_fits_tail_window():
             k: walls[k]
             for k in ("q1a_scan", "q1b_scan_wide", "q2a_substr_agg")
         },
+        # r12 load-guard tags at their maximal shape
+        "load1": 99999.99,
         "sf": "0.001",
+        "load_warn": True,
+        "first_key_remeasured": True,
     }
     line = json.dumps(summary)
     assert len(line) < 1400, (
@@ -352,3 +356,43 @@ def test_bench_summary_line_fits_tail_window():
         "shape regressed toward the driver tail window; keep per-key "
         "payloads in BENCH_DETAIL.json only"
     )
+
+
+def test_bench_load_guard_and_warmup_echo(monkeypatch):
+    """The r11 bench hazard guards are code, not prose (VERDICT r11
+    next-round #4): check_load flags a 1-min load above the threshold
+    (env-overridable, platform-missing tolerated), and
+    first_key_echoes_warmup fires exactly on a matching non-null byte
+    signature — never on unmeasured metrics, where a re-run would
+    loop on REST hiccups without fixing anything."""
+    import bench
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.5, 9.9, 9.9))
+    load1, warn = bench.check_load()
+    assert load1 == 1.5 and warn is False
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (3.6, 0.0, 0.0))
+    load1, warn = bench.check_load()
+    assert load1 == 3.6 and warn is True  # the r11 incident's load
+
+    # env override raises the bar
+    monkeypatch.setenv("SPARK_GRAFT_MAX_LOAD1", "8")
+    load1, warn = bench.check_load()
+    assert warn is False
+    # explicit threshold beats env
+    assert bench.check_load(threshold=2.0) == (3.6, True)
+
+    # platforms without getloadavg: no crash, no flag
+    def boom():
+        raise OSError("unavailable")
+
+    monkeypatch.setattr(bench.os, "getloadavg", boom)
+    assert bench.check_load() == (None, False)
+
+    # the misattribution fingerprint: equal NON-NULL bytes only
+    assert bench.first_key_echoes_warmup(1234, 1234) is True
+    assert bench.first_key_echoes_warmup(0, 0) is True
+    assert bench.first_key_echoes_warmup(1234, 1235) is False
+    assert bench.first_key_echoes_warmup(None, 1234) is False
+    assert bench.first_key_echoes_warmup(1234, None) is False
+    assert bench.first_key_echoes_warmup(None, None) is False

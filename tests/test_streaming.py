@@ -2265,6 +2265,33 @@ def test_streaming_sprt_epoch_guard_and_restart_readouts(
     ).collect()[0]
     assert tuple(got_rcp) == tuple(want_rcp)
 
+    # ...and the round-11 Ljung-Box / runs readouts survive the
+    # restart with batch parity on the grown union too (VERDICT r11
+    # next-round #6 — the decompose/changepoint treatment for the new
+    # monitors)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ljung_box_from_series,
+        runs_test_from_series,
+    )
+
+    got_lb = sprt.ljung_box_now(spark, index_dir).collect()[0]
+    want_lb = ljung_box_from_series(
+        sprt.batch_day_counts(union, *args), "dd", "m", 7
+    ).collect()[0]
+    assert tuple(got_lb) == tuple(want_lb)
+    assert got_lb.q_stat is not None  # real statistic on 25 days
+
+    got_rt = sprt.runs_now(spark, index_dir).collect()[0]
+    want_rt = runs_test_from_series(
+        sprt.batch_day_counts(union, *args).selectExpr(
+            "dd", "(x * 1000000) div m AS rate_micro"
+        ),
+        "dd",
+        "rate_micro",
+    ).collect()[0]
+    assert tuple(got_rt) == tuple(want_rt)
+    assert got_rt.n_runs > 0 and got_rt.verdict is not None
+
 
 def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     """The k-group monitor (streaming/kgroup.py — the k-sample
@@ -2450,3 +2477,26 @@ def test_streaming_kgroup_epoch_guard_raises_on_fresh_checkpoint(
         for r in kgroup.running_group_counts(spark, index_dir).collect()
     }
     assert ("c", 500, 1) in merged
+
+    # ...and the KW / Brown-Forsythe readouts equal the batch kernels
+    # on the grown union after the restart (VERDICT r11 next-round #6
+    # — the sprt monitor's restart-parity treatment for the k-group
+    # readouts; the third group makes both statistics well-defined)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        brown_forsythe_from_counts,
+        kruskal_wallis_from_counts,
+    )
+
+    union = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 5.0)], schema
+    )
+    union_counts = kgroup.batch_group_counts(union)
+    got_kw = kgroup.kruskal_now(spark, index_dir).collect()[0]
+    want_kw = kruskal_wallis_from_counts(union_counts).collect()[0]
+    assert tuple(got_kw) == tuple(want_kw)
+    assert got_kw.k_groups == 3 and got_kw.h_stat is not None
+
+    got_bf = kgroup.brown_forsythe_now(spark, index_dir).collect()[0]
+    want_bf = brown_forsythe_from_counts(union_counts).collect()[0]
+    assert tuple(got_bf) == tuple(want_bf)
+    assert got_bf.k_groups == 3
