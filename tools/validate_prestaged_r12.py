@@ -3,6 +3,13 @@ round-10 move repeated: kernels built WITHOUT catalog entries get
 their DuckDB oracle recipes validated against the kernel output NOW,
 so next round's registration is mechanical).
 
+STATUS (round 12): all 17 pairs below are REGISTERED as catalog
+entries in plans/catalog_analytics.py (the round-12 section) —
+frames and SQL lifted verbatim. This validator stays as the
+registration's provenance record and as a standalone re-check. With
+these the classical-statistics tier is CLOSED (COVERAGE.md r12); no
+further pre-staging of hypothesis tests.
+
 Validated pairs (exact tuple equality, sf0.001 and sf0.01):
 - friedman_from_blocks          <- _FRIEDMAN_SQL  (days x event types
   x daily counts — the repeated-measures rank test with the day
