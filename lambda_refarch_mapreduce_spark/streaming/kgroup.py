@@ -219,3 +219,25 @@ def jt_now(spark: SparkSession, index_dir: str) -> DataFrame:
     return jonckheere_terpstra_from_counts(
         running_group_counts(spark, index_dir)
     )
+
+def mood_now(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Mood's median readout over the committed state — the
+    OUTLIER-PROOF member completing the k-group monitor's family
+    (operators.analytics.mood_median_from_counts, the kernel the
+    batch mood_median_value_by_type entry lowers onto): kruskal_now
+    ranks, brown_forsythe_now measures spread, anova_now compares
+    means, this reduces every committed value to one bit — above the
+    pooled median or not — so a single wild value in one arm cannot
+    fire the alarm. The right continuous readout when the monitored
+    value is heavy-tailed (payment amounts, latencies). Rides
+    running_group_counts verbatim, no new state. Returns one row:
+    (k_groups, n_total, n_above, chi2, z_wh, significant); NULL
+    statistics while fewer than two arms have committed or every
+    value sits on one side of the median."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    return mood_median_from_counts(
+        running_group_counts(spark, index_dir)
+    )

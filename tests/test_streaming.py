@@ -2312,7 +2312,12 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
 
     # empty index: NULL statistics, zero/NULL counts, no errors
     empty_dir = str(tmp_path / "empty_idx")
-    for ro in (kgroup.kruskal_now, kgroup.brown_forsythe_now, kgroup.anova_now):
+    for ro in (
+        kgroup.kruskal_now,
+        kgroup.brown_forsythe_now,
+        kgroup.anova_now,
+        kgroup.mood_now,
+    ):
         r = ro(spark, empty_dir).collect()[0]
         assert r.k_groups == 0 and r.significant is None
     jt0 = kgroup.jt_now(spark, empty_dir).collect()[0]
@@ -2335,6 +2340,9 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     jt1 = kgroup.jt_now(spark, one_dir).collect()[0]
     assert (jt1.k_groups, jt1.n_total) == (1, 4)
     assert jt1.jt_auc is None and jt1.z_jt is None
+    md1 = kgroup.mood_now(spark, one_dir).collect()[0]
+    assert (md1.k_groups, md1.n_total) == (1, 4)
+    assert md1.chi2 is None and md1.significant is None
 
     # streamed in chunks == batch kernels on the union
     sf = "/root/testdata/sf0.001"
@@ -2379,6 +2387,15 @@ def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     want_jt = jonckheere_terpstra_from_counts(batch_counts).collect()[0]
     assert tuple(got_jt) == tuple(want_jt)
     assert got_jt.jt_auc is not None and got_jt.trend is not None
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    got_md = kgroup.mood_now(spark, index_dir).collect()[0]
+    want_md = mood_median_from_counts(batch_counts).collect()[0]
+    assert tuple(got_md) == tuple(want_md)
+    assert got_md.k_groups == 5 and got_md.chi2 is not None
 
     got_an = kgroup.anova_now(spark, index_dir).collect()[0]
     want_groups = batch_counts.groupBy("g").agg(
@@ -2500,3 +2517,12 @@ def test_streaming_kgroup_epoch_guard_raises_on_fresh_checkpoint(
     want_bf = brown_forsythe_from_counts(union_counts).collect()[0]
     assert tuple(got_bf) == tuple(want_bf)
     assert got_bf.k_groups == 3
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    got_md = kgroup.mood_now(spark, index_dir).collect()[0]
+    want_md = mood_median_from_counts(union_counts).collect()[0]
+    assert tuple(got_md) == tuple(want_md)
+    assert got_md.k_groups == 3
