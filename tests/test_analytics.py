@@ -4737,3 +4737,384 @@ def test_mood_median_matches_reference_and_degenerates(spark):
     assert one_g.chi2 is None and one_g.significant is None
     tied = run([("a", 5, 3), ("b", 5, 4)])
     assert tied.n_above == 0 and tied.chi2 is None
+
+
+# ---------------------------------------------------------------------------
+# Round-12 property tests: the registered r12 kernels that had
+# example/MC tests but no hypothesis property-vs-bruteforce coverage
+# (the r11 pattern extended to the rest of the tier at its closure).
+# ---------------------------------------------------------------------------
+
+
+def _wh_z(chi2: float, dof: float) -> float:
+    """Python twin of the shared WH_CHI2_Z string."""
+    return ((chi2 / dof) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof))) / math.sqrt(
+        2.0 / (9.0 * dof)
+    )
+
+
+def _doubled_block_ranks(xs: list[int]) -> list[int]:
+    """Doubled within-block average ranks (2r = 2*#less + #eq + 1)."""
+    return [
+        2 * sum(1 for y in xs if y < x) + sum(1 for y in xs if y == x) + 1
+        for x in xs
+    ]
+
+
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=3, max_size=3),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_friedman_property_matches_bruteforce(spark, blocks):
+    """Property (hypothesis): friedman_from_blocks equals the
+    sequential tie-corrected Conover T1 (in doubled-rank units) for
+    arbitrary small complete-block designs, including all-tied blocks
+    (NULL T1) and the empty design."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        friedman_from_blocks,
+    )
+
+    rows = [
+        (bi, t, x)
+        for bi, xs in enumerate(blocks)
+        for t, x in zip("ABC", xs)
+    ]
+    got = friedman_from_blocks(
+        spark.createDataFrame(rows, "b long, t string, x long")
+    ).collect()[0]
+
+    b, k = len(blocks), (3 if blocks else 0)
+    assert (got.k_treatments, got.n_blocks) == (k, b)
+    rs2 = {t: 0 for t in "ABC"}
+    a2 = 0
+    for xs in blocks:
+        r2s = _doubled_block_ranks(xs)
+        for t, r2 in zip("ABC", r2s):
+            rs2[t] += r2
+            a2 += r2 * r2
+    if not blocks:
+        assert got.t1_stat is None and got.significant is None
+        return
+    sr2 = sum((rs2[t] - b * (k + 1)) ** 2 for t in "ABC")
+    denom = a2 - b * k * (k + 1) ** 2
+    if denom > 0:
+        t1 = (k - 1) * sr2 / denom
+        assert abs(got.t1_stat - round(t1, 6)) < 1e-9
+        z = _wh_z(t1, k - 1)
+        assert abs(got.z_wh - round(z, 6)) < 1e-9
+        assert got.significant == (z > 1.645)
+    else:
+        assert got.t1_stat is None and got.z_wh is None
+
+
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=3, max_size=3),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_page_l_property_matches_bruteforce(spark, blocks):
+    """Property (hypothesis): page_l_from_blocks equals the sequential
+    L statistic and its exact-permutation normal moments (doubled
+    units) for arbitrary small complete-block designs."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        page_l_from_blocks,
+    )
+
+    rows = [
+        (bi, t, x)
+        for bi, xs in enumerate(blocks)
+        for t, x in zip("ABC", xs)
+    ]
+    got = page_l_from_blocks(
+        spark.createDataFrame(rows, "b long, t string, x long")
+    ).collect()[0]
+
+    b, k = len(blocks), (3 if blocks else 0)
+    assert (got.k_treatments, got.n_blocks) == (k, b)
+    if not blocks:
+        assert got.l_stat is None and got.z_page is None
+        return
+    pos = {"A": 1, "B": 2, "C": 3}
+    l2 = 0
+    sr2_cells = 0
+    for xs in blocks:
+        r2s = _doubled_block_ranks(xs)
+        for t, r2 in zip("ABC", r2s):
+            l2 += pos[t] * r2
+            sr2_cells += (r2 - (k + 1)) ** 2
+    assert abs(got.l_stat - round(l2 / 2.0, 6)) < 1e-9
+    sc4 = sum((2 * p - (k + 1)) ** 2 for p in pos.values())
+    if sr2_cells > 0:
+        var = (sc4 / 4.0) * sr2_cells / (k - 1)
+        z = (l2 - b * (k + 1.0) * k * (k + 1.0) / 2.0) / math.sqrt(var)
+        assert abs(got.z_page - round(z, 6)) < 1e-9
+        want_trend = (
+            "no_trend"
+            if abs(z) <= 1.96
+            else ("increasing" if z > 0 else "decreasing")
+        )
+        assert got.trend == want_trend
+    else:
+        assert got.z_page is None and got.trend is None
+
+
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=1), min_size=3, max_size=3),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_cochran_q_property_matches_bruteforce(spark, blocks):
+    """Property (hypothesis): cochran_q_from_blocks equals the
+    textbook totals computation for arbitrary small binary designs,
+    including saturated (all-0/all-1) and empty designs."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cochran_q_from_blocks,
+    )
+
+    rows = [
+        (bi, t, x)
+        for bi, xs in enumerate(blocks)
+        for t, x in zip("ABC", xs)
+    ]
+    got = cochran_q_from_blocks(
+        spark.createDataFrame(rows, "b long, t string, x long")
+    ).collect()[0]
+
+    b, k = len(blocks), (3 if blocks else 0)
+    assert (got.k_treatments, got.n_blocks) == (k, b)
+    tj = {t: 0 for t in "ABC"}
+    ui = []
+    for xs in blocks:
+        for t, x in zip("ABC", xs):
+            tj[t] += x
+        ui.append(sum(xs))
+    nsucc = sum(ui)
+    assert got.n_success == nsucc
+    den = k * nsucc - sum(u * u for u in ui)
+    if blocks and k >= 2 and den > 0:
+        q = (k - 1) * (k * sum(v * v for v in tj.values()) - nsucc * nsucc) / den
+        assert abs(got.q_stat - round(q, 6)) < 1e-9
+        z = _wh_z(q, k - 1)
+        assert abs(got.z_wh - round(z, 6)) < 1e-9
+        assert got.significant == (z > 1.645)
+    else:
+        assert got.q_stat is None and got.significant is None
+
+
+@given(
+    flags=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=0, max_size=25
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_mcnemar_property_matches_bruteforce(spark, flags):
+    """Property (hypothesis): mcnemar_from_pairs equals the
+    continuity-corrected discordant-cell computation for arbitrary
+    paired boolean samples, including all-concordant (NULL chi2)."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mcnemar_from_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(bool(a), bool(b)) for a, b in flags] or [],
+        "a boolean, b boolean",
+    ) if flags else spark.createDataFrame([], "a boolean, b boolean")
+    got = mcnemar_from_pairs(df).collect()[0]
+
+    n_both = sum(1 for a, b in flags if a and b)
+    only_a = sum(1 for a, b in flags if a and not b)
+    only_b = sum(1 for a, b in flags if b and not a)
+    neither = sum(1 for a, b in flags if not a and not b)
+    assert (
+        got.n_pairs,
+        got.n_both,
+        got.n_only_a,
+        got.n_only_b,
+        got.n_neither,
+    ) == (len(flags), n_both, only_a, only_b, neither)
+    if only_a + only_b > 0:
+        chi2 = (abs(only_a - only_b) - 1.0) ** 2 / (only_a + only_b)
+        assert abs(got.chi2_cc - round(chi2, 6)) < 1e-9
+        sig = chi2 > 3.841
+        assert got.significant == sig
+        want_dir = (
+            "none"
+            if not sig
+            else ("a_over_b" if only_a > only_b else "b_over_a")
+        )
+        assert got.direction == want_dir
+    else:
+        assert got.chi2_cc is None and got.significant is None
+        assert got.direction is None
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_cohens_kappa_property_matches_bruteforce(spark, pairs):
+    """Property (hypothesis): cohens_kappa_from_pairs equals the
+    margin-product chance correction for arbitrary small label pairs,
+    including the perfect-agreement degenerate (pe == N^2 -> NULL)."""
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cohens_kappa_from_pairs,
+    )
+
+    df = (
+        spark.createDataFrame(list(pairs), "a string, b string")
+        if pairs
+        else spark.createDataFrame([], "a string, b string")
+    )
+    got = cohens_kappa_from_pairs(df).collect()[0]
+
+    n = len(pairs)
+    assert got.n_items == n
+    if n == 0:
+        assert got.po is None and got.pe is None and got.kappa is None
+        return
+    po_num = sum(1 for a, b in pairs if a == b)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    pe_num = sum(ra[l] * cb.get(l, 0) for l in ra)
+    assert abs(got.po - round(po_num / n, 6)) < 1e-9
+    assert abs(got.pe - round(pe_num / (n * n), 6)) < 1e-9
+    if n * n - pe_num > 0:
+        kappa = (po_num * n - pe_num) / (n * n - pe_num)
+        assert abs(got.kappa - round(kappa, 6)) < 1e-9
+    else:
+        assert got.kappa is None and got.agreement is None
+
+
+@given(
+    ga=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    gb=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    gc=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+)
+@settings(**_PROP_SETTINGS)
+def test_mood_median_property_matches_bruteforce(spark, ga, gb, gc):
+    """Property (hypothesis): mood_median_from_counts equals the
+    sequential pooled-median 2xk chi-square for arbitrary small tied
+    groups, including one-sided (A=0 or A=N -> NULL) and empty
+    degenerates."""
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        mood_median_from_counts,
+    )
+
+    groups = {k: v for k, v in (("a", ga), ("b", gb), ("c", gc)) if v}
+    rows = [
+        (g, val, cnt)
+        for g, xs in groups.items()
+        for val, cnt in Counter(xs).items()
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, v long, c long")
+        if rows
+        else spark.createDataFrame([], "g string, v long, c long")
+    )
+    got = mood_median_from_counts(df).collect()[0]
+
+    pooled = sorted(x for xs in groups.values() for x in xs)
+    n = len(pooled)
+    k = len(groups)
+    assert (got.k_groups, got.n_total) == (k, n)
+    if n == 0:
+        assert got.chi2 is None and got.n_above == 0
+        return
+    # exact lower-middle median: min v with 2*cum >= n+1
+    cum = 0
+    med = None
+    for v in sorted(set(pooled)):
+        cum += pooled.count(v)
+        if 2 * cum >= n + 1:
+            med = v
+            break
+    a_tot = sum(1 for x in pooled if x > med)
+    assert got.n_above == a_tot
+    if k >= 2 and 0 < a_tot < n:
+        chi2 = 0.0
+        for g in sorted(groups):
+            ng = len(groups[g])
+            ag = sum(1 for x in groups[g] if x > med)
+            e = ng * a_tot / n
+            chi2 += (ag - e) ** 2 / (e * (1 - a_tot / n))
+        assert abs(got.chi2 - round(chi2, 6)) < 1e-9
+        z = _wh_z(chi2, k - 1)
+        assert abs(got.z_wh - round(z, 6)) < 1e-9
+        assert got.significant == (z > 1.645)
+    else:
+        assert got.chi2 is None and got.significant is None
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q", "r"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_g_test_property_matches_bruteforce_and_mi(spark, pairs):
+    """Property (hypothesis): g_test_from_contingency equals the
+    sequential 2 * sum n*ln(n*N/(ra*cb)) over positive cells for
+    arbitrary small label pairs (and hence 2*N*MI), including
+    single-level margins (NULL G)."""
+    from collections import Counter
+
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        contingency_counts,
+        g_test_from_contingency,
+    )
+
+    df = (
+        spark.createDataFrame(list(pairs), "a string, b long")
+        if pairs
+        else spark.createDataFrame([], "a string, b long")
+    )
+    got = g_test_from_contingency(
+        contingency_counts(df, "a", "b")
+    ).collect()[0]
+
+    n = len(pairs)
+    cells = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    ka, kb = len(ra), len(cb)
+    if n == 0:
+        assert got.g_stat is None and got.significant is None
+        return
+    assert (got.ka, got.kb, got.n_total) == (ka, kb, n)
+    if ka >= 2 and kb >= 2:
+        g = 2.0 * sum(
+            c * math.log(c * n / (ra[a] * cb[b]))
+            for (a, b), c in cells.items()
+        )
+        assert abs(got.g_stat - round(g, 6)) < 2e-6
+        dof = (ka - 1.0) * (kb - 1.0)
+        z = _wh_z(max(g, 0.0), dof) if g != 0 else _wh_z(g, dof)
+        assert abs(got.z_wh - round(z, 6)) < 2e-6
+    else:
+        assert got.g_stat is None and got.z_wh is None
