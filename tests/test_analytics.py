@@ -5118,3 +5118,62 @@ def test_g_test_property_matches_bruteforce_and_mi(spark, pairs):
         assert abs(got.z_wh - round(z, 6)) < 2e-6
     else:
         assert got.g_stat is None and got.z_wh is None
+
+
+@given(
+    ys=st.lists(
+        st.integers(min_value=-9, max_value=9), min_size=0, max_size=18
+    ),
+)
+@settings(**_PROP_SETTINGS)
+def test_ljung_box_property_matches_bruteforce(spark, ys):
+    """Property (hypothesis): ljung_box_from_series equals the
+    sequential Q = n(n+2) sum rho_k^2/(n-k) with the kernel's exact
+    lag-pair ACF estimator for arbitrary short integer series,
+    including constants (zero variance -> NULL Q), series shorter
+    than the lag horizon (fewer lag rows) and empties."""
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        ljung_box_from_series,
+    )
+
+    max_lag = 4
+    got = ljung_box_from_series(
+        spark.createDataFrame(list(enumerate(ys)), "t long, v long"),
+        "t",
+        "v",
+        max_lag,
+    ).collect()[0]
+
+    n = len(ys)
+    assert got.n_obs == n
+    if n == 0:
+        assert got.n_lags == 0 and got.q_stat is None
+        return
+    s = sum(ys)
+    q = sum(y * y for y in ys)
+    den = q - s * s / n
+    m = s / n
+    terms = []
+    for lag in range(1, max_lag + 1):
+        pairs = [(ys[i], ys[i - lag]) for i in range(lag, n)]
+        if not pairs:
+            continue
+        cnt = len(pairs)
+        pk = sum(a * b for a, b in pairs)
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        if den > 0:
+            rho = (pk - (sa + sb) * m + cnt * m * m) / den
+            terms.append(rho * rho / (n - lag))
+        else:
+            terms.append(None)
+    h = len(terms)
+    assert got.n_lags == h
+    if h >= 1 and all(t is not None for t in terms):
+        chi2 = n * (n + 2.0) * sum(terms)
+        assert abs(got.q_stat - round(chi2, 6)) < 2e-6
+        z = _wh_z(chi2, h) if chi2 >= 0 else None
+        assert abs(got.z_wh - round(z, 6)) < 2e-6
+        assert got.significant == (z > 1.645)
+    else:
+        assert got.q_stat is None and got.significant is None
