@@ -1,8 +1,10 @@
 """Continuous k-GROUP monitoring: events stream in, each micro-batch
 folds its per-(group, distinct-value) count frame into committed
 running state, and the whole k-sample family — ANOVA on means,
-Kruskal-Wallis on ranks, Brown-Forsythe on spreads — is computable at
-any moment from that alphabet-sized state. This generalizes the
+Kruskal-Wallis on ranks, Brown-Forsythe on spreads,
+Jonckheere-Terpstra on an ordered alternative, Mood's median on the
+outlier-proof one-bit reduction — is computable at any moment from
+that alphabet-sized state. This generalizes the
 two-arm A/B monitor (streaming/abtest.py) the same way the round-11
 batch kernels generalize the two-sample tests: abtest's (v, ca, cb)
 frame is the k=2 special case of this (g, v, c) frame, and a k-armed
@@ -12,8 +14,11 @@ monitor per pair.
 Shared-kernel contract: every readout lowers onto the SAME kernels
 behind the batch catalog entries (operators.analytics.
 kruskal_wallis_from_counts / brown_forsythe_from_counts /
-anova_f_from_groups), so streamed-then-tested equals the batch entry
-on the union exactly — cross-validated in tests/test_streaming.py.
+anova_f_from_groups / jonckheere_terpstra_from_counts /
+mood_median_from_counts), so streamed-then-tested equals the batch
+entry on the union exactly — cross-validated in
+tests/test_streaming.py, including after a same-checkpoint restart
+drain.
 
 Idempotence, lifecycle, and the checkpoint/index shared-lifecycle
 CAVEAT are inherited verbatim from abtest.py: per-batch count rows
