@@ -312,6 +312,18 @@ def global_rank(
         df.repartitionByRange(partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
+        # pin ONE materialization (the pack_sequences precedent): the
+        # local-rank branch and the offsets branch below must see the
+        # IDENTICAL pid -> key-range mapping, but spark_partition_id is
+        # nondeterministic so Catalyst neither reuses the exchange nor
+        # collapses the branches — without the pin each branch re-runs
+        # repartitionByRange, whose SAMPLED bounds differ between
+        # materializations, and the offset join silently mixes two
+        # different partitionings (caught by the r12 sf0.1 oracle spot
+        # check: prefix_sums served 12,824 wrong cumulative rows on a
+        # 13,241-value frame). MEMORY_AND_DISK spills rather than
+        # evicts, so the pin holds for the query's lifetime.
+        .persist()
     )
     local = ranked.withColumn(
         "__local_rn",
@@ -362,6 +374,12 @@ def prefix_sums(
         df.repartitionByRange(partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
+        # pin ONE materialization — see global_rank: the window branch
+        # and the offsets branch must agree on the pid -> key-range
+        # mapping, and without the pin each branch re-samples its own
+        # range bounds (the r12 sf0.1 find: cc_cum wrong on 12,824 of
+        # 13,241 rows, corrupting Mann-Whitney/Cliff's u2 by ~0.9%)
+        .persist()
     )
     w_local = (
         Window.partitionBy("__pid")

@@ -1038,6 +1038,10 @@ def curriculum_order(
                 )
             ),
         )
+        # pin ONE materialization (the pack_sequences/global_rank
+        # pattern): the offsets branch and the join branch must see
+        # the identical nondeterministic pid stamp and range bounds
+        .persist()
     )
     offsets = (
         ranked.groupBy("__pid")

@@ -698,6 +698,39 @@ def test_prefix_sums_crosses_partition_boundaries(spark):
     assert got == want and len(got) == 1000
 
 
+def test_two_phase_rank_kernels_pin_one_materialization(spark):
+    """Regression guard for the r12 sf0.1 find: prefix_sums and
+    global_rank stamp rows with the NONDETERMINISTIC
+    spark_partition_id, so their local branch and offsets branch must
+    read ONE pinned materialization — without the pin each branch
+    re-runs repartitionByRange, whose SAMPLED bounds can differ
+    between materializations (observed on the real sf0.1 value-counts
+    frame: 12,824 of 13,241 cumulative rows wrong, shifting
+    Mann-Whitney/Cliff's doubled U by ~0.9% and flipping the sign of
+    the delta). Small synthetic frames rarely trigger the divergence
+    (the upstream is deterministic enough), so this guard is
+    STRUCTURAL: the optimized plan of both kernels must contain the
+    InMemoryRelation pin."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        prefix_sums,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") * 37 % 100).alias("k"), (F.col("id") % 7).alias("a")
+    )
+    for out in (
+        prefix_sums(df, [F.col("k")], ["a"], partitions=8),
+        global_rank(df, [F.col("k")], partitions=8),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, (
+            "two-phase rank kernel lost its materialization pin — the "
+            "offsets join is only correct against a single pinned "
+            "partitioning (see prefix_sums' persist comment)"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Round 6b: statistical-inference tier — the shared formula strings the
 # catalog entries feed to selectExpr, cross-validated against numpy /
