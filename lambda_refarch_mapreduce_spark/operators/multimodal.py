@@ -290,7 +290,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                         n_frames,
                         round(n_frames / rate, 6),
                         round(float(np.sqrt((x * x).mean())), 6) if n_frames else 0.0,
-                        int(np.abs(samples).max()) if n_frames else 0,
+                        # abs on the WIDENED copy: np.abs wraps the
+                        # int16 full-scale sample (abs(-32768) ->
+                        # -32768), silently skipping the true peak —
+                        # caught by the r12 sf0.1 gate sweep, where
+                        # 10x more blobs finally hit 0x0080
+                        int(np.abs(x).max()) if n_frames else 0,
                     )
                 )
             yield pd.DataFrame(

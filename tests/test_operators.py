@@ -498,6 +498,27 @@ def test_extract_audio_features_real_decode(spark):
     assert r.rms == round(float(np.sqrt((x * x).mean())), 6)
     assert r.peak == 32767
 
+    # the int16 FULL-SCALE negative sample: np.abs on the narrow dtype
+    # wraps abs(-32768) back to -32768 and the max() skips the true
+    # peak (caught by the r12 sf0.1 gate sweep) — the kernel must abs
+    # the widened copy and report 32768
+    s3 = np.array([0, 5, -32768, 7], dtype="<i2")
+    d3 = s3.tobytes()
+    wav3 = (
+        b"RIFF" + struct.pack("<I", 36 + len(d3)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(d3)) + d3
+    )
+    media3 = spark.createDataFrame(
+        [(3, "audio", wav3, "wav", len(wav3))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    r3 = multimodal.extract_audio_features(media3).collect()[0]
+    assert r3.peak == 32768
+    x3 = s3.astype(np.float64)
+    assert r3.rms == round(float(np.sqrt((x3 * x3).mean())), 6)
+
 
 def test_extract_image_features_real_decode(spark):
     import numpy as np
