@@ -178,10 +178,16 @@ def first_key_echoes_warmup(
     warmup's stages landed inside the first key's MeasuredRun window).
     Unmeasured (None) on either side is NOT an echo: re-running on
     missing metrics would loop on REST-read hiccups, and the byte
-    column already records the miss as null."""
+    column already records the miss as null. Zero on either side is
+    NOT an echo either (ADVICE r12): two scan-only queries both
+    legitimately shuffle 0 bytes, so 0 == 0 is no fingerprint — it
+    would force a pointless re-measure leg on every run whose first
+    headline key happens to be exchange-free."""
     return (
         first_bytes is not None
         and warmup_bytes is not None
+        and first_bytes > 0
+        and warmup_bytes > 0
         and first_bytes == warmup_bytes
     )
 

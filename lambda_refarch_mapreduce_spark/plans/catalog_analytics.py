@@ -8049,9 +8049,12 @@ def _purchase_click_value_counts(
                              count(*)::BIGINT AS x
                       FROM events GROUP BY 1, 2),
         kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
-        bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+        bsz AS (SELECT b, count(*)::BIGINT AS n,
+                       count(DISTINCT t)::BIGINT AS dt
+                FROM cell GROUP BY 1),
         complete AS (SELECT cell.* FROM cell
-                     JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+                     JOIN bsz USING (b) CROSS JOIN kk
+                     WHERE n = k AND dt = k),
         bv AS (SELECT b, x, count(*)::BIGINT AS c
                FROM complete GROUP BY 1, 2),
         wc AS (SELECT b, x,
@@ -8118,9 +8121,12 @@ def friedman_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                              count(*)::BIGINT AS x
                       FROM events GROUP BY 1, 2),
         kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
-        bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+        bsz AS (SELECT b, count(*)::BIGINT AS n,
+                       count(DISTINCT t)::BIGINT AS dt
+                FROM cell GROUP BY 1),
         complete AS (SELECT cell.* FROM cell
-                     JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+                     JOIN bsz USING (b) CROSS JOIN kk
+                     WHERE n = k AND dt = k),
         bv AS (SELECT b, x, count(*)::BIGINT AS c
                FROM complete GROUP BY 1, 2),
         wc AS (SELECT b, x,

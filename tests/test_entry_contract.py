@@ -389,9 +389,13 @@ def test_bench_load_guard_and_warmup_echo(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", boom)
     assert bench.check_load() == (None, False)
 
-    # the misattribution fingerprint: equal NON-NULL bytes only
+    # the misattribution fingerprint: equal NON-NULL, NON-ZERO bytes
+    # only — a scan-only warmup beside a scan-only first key both
+    # shuffle 0 bytes legitimately (ADVICE r12: 0 == 0 is no echo)
     assert bench.first_key_echoes_warmup(1234, 1234) is True
-    assert bench.first_key_echoes_warmup(0, 0) is True
+    assert bench.first_key_echoes_warmup(0, 0) is False
+    assert bench.first_key_echoes_warmup(0, 1234) is False
+    assert bench.first_key_echoes_warmup(1234, 0) is False
     assert bench.first_key_echoes_warmup(1234, 1235) is False
     assert bench.first_key_echoes_warmup(None, 1234) is False
     assert bench.first_key_echoes_warmup(1234, None) is False

@@ -130,9 +130,12 @@ WITH cell AS (SELECT event_type AS t,
                      count(*)::BIGINT AS x
               FROM events GROUP BY 1, 2),
 kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
-bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+bsz AS (SELECT b, count(*)::BIGINT AS n,
+               count(DISTINCT t)::BIGINT AS dt
+        FROM cell GROUP BY 1),
 complete AS (SELECT cell.* FROM cell
-             JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+             JOIN bsz USING (b) CROSS JOIN kk
+             WHERE n = k AND dt = k),
 bv AS (SELECT b, x, count(*)::BIGINT AS c FROM complete GROUP BY 1, 2),
 wc AS (SELECT b, x,
               (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
@@ -533,9 +536,12 @@ WITH cell AS (SELECT event_type AS t,
                      count(*)::BIGINT AS x
               FROM events GROUP BY 1, 2),
 kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cell),
-bsz AS (SELECT b, count(*)::BIGINT AS n FROM cell GROUP BY 1),
+bsz AS (SELECT b, count(*)::BIGINT AS n,
+               count(DISTINCT t)::BIGINT AS dt
+        FROM cell GROUP BY 1),
 complete AS (SELECT cell.* FROM cell
-             JOIN bsz USING (b) CROSS JOIN kk WHERE n = k),
+             JOIN bsz USING (b) CROSS JOIN kk
+             WHERE n = k AND dt = k),
 bv AS (SELECT b, x, count(*)::BIGINT AS c FROM complete GROUP BY 1, 2),
 wc AS (SELECT b, x,
               (2 * sum(c) OVER (PARTITION BY b ORDER BY x)
