@@ -218,10 +218,20 @@ def main() -> None:
 
     from lambda_refarch_mapreduce_spark.metrics import MeasuredRun
 
+    # per-key pin scoping: the two-phase rank/prefix kernels persist
+    # their range-partitioned frame for correctness (see
+    # operators.relational.pin); releasing each key's pins after its
+    # legs keeps 70+ keys of accumulated InMemoryRelations from
+    # occupying storage memory and drifting later keys' AQE advisory
+    # sizes (the q_waiting_suppliers effect, BENCH_NOTES r12)
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        pin_scope,
+    )
+
     # warmup: JVM + parquet footer caches, excluded from timings —
     # measured anyway so its byte signature can fingerprint
     # misattribution into the first key's window
-    with MeasuredRun(spark) as wm:
+    with pin_scope(), MeasuredRun(spark) as wm:
         catalog.REGISTRY["substr_groupby_sum"].spark(
             spark, sf_dir
         ).write.format("noop").mode("overwrite").save()
@@ -243,7 +253,7 @@ def main() -> None:
         # edge materialization + iteration) do real work there and
         # must not be excluded
         t0 = time.monotonic()
-        with MeasuredRun(spark) as m:
+        with pin_scope(), MeasuredRun(spark) as m:
             df = catalog.REGISTRY[qname].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
@@ -270,8 +280,9 @@ def main() -> None:
         # second leg: JIT/codegen caches warm — the steady state a
         # long-running cluster actually sees; no REST reads
         t0 = time.monotonic()
-        df = catalog.REGISTRY[qname].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        with pin_scope():
+            df = catalog.REGISTRY[qname].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
         timings[label] = round(best, 3)
 
@@ -280,7 +291,8 @@ def main() -> None:
     # SERVE — production trains once and serves many, so the amortized
     # cost is serve_s; queries[...] above keeps the all-in number for
     # cross-round comparability.
-    trained = _trained_split(spark, sf_dir)
+    with pin_scope():
+        trained = _trained_split(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     detail = {

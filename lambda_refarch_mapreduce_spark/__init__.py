@@ -37,6 +37,9 @@ from lambda_refarch_mapreduce_spark.operators import (  # noqa: F401
     similarity,
     text,
 )
+from lambda_refarch_mapreduce_spark.operators.relational import (  # noqa: F401
+    pin_scope,
+)
 from lambda_refarch_mapreduce_spark.functions.scalar import (  # noqa: F401
     cosine_similarity,
     dot,

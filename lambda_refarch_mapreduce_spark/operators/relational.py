@@ -21,8 +21,97 @@ Scale notes (100TB posture, SURVEY.md §7.4.5):
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Materialization-pin lifetime (ADVICE r12). The two-phase pid-stamped
+# kernels below (global_rank, prefix_sums; also text.pack_sequences and
+# text.curriculum_order) MUST persist their range-partitioned frame: the
+# nondeterministic spark_partition_id blocks exchange reuse, so without
+# the pin each downstream branch re-runs repartitionByRange with freshly
+# SAMPLED bounds and the offsets join silently mixes two different
+# partitionings (the r12 sf0.1 wrong-answer find). The pin is therefore
+# load-bearing for correctness — but a bare .persist() registers in the
+# CacheManager forever, and hot callers (every CDF-statistic kernel, the
+# streaming *_now readouts once per readout) would accumulate cached
+# entries without bound in a long-running session. pin()/pin_scope()
+# bound that lifetime at the CALLER: one-shot batch queries need do
+# nothing (pin lives for the session, exactly the old behavior), while
+# loops — the oracle gate, bench, streaming monitors — wrap each
+# iteration in pin_scope() and every pin taken inside is unpersisted on
+# exit. The contract: the kernel output must be FULLY consumed
+# (collect/write) inside the scope; after exit the pinned frame
+# recomputes with new sampled bounds and the offsets join is no longer
+# coherent against it.
+# ---------------------------------------------------------------------------
+
+_PIN_SCOPES = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_PIN_SCOPES, "stack", None)
+    if stack is None:
+        stack = []
+        _PIN_SCOPES.stack = stack
+    return stack
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a two-phase kernel's range-partitioned frame and
+    register it with the OUTERMOST active pin_scope() (if any) so the
+    caller controls the cache entry's lifetime. No scope = the pin
+    lives for the session (the pre-r13 behavior — correct for one-shot
+    batch queries, which is what the catalog entries are).
+
+    Outermost, not innermost: the CacheManager dedupes by analyzed
+    plan, so two kernel calls over the IDENTICAL frame (global_rank
+    then prefix_sums on the same counts) share ONE cache entry — an
+    inner scope releasing "its" pin would release the shared entry
+    under the outer caller, whose next action would recompute both
+    branches with freshly sampled range bounds (the r12 divergence).
+    Registering with the outermost scope makes nesting safe at the
+    cost of pins living until the outermost exit."""
+    pinned = df.persist()
+    stack = _scope_stack()
+    if stack:
+        stack[0].append(pinned)
+    return pinned
+
+
+@contextlib.contextmanager
+def pin_scope():
+    """Bound the lifetime of every materialization pin taken inside:
+    unpersists them (non-blocking) on exit, keeping a long-running
+    driver process — the 315-entry oracle gate, the bench loop, a
+    streaming monitor calling *_now readouts for days — from
+    accumulating one CacheManager entry per kernel invocation.
+
+    The caller MUST fully consume (collect/write) every kernel output
+    INSIDE the scope: the pin is what holds the nondeterministic
+    pid -> key-range mapping fixed, and a post-exit action against the
+    returned plan would recompute it with freshly sampled range bounds
+    (the exact r12 wrong-answer class the pin exists to prevent).
+    Scopes nest — every pin registers with the OUTERMOST active scope
+    (see pin() for why: identical-plan pins share one CacheManager
+    entry) so only the outermost exit releases — and the stack is
+    thread-local, so concurrent driver threads cannot cross-release
+    each other's pins."""
+    pins: list[DataFrame] = []
+    stack = _scope_stack()
+    stack.append(pins)
+    try:
+        yield
+    finally:
+        stack.pop()
+        for df in pins:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
 
 
 def top_k_per_group(
@@ -322,9 +411,10 @@ def global_rank(
         # different partitionings (caught by the r12 sf0.1 oracle spot
         # check: prefix_sums served 12,824 wrong cumulative rows on a
         # 13,241-value frame). MEMORY_AND_DISK spills rather than
-        # evicts, so the pin holds for the query's lifetime.
-        .persist()
+        # evicts, so the pin holds for the query's lifetime — or until
+        # the caller's enclosing pin_scope() releases it.
     )
+    ranked = pin(ranked)
     local = ranked.withColumn(
         "__local_rn",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
@@ -379,8 +469,8 @@ def prefix_sums(
         # mapping, and without the pin each branch re-samples its own
         # range bounds (the r12 sf0.1 find: cc_cum wrong on 12,824 of
         # 13,241 rows, corrupting Mann-Whitney/Cliff's u2 by ~0.9%)
-        .persist()
     )
+    ranked = pin(ranked)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)
@@ -445,7 +535,7 @@ def interval_overlap_join(
     which both sides cover if and only if they overlap — then the
     exact overlap predicate filters same-bucket non-overlaps. One
     co-keyed shuffle on (keys, bucket); no CartesianProduct at any
-    scale. Skew (measured, tools/scaling_round9.py): an ASYMMETRIC
+    scale. Skew (measured, tools/scaling_harness.py round9): an ASYMMETRIC
     hot cell — one side piles rows into a (key, bucket) while the
     other stays thin — skews the input partition, and AQE's
     skew-join split-and-replicate engages on this plan (skew=true in

@@ -494,13 +494,16 @@ def pack_sequences(
     Every step is parallel; the only serial state is the per-partition
     totals list (|partitions| rows). Returns (id, n_tokens, bin_id).
     """
+    from lambda_refarch_mapreduce_spark.operators.relational import pin
+
     n_tok = F.size(tokenize(F.col(text_col)))
-    base = (
+    # pin pid: both branches below must see the identical partitioning
+    # (scope-releasable — see relational.pin_scope)
+    base = pin(
         df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
                               F.col(id_col))
         .select(F.col(id_col), n_tok.alias("n_tokens"),
                 F.spark_partition_id().alias("pid"))
-        .persist()  # pin pid: both branches below must see identical partitioning
     )
     part_totals = (
         base.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
@@ -1041,8 +1044,11 @@ def curriculum_order(
         # pin ONE materialization (the pack_sequences/global_rank
         # pattern): the offsets branch and the join branch must see
         # the identical nondeterministic pid stamp and range bounds
-        .persist()
+        # (scope-releasable — see relational.pin_scope)
     )
+    from lambda_refarch_mapreduce_spark.operators.relational import pin
+
+    ranked = pin(ranked)
     offsets = (
         ranked.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))

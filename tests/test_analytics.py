@@ -698,37 +698,157 @@ def test_prefix_sums_crosses_partition_boundaries(spark):
     assert got == want and len(got) == 1000
 
 
-def test_two_phase_rank_kernels_pin_one_materialization(spark):
-    """Regression guard for the r12 sf0.1 find: prefix_sums and
-    global_rank stamp rows with the NONDETERMINISTIC
-    spark_partition_id, so their local branch and offsets branch must
-    read ONE pinned materialization — without the pin each branch
-    re-runs repartitionByRange, whose SAMPLED bounds can differ
-    between materializations (observed on the real sf0.1 value-counts
-    frame: 12,824 of 13,241 cumulative rows wrong, shifting
-    Mann-Whitney/Cliff's doubled U by ~0.9% and flipping the sign of
-    the delta). Small synthetic frames rarely trigger the divergence
-    (the upstream is deterministic enough), so this guard is
-    STRUCTURAL: the optimized plan of both kernels must contain the
-    InMemoryRelation pin."""
+def _pid_stamped_kernel_outputs(spark):
+    """One output DataFrame per pid-stamped two-phase kernel in the
+    package — the sweep denominator. Register any NEW kernel that
+    stamps rows with F.spark_partition_id here (the grep tripwire
+    below fails until you do)."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         global_rank,
         prefix_sums,
     )
+    from lambda_refarch_mapreduce_spark.operators.text import (
+        curriculum_order,
+        pack_sequences,
+    )
 
-    df = spark.range(100).select(
+    kv = spark.range(100).select(
         (F.col("id") * 37 % 100).alias("k"), (F.col("id") % 7).alias("a")
     )
-    for out in (
-        prefix_sums(df, [F.col("k")], ["a"], partitions=8),
-        global_rank(df, [F.col("k")], partitions=8),
-    ):
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word "), (F.col("id") % 9).cast("string")).alias(
+            "text"
+        ),
+    )
+    return {
+        "prefix_sums": prefix_sums(kv, [F.col("k")], ["a"], partitions=8),
+        "global_rank": global_rank(kv, [F.col("k")], partitions=8),
+        "pack_sequences": pack_sequences(docs, "doc_id", "text", budget=8),
+        "curriculum_order": curriculum_order(docs, "doc_id", "text"),
+    }
+
+
+def test_pid_stamped_kernels_pin_one_materialization(spark):
+    """Regression guard for the r12 sf0.1 find, generalized to EVERY
+    pid-stamped two-phase kernel (VERDICT r12 next-round #2 — the
+    original guard covered prefix_sums/global_rank only, leaving
+    pack_sequences' token binning and the curriculum ranker's pins
+    droppable by a refactor): these kernels stamp rows with the
+    NONDETERMINISTIC spark_partition_id, so every branch must read ONE
+    pinned materialization — without the pin each branch re-runs
+    repartitionByRange, whose SAMPLED bounds can differ between
+    materializations (observed on the real sf0.1 value-counts frame:
+    12,824 of 13,241 cumulative rows wrong, flipping the sign of
+    Cliff's delta). Small synthetic frames rarely trigger the
+    divergence, so the guard is STRUCTURAL: each kernel's optimized
+    plan must contain the InMemoryRelation pin."""
+    for name, out in _pid_stamped_kernel_outputs(spark).items():
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" in plan, (
-            "two-phase rank kernel lost its materialization pin — the "
-            "offsets join is only correct against a single pinned "
-            "partitioning (see prefix_sums' persist comment)"
+            f"{name} lost its materialization pin — the offsets join "
+            "is only correct against a single pinned partitioning "
+            "(see operators.relational.pin)"
         )
+    spark.catalog.clearCache()
+
+
+def test_pid_stamp_sites_all_registered_in_pin_sweep():
+    """Grep tripwire (VERDICT r12 next-round #2): every
+    F.spark_partition_id( call site in the package must belong to a
+    kernel enumerated in _pid_stamped_kernel_outputs above, so a NEW
+    pid-stamped kernel cannot ship without joining the structural pin
+    sweep. Counts are per-file so a site moving between files also
+    trips."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "lambda_refarch_mapreduce_spark"
+    )
+    # file -> expected number of F.spark_partition_id( call sites;
+    # relational.py: global_rank + prefix_sums; text.py:
+    # pack_sequences + curriculum_order
+    registered = {"operators/relational.py": 2, "operators/text.py": 2}
+    found: dict[str, int] = {}
+    for py in pkg.rglob("*.py"):
+        n = py.read_text().count("F.spark_partition_id(")
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    assert found == registered, (
+        f"pid-stamp sites moved: found {found}, registered "
+        f"{registered}. Any kernel stamping rows with "
+        "spark_partition_id needs the materialization pin "
+        "(operators.relational.pin) AND an entry in "
+        "_pid_stamped_kernel_outputs so the structural sweep covers it."
+    )
+
+
+def test_pin_scope_bounds_pin_lifetime(spark):
+    """ADVICE r12: the two-phase kernels' correctness pins must not
+    accumulate without bound in long-running callers (the 315-entry
+    oracle gate, the bench loop, a streaming monitor serving readouts
+    for days). pin_scope() releases every pin taken inside on exit;
+    no scope keeps the pre-r13 session-lifetime behavior; scopes nest
+    without cross-releasing."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        pin_scope,
+        prefix_sums,
+    )
+
+    cache = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache.isEmpty()
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 500).alias("k"), (F.col("id") % 7).alias("a")
+    )
+    # inside the scope the pin is live (that IS the correctness
+    # mechanism) and the result is right; on exit the cache is empty
+    with pin_scope():
+        got = {
+            r.k: r.a_cum
+            for r in prefix_sums(
+                df, [F.col("k")], ["a"], partitions=8
+            ).collect()
+        }
+        assert not cache.isEmpty()
+    assert cache.isEmpty(), "pin_scope exit must release its pins"
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.a_cum
+        for r in df.select("k", F.sum("a").over(w).alias("a_cum")).collect()
+    }
+    assert got == want
+
+    # nesting: pins register with the OUTERMOST scope (identical-plan
+    # pins share one CacheManager entry — global_rank and prefix_sums
+    # over the same frame pin the same analyzed plan — so an
+    # inner-scope release would yank the shared entry from under the
+    # outer caller and its next action would recompute with fresh
+    # range bounds, the r12 divergence); only the outermost exit
+    # releases anything
+    with pin_scope():
+        outer = global_rank(df, [F.col("k")], partitions=8)
+        outer.collect()
+        with pin_scope():
+            prefix_sums(df, [F.col("k")], ["a"], partitions=8).collect()
+        assert not cache.isEmpty(), (
+            "inner scope exit must not release anything — pins belong "
+            "to the outermost scope"
+        )
+        # the shared entry is still live: re-consuming the outer
+        # result inside its scope stays coherent
+        outer.collect()
+    assert cache.isEmpty()
+
+    # no scope: session-lifetime pin (the one-shot batch default)
+    prefix_sums(df, [F.col("k")], ["a"], partitions=8).collect()
+    assert not cache.isEmpty()
+    spark.catalog.clearCache()
 
 
 # ---------------------------------------------------------------------------
