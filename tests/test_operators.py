@@ -1822,3 +1822,157 @@ def test_video_scene_cuts_hand_computed(spark):
         for r in multimodal.video_scene_cuts(media, diff_threshold=50).collect()
     }
     assert got50 == {1: 0, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# Round 13: narrow-dtype BOUNDARY sweep for every numpy decoder
+# statistic (VERDICT r12 next-round #4). The r12 int16 peak wrap
+# (np.abs(-32768) -> -32768 on the narrow array) is a CLASS, not an
+# instance: every statistic computed from a uint8/int16 decode buffer
+# gets a full-scale / boundary fixture asserting the widened-dtype
+# path produces the exact value a wrapped narrow computation could
+# not. Fixtures: all--32768 PCM16, 0/255 saturated pixels,
+# single-frame clips, empty payload bodies.
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(samples_i2: bytes, n_channels: int = 1, rate: int = 8000) -> bytes:
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(samples_i2)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", 1, n_channels, rate, rate * 2 * n_channels,
+            2 * n_channels, 16,
+        )
+        + b"data" + struct.pack("<I", len(samples_i2)) + samples_i2
+    )
+
+
+_MEDIA_DDL = (
+    "media_id long, media_type string, content binary, "
+    "format string, n_bytes long"
+)
+
+
+def test_boundary_audio_features_full_scale_and_empty(spark):
+    """extract_audio_features at the int16 boundary: a clip of ALL
+    full-scale negative samples — peak must be 32768 (the widened
+    float64 abs; the narrow np.abs wraps every sample and would
+    report -32768) and RMS exactly 32768.0 (each square is 2^30,
+    which also overflows int32 accumulation). Empty data chunk ->
+    the documented zero row, no division by zero."""
+    import numpy as np
+
+    full = np.full(8, -32768, dtype="<i2")
+    rows = [
+        (1, "audio", _wav_bytes(full.tobytes()), "wav", 60),
+        (2, "audio", _wav_bytes(b""), "wav", 44),
+    ]
+    media = spark.createDataFrame(rows, _MEDIA_DDL)
+    got = {
+        r.media_id: r
+        for r in multimodal.extract_audio_features(media).collect()
+    }
+    assert got[1].peak == 32768
+    assert got[1].rms == 32768.0
+    assert (got[2].n_frames, got[2].rms, got[2].peak) == (0, 0.0, 0)
+
+
+def test_boundary_vad_full_scale_energy_and_short_clip(spark):
+    """audio_activity_windows at the int16 boundary: one window of 4
+    full-scale samples has energy 4 * 32768^2 = 4_294_967_296 —
+    bigger than both int32 AND the wrapped int16 square (-32768^2
+    wraps to 0 in int16), so the exact max_energy proves the int64
+    widening. A clip shorter than one window reports the zero row."""
+    import numpy as np
+
+    full = np.full(4, -32768, dtype="<i2")
+    rows = [
+        (1, "audio", _wav_bytes(full.tobytes()), "wav", 52),
+        (2, "audio", _wav_bytes(np.full(3, 5, dtype="<i2").tobytes()),
+         "wav", 50),
+    ]
+    media = spark.createDataFrame(rows, _MEDIA_DDL)
+    got = {
+        r.media_id: r
+        for r in multimodal.audio_activity_windows(
+            media, window=4, energy_threshold=4_000_000_000
+        ).collect()
+    }
+    assert got[1].max_energy == 4 * 32768 ** 2
+    assert (got[1].n_windows, got[1].n_voiced) == (1, 1)
+    assert (got[2].n_windows, got[2].n_voiced, got[2].voiced_ratio,
+            got[2].max_energy) == (0, 0, 0.0, 0)
+
+
+def test_boundary_image_features_saturated_pixels(spark):
+    """extract_image_features at the uint8 boundary: all-0 and
+    all-255 rasters must report exact mean/min/max (a narrow uint8
+    sum of 255s wraps at the 257th pixel; the mean must come out
+    255.0 exactly, not a wrapped fraction)."""
+    black = b"P5\n20 20\n255\n" + bytes([0] * 400)
+    white = b"P5\n20 20\n255\n" + bytes([255] * 400)
+    media = spark.createDataFrame(
+        [(1, "image", black, "pgm", len(black)),
+         (2, "image", white, "pgm", len(white))],
+        _MEDIA_DDL,
+    )
+    got = {
+        r.media_id: (r.mean_pixel, r.min_pixel, r.max_pixel)
+        for r in multimodal.extract_image_features(media).collect()
+    }
+    assert got == {1: (0.0, 0, 0), 2: (255.0, 255, 255)}
+
+
+def test_boundary_ahash_uniform_and_saturated(spark):
+    """image_ahash at the threshold boundary: a UNIFORM image (every
+    block sum equals the mean — including all-255 saturation) must
+    hash to 0 under the strictly-greater integer gate; one brighter
+    block sets exactly its own bit. The block sums of an all-255
+    8x8x3 image (8*8*3*255 = 48_960 per 2x2 grid block) also exceed
+    uint8/int16 — exactness proves the int64 accumulation."""
+    uniform = b"P6\n8 8\n255\n" + bytes([255] * 192)
+    raster = bytearray([10] * 192)
+    # brighten the top-left 4x4 block (rows 0-3, cols 0-3, 3 subpx)
+    for r in range(4):
+        for c in range(4):
+            for ch in range(3):
+                raster[(r * 8 + c) * 3 + ch] = 250
+    media = spark.createDataFrame(
+        [(1, "image", uniform, "ppm", 207),
+         (2, "image", b"P6\n8 8\n255\n" + bytes(raster), "ppm", 207)],
+        _MEDIA_DDL,
+    )
+    got = {
+        r.media_id: r.ahash
+        for r in multimodal.image_ahash(media, grid=(2, 2)).collect()
+    }
+    assert got == {1: 0, 2: 1}  # bit 0 = row 0, col 0
+
+
+def test_boundary_scene_cuts_saturated_diff_and_video_means(spark):
+    """video_scene_cuts at the uint8 boundary: a 4x4 clip cutting
+    from all-0 to all-255 has per-pair diff 255 * 48 subpixels =
+    12_240 (> int8/uint8; |0 - 255| in uint8 arithmetic would wrap
+    to 1) — the exact max_diff proves the int64 widening.
+    extract_video_features on the same frames must report exact
+    0.0 / 255.0 frame means."""
+    import struct
+
+    hdr = b"RAWV" + struct.pack("<HHHH", 4, 4, 8, 2)
+    clip = hdr + bytes([0] * 48) + bytes([255] * 48)
+    media = spark.createDataFrame(
+        [(1, "video", clip, "rawv", len(clip))], _MEDIA_DDL
+    )
+    r = multimodal.video_scene_cuts(media, diff_threshold=100).collect()[0]
+    assert (r.n_frames, r.n_cuts, r.n_scenes) == (2, 1, 2)
+    assert r.max_diff == 255 * 48
+    means = sorted(
+        row.mean_pixel
+        for row in multimodal.extract_video_features(
+            media, sample_every=1
+        ).collect()
+    )
+    assert means == [0.0, 255.0]
