@@ -42,6 +42,15 @@ scaling run shows the alphabet-keyed shuffle SATURATES under row
 growth, SCALING.md round-6b addendum). The monitor adds one grouped
 count to each micro-batch; the O(|alphabet| log |alphabet|) rank step
 runs only when the statistic is served.
+
+Readout cache lifetime (ADVICE r12 + r13 staleness find): every
+``*_now`` readout returns through corpus.materialize_readout — an
+eager pin_scope'd snapshot — because the rank kernels' correctness
+pin (operators.relational.pin) would otherwise leak one cache entry
+per call AND serve stale statistics once the on-disk state grows past
+a cached plan (kgroup.py's docstring has the full contract; the
+staleness was caught by the r13 post-restart parity sweep on THIS
+monitor's mann_whitney_now).
 """
 
 from __future__ import annotations
@@ -57,6 +66,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (
 from lambda_refarch_mapreduce_spark.streaming.corpus import (
     _committed,
     _read_or_empty,
+    materialize_readout,
 )
 
 _COUNTS_SCHEMA = "v bigint, ca bigint, cb bigint"
@@ -181,8 +191,10 @@ def mann_whitney_now(spark: SparkSession, index_dir: str) -> DataFrame:
     """The monitor's readout: one row (n_a, n_b, auc, z, significant)
     for everything committed so far — identical arithmetic to the
     batch catalog entry (shared kernel)."""
-    return mann_whitney_from_value_counts(
+    return materialize_readout(
+        lambda: mann_whitney_from_value_counts(
         running_value_counts(spark, index_dir), ca="ca", cb="cb"
+    )
     )
 
 
@@ -193,7 +205,9 @@ def ks_now(spark: SparkSession, index_dir: str) -> DataFrame:
         ks_from_value_counts,
     )
 
-    return ks_from_value_counts(running_value_counts(spark, index_dir))
+    return materialize_readout(
+        lambda: ks_from_value_counts(running_value_counts(spark, index_dir))
+    )
 
 
 def welch_now(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -202,7 +216,9 @@ def welch_now(spark: SparkSession, index_dir: str) -> DataFrame:
         welch_from_value_counts,
     )
 
-    return welch_from_value_counts(running_value_counts(spark, index_dir))
+    return materialize_readout(
+        lambda: welch_from_value_counts(running_value_counts(spark, index_dir))
+    )
 
 
 def qq_now(
@@ -220,8 +236,10 @@ def qq_now(
         qq_from_value_counts,
     )
 
-    return qq_from_value_counts(
+    return materialize_readout(
+        lambda: qq_from_value_counts(
         running_value_counts(spark, index_dir), n_grid
+    )
     )
 
 
@@ -237,8 +255,10 @@ def ad_now(spark: SparkSession, index_dir: str) -> DataFrame:
         anderson_darling_from_value_counts,
     )
 
-    return anderson_darling_from_value_counts(
+    return materialize_readout(
+        lambda: anderson_darling_from_value_counts(
         running_value_counts(spark, index_dir)
+    )
     )
 
 
@@ -255,8 +275,10 @@ def cliffs_now(spark: SparkSession, index_dir: str) -> DataFrame:
         cliffs_delta_from_value_counts,
     )
 
-    return cliffs_delta_from_value_counts(
+    return materialize_readout(
+        lambda: cliffs_delta_from_value_counts(
         running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )
     )
 
 
@@ -271,8 +293,10 @@ def kuiper_now(spark: SparkSession, index_dir: str) -> DataFrame:
         kuiper_from_value_counts,
     )
 
-    return kuiper_from_value_counts(
+    return materialize_readout(
+        lambda: kuiper_from_value_counts(
         running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )
     )
 
 
@@ -287,6 +311,8 @@ def cvm_now(spark: SparkSession, index_dir: str) -> DataFrame:
         cvm_from_value_counts,
     )
 
-    return cvm_from_value_counts(
+    return materialize_readout(
+        lambda: cvm_from_value_counts(
         running_value_counts(spark, index_dir), "v", "ca", "cb"
+    )
     )

@@ -66,6 +66,48 @@ def _committed(spark: SparkSession, commits_path: str) -> DataFrame:
     return _read_or_empty(spark, commits_path, "batch_id bigint")
 
 
+def materialize_readout(build) -> DataFrame:
+    """Compute a monitor readout EAGERLY inside a pin_scope and return
+    the rows as a local-relation DataFrame — every ``*_now`` readout
+    returns through this.
+
+    Two failure modes of serving the lazy plan directly, both r13
+    finds on the rank-based readouts (whose kernels persist their
+    range-partitioned frame — operators.relational.pin — because the
+    nondeterministic spark_partition_id stamp forbids recomputation):
+
+    1. STALENESS: the pinned plan canonicalizes equal across a
+       monitor's growing on-disk state (same parquet root paths), so
+       after more batches commit, a SECOND readout call would be
+       served the FIRST call's cached materialization — a long-running
+       monitor would report frozen statistics while data flows in
+       (caught by the r13 post-restart parity sweep: mann_whitney_now
+       served the pre-restart U after the same-checkpoint drain).
+    2. LEAK: each call otherwise pins one more CacheManager entry for
+       the process lifetime (ADVICE r12).
+
+    Collecting is safe BY DESIGN here: every readout output is
+    metadata-sized — single statistic rows, a 19-point q-q grid, an
+    |event-times| survival curve — never data-plane. The pin_scope
+    releases the kernels' cache entries once the rows are in hand, so
+    the next readout recomputes against the then-current state.
+
+    Takes a THUNK, not a DataFrame: the rank kernels take their pin at
+    PLAN-CONSTRUCTION time (prefix_sums/global_rank persist the
+    range-partitioned frame when the kernel FUNCTION runs), so
+    building the plan as an argument expression would pin OUTSIDE the
+    scope and never release — the plan must be constructed, not just
+    collected, inside the scope."""
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        pin_scope,
+    )
+
+    with pin_scope():
+        df = build()
+        rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def guard_checkpoint_epoch(
     spark: SparkSession, index_dir: str, checkpoint: str
 ) -> None:

@@ -33,6 +33,19 @@ rows of integers; the running frame is bounded by |alphabet| x
 runs show the alphabet-keyed shuffle SATURATES under row growth,
 SCALING.md round 11). Serving runs one prefix-sums/window pass over
 the alphabet only when a statistic is asked for.
+
+Readout cache lifetime (ADVICE r12 + r13 staleness find): the
+rank-based readouts lower onto prefix_sums/global_rank, which
+persist() their range-partitioned frame per invocation (correctness —
+see operators.relational.pin). Served lazily, that pin would both
+LEAK one CacheManager entry per readout call and — worse — go STALE:
+the pinned plan canonicalizes equal across the monitor's growing
+on-disk state, so a later call would be served the earlier call's
+materialization while data keeps committing. Every ``*_now`` readout
+therefore returns through corpus.materialize_readout: computed
+eagerly inside a pin_scope (pins released), rows returned as a
+local-relation snapshot — callers just call the readout; no scoping
+required on their side.
 """
 
 from __future__ import annotations
@@ -45,6 +58,7 @@ from pyspark.sql import functions as F
 from lambda_refarch_mapreduce_spark.streaming.corpus import (
     _committed,
     _read_or_empty,
+    materialize_readout,
 )
 
 _COUNTS_SCHEMA = "g string, v bigint, c bigint"
@@ -163,8 +177,10 @@ def kruskal_now(spark: SparkSession, index_dir: str) -> DataFrame:
         kruskal_wallis_from_counts,
     )
 
-    return kruskal_wallis_from_counts(
+    return materialize_readout(
+        lambda: kruskal_wallis_from_counts(
         running_group_counts(spark, index_dir)
+    )
     )
 
 
@@ -180,8 +196,10 @@ def brown_forsythe_now(
         brown_forsythe_from_counts,
     )
 
-    return brown_forsythe_from_counts(
+    return materialize_readout(
+        lambda: brown_forsythe_from_counts(
         running_group_counts(spark, index_dir)
+    )
     )
 
 
@@ -203,7 +221,9 @@ def anova_now(spark: SparkSession, index_dir: str) -> DataFrame:
             F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("c")
         ).alias("q"),
     )
-    return anova_f_from_groups(groups)
+    return materialize_readout(
+        lambda: anova_f_from_groups(groups)
+    )
 
 
 def jt_now(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -221,8 +241,10 @@ def jt_now(spark: SparkSession, index_dir: str) -> DataFrame:
         jonckheere_terpstra_from_counts,
     )
 
-    return jonckheere_terpstra_from_counts(
+    return materialize_readout(
+        lambda: jonckheere_terpstra_from_counts(
         running_group_counts(spark, index_dir)
+    )
     )
 
 def mood_now(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -243,6 +265,8 @@ def mood_now(spark: SparkSession, index_dir: str) -> DataFrame:
         mood_median_from_counts,
     )
 
-    return mood_median_from_counts(
+    return materialize_readout(
+        lambda: mood_median_from_counts(
         running_group_counts(spark, index_dir)
+    )
     )

@@ -37,6 +37,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (
 from lambda_refarch_mapreduce_spark.streaming.corpus import (
     _committed,
     _read_or_empty,
+    materialize_readout,
 )
 
 _COUNTS_SCHEMA = "dd bigint, x bigint, m bigint"
@@ -160,8 +161,10 @@ def sprt_now(
     first_h1_day, first_h0_day, decision) over everything committed
     so far — identical arithmetic to the batch catalog entry (shared
     kernel, exact-integer walk)."""
-    return sprt_walk_from_counts(
+    return materialize_readout(
+        lambda: sprt_walk_from_counts(
         running_day_counts(spark, index_dir), l1_micro, l2_micro, a_micro
+    )
     )
 
 
@@ -176,8 +179,10 @@ def trend_now(spark: SparkSession, index_dir: str) -> DataFrame:
         mann_kendall_trend,
     )
 
-    return mann_kendall_trend(
+    return materialize_readout(
+        lambda: mann_kendall_trend(
         running_day_counts(spark, index_dir), "dd", "x"
+    )
     )
 
 
@@ -205,9 +210,11 @@ def forecast_now(
     day = running_day_counts(spark, index_dir).withColumn(
         "__one", F.lit(1)
     )
-    return holt_winters_from_series(
+    return materialize_readout(
+        lambda: holt_winters_from_series(
         day, ["__one"], ["dd"], "m", alpha, beta, gamma, m
     ).drop("__one")
+    )
 
 
 def backtest_now(
@@ -232,8 +239,10 @@ def backtest_now(
         rolling_backtest_holt,
     )
 
-    return rolling_backtest_holt(
+    return materialize_readout(
+        lambda: rolling_backtest_holt(
         running_day_counts(spark, index_dir), [], ["dd"], "m", alpha, beta
+    )
     )
 
 
@@ -253,8 +262,10 @@ def decompose_now(
         seasonal_decompose_additive,
     )
 
-    return seasonal_decompose_additive(
+    return materialize_readout(
+        lambda: seasonal_decompose_additive(
         running_day_counts(spark, index_dir), [], "dd", "m", m
+    )
     )
 
 
@@ -277,7 +288,9 @@ def changepoint_now(
     day = running_day_counts(spark, index_dir).selectExpr(
         "dd", "(x * 1000000) div m AS rate_micro"
     )
-    return cusum_changepoint(day, "dd", "rate_micro", alpha)
+    return materialize_readout(
+        lambda: cusum_changepoint(day, "dd", "rate_micro", alpha)
+    )
 
 
 def seasonal_trend_now(
@@ -293,8 +306,10 @@ def seasonal_trend_now(
         seasonal_mann_kendall,
     )
 
-    return seasonal_mann_kendall(
+    return materialize_readout(
+        lambda: seasonal_mann_kendall(
         running_day_counts(spark, index_dir), "dd", "x", m
+    )
     )
 
 
@@ -324,7 +339,8 @@ def seasonal_backtest_now(
         rolling_backtest_hw,
     )
 
-    return rolling_backtest_hw(
+    return materialize_readout(
+        lambda: rolling_backtest_hw(
         running_day_counts(spark, index_dir),
         [],
         ["dd"],
@@ -333,6 +349,7 @@ def seasonal_backtest_now(
         beta,
         gamma,
         m,
+    )
     )
 
 
@@ -353,7 +370,9 @@ def rank_changepoint_now(
     day = running_day_counts(spark, index_dir).selectExpr(
         "dd", "(x * 1000000) div m AS rate_micro"
     )
-    return pettitt_changepoint(day, "dd", "rate_micro", alpha)
+    return materialize_readout(
+        lambda: pettitt_changepoint(day, "dd", "rate_micro", alpha)
+    )
 
 
 def ljung_box_now(
@@ -372,8 +391,10 @@ def ljung_box_now(
         ljung_box_from_series,
     )
 
-    return ljung_box_from_series(
+    return materialize_readout(
+        lambda: ljung_box_from_series(
         running_day_counts(spark, index_dir), "dd", "m", max_lag
+    )
     )
 
 
@@ -394,4 +415,6 @@ def runs_now(spark: SparkSession, index_dir: str) -> DataFrame:
     day = running_day_counts(spark, index_dir).selectExpr(
         "dd", "(x * 1000000) div m AS rate_micro"
     )
-    return runs_test_from_series(day, "dd", "rate_micro")
+    return materialize_readout(
+        lambda: runs_test_from_series(day, "dd", "rate_micro")
+    )

@@ -44,6 +44,7 @@ from lambda_refarch_mapreduce_spark.operators.analytics import (
 from lambda_refarch_mapreduce_spark.streaming.corpus import (
     _committed,
     _read_or_empty,
+    materialize_readout,
 )
 
 _COUNTS_SCHEMA = "g string, t bigint, d bigint, c bigint"
@@ -182,14 +183,18 @@ def kaplan_meier_now(
     counts = running_survival_counts(spark, index_dir)
     if group is not None:
         counts = counts.filter(F.col("g") == group)
-    return kaplan_meier_from_counts(counts.select("t", "d", "c"))
+    return materialize_readout(
+        lambda: kaplan_meier_from_counts(counts.select("t", "d", "c"))
+    )
 
 
 def log_rank_now(spark: SparkSession, index_dir: str) -> DataFrame:
     """The monitor's log-rank readout: one row
     (n_a, n_b, obs_a, exp_a, z_lr, significant) between the two arms
     over everything committed so far (shared kernel)."""
-    return log_rank_from_counts(running_survival_counts(spark, index_dir))
+    return materialize_readout(
+        lambda: log_rank_from_counts(running_survival_counts(spark, index_dir))
+    )
 
 
 def nelson_aalen_now(
@@ -206,7 +211,9 @@ def nelson_aalen_now(
     counts = running_survival_counts(spark, index_dir)
     if group is not None:
         counts = counts.filter(F.col("g") == group)
-    return nelson_aalen_from_counts(counts.select("t", "d", "c"))
+    return materialize_readout(
+        lambda: nelson_aalen_from_counts(counts.select("t", "d", "c"))
+    )
 
 
 def gehan_now(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -221,6 +228,8 @@ def gehan_now(spark: SparkSession, index_dir: str) -> DataFrame:
         gehan_wilcoxon_from_counts,
     )
 
-    return gehan_wilcoxon_from_counts(
+    return materialize_readout(
+        lambda: gehan_wilcoxon_from_counts(
         running_survival_counts(spark, index_dir)
+    )
     )

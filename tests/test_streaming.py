@@ -1370,10 +1370,17 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
         stream3, index_dir, str(tmp_path / "ckpt"), "purchase", "click"
     ).start()
     q3.awaitTermination(120)
+    # the union must read BACK the written chunk: limit(20) is
+    # nondeterministic, so re-evaluating `extra` inside the union can
+    # pick a different 20 rows than the materialization the stream
+    # actually consumed
+    extra_written = spark.read.parquet(src + "/_chunk=3").select(
+        *events.columns
+    )
     union_counts = {
         (r.v, r.ca, r.cb)
         for r in abtest.batch_value_counts(
-            events.unionAll(extra), "purchase", "click"
+            events.unionAll(extra_written), "purchase", "click"
         ).collect()
     }
     got_after_restart = {
@@ -1381,6 +1388,45 @@ def test_streaming_ab_monitor_matches_batch_entry(spark, tmp_path):
         for r in abtest.running_value_counts(spark, index_dir).collect()
     }
     assert got_after_restart == union_counts
+
+    # ...and every readout of this monitor equals its batch kernel on
+    # the grown union after the restart (r13 inventory sweep — no
+    # abtest readout without post-restart parity; the readouts are
+    # pure functions of the committed state, so this also re-proves
+    # the state equality above at the statistic level)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        cliffs_delta_from_value_counts,
+        cvm_from_value_counts,
+        kuiper_from_value_counts,
+        mann_whitney_from_value_counts,
+    )
+
+    union_vc = abtest.batch_value_counts(
+        events.unionAll(extra_written), "purchase", "click"
+    )
+    for readout, kernel in (
+        (abtest.mann_whitney_now, mann_whitney_from_value_counts),
+        (abtest.ks_now, ks_from_value_counts),
+        (abtest.welch_now, welch_from_value_counts),
+        (abtest.ad_now, anderson_darling_from_value_counts),
+        (abtest.cliffs_now, cliffs_delta_from_value_counts),
+        (abtest.kuiper_now, kuiper_from_value_counts),
+        (abtest.cvm_now, cvm_from_value_counts),
+    ):
+        got_row = readout(spark, index_dir).collect()[0]
+        want_row = kernel(union_vc, "v", "ca", "cb").collect()[0]
+        assert tuple(got_row) == tuple(want_row), (
+            readout.__name__,
+            got_row,
+            want_row,
+        )
+    got_qq2 = sorted(
+        tuple(r) for r in abtest.qq_now(spark, index_dir).collect()
+    )
+    want_qq2 = sorted(
+        tuple(r) for r in qq_from_value_counts(union_vc).collect()
+    )
+    assert got_qq2 == want_qq2 and len(got_qq2) == 19
 
 
 def test_statestore_offline_inspection_matches_batch(spark, tmp_path):
@@ -1772,6 +1818,52 @@ def test_streaming_survival_epoch_guard_raises_on_fresh_checkpoint(
         ).collect()
     }
     assert ("a", 5, 2, 0) in merged
+
+    # ...and every readout of this monitor equals its batch kernel on
+    # the grown union after the restart (r13 inventory sweep — no
+    # survival readout without post-restart parity)
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        gehan_wilcoxon_from_counts,
+        kaplan_meier,
+        log_rank_from_subjects,
+        nelson_aalen_from_counts,
+    )
+
+    union = spark.createDataFrame(
+        [(5, 1, "a"), (7, 0, "b"), (3, 1, "a"), (5, 1, "a")], schema
+    )
+    union_counts = survival.batch_survival_counts(union, "a", "b")
+
+    got_km = {
+        tuple(r)
+        for r in survival.kaplan_meier_now(spark, index_dir).collect()
+    }
+    want_km = {tuple(r) for r in kaplan_meier(union).collect()}
+    assert got_km == want_km
+
+    got_na = {
+        tuple(r)
+        for r in survival.nelson_aalen_now(
+            spark, index_dir, group="a"
+        ).collect()
+    }
+    want_na = {
+        tuple(r)
+        for r in nelson_aalen_from_counts(
+            union_counts.filter(F.col("g") == "a").select("t", "d", "c")
+        ).collect()
+    }
+    assert got_na == want_na
+
+    got_lr = survival.log_rank_now(spark, index_dir).collect()[0]
+    want_lr = log_rank_from_subjects(
+        union, "t", "event", "g", "a", "b"
+    ).collect()[0]
+    assert tuple(got_lr) == tuple(want_lr)
+
+    got_gw = survival.gehan_now(spark, index_dir).collect()[0]
+    want_gw = gehan_wilcoxon_from_counts(union_counts).collect()[0]
+    assert tuple(got_gw) == tuple(want_gw)
 
 
 def test_streaming_sprt_monitor_matches_batch_entry(spark, tmp_path):
@@ -2292,6 +2384,66 @@ def test_streaming_sprt_epoch_guard_and_restart_readouts(
     assert tuple(got_rt) == tuple(want_rt)
     assert got_rt.n_runs > 0 and got_rt.verdict is not None
 
+    # ...and the remaining six readouts of this monitor (r13 inventory
+    # sweep — no sprt readout without post-restart parity): the SPRT
+    # walk itself, trend, forecast, backtest, seasonal trend and the
+    # seasonal backtest, each vs its batch kernel on the grown union
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        holt_winters_from_series,
+        mann_kendall_trend,
+        rolling_backtest_holt,
+        rolling_backtest_hw,
+        seasonal_mann_kendall,
+        sprt_walk_from_counts,
+    )
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        SPRT_A_MICRO,
+        SPRT_L1_MICRO,
+        SPRT_L2_MICRO,
+    )
+
+    union_days = sprt.batch_day_counts(union, *args)
+    got_sp = sprt.sprt_now(
+        spark, index_dir, SPRT_L1_MICRO, SPRT_L2_MICRO, SPRT_A_MICRO
+    ).collect()[0]
+    want_sp = sprt_walk_from_counts(
+        union_days, SPRT_L1_MICRO, SPRT_L2_MICRO, SPRT_A_MICRO
+    ).collect()[0]
+    assert tuple(got_sp) == tuple(want_sp)
+
+    got_mk = sprt.trend_now(spark, index_dir).collect()[0]
+    want_mk = mann_kendall_trend(union_days, "dd", "x").collect()[0]
+    assert tuple(got_mk) == tuple(want_mk)
+
+    got_fc = sprt.forecast_now(spark, index_dir).collect()[0]
+    want_fc = (
+        holt_winters_from_series(
+            union_days.withColumn("__one", F.lit(1)),
+            ["__one"],
+            ["dd"],
+            "m",
+        )
+        .drop("__one")
+        .collect()[0]
+    )
+    assert tuple(got_fc) == tuple(want_fc)
+
+    got_bt = sprt.backtest_now(spark, index_dir).collect()[0]
+    want_bt = rolling_backtest_holt(
+        union_days, [], ["dd"], "m"
+    ).collect()[0]
+    assert tuple(got_bt) == tuple(want_bt)
+
+    got_smk = sprt.seasonal_trend_now(spark, index_dir).collect()[0]
+    want_smk = seasonal_mann_kendall(union_days, "dd", "x").collect()[0]
+    assert tuple(got_smk) == tuple(want_smk)
+
+    got_hwbt = sprt.seasonal_backtest_now(spark, index_dir).collect()[0]
+    want_hwbt = rolling_backtest_hw(
+        union_days, [], ["dd"], "m"
+    ).collect()[0]
+    assert tuple(got_hwbt) == tuple(want_hwbt)
+
 
 def test_streaming_kgroup_monitor_matches_batch_kernels(spark, tmp_path):
     """The k-group monitor (streaming/kgroup.py — the k-sample
@@ -2526,3 +2678,175 @@ def test_streaming_kgroup_epoch_guard_raises_on_fresh_checkpoint(
     want_md = mood_median_from_counts(union_counts).collect()[0]
     assert tuple(got_md) == tuple(want_md)
     assert got_md.k_groups == 3
+
+    # ...and the remaining two family members (r13 inventory sweep —
+    # no kgroup readout without post-restart parity): ANOVA on the
+    # per-group exact moments, JT on the ordered alternative
+    from lambda_refarch_mapreduce_spark.operators.analytics import (
+        anova_f_from_groups,
+        jonckheere_terpstra_from_counts,
+    )
+
+    got_an = kgroup.anova_now(spark, index_dir).collect()[0]
+    want_groups = union_counts.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("c")
+        ).alias("q"),
+    )
+    want_an = anova_f_from_groups(want_groups).collect()[0]
+    assert tuple(got_an) == tuple(want_an)
+    assert got_an.k_groups == 3
+
+    got_jt = kgroup.jt_now(spark, index_dir).collect()[0]
+    want_jt = jonckheere_terpstra_from_counts(union_counts).collect()[0]
+    assert tuple(got_jt) == tuple(want_jt)
+    assert got_jt.k_groups == 3
+
+
+def test_streaming_sketch_epoch_guard_and_restart_readouts(
+    spark, tmp_path
+):
+    """Lifecycle contract for the sketch monitors (r13 inventory sweep
+    — lookup_now / bloom_words_now were the last readouts without
+    their own both-restart-path test; they ride the same shared
+    corpus.guard_checkpoint_epoch as every monitor): a FRESH
+    checkpoint meeting the surviving index raises instead of silently
+    undercounting; a SAME-checkpoint restart drains new data and both
+    readouts keep their contracts on the grown union (count-min never
+    undercounts; the Bloom words never reject a streamed key)."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+    from lambda_refarch_mapreduce_spark.operators import sketch as osk
+    from lambda_refarch_mapreduce_spark.operators.sketch import (
+        countmin_build,
+    )
+    from lambda_refarch_mapreduce_spark.streaming import sketch as ssk
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "user_id long"
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], schema
+    ).write.parquet(os.path.join(src, "f0"))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f*")
+        )
+
+    cms_dir = str(tmp_path / "cms_idx")
+    q = ssk.ingest_countmin(
+        stream(), cms_dir, str(tmp_path / "cms_ckpt"), "user_id", 4, 64
+    ).start()
+    q.awaitTermination(120)
+    base = {
+        (r.d, r.bucket): r.c
+        for r in ssk.running_sketch(spark, cms_dir).collect()
+    }
+    assert base
+
+    # fresh checkpoint + surviving index -> loud failure, state intact
+    q2 = ssk.ingest_countmin(
+        stream(), cms_dir, str(tmp_path / "cms_ckpt2"), "user_id", 4, 64
+    ).start()
+    try:
+        q2.awaitTermination(120)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised and "checkpoint epoch mismatch" in raised, raised
+    after = {
+        (r.d, r.bucket): r.c
+        for r in ssk.running_sketch(spark, cms_dir).collect()
+    }
+    assert after == base
+
+    # same checkpoint + new file -> drains; merged state and the
+    # lookup_now readout equal the batch sketch on the union
+    spark.createDataFrame([(2,), (4,)], schema).write.parquet(
+        os.path.join(src, "f1")
+    )
+    q3 = ssk.ingest_countmin(
+        stream(), cms_dir, str(tmp_path / "cms_ckpt"), "user_id", 4, 64
+    ).start()
+    q3.awaitTermination(120)
+    union = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (2,), (4,)], schema
+    )
+    merged = {
+        (r.d, r.bucket): r.c
+        for r in ssk.running_sketch(spark, cms_dir).collect()
+    }
+    batch = {
+        (r.d, r.bucket): r.c
+        for r in countmin_build(union, "user_id", 4, 64).collect()
+    }
+    assert merged == batch  # cell-for-cell merge law after restart
+    exact = {1: 1, 2: 3, 3: 1, 4: 1}
+    est = {
+        r.user_id: r.est_n
+        for r in ssk.lookup_now(
+            spark, cms_dir, union.distinct(), "user_id", 4, 64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for u, n in exact.items():
+        assert est[u] >= n, (u, est[u], n)
+
+    # the Bloom twin: same two restart paths, then the packed words
+    # must still accept every streamed key on the grown union
+    n_bits, k = 1 << 12, 2
+    bsrc = str(tmp_path / "bsrc")
+    os.makedirs(bsrc)
+    spark.createDataFrame([(10,), (20,)], schema).write.parquet(
+        os.path.join(bsrc, "f0")
+    )
+
+    def bstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(bsrc + "/f*")
+        )
+
+    bloom_dir = str(tmp_path / "bloom_idx")
+    qb = ssk.ingest_bloom(
+        bstream(), bloom_dir, str(tmp_path / "b_ckpt"), "user_id",
+        n_bits, k,
+    ).start()
+    qb.awaitTermination(120)
+    qb2 = ssk.ingest_bloom(
+        bstream(), bloom_dir, str(tmp_path / "b_ckpt2"), "user_id",
+        n_bits, k,
+    ).start()
+    try:
+        qb2.awaitTermination(120)
+        braised = None
+    except StreamingQueryException as e:
+        braised = str(e)
+    assert braised and "checkpoint epoch mismatch" in braised, braised
+
+    spark.createDataFrame([(30,)], schema).write.parquet(
+        os.path.join(bsrc, "f1")
+    )
+    qb3 = ssk.ingest_bloom(
+        bstream(), bloom_dir, str(tmp_path / "b_ckpt"), "user_id",
+        n_bits, k,
+    ).start()
+    qb3.awaitTermination(120)
+    words = ssk.bloom_words_now(spark, bloom_dir, n_bits)
+    streamed = spark.createDataFrame(
+        [(10,), (20,), (30,)], schema
+    ).select(F.col("user_id").alias("uid"))
+    accepted = {
+        r.uid
+        for r in streamed.filter(
+            osk.bloom_might_contain(F.col("uid"), words, n_bits, k)
+        ).collect()
+    }
+    assert accepted == {10, 20, 30}  # no false negatives after restart
