@@ -498,12 +498,40 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# auto_planes sizing (round 13): target mean rows per sign bucket,
+# and the clamp range for the derived per-band bit count. With 2^r
+# buckets per band the expected candidate volume is ~bands * n^2 / 2^r,
+# so holding n / 2^r at a constant LOAD keeps candidates ~linear in n.
+LSH_AUTO_BUCKET_LOAD = 8
+LSH_AUTO_MIN_PLANES = 3
+LSH_AUTO_MAX_PLANES = 16
+
+
+def auto_planes(
+    n: int,
+    load: int = LSH_AUTO_BUCKET_LOAD,
+    lo: int = LSH_AUTO_MIN_PLANES,
+    hi: int = LSH_AUTO_MAX_PLANES,
+) -> int:
+    """Corpus-size-aware sign bits per band: the smallest r with
+    2^r * load >= n, clamped to [lo, hi] — integer-exact (no float
+    log2), so an oracle can replay the identical rule in SQL. The r13
+    sf1 spot gate measured why this must scale with n: at n=20,000 a
+    FIXED r=3 (8 buckets/band) emitted 153M candidate pairs (the exact
+    check spilled >80 GB and died), r=12 emits 979k — and a fixed r
+    is a quadratic cliff at any corpus 100 TB implies."""
+    r = lo
+    while r < hi and (1 << r) * load < n:
+        r += 1
+    return r
+
+
 def lsh_blocked_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 3,
+    n_planes: int | str = "auto",
     bands: int = 6,
     seed: int = 42,
 ) -> DataFrame:
@@ -513,20 +541,41 @@ def lsh_blocked_pairs(
     Each band is an independent ``n_planes``-bit sign bucket; a pair is
     a candidate if it collides in ANY band, then its exact cosine is
     verified. Per-band collision prob for similarity s is
-    (1 - acos(s)/pi)^n_planes; any-band recall = 1-(1-p)^bands — at
-    s=0.95 with 3 planes x 6 bands that is >0.999, while the join stays
-    an equi-join on (band, bucket): sum over buckets of b_i^2, never
-    O(n^2). Tune n_planes up for bigger corpora (smaller buckets),
-    bands up for higher recall.
-    """
+    (1 - acos(s)/pi)^n_planes; any-band recall = 1-(1-p)^bands, and
+    exact duplicates (s=1) collide in EVERY band at any plane count.
+    The join stays an equi-join on (band, bucket): sum over buckets of
+    b_i^2, never O(n^2).
+
+    ``n_planes="auto"`` (default) sizes the per-band bit count from
+    the corpus size with :func:`auto_planes` — one count() at plan
+    build (column-pruned scan) buys candidate volume ~linear in n
+    instead of n^2/2^r with fixed r (the r13 sf1 finding: fixed r=3
+    at n=20k meant 153M candidate pairs and a >80 GB spill). Tune
+    ``bands`` up for higher recall at the similarity you care about.
+
+    Scale shape: the band join carries ONLY (id, band, bucket) — the
+    candidate distinct is over slim id pairs, and the two vectors are
+    equi-joined back per surviving pair for the exact check, so the
+    widest shuffle is O(|candidates|) ids, not O(|candidates|) vector
+    pairs (at dim=64 that is ~60x less shuffle than carrying va/vb
+    through the dedup, which is what actually filled the disk)."""
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if n_planes == "auto":
+        n_planes = auto_planes(df.count())
+    first = base.select(F.size("v").alias("d")).first()
+    dim = first["d"] if first is not None else None
     banded = None
     for b in range(bands):
         bb = lsh_bucket(
-            base, "v", n_planes=n_planes, seed=seed * 1000 + b, bucket_col="bucket"
-        ).select("id", "v", F.lit(b).alias("band"), "bucket")
+            base,
+            "v",
+            n_planes=n_planes,
+            seed=seed * 1000 + b,
+            dim=dim,  # probed once, not once per band
+            bucket_col="bucket",
+        ).select("id", F.lit(b).alias("band"), "bucket")
         banded = bb if banded is None else banded.unionByName(bb)
     a = banded.alias("a")
     c = banded.alias("b")
@@ -537,16 +586,13 @@ def lsh_blocked_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
     )
     return (
-        cand.select(
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),

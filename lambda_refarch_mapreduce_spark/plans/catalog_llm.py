@@ -1659,7 +1659,6 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_BLOCK_PLANES = 3
 LSH_BLOCK_BANDS = 6
 LSH_BLOCK_SEED = 42
 LSH_BLOCK_DIM = 64  # embeddings.parquet dim at every sf tier
@@ -1671,15 +1670,29 @@ def _lsh_blocked_oracle() -> str:
     The hyperplanes are deterministic md5-derived literals
     (similarity._hyperplane), so the oracle embeds the SAME plane
     vectors this entry's Spark plan bakes in (band b uses seed
-    42*1000+b, matching lsh_blocked_pairs) and recomputes each
-    3-bit band bucket as sign(v · plane) — an exact candidate-set
-    check, not just row counts. Filter is on the ROUNDED cosine,
-    matching lsh_blocked_pairs' output column semantics."""
-    from lambda_refarch_mapreduce_spark.operators.similarity import _hyperplane
+    42*1000+b, matching lsh_blocked_pairs) and recomputes each band
+    bucket as sign(v · plane) — an exact candidate-set check, not just
+    row counts. Filter is on the ROUNDED cosine, matching
+    lsh_blocked_pairs' output column semantics.
+
+    The per-band bit count is the operator's corpus-size-aware
+    ``auto_planes`` rule (round 13 — the sf1 spot gate found the fixed
+    3-bit banding emits O(n^2/8) candidates), replayed here
+    INTEGER-EXACTLY: r = smallest r in [3, 16] with 2^r * 8 >= n,
+    derived by bit-shift comparison (never float log2, whose rounding
+    could diverge between engines at exact powers of two). Plane
+    literals are emitted up to the r=16 clamp; the rr CTE selects the
+    prefix the corpus size calls for."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import (
+        LSH_AUTO_BUCKET_LOAD,
+        LSH_AUTO_MAX_PLANES,
+        LSH_AUTO_MIN_PLANES,
+        _hyperplane,
+    )
 
     rows = []
     for b in range(LSH_BLOCK_BANDS):
-        for p in range(LSH_BLOCK_PLANES):
+        for p in range(LSH_AUTO_MAX_PLANES):
             plane = _hyperplane(LSH_BLOCK_DIM, p, LSH_BLOCK_SEED * 1000 + b)
             lits = ", ".join(repr(x) for x in plane)
             rows.append(f"({b}, {p}, [{lits}]::DOUBLE[])")
@@ -1690,10 +1703,18 @@ def _lsh_blocked_oracle() -> str:
             VALUES {values}
         ),
         e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        rr AS (SELECT least({LSH_AUTO_MAX_PLANES}, greatest({LSH_AUTO_MIN_PLANES},
+                   coalesce((SELECT min(t.r)::INT
+                             FROM range({LSH_AUTO_MAX_PLANES} + 1) t(r), nn
+                             WHERE (1::BIGINT << t.r) * {LSH_AUTO_BUCKET_LOAD}
+                                   >= nn.n),
+                            {LSH_AUTO_MAX_PLANES}))) AS r),
         bits AS (SELECT e.id, pl.band, pl.plane_idx,
                         CASE WHEN list_inner_product(e.v, pl.p) >= 0
                              THEN '1' ELSE '0' END AS bit
-                 FROM e CROSS JOIN planes pl),
+                 FROM e CROSS JOIN planes pl, rr
+                 WHERE pl.plane_idx < rr.r),
         buckets AS (SELECT id, band,
                            string_agg(bit, '' ORDER BY plane_idx) AS bucket
                     FROM bits GROUP BY id, band),
@@ -1716,18 +1737,24 @@ def _lsh_blocked_oracle() -> str:
 )
 def embedding_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: banded cosine-LSH blocking
-    (OR-amplification over 6 bands of 3 sign bits) in front of the
-    exact cosine check — candidates form per-band equi-joins, never a
-    cross join. The hyperplane family is deterministic (md5-derived
-    literals), so the LSH-dependent candidate set is exactly
-    reproducible and the oracle replays it in SQL; recall vs the exact
-    tier is additionally pinned in tests/test_operators.py."""
+    (OR-amplification over 6 bands of corpus-size-aware sign bits) in
+    front of the exact cosine check — candidates form per-band
+    equi-joins, never a cross join, and carry only id pairs through
+    the dedup (vectors equi-joined back per surviving pair). The
+    hyperplane family is deterministic (md5-derived literals) and the
+    per-band bit count follows the integer-exact auto_planes rule, so
+    the LSH-dependent candidate set is exactly reproducible at ANY
+    corpus size and the oracle replays both in SQL; recall vs the
+    exact tier is additionally pinned in tests/test_operators.py.
+    Round 13: the sf1 spot gate caught the previous FIXED 3-bit
+    banding emitting 153M candidate pairs at n=20k (a >80 GB spill) —
+    auto sizing emits 979k at the same n."""
     return similarity.lsh_blocked_pairs(
         _t(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         threshold=NEARDUP_COSINE,
-        n_planes=LSH_BLOCK_PLANES,
+        n_planes="auto",
         bands=LSH_BLOCK_BANDS,
         seed=LSH_BLOCK_SEED,
     )

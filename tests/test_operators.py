@@ -623,6 +623,50 @@ def test_blocked_cosine_pairs_recall_and_plan(spark):
     assert recall > 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
 
 
+def test_auto_planes_integer_rule_boundaries():
+    """auto_planes is the integer-exact corpus-size rule the oracle
+    replays in SQL (round 13 — the sf1 spot gate found fixed 3-bit
+    banding emits O(n^2/8) candidate pairs): smallest r in [3, 16]
+    with 2^r * 8 >= n. Boundary sweep including exact powers of two,
+    where a float log2 derivation could round differently per engine."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import auto_planes
+
+    assert auto_planes(0) == 3
+    assert auto_planes(1) == 3
+    assert auto_planes(64) == 3  # 2^3 * 8 == 64: boundary stays at 3
+    assert auto_planes(65) == 4
+    assert auto_planes(500) == 6  # sf0.01 corpus
+    assert auto_planes(2000) == 8  # sf0.1 corpus
+    assert auto_planes(2048) == 8  # exact power: 2^8 * 8 == 2048
+    assert auto_planes(2049) == 9
+    assert auto_planes(20000) == 12  # sf1 spot corpus
+    assert auto_planes(10**12) == 16  # clamped at the literal table
+
+
+def test_lsh_blocked_auto_equals_explicit(spark):
+    """n_planes="auto" (the registered entry's configuration) must be
+    exactly the explicit plane count auto_planes derives for the
+    corpus — same candidate set, same verified pairs."""
+    from lambda_refarch_mapreduce_spark.operators.similarity import auto_planes
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    r = auto_planes(n)
+    assert (n, r) == (500, 6)
+    auto_pairs = {
+        (x.id_a, x.id_b, x.cosine)
+        for x in similarity.lsh_blocked_pairs(emb, threshold=0.4).collect()
+    }
+    explicit = {
+        (x.id_a, x.id_b, x.cosine)
+        for x in similarity.lsh_blocked_pairs(
+            emb, threshold=0.4, n_planes=r
+        ).collect()
+    }
+    assert auto_pairs == explicit
+    assert auto_pairs  # non-degenerate: the sf0.01 corpus has near-dups
+
+
 def test_grid_cosine_pairs_exact_no_bnlj(spark):
     """The unblocked exact all-pairs must execute as a grid theta-join
     (equi-join on chunk-pair), never a BroadcastNestedLoopJoin — the

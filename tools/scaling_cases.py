@@ -2003,3 +2003,41 @@ def round12(spark, args):
         raise SystemExit(f"unknown key {key!r}")
     row["key"] = key
     return row
+
+
+# ---------------------------------------------------------------------------
+# Round 13: run ONE registered catalog entry at an arbitrary sf tier
+# ---------------------------------------------------------------------------
+
+
+@case("catalog_entry")
+def catalog_entry(spark, args):
+    """Measure one registered catalog entry at any sf tier (round 13:
+    the sf0.1 -> sf1 headline scaling record beside the sf1 SPOT
+    oracle gate). Same execution contract as bench.py — noop sink, no
+    driver materialization, pin_scope released per run — but pointed
+    at an arbitrary tier, so one config entry covers every
+    "does this key scale ~linearly one tier up?" question instead of
+    a per-round script. Usage:
+
+        python tools/scaling_harness.py catalog_entry NAME [sf_dir]
+
+    Fresh JVM per invocation (the harness runs one case per process),
+    so no warm-cache flattery across tiers."""
+    if not args:
+        raise SystemExit("usage: catalog_entry NAME [sf_dir]")
+    name = args[0]
+    sf_dir = args[1] if len(args) > 1 else SF_DIR
+    from lambda_refarch_mapreduce_spark.operators.relational import pin_scope
+    from lambda_refarch_mapreduce_spark.plans import (  # noqa: F401
+        catalog,
+        catalog_analytics,
+        catalog_llm,
+    )
+
+    qd = catalog.REGISTRY[name]
+    with pin_scope():
+        row = measure(spark, qd.spark(spark, sf_dir), mode="noop")
+    row["entry"] = name
+    row["sf_dir"] = sf_dir
+    return row
