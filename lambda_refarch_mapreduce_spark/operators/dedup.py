@@ -54,6 +54,85 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def _exact_groups(df: DataFrame, id_col: str, content_col: str):
+    """Exact-duplicate group map for the collapse/expand wrappers:
+    ``(groups, members)`` with groups = (__dg, __rep, __m) — one row
+    per DISTINCT content (md5 digest, min-id representative, group
+    size) — and members = (__rep, __mid), one row per doc including
+    the representative itself.
+
+    Why this exists: a mega exact-duplicate cluster (boilerplate —
+    cookie banners, license pages — guaranteed in any web-scale
+    corpus) collides in EVERY LSH band at ANY banding parameter, so
+    candidate pairs grow C(m,2) in the CLUSTER size m; no
+    corpus-size-aware banding can touch it. Collapsing to one
+    representative per distinct content before the candidate join
+    makes candidate volume a function of DISTINCT contents, and the
+    post-verification expansion (below) regenerates the exact pair
+    set — output-identical, so the operators' registered oracles
+    stay valid unchanged.
+
+    Both frames are NARROW (32-byte digest + ids): collapsing never
+    shuffles document bodies.
+    """
+    dg = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(content_col)).alias("__dg")
+    )
+    groups = dg.groupBy("__dg").agg(
+        F.min("__mid").alias("__rep"), F.count(F.lit(1)).alias("__m")
+    )
+    members = dg.join(groups, "__dg").select("__rep", "__mid")
+    return groups, members
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame, members: DataFrame, payload_cols: list[str]
+) -> DataFrame:
+    """All-member expansion of representative-level pairs: every
+    (id_a=rep_a, id_b=rep_b, *payload) row becomes m_a x m_b member
+    pairs carrying the SAME payload (identical contents ⇒ identical
+    similarity), ids re-canonicalized to id_a < id_b. Two equi-join
+    explodes — cost is the OUTPUT size, which for pair semantics is
+    the lower bound no plan can beat."""
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+
+
+def _within_group_pairs(
+    members: DataFrame, eligible_reps: DataFrame, payload
+) -> DataFrame:
+    """C(m,2) pairs inside each exact-duplicate group whose rep is in
+    ``eligible_reps`` (docs that actually enter the similarity
+    pipeline — zero-shingle / zero-token docs never pair in the
+    uncollapsed plan and must not pair here). ``payload`` is a list of
+    (name, Column) similarity values — literals (jaccard 1.0 /
+    hamming 0 — exactly what verification computes for identical
+    contents) or references to extra columns riding eligible_reps
+    (winnowing's per-doc fingerprint count)."""
+    el = members.join(eligible_reps, "__rep")
+    extra = [c for c in el.columns if c not in ("__rep", "__mid")]
+    a = el.select("__rep", F.col("__mid").alias("__xa"), *extra)
+    b = el.select("__rep", F.col("__mid").alias("__xb"))
+    return (
+        a.join(b, "__rep")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            F.col("__xa").alias("id_a"),
+            F.col("__xb").alias("id_b"),
+            *[c.alias(nm) for nm, c in payload],
+        )
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, content_col: str, n: int = 3, with_count: bool = False
 ) -> DataFrame:
@@ -88,6 +167,7 @@ def ngram_jaccard_pairs(
     content_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity >= threshold.
 
@@ -108,10 +188,41 @@ def ngram_jaccard_pairs(
     with the post-joins vs one pair shuffle without them. Exactly two
     shuffles at any corpus size: postings by shingle, pairs by id.
 
+    Exact-duplicate clusters are collapsed to one representative
+    before the posting self-join (``collapse_exact``, default on):
+    a boilerplate page copied m times otherwise contributes C(m,2)
+    rows PER SHARED SHINGLE to the join — the skew-tier mega-cluster
+    pathology — while the collapsed plan pays one narrow postings⋈rep
+    join and regenerates the identical pair set by expansion after
+    the threshold filter (identical contents ⇒ jaccard 1.0 within a
+    group, and every member inherits its representative's verified
+    similarities). Output is unchanged — the same oracle verifies
+    both plans.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = shingles(df, id_col, content_col, n, with_count=True)
+    if not collapse_exact:
+        return _jaccard_from_postings(sh, threshold)
+    groups, members = _exact_groups(df, id_col, content_col)
+    rep_ids = groups.select(F.col("__rep").alias("id"))
+    rep_sh = sh.join(rep_ids, "id")
+    rep_pairs = _jaccard_from_postings(rep_sh, threshold)
+    cross = _expand_pairs(rep_pairs, members, ["jaccard"])
+    if threshold > 1.0:
+        return cross
+    eligible = (
+        groups.filter(F.col("__m") >= 2)
+        .join(rep_sh.select(F.col("id").alias("__rep")).distinct(), "__rep")
+        .select("__rep")
+    )
+    within = _within_group_pairs(members, eligible, [("jaccard", F.lit(1.0))])
+    return cross.unionByName(within)
 
+
+def _jaccard_from_postings(sh: DataFrame, threshold: float) -> DataFrame:
+    """Shared posting-self-join + Jaccard verify over a (id, n_sh,
+    shingle) inverted-index frame."""
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -139,6 +250,7 @@ def ngram_containment_pairs(
     content_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Document pairs where the SMALLER document's shingle set is
     mostly contained in the larger one: containment(A→B) =
@@ -154,11 +266,61 @@ def ngram_containment_pairs(
     containment is max(inter/|A|, inter/|B|) with the direction
     column naming the contained side.
 
+    Exact-duplicate clusters are collapsed to one representative
+    before the posting self-join (``collapse_exact``, default on; same
+    mega-cluster rationale as ngram_jaccard_pairs). The direction
+    column is re-derived per EXPANDED pair from the shingle-set sizes
+    (contained = 'a' iff n_a <= n_b, the exact c_a >= c_b condition
+    since inter is fixed — ties to 'a'), so a member pair whose id
+    order flips relative to its representatives reports the side the
+    uncollapsed plan would.
+
     Returns (id_a, id_b, containment, contained) with id_a < id_b and
     contained in {'a','b'} (the doc whose shingles are covered —
     ties to 'a').
     """
     sh = shingles(df, id_col, content_col, n, with_count=True)
+    if not collapse_exact:
+        return _containment_finalize(_containment_from_postings(sh, threshold))
+    groups, members = _exact_groups(df, id_col, content_col)
+    rep_ids = groups.select(F.col("__rep").alias("id"))
+    rep_sh = sh.join(rep_ids, "id")
+    rep_pairs = _containment_from_postings(rep_sh, threshold)
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
+    swapped = F.col("__xa") > F.col("__xb")
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "containment",
+            F.when(swapped, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+            F.when(swapped, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+        )
+    )
+    out = _containment_finalize(cross)
+    if threshold > 1.0:
+        return out
+    eligible = (
+        groups.filter(F.col("__m") >= 2)
+        .join(rep_sh.select(F.col("id").alias("__rep")).distinct(), "__rep")
+        .select("__rep")
+    )
+    within = _within_group_pairs(
+        members,
+        eligible,
+        [("containment", F.lit(1.0)), ("contained", F.lit("a"))],
+    )
+    return out.unionByName(within)
+
+
+def _containment_from_postings(sh: DataFrame, threshold: float) -> DataFrame:
+    """Posting self-join + containment threshold, direction deferred:
+    (id_a, id_b, containment, n_a, n_b). The max-side containment is
+    orientation-free, so the threshold filter is safe before any
+    member expansion re-orients the pair."""
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -180,14 +342,21 @@ def ngram_containment_pairs(
     return (
         inter.withColumn("containment", F.greatest(c_a, c_b))
         .filter(F.col("containment") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.round("containment", 6).alias("containment"),
-            F.when(c_a >= c_b, F.lit("a")).otherwise(F.lit("b")).alias(
-                "contained"
-            ),
-        )
+        .select("id_a", "id_b", "containment", "n_a", "n_b")
+    )
+
+
+def _containment_finalize(pairs: DataFrame) -> DataFrame:
+    """Round + derive the contained side from the sizes: 'a' iff
+    n_a <= n_b (ties to 'a') — identical to c_a >= c_b at fixed
+    intersection."""
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.when(F.col("n_a") <= F.col("n_b"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("contained"),
     )
 
 
@@ -393,6 +562,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH, verified by true Jaccard.
 
@@ -408,10 +578,54 @@ def minhash_lsh_pairs(
     for signatures; the exact-Jaccard pass scans |candidate docs|,
     which at production thresholds is orders of magnitude smaller than
     the corpus — the property that makes this plan hold at 100TB.
+
+    Exact-duplicate clusters are collapsed to one representative
+    before the candidate join (``collapse_exact``, default on).
+    Identical contents agree in EVERY band at ANY (k, bands), so a
+    boilerplate page copied m times produces C(m,2) candidates PER
+    BAND in the naive plan — the cluster-size explosion no banding
+    parameter can fix (the skew-tier finding, SCALING.md round 13).
+    The collapsed plan bands one representative per distinct content
+    (band rows ⋈ rep ids — narrow, no body shuffle; the redundant
+    map-side hashing of duplicates is embarrassingly parallel and
+    linear), verifies representative pairs only, then expands the
+    verified pairs over the member groups: within-group pairs carry
+    jaccard 1.0 (what verification computes for identical shingle
+    sets) and cross-group member pairs inherit their reps' verified
+    jaccard. The pair set is IDENTICAL to the uncollapsed plan's —
+    the same oracle verifies both — and the only quadratic term left
+    is the output itself, the semantic lower bound.
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    banded = minhash_bands(df, id_col, content_col, n, k, bands)
+    banded_all = minhash_bands(df, id_col, content_col, n, k, bands)
+    if not collapse_exact:
+        return _lsh_candidate_verify(df, banded_all, id_col, content_col, n, threshold)
+    groups, members = _exact_groups(df, id_col, content_col)
+    rep_ids = groups.select(F.col("__rep").alias("id"))
+    banded = banded_all.join(rep_ids, "id")
+    rep_pairs = _lsh_candidate_verify(df, banded, id_col, content_col, n, threshold)
+    cross = _expand_pairs(rep_pairs, members, ["jaccard"])
+    if threshold > 1.0:
+        return cross
+    eligible = (
+        groups.filter(F.col("__m") >= 2)
+        .join(banded.select(F.col("id").alias("__rep")).distinct(), "__rep")
+        .select("__rep")
+    )
+    within = _within_group_pairs(members, eligible, [("jaccard", F.lit(1.0))])
+    return cross.unionByName(within)
 
+
+def _lsh_candidate_verify(
+    df: DataFrame,
+    banded: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared LSH candidate join + exact-Jaccard verification over a
+    (id, band, bkey) band-row frame."""
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -557,6 +771,7 @@ def simhash_near_pairs(
     bands: int | str = "auto",
     max_hamming: int = 5,
     n_docs: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -589,8 +804,46 @@ def simhash_near_pairs(
     REQUIRES max_hamming <= bands-1; fewer bands could differ in every
     band and silently miss a qualifying pair, so that combination
     raises instead of returning incomplete results).
+
+    Exact-duplicate clusters are collapsed to one representative
+    before the probe join (``collapse_exact``, default on): identical
+    contents share the fingerprint, hence every probe key, so an
+    m-copy boilerplate cluster yields C(m,2) candidates per table in
+    the naive plan regardless of the probe scheme. The collapsed plan
+    probes one representative per distinct content (narrow sig ⋈ rep
+    join), then expands: within-group pairs at hamming 0 (identical
+    fingerprints), cross-group member pairs inherit their reps'
+    hamming. Output identical; ``n_docs`` (if given) is treated as an
+    upper bound for the auto sizing — a corpus-count hint sizes the
+    rep probe conservatively, which only costs buckets, never recall.
     """
     sig = simhash(df, id_col, content_col, bits)
+    if not collapse_exact:
+        return _simhash_rep_pairs(sig, bits, bands, max_hamming, n_docs)
+    groups, members = _exact_groups(df, id_col, content_col)
+    sig = sig.join(groups.select(F.col("__rep").alias("id")), "id")
+    rep_pairs = _simhash_rep_pairs(sig, bits, bands, max_hamming, n_docs)
+    cross = _expand_pairs(rep_pairs, members, ["hamming"])
+    eligible = (
+        groups.filter(F.col("__m") >= 2)
+        .join(sig.select(F.col("id").alias("__rep")), "__rep")
+        .select("__rep")
+    )
+    within = _within_group_pairs(
+        members, eligible, [("hamming", F.lit(0).cast("integer"))]
+    )
+    return cross.unionByName(within)
+
+
+def _simhash_rep_pairs(
+    sig: DataFrame,
+    bits: int,
+    bands: int | str,
+    max_hamming: int,
+    n_docs: int | None,
+) -> DataFrame:
+    """Probe-scheme sizing + candidate join + exact-hamming verify
+    over a (id, simhash) fingerprint frame."""
     if bands == "auto":
         if n_docs is not None:
             n = n_docs
@@ -1061,6 +1314,7 @@ def winnow_overlap_pairs(
     n: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Local-overlap candidate pairs from winnowing fingerprints —
     the MOSS match step: documents sharing >= ``min_shared`` selected
@@ -1076,9 +1330,42 @@ def winnow_overlap_pairs(
     shuffle for the count. Fingerprint density ~2/(window+1) of grams,
     so posting volume is a tunable fraction of the Jaccard tier's.
 
+    Exact-duplicate clusters are collapsed to one representative
+    before the posting self-join (``collapse_exact``, default on;
+    boilerplate clusters are exactly this operator's target corpus,
+    and identical docs share every fingerprint, so the naive join
+    pays C(m,2) rows PER FINGERPRINT). Within-group pairs carry the
+    doc's own distinct-fingerprint count — what the self-join counts
+    for identical fingerprint sets — gated on >= min_shared like any
+    other pair.
+
     Returns (id_a, id_b, shared_fingerprints) with id_a < id_b.
     """
     fp = winnow_fingerprints(df, id_col, content_col, n, window)
+    if not collapse_exact:
+        return _winnow_pairs_from_postings(fp, min_shared)
+    groups, members = _exact_groups(df, id_col, content_col)
+    rep_ids = groups.select(F.col("__rep").alias("id"))
+    rep_fp = fp.join(rep_ids, "id")
+    rep_pairs = _winnow_pairs_from_postings(rep_fp, min_shared)
+    cross = _expand_pairs(rep_pairs, members, ["shared_fingerprints"])
+    self_counts = (
+        rep_fp.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+        .select(F.col("id").alias("__rep"), "shared_fingerprints")
+    )
+    eligible = groups.filter(F.col("__m") >= 2).join(self_counts, "__rep").select(
+        "__rep", "shared_fingerprints"
+    )
+    within = _within_group_pairs(
+        members, eligible, [("shared_fingerprints", F.col("shared_fingerprints"))]
+    )
+    return cross.unionByName(within)
+
+
+def _winnow_pairs_from_postings(fp: DataFrame, min_shared: int) -> DataFrame:
+    """Shared fingerprint-posting self-join + min_shared gate."""
     a = fp.alias("a")
     b = fp.alias("b")
     return (

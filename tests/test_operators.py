@@ -2020,3 +2020,84 @@ def test_boundary_scene_cuts_saturated_diff_and_video_means(spark):
         ).collect()
     )
     assert means == [0.0, 255.0]
+
+
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse (round 13): the mega-cluster explosion fix
+# ---------------------------------------------------------------------------
+
+
+def _cluster_corpus(spark, copies=30):
+    """Corpus with every shape the collapse/expand path must preserve:
+    a planted exact-duplicate mega-cluster, near-dups of the cluster
+    content, unrelated singletons, a duplicated EMPTY group and a
+    duplicated sub-shingle-width group (both must yield no minhash
+    pairs: zero-shingle docs never enter the banding pipeline)."""
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(12)
+    )
+    seed = docs.orderBy("doc_id").limit(1)
+    cluster = seed.crossJoin(
+        spark.range(copies).select((F.col("id") + 50_000).alias("__c"))
+    ).select(F.col("__c").alias("doc_id"), "text")
+    near = seed.select(
+        F.lit(60_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzztail")).alias("text"),
+    )
+    degenerate = spark.createDataFrame(
+        [(70_000, ""), (70_001, ""), (70_002, "a b"), (70_003, "a b")],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(cluster).unionByName(near).unionByName(degenerate)
+
+
+def _pair_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "fn,kwargs",
+    [
+        (dedup.minhash_lsh_pairs, {"threshold": 0.3}),
+        (dedup.ngram_jaccard_pairs, {"threshold": 0.3}),
+        (dedup.simhash_near_pairs, {"max_hamming": 6}),
+        (dedup.ngram_containment_pairs, {"threshold": 0.3}),
+        (dedup.winnow_overlap_pairs, {"min_shared": 1}),
+    ],
+)
+def test_collapse_exact_pair_parity(spark, fn, kwargs):
+    """collapse_exact=True must return EXACTLY the uncollapsed pair
+    set — same ids, same similarity values — on a corpus with a
+    planted 30-copy cluster, near-dups, and degenerate dup groups."""
+    corpus = _cluster_corpus(spark)
+    collapsed = _pair_set(fn(corpus, "doc_id", "text", **kwargs))
+    naive = _pair_set(fn(corpus, "doc_id", "text", collapse_exact=False, **kwargs))
+    assert collapsed == naive
+    # the cluster itself must be fully paired: C(30,2) within + seed
+    within = {p for p in collapsed if p[0] >= 50_000 and p[1] < 60_000}
+    assert len(within) == 30 * 29 // 2
+
+
+def test_collapse_candidate_volume_is_cluster_size_free(spark):
+    """The plan-shape guarantee: with an m-copy exact cluster, the
+    banded candidate join sees ONE representative — candidate pairs
+    must not grow with m (the C(m,2)-per-band explosion the skew tier
+    caught; SCALING.md round 13)."""
+    corpus = _cluster_corpus(spark, copies=40)
+    groups, _members = dedup._exact_groups(corpus, "doc_id", "text")
+    rep_ids = groups.select(F.col("__rep").alias("id"))
+    banded = dedup.minhash_bands(corpus, "doc_id", "text").join(rep_ids, "id")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    # reps: 12 base + 1 near + "" + "a b" = 15 distinct contents; the
+    # 40-copy cluster contributes ZERO extra candidates. Bound: the
+    # seed<->near collision across <=4 bands plus any base-corpus
+    # collisions — far under one C(40,2) band's 780.
+    assert candidates.count() < 100
