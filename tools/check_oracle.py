@@ -117,6 +117,7 @@ def main():
                 "err": None,
             }
             continue
+        t1 = time.monotonic()
         try:
             ores = con.sql(oracles[name])
             orows = ores.fetchall()
@@ -162,7 +163,14 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({spark_secs:.1f}s)")
+            # oracle time covers duckdb + the canon hashing — slow
+            # oracles dominated untimed gate wall before this was
+            # printed (geo_nearest's O(n^2) <> join hid ~45 min)
+            oracle_secs = time.monotonic() - t1
+            print(
+                f"PASS {name}: {len(srows)} rows "
+                f"({spark_secs:.1f}s spark, {oracle_secs:.1f}s oracle)"
+            )
             n_pass += 1
     if json_out:
         with open(json_out, "w") as f:
