@@ -55,11 +55,12 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def _exact_groups(df: DataFrame, id_col: str, content_col: str):
-    """Exact-duplicate group map for the collapse/expand wrappers:
-    ``(groups, members)`` with groups = (__dg, __rep, __m) — one row
-    per DISTINCT content (md5 digest, min-id representative, group
-    size) — and members = (__rep, __mid), one row per doc including
-    the representative itself.
+    """Duplicated-mass frames for the collapse/expand wrappers:
+    ``(non_rep, multi)`` with non_rep = (__mid) — every doc that is
+    NOT its exact-duplicate group's min-id representative — and
+    multi = (__rep, __mid), one row per member (representative
+    included) of every group with >= 2 copies. Both are EMPTY when
+    the corpus has no exact duplicates.
 
     Why this exists: a mega exact-duplicate cluster (boilerplate —
     cookie banners, license pages — guaranteed in any web-scale
@@ -72,43 +73,78 @@ def _exact_groups(df: DataFrame, id_col: str, content_col: str):
     set — output-identical, so the operators' registered oracles
     stay valid unchanged.
 
-    Both frames are NARROW (32-byte digest + ids): collapsing never
-    shuffles document bodies.
+    Why these two frames and not a corpus-wide (rep, member) map: the
+    collapse must be ~free on the clean-corpus fast path. Everything
+    downstream touches only the DUPLICATED MASS — the rep filter is a
+    left-anti join against non_rep and the expansions are left joins
+    against multi — so when duplicates are rare both sides broadcast
+    and the only corpus-sized cost is the one narrow digest exchange
+    here (16-byte binary md5 + id, ~24 B/row; map-side hashing of
+    bodies is embarrassingly parallel). The first cut of this
+    collapse shipped corpus-sized (rep, member) join frames and
+    doubled the minhash bench key's shuffle bytes on a dup-free
+    corpus; this shape reclaims that while keeping the skew-tier win.
     """
     dg = df.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(content_col)).alias("__dg")
+        F.col(id_col).alias("__mid"),
+        F.unhex(F.md5(F.col(content_col))).alias("__dg"),
     )
-    groups = dg.groupBy("__dg").agg(
-        F.min("__mid").alias("__rep"), F.count(F.lit(1)).alias("__m")
+    # member ids ride the ONE digest exchange as per-group lists (same
+    # ~24 B/row payload as the raw rows, order irrelevant — the rep is
+    # a separate min), so multi/non_rep are projections OVER the
+    # aggregate and every downstream reference hits ReusedExchange
+    # instead of re-scanning the corpus and re-hashing bodies (the
+    # dg ⋈ groups formulation broadcast the group table and re-ran the
+    # document scan once per reference — measured +24 stages on the
+    # minhash bench key)
+    grouped = dg.groupBy("__dg").agg(
+        F.min("__mid").alias("__rep"),
+        F.collect_list("__mid").alias("__ids"),
     )
-    members = dg.join(groups, "__dg").select("__rep", "__mid")
-    return groups, members
+    multi = grouped.filter(F.size("__ids") >= 2).select(
+        "__rep", F.explode("__ids").alias("__mid")
+    )
+    non_rep = multi.filter(F.col("__mid") != F.col("__rep")).select("__mid")
+    return non_rep, multi
+
+
+def _rep_only(frame: DataFrame, non_rep: DataFrame, key: str = "id") -> DataFrame:
+    """Keep only representative docs' rows: left-anti join against the
+    non-representative ids. non_rep is empty on a dup-free corpus, so
+    AQE broadcasts it and the filter costs one codegen'd hash probe
+    per row — never a corpus shuffle."""
+    return frame.join(non_rep.select(F.col("__mid").alias(key)), key, "left_anti")
 
 
 def _expand_pairs(
-    rep_pairs: DataFrame, members: DataFrame, payload_cols: list[str]
+    rep_pairs: DataFrame, multi: DataFrame, payload_cols: list[str]
 ) -> DataFrame:
     """All-member expansion of representative-level pairs: every
     (id_a=rep_a, id_b=rep_b, *payload) row becomes m_a x m_b member
     pairs carrying the SAME payload (identical contents ⇒ identical
-    similarity), ids re-canonicalized to id_a < id_b. Two equi-join
-    explodes — cost is the OUTPUT size, which for pair semantics is
-    the lower bound no plan can beat."""
-    ma = members.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
-    mb = members.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
+    similarity), ids re-canonicalized to id_a < id_b. LEFT joins
+    against the multi-group member map only — a singleton rep has no
+    row there and coalesces to itself, so the join build side is the
+    duplicated mass, not the corpus. Cost beyond that is the OUTPUT
+    size, which for pair semantics is the lower bound no plan can
+    beat."""
+    ma = multi.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
+    mb = multi.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
+    xa = F.coalesce(F.col("__xa"), F.col("id_a"))
+    xb = F.coalesce(F.col("__xb"), F.col("id_b"))
     return (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("__xa", "__xb").alias("id_a"),
-            F.greatest("__xa", "__xb").alias("id_b"),
+            F.least(xa, xb).alias("id_a"),
+            F.greatest(xa, xb).alias("id_b"),
             *[F.col(c) for c in payload_cols],
         )
     )
 
 
 def _within_group_pairs(
-    members: DataFrame, eligible_reps: DataFrame, payload
+    multi: DataFrame, eligible_reps: DataFrame, payload
 ) -> DataFrame:
     """C(m,2) pairs inside each exact-duplicate group whose rep is in
     ``eligible_reps`` (docs that actually enter the similarity
@@ -118,7 +154,7 @@ def _within_group_pairs(
     hamming 0 — exactly what verification computes for identical
     contents) or references to extra columns riding eligible_reps
     (winnowing's per-doc fingerprint count)."""
-    el = members.join(eligible_reps, "__rep")
+    el = multi.join(eligible_reps, "__rep")
     extra = [c for c in el.columns if c not in ("__rep", "__mid")]
     a = el.select("__rep", F.col("__mid").alias("__xa"), *extra)
     b = el.select("__rep", F.col("__mid").alias("__xb"))
@@ -130,6 +166,21 @@ def _within_group_pairs(
             F.col("__xb").alias("id_b"),
             *[c.alias(nm) for nm, c in payload],
         )
+    )
+
+
+def _multi_reps_in(frame: DataFrame, multi: DataFrame) -> DataFrame:
+    """(__rep) — multi-group representatives that appear in ``frame``
+    (an (id, ...) pipeline frame): the eligibility set for
+    within-group pairs. Semi-join ``frame`` against the small distinct
+    multi-rep set FIRST, so the distinct aggregates only the
+    duplicated mass's rows, never the corpus."""
+    mr = multi.select(F.col("__rep").alias("id")).distinct()
+    return (
+        frame.select("id")
+        .join(mr, "id", "left_semi")
+        .distinct()
+        .select(F.col("id").alias("__rep"))
     )
 
 
@@ -204,19 +255,14 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, content_col, n, with_count=True)
     if not collapse_exact:
         return _jaccard_from_postings(sh, threshold)
-    groups, members = _exact_groups(df, id_col, content_col)
-    rep_ids = groups.select(F.col("__rep").alias("id"))
-    rep_sh = sh.join(rep_ids, "id")
+    non_rep, multi = _exact_groups(df, id_col, content_col)
+    rep_sh = _rep_only(sh, non_rep)
     rep_pairs = _jaccard_from_postings(rep_sh, threshold)
-    cross = _expand_pairs(rep_pairs, members, ["jaccard"])
+    cross = _expand_pairs(rep_pairs, multi, ["jaccard"])
     if threshold > 1.0:
         return cross
-    eligible = (
-        groups.filter(F.col("__m") >= 2)
-        .join(rep_sh.select(F.col("id").alias("__rep")).distinct(), "__rep")
-        .select("__rep")
-    )
-    within = _within_group_pairs(members, eligible, [("jaccard", F.lit(1.0))])
+    eligible = _multi_reps_in(rep_sh, multi)
+    within = _within_group_pairs(multi, eligible, [("jaccard", F.lit(1.0))])
     return cross.unionByName(within)
 
 
@@ -282,19 +328,20 @@ def ngram_containment_pairs(
     sh = shingles(df, id_col, content_col, n, with_count=True)
     if not collapse_exact:
         return _containment_finalize(_containment_from_postings(sh, threshold))
-    groups, members = _exact_groups(df, id_col, content_col)
-    rep_ids = groups.select(F.col("__rep").alias("id"))
-    rep_sh = sh.join(rep_ids, "id")
+    non_rep, multi = _exact_groups(df, id_col, content_col)
+    rep_sh = _rep_only(sh, non_rep)
     rep_pairs = _containment_from_postings(rep_sh, threshold)
-    ma = members.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
-    mb = members.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
-    swapped = F.col("__xa") > F.col("__xb")
+    ma = multi.select(F.col("__rep").alias("id_a"), F.col("__mid").alias("__xa"))
+    mb = multi.select(F.col("__rep").alias("id_b"), F.col("__mid").alias("__xb"))
+    xa = F.coalesce(F.col("__xa"), F.col("id_a"))
+    xb = F.coalesce(F.col("__xb"), F.col("id_b"))
+    swapped = xa > xb
     cross = (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("__xa", "__xb").alias("id_a"),
-            F.greatest("__xa", "__xb").alias("id_b"),
+            F.least(xa, xb).alias("id_a"),
+            F.greatest(xa, xb).alias("id_b"),
             "containment",
             F.when(swapped, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
             F.when(swapped, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
@@ -303,13 +350,9 @@ def ngram_containment_pairs(
     out = _containment_finalize(cross)
     if threshold > 1.0:
         return out
-    eligible = (
-        groups.filter(F.col("__m") >= 2)
-        .join(rep_sh.select(F.col("id").alias("__rep")).distinct(), "__rep")
-        .select("__rep")
-    )
+    eligible = _multi_reps_in(rep_sh, multi)
     within = _within_group_pairs(
-        members,
+        multi,
         eligible,
         [("containment", F.lit(1.0)), ("contained", F.lit("a"))],
     )
@@ -586,9 +629,11 @@ def minhash_lsh_pairs(
     BAND in the naive plan — the cluster-size explosion no banding
     parameter can fix (the skew-tier finding, SCALING.md round 13).
     The collapsed plan bands one representative per distinct content
-    (band rows ⋈ rep ids — narrow, no body shuffle; the redundant
-    map-side hashing of duplicates is embarrassingly parallel and
-    linear), verifies representative pairs only, then expands the
+    (band rows anti-joined against the non-representative ids —
+    narrow, no body shuffle, and EMPTY on a dup-free corpus so the
+    filter broadcasts; the redundant map-side hashing of duplicates
+    is embarrassingly parallel and linear), verifies representative
+    pairs only, then expands the
     verified pairs over the member groups: within-group pairs carry
     jaccard 1.0 (what verification computes for identical shingle
     sets) and cross-group member pairs inherit their reps' verified
@@ -600,19 +645,14 @@ def minhash_lsh_pairs(
     banded_all = minhash_bands(df, id_col, content_col, n, k, bands)
     if not collapse_exact:
         return _lsh_candidate_verify(df, banded_all, id_col, content_col, n, threshold)
-    groups, members = _exact_groups(df, id_col, content_col)
-    rep_ids = groups.select(F.col("__rep").alias("id"))
-    banded = banded_all.join(rep_ids, "id")
+    non_rep, multi = _exact_groups(df, id_col, content_col)
+    banded = _rep_only(banded_all, non_rep)
     rep_pairs = _lsh_candidate_verify(df, banded, id_col, content_col, n, threshold)
-    cross = _expand_pairs(rep_pairs, members, ["jaccard"])
+    cross = _expand_pairs(rep_pairs, multi, ["jaccard"])
     if threshold > 1.0:
         return cross
-    eligible = (
-        groups.filter(F.col("__m") >= 2)
-        .join(banded.select(F.col("id").alias("__rep")).distinct(), "__rep")
-        .select("__rep")
-    )
-    within = _within_group_pairs(members, eligible, [("jaccard", F.lit(1.0))])
+    eligible = _multi_reps_in(banded, multi)
+    within = _within_group_pairs(multi, eligible, [("jaccard", F.lit(1.0))])
     return cross.unionByName(within)
 
 
@@ -810,8 +850,10 @@ def simhash_near_pairs(
     contents share the fingerprint, hence every probe key, so an
     m-copy boilerplate cluster yields C(m,2) candidates per table in
     the naive plan regardless of the probe scheme. The collapsed plan
-    probes one representative per distinct content (narrow sig ⋈ rep
-    join), then expands: within-group pairs at hamming 0 (identical
+    probes one representative per distinct content (the signature
+    frame anti-joined against the non-representative ids — empty and
+    broadcast on a dup-free corpus), then expands: within-group pairs
+    at hamming 0 (identical
     fingerprints), cross-group member pairs inherit their reps'
     hamming. Output identical; ``n_docs`` (if given) is treated as an
     upper bound for the auto sizing — a corpus-count hint sizes the
@@ -820,17 +862,13 @@ def simhash_near_pairs(
     sig = simhash(df, id_col, content_col, bits)
     if not collapse_exact:
         return _simhash_rep_pairs(sig, bits, bands, max_hamming, n_docs)
-    groups, members = _exact_groups(df, id_col, content_col)
-    sig = sig.join(groups.select(F.col("__rep").alias("id")), "id")
+    non_rep, multi = _exact_groups(df, id_col, content_col)
+    sig = _rep_only(sig, non_rep)
     rep_pairs = _simhash_rep_pairs(sig, bits, bands, max_hamming, n_docs)
-    cross = _expand_pairs(rep_pairs, members, ["hamming"])
-    eligible = (
-        groups.filter(F.col("__m") >= 2)
-        .join(sig.select(F.col("id").alias("__rep")), "__rep")
-        .select("__rep")
-    )
+    cross = _expand_pairs(rep_pairs, multi, ["hamming"])
+    eligible = _multi_reps_in(sig, multi)
     within = _within_group_pairs(
-        members, eligible, [("hamming", F.lit(0).cast("integer"))]
+        multi, eligible, [("hamming", F.lit(0).cast("integer"))]
     )
     return cross.unionByName(within)
 
@@ -1344,22 +1382,23 @@ def winnow_overlap_pairs(
     fp = winnow_fingerprints(df, id_col, content_col, n, window)
     if not collapse_exact:
         return _winnow_pairs_from_postings(fp, min_shared)
-    groups, members = _exact_groups(df, id_col, content_col)
-    rep_ids = groups.select(F.col("__rep").alias("id"))
-    rep_fp = fp.join(rep_ids, "id")
+    non_rep, multi = _exact_groups(df, id_col, content_col)
+    rep_fp = _rep_only(fp, non_rep)
     rep_pairs = _winnow_pairs_from_postings(rep_fp, min_shared)
-    cross = _expand_pairs(rep_pairs, members, ["shared_fingerprints"])
-    self_counts = (
-        rep_fp.groupBy("id")
+    cross = _expand_pairs(rep_pairs, multi, ["shared_fingerprints"])
+    # per-doc fingerprint counts only for multi-group reps (semi-join
+    # against the small rep set BEFORE the aggregate — the eligibility
+    # count touches the duplicated mass, never the full posting frame)
+    mr = multi.select(F.col("__rep").alias("id")).distinct()
+    eligible = (
+        rep_fp.join(mr, "id", "left_semi")
+        .groupBy("id")
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
         .select(F.col("id").alias("__rep"), "shared_fingerprints")
     )
-    eligible = groups.filter(F.col("__m") >= 2).join(self_counts, "__rep").select(
-        "__rep", "shared_fingerprints"
-    )
     within = _within_group_pairs(
-        members, eligible, [("shared_fingerprints", F.col("shared_fingerprints"))]
+        multi, eligible, [("shared_fingerprints", F.col("shared_fingerprints"))]
     )
     return cross.unionByName(within)
 

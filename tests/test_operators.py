@@ -2086,9 +2086,10 @@ def test_collapse_candidate_volume_is_cluster_size_free(spark):
     must not grow with m (the C(m,2)-per-band explosion the skew tier
     caught; SCALING.md round 13)."""
     corpus = _cluster_corpus(spark, copies=40)
-    groups, _members = dedup._exact_groups(corpus, "doc_id", "text")
-    rep_ids = groups.select(F.col("__rep").alias("id"))
-    banded = dedup.minhash_bands(corpus, "doc_id", "text").join(rep_ids, "id")
+    non_rep, _multi = dedup._exact_groups(corpus, "doc_id", "text")
+    banded = dedup._rep_only(
+        dedup.minhash_bands(corpus, "doc_id", "text"), non_rep
+    )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = a.join(
         b,
