@@ -66,6 +66,62 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     return F.slice(grams, 1, count)
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the vector kernels (optimization round r13).
+#
+# Why text: every Column-builder call is one or more py4j round-trips,
+# and the higher-order-function builders (zip_with/aggregate/transform)
+# cost ~10-90 ms EACH at construction time. A literal-centroid ANN plan
+# builds hundreds of them, so plan CONSTRUCTION — driver-side,
+# single-threaded (guide §7.3) — dominated the literal-mode bench keys
+# (measured 6.2 s of 16 s for similarity_pq_topk's encode pass alone).
+# One F.expr(...) call parses the whole kernel server-side in ~0.5 ms.
+# The parsed tree is the SAME expression the builders produced (same
+# lambda shapes, same literal types — doubles rendered with repr(),
+# which round-trips bit-exactly), so results are unchanged; only where
+# the tree gets built moves.
+# ---------------------------------------------------------------------------
+
+
+def double_sql(x: float) -> str:
+    """Bit-exact SQL double literal: repr() round-trips (shortest
+    uniquely-parsing decimal), 'D' marks DOUBLE where no exponent
+    already does."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "D"
+
+
+def array_sql(values) -> str:
+    """array(...) literal text of doubles."""
+    return "array(" + ", ".join(double_sql(v) for v in values) + ")"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot` — identical fold shape."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-text twin of :func:`l2_norm`."""
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`cosine_similarity`."""
+    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    """SQL-text squared-L2 fold (the _l2sq_lit/_l2sq_col shape)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Vector dot product over two array<numeric> columns.
 

@@ -181,20 +181,34 @@ def lsh_bucket(
     similarity, so bucketing before a pair join turns O(n^2) into
     sum-over-buckets O(b_i^2) — the scale path for near-dup and ANN.
     """
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        array_sql,
+        dot_sql,
+    )
+
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             raise ValueError("empty dataframe and no dim given")
         dim = first["d"]
-    v = _as_double(F.col(vec_col))
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
-        d = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    # One F.expr per plane instead of per-element F.lit loops + HOF
+    # builder calls: the parsed tree is the identical dot-fold over the
+    # identical folded plane Literal (doubles rendered with repr(),
+    # which round-trips bit-exactly), but construction is one py4j call
+    # per plane instead of ~dim+4 — at bands*n_planes plane exprs the
+    # builder path dominated plan construction (guide §7.3: driver-side
+    # single-threaded work). The double-cast vector is staged ONCE as a
+    # column, so per-row it is also no longer re-cast per plane.
+    staged = df.withColumn("__lshv", _as_double(F.col(vec_col)))
+    bits = [
+        F.expr(
+            "CASE WHEN "
+            + dot_sql("`__lshv`", array_sql(_hyperplane(dim, p, seed)))
+            + " >= 0 THEN '1' ELSE '0' END"
         )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn(bucket_col, F.concat(*bits))
+        for p in range(n_planes)
+    ]
+    return staged.withColumn(bucket_col, F.concat(*bits)).drop("__lshv")
 
 
 def _flip_bits(bucket: Column, idxs: tuple[int, ...]) -> Column:
@@ -331,13 +345,20 @@ def ivf_centroids(
 
 
 def _assign_lists(
-    vec_expr: Column,
+    vec_sql: str,
     centroids: list[tuple[int, list[float]]],
     n_lists: int,
 ) -> Column:
-    """Ranked array of (centroid_id) by cosine to ``vec_expr`` —
-    element 0 is the nearest centroid. Pure Catalyst: the centroid set
-    is a literal array baked into the plan (broadcast by value).
+    """Ranked array of (centroid_id) by cosine to the staged vector
+    column named by ``vec_sql`` — element 0 is the nearest centroid.
+    Pure Catalyst: the centroid set is a literal array baked into the
+    plan (broadcast by value). Built as ONE parsed SQL expression:
+    the per-centroid Column-builder loop (cosine_similarity + struct
+    per centroid) cost ~2 HOF builder round-trips per centroid at
+    plan-construction time; the parsed tree is identical (same lambda
+    shapes, repr()-rendered double literals round-trip bit-exactly),
+    so results are unchanged. Callers stage the double-cast vector as
+    a named column first.
 
     Cutover bound: plan size (and codegen cost) grows
     O(n_centroids * dim), so plan-literal centroids are the right call
@@ -347,19 +368,20 @@ def _assign_lists(
     it against the corpus/query side, and take the per-row
     min-distance via a window or groupBy-min — same shuffle shape,
     plan stays O(1) in n_centroids."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    vec_expr, F.array(*[F.lit(x) for x in vec])
-                ).alias("cos"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        array_sql,
+        cosine_sql,
     )
-    ranked = F.reverse(F.array_sort(scored))
-    return F.slice(F.transform(ranked, lambda s: s["cid"]), 1, n_lists)
+
+    structs = ", ".join(
+        f"named_struct('cos', {cosine_sql(vec_sql, array_sql(vec))}, "
+        f"'cid', {int(cid)})"
+        for cid, vec in centroids
+    )
+    return F.expr(
+        f"slice(transform(reverse(array_sort(array({structs}))), "
+        f"s -> s.cid), 1, {int(n_lists)})"
+    )
 
 
 def _centroids_frame(corpus: DataFrame, cents: list[tuple[int, list[float]]]):
@@ -464,16 +486,26 @@ def ivf_topk(
             )
         )
     elif centroid_strategy == "literal":
-        c = ensure_parallelism(corpus).select(
-            F.col(id_col).alias("neighbor_id"),
-            cv.alias("cv"),
-            _assign_lists(cv, cents, 1)[0].alias("list_id"),
+        # stage the double-cast vector as a named column, then rank
+        # against it by name — _assign_lists is one parsed SQL
+        # expression (construction-cost fix; identical values)
+        c = (
+            ensure_parallelism(corpus)
+            .select(F.col(id_col).alias("neighbor_id"), cv.alias("cv"))
+            .select(
+                "neighbor_id",
+                "cv",
+                _assign_lists("`cv`", cents, 1)[0].alias("list_id"),
+            )
         )
         q = F.broadcast(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                cv.alias("qv"),
-                F.explode(_assign_lists(cv, cents, n_probe)).alias("list_id"),
+            queries.select(F.col(id_col).alias("query_id"), cv.alias("qv"))
+            .select(
+                "query_id",
+                "qv",
+                F.explode(_assign_lists("`qv`", cents, n_probe)).alias(
+                    "list_id"
+                ),
             )
         )
     else:
@@ -670,14 +702,18 @@ def semdedup(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, refine_iters)
     cv = _as_double(F.col(vec_col))
-    assigned = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("id"),
-        cv.alias("v"),
-        (
-            _assign_lists(cv, cents, 1)[0]
-            if cents
-            else F.lit(0)
-        ).alias("cluster_id"),
+    assigned = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("id"), cv.alias("v"))
+        .select(
+            "id",
+            "v",
+            (
+                _assign_lists("`v`", cents, 1)[0]
+                if cents
+                else F.lit(0)
+            ).alias("cluster_id"),
+        )
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -796,10 +832,7 @@ def pq_codebooks(
             *[
                 F.struct(
                     F.lit(j).alias("j"),
-                    _pq_assign_col(
-                        F.col(f"__s{j}"),
-                        F.element_at(F.col("__books"), j + 1)["codes"],
-                    )["code"].alias("code"),
+                    _pq_assign_col(j)["code"].alias("code"),
                     F.col(f"__s{j}").alias("sv"),
                 )
                 for j in range(m)
@@ -817,28 +850,6 @@ def pq_codebooks(
             updated[r["j"]][r["code"]] = [r[f"d{d}"] for d in range(sub)]
         books = [sorted(u.items()) for u in updated]
     return books
-
-
-def _l2sq_lit(sub_expr: Column, center: list[float]) -> Column:
-    """Squared L2 distance between an array column and a literal
-    sub-centroid (fold of squared differences — sequential, matching
-    the oracle's list_zip replay)."""
-    lit = F.array(*[F.lit(x) for x in center])
-    return F.aggregate(
-        F.zip_with(sub_expr, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-
-
-def _l2sq_col(sub_expr: Column, center: Column) -> Column:
-    """Squared L2 between two array columns — the column-driven twin
-    of _l2sq_lit (identical fold order, so results are bit-equal)."""
-    return F.aggregate(
-        F.zip_with(sub_expr, center, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
 
 
 def _codebooks_frame(
@@ -867,35 +878,47 @@ def _codebooks_frame(
     )
 
 
-def _pq_assign_col(sub_expr: Column, book_col: Column) -> Column:
-    """(code, d2) struct of the nearest sub-centroid from a codebook
-    COLUMN (array<struct<code,vec>>) — broadcast twin of _pq_assign,
-    same argmin-by-ascending-struct-sort tie semantics."""
-    scored = F.transform(
-        book_col,
-        lambda c: F.struct(
-            _l2sq_col(sub_expr, c["vec"]).alias("d2"),
-            c["code"].alias("code"),
-        ),
+def _pq_assign_col(j: int) -> Column:
+    """(code, d2) struct of the nearest sub-centroid for subspace ``j``
+    from the staged ``__books`` codebook column and the staged
+    sub-vector column ``__s{j}`` — broadcast twin of _pq_assign, same
+    argmin-by-ascending-struct-sort tie semantics. One parsed SQL
+    expression (the builder form cost ~2 HOF-builder py4j round-trips
+    per subspace at plan construction); the parsed tree — transform to
+    (d2, code) structs, ascending array_sort, element 0 — is identical,
+    so results are unchanged."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import l2sq_sql
+
+    return F.expr(
+        f"array_sort(transform(element_at(__books, {j + 1}).codes, "
+        f"c -> named_struct('d2', {l2sq_sql(f'`__s{j}`', 'c.vec')}, "
+        "'code', c.code)))[0]"
     )
-    return F.array_sort(scored)[0]
 
 
-def _pq_assign(sub_expr: Column, codebook: list[tuple[int, list[float]]]) -> Column:
-    """(code, d2) struct of the nearest sub-centroid — argmin via
-    ascending struct sort, ties to the lower code id. Literal-codebook
-    expression; same O(n_codes * sub_dim) plan-size cutover rule as
+def _pq_assign(
+    sub_name: str, codebook: list[tuple[int, list[float]]]
+) -> Column:
+    """(code, d2) struct of the nearest sub-centroid to the staged
+    sub-vector column named ``sub_name`` — argmin via ascending struct
+    sort, ties to the lower code id. Literal-codebook expression built
+    as ONE parsed SQL string (the per-centroid builder loop cost ~2
+    HOF-builder py4j round-trips per code — 6.2 s of pq_encode's plan
+    construction at m=8, n_codes=16); repr()-rendered double literals
+    round-trip bit-exactly, so the parsed tree and its results are
+    identical. Same O(n_codes * sub_dim) plan-size cutover rule as
     _assign_lists."""
-    scored = F.array(
-        *[
-            F.struct(
-                _l2sq_lit(sub_expr, vec).alias("d2"),
-                F.lit(cid).alias("code"),
-            )
-            for cid, vec in codebook
-        ]
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        array_sql,
+        l2sq_sql,
     )
-    return F.array_sort(scored)[0]
+
+    structs = ", ".join(
+        f"named_struct('d2', {l2sq_sql(sub_name, array_sql(vec))}, "
+        f"'code', {int(cid)})"
+        for cid, vec in codebook
+    )
+    return F.expr(f"array_sort(array({structs}))[0]")
 
 
 def pq_encode(
@@ -950,15 +973,12 @@ def pq_encode(
     )
     if codebook_strategy == "broadcast":
         assigns = [
-            _pq_assign_col(
-                F.col(f"__s{j}"),
-                F.element_at(F.col("__books"), j + 1)["codes"],
-            ).alias(f"__a{j}")
+            _pq_assign_col(j).alias(f"__a{j}")
             for j in range(len(codebooks))
         ]
     else:
         assigns = [
-            _pq_assign(F.col(f"__s{j}"), cb).alias(f"__a{j}")
+            _pq_assign(f"`__s{j}`", cb).alias(f"__a{j}")
             for j, cb in enumerate(codebooks)
         ]
     staged2 = staged.select(F.col(id_col), *assigns)
@@ -970,6 +990,55 @@ def pq_encode(
         F.col(id_col),
         codes.alias("codes"),
         F.round(err, 6).alias("recon_err"),
+    )
+
+
+def _adc_tables(
+    codebooks: list[list[tuple[int, list[float]]]],
+    codebook_strategy: str,
+) -> Column:
+    """ADC distance tables for one query row: ``__dt[j][c]`` = squared
+    L2 between the query's subspace-j slice (staged as column
+    ``__qj``) and centroid ``c`` of subspace j. Broadcast strategy
+    reads the centroids from the ``__books`` column; literal strategy
+    bakes them as ONE nested array Literal per subspace. Each entry is
+    the same ``_l2sq`` fold the per-pair path used to evaluate, so
+    every looked-up distance is bit-identical — the tables only move
+    WHERE the fold runs (once per query on the broadcast side, instead
+    of once per (corpus row, query) pair)."""
+    from lambda_refarch_mapreduce_spark.functions.scalar import (
+        array_sql,
+        l2sq_sql,
+    )
+
+    def _tbl(jj: int, cb: list[tuple[int, list[float]]]) -> Column:
+        if codebook_strategy == "broadcast":
+            return F.expr(
+                f"transform(element_at(__books, {jj + 1}).codes, "
+                f"c -> {l2sq_sql(f'`__q{jj}`', 'c.vec')})"
+            )
+        nested = "array(" + ", ".join(array_sql(vec) for _cid, vec in cb) + ")"
+        return F.expr(
+            f"transform({nested}, cv -> {l2sq_sql(f'`__q{jj}`', 'cv')})"
+        )
+
+    return F.array(*[_tbl(j, cb) for j, cb in enumerate(codebooks)])
+
+
+def _adc_dist(m: int) -> Column:
+    """ADC distance from the precomputed tables: sum over subspaces of
+    ``__dt[j][codes[j]]`` (1-based element_at; codes are 0-based).
+    Same summation order (j ascending, seeded 0.0) as the direct
+    per-pair fold sum, so the total is bit-identical."""
+    return sum(
+        (
+            F.element_at(
+                F.element_at(F.col("__dt"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        F.lit(0.0),
     )
 
 
@@ -1023,44 +1092,29 @@ def pq_topk(
     q = queries
     if codebook_strategy == "broadcast":
         q = q.crossJoin(_codebooks_frame(corpus, codebooks))
-    q = F.broadcast(
-        q.select(
-            F.col(id_col).alias("query_id"),
-            *(
-                [F.col("__books")]
-                if codebook_strategy == "broadcast"
-                else []
-            ),
-            *[
-                F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
-                for j in range(len(codebooks))
-            ],
-        )
+    # classic ADC distance TABLES (Jégou et al. 2011 §III.B):
+    # per (query, subspace) the d2 to each of the n_codes centroids is
+    # precomputed ONCE on the (tiny, broadcast) query side — __dt[j][c]
+    # — so the per-(corpus row, query) cost in the join below is m
+    # array lookups + adds instead of m sub-dim folds. The fold that
+    # fills the table is the identical _l2sq expression the per-pair
+    # path evaluated, summed in the same j order, so dist2 is
+    # bit-identical; the broadcast also slims to (query_id, __dt).
+    staged_q = q.select(
+        F.col(id_col).alias("query_id"),
+        *(
+            [F.col("__books")]
+            if codebook_strategy == "broadcast"
+            else []
+        ),
+        *[
+            F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
+            for j in range(len(codebooks))
+        ],
     )
-    # per-subspace centroid table: literal array-of-arrays, or the
-    # broadcast __books column; code j indexes it (1-based element_at)
-    def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
-        if codebook_strategy == "broadcast":
-            center = F.element_at(
-                F.element_at(F.col("__books"), j + 1)["codes"],
-                F.element_at(F.col("codes"), j + 1) + 1,
-            )["vec"]
-        else:
-            table = F.array(
-                *[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb]
-            )
-            center = F.element_at(
-                table, F.element_at(F.col("codes"), j + 1) + 1
-            )
-        return F.aggregate(
-            F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    dist = sum(
-        (_sub_d2(j, cb) for j, cb in enumerate(codebooks)), F.lit(0.0)
-    )
+    dt = _adc_tables(codebooks, codebook_strategy)
+    q = F.broadcast(staged_q.select("query_id", dt.alias("__dt")))
+    dist = _adc_dist(len(codebooks))
     scored = (
         coded.join(q, F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -1162,32 +1216,35 @@ def ivfadc_encode(
         corpus_side = corpus_side.crossJoin(
             _centroids_frame(corpus, centroids)
         ).crossJoin(_codebooks_frame(corpus, codebooks))
-        assign = _assign_lists_col(vexpr, F.col("__cents"), 1)
+    # stage the double-cast vector once, then assign/slice by name —
+    # the literal assign is one parsed SQL expression (construction-
+    # cost fix; identical values), and the cast no longer re-runs per
+    # consuming expression
+    corpus_side = corpus_side.withColumn("__dv", vexpr)
+    if bcast:
+        assign = _assign_lists_col(F.col("__dv"), F.col("__cents"), 1)
     else:
-        assign = _assign_lists(vexpr, centroids, 1)
+        assign = _assign_lists("`__dv`", centroids, 1)
     staged = corpus_side.select(
         F.col(id_col).alias("neighbor_id"),
         *([F.col("__books")] if bcast else []),
         assign[0].alias("list_id"),
         *[
-            F.slice(vexpr, j * sub + 1, sub).alias(f"__s{j}")
+            F.slice(F.col("__dv"), j * sub + 1, sub).alias(f"__s{j}")
             for j in range(len(codebooks))
         ],
     )
     if bcast:
         code_arr = F.array(
             *[
-                _pq_assign_col(
-                    F.col(f"__s{j}"),
-                    F.element_at(F.col("__books"), j + 1)["codes"],
-                )["code"]
+                _pq_assign_col(j)["code"]
                 for j in range(len(codebooks))
             ]
         )
     else:
         code_arr = F.array(
             *[
-                _pq_assign(F.col(f"__s{j}"), codebooks[j])["code"]
+                _pq_assign(f"`__s{j}`", codebooks[j])["code"]
                 for j in range(len(codebooks))
             ]
         )
@@ -1230,37 +1287,37 @@ def ivfadc_search(
         query_side = query_side.crossJoin(
             _centroids_frame(queries, centroids)
         ).crossJoin(_codebooks_frame(queries, codebooks))
-        probe = _assign_lists_col(vexpr, F.col("__cents"), n_probe)
+    # stage the double-cast vector once (see ivfadc_encode)
+    query_side = query_side.withColumn("__dv", vexpr)
+    if bcast:
+        probe = _assign_lists_col(F.col("__dv"), F.col("__cents"), n_probe)
     else:
-        probe = _assign_lists(vexpr, centroids, n_probe)
+        probe = _assign_lists("`__dv`", centroids, n_probe)
+    # ADC tables precomputed per query BEFORE the probe explode (they
+    # do not depend on list_id), so each table is built once per query,
+    # not once per probe — see _adc_tables for the bit-identity note
+    staged_q = query_side.select(
+        F.col(id_col).alias("query_id"),
+        *([F.col("__books")] if bcast else []),
+        probe.alias("__probe"),
+        *[
+            F.slice(F.col("__dv"), j * sub + 1, sub).alias(f"__q{j}")
+            for j in range(len(codebooks))
+        ],
+    )
+    dt = _adc_tables(codebooks, codebook_strategy)
+    # stage __dt as a column BELOW the explode (Generate replicates the
+    # computed value; computing dt beside the explode would re-evaluate
+    # it once per probe row)
+    with_dt = staged_q.select("query_id", F.col("__probe"), dt.alias("__dt"))
     q = F.broadcast(
-        query_side.select(
-            F.col(id_col).alias("query_id"),
-            *([F.col("__books")] if bcast else []),
-            F.explode(probe).alias("list_id"),
-            *[
-                F.slice(vexpr, j * sub + 1, sub).alias(f"__q{j}")
-                for j in range(len(codebooks))
-            ],
+        with_dt.select(
+            "query_id",
+            F.explode(F.col("__probe")).alias("list_id"),
+            "__dt",
         )
     )
-
-    def _sub_d2(j: int, cb: list[tuple[int, list[float]]]) -> Column:
-        if bcast:
-            center = F.element_at(
-                F.element_at(F.col("__books"), j + 1)["codes"],
-                F.element_at(F.col("codes"), j + 1) + 1,
-            )["vec"]
-        else:
-            table = F.array(*[F.array(*[F.lit(x) for x in vec]) for _cid, vec in cb])
-            center = F.element_at(table, F.element_at(F.col("codes"), j + 1) + 1)
-        return F.aggregate(
-            F.zip_with(F.col(f"__q{j}"), center, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    dist = sum((_sub_d2(j, cb) for j, cb in enumerate(codebooks)), F.lit(0.0))
+    dist = _adc_dist(len(codebooks))
     # corpus vector lives in exactly one list and a query's probe lists
     # are distinct -> (query, neighbor) pairs already unique, no dedup
     scored = (

@@ -62,7 +62,9 @@ def _quality_parts(text_col: Column) -> tuple[Column, Column, Column, Column]:
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    # one array Literal (not len(all_stop) F.lit calls): same folded
+    # plan, a few hundred fewer py4j round-trips per constructed plan
+    stop_arr = F.lit(list(all_stop))
     stop_hits = F.size(F.array_intersect(toks, stop_arr))
     n_chars = F.length(text_col)
     alpha_chars = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
@@ -264,7 +266,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     langs = sorted(STOPWORDS)
     hit_cols = {
         lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+            F.array_intersect(toks, F.lit(list(STOPWORDS[lang])))
         )
         for lang in langs
     }
@@ -728,7 +730,7 @@ def bm25_search(
     per-term df is a broadcast join; the final top-k plans
     TakeOrderedAndProject. Deterministic tie-break on id.
     """
-    qset = F.array(*[F.lit(t) for t in query_terms])
+    qset = F.lit([str(t) for t in query_terms])
     toks = tokenize(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("id"),

@@ -591,32 +591,63 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values —
     the genuinely-sequential per-group fold Catalyst can't express as a
     window (each output depends on the full prior recursion), so it
-    rides the applyInPandas seam: one hash shuffle keyed by user, then
-    an Arrow-batched in-memory fold per group. Both engines compute the
-    identical recursion acc = a*x + (1-a)*acc left-to-right over the
-    (ts, event_id)-ordered series, seeded with the first value."""
+    rides the Python seam. Optimization-round shape (guide §4.2): one
+    hash shuffle keyed by user + partition-local sort, then ONE
+    mapInPandas call per partition running pandas' Cython-vectorized
+    ``groupby(...).ewm(...)`` across ALL of that partition's users —
+    the previous ``groupBy(user).applyInPandas`` crossed the Python
+    boundary once per user (1,500 calls at sf0.1; 5.3 s wall), and the
+    per-call pandas overhead, not the fold, dominated. Both engines
+    still compute the identical recursion acc = a*x + (1-a)*acc
+    left-to-right over the (ts, event_id)-ordered series, seeded with
+    the first value — groupby.ewm runs the same pandas kernel the
+    per-group fold did, and the final values are rounded with the same
+    Python round(), so results are bit-identical. Memory: the fold
+    buffers one shuffle partition per task (the same working set the
+    grouped variant's partition-wide Arrow batch held); partition
+    sizing bounds it at scale."""
     import pandas as pd
 
     a = EWMA_ALPHA
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    def fold_partition(batches):
+        parts = [b for b in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        # rows arrive sorted by (user_id, ts, event_id) — the
+        # sortWithinPartitions below — so each user's series is
+        # already in fold order
+        pdf["value"] = pdf["value"].astype(float)
+        g = pdf.groupby("user_id", sort=False)
         # adjust=False is exactly the recursion acc = a*x + (1-a)*acc
-        # seeded with the first value — vectorized over the whole series.
-        acc = pdf["value"].astype(float).ewm(alpha=a, adjust=False).mean().iloc[-1]
-        return pd.DataFrame(
+        # seeded with the first value — one Cython pass over every
+        # group in the partition
+        ew = g["value"].ewm(alpha=a, adjust=False).mean()
+        last = ew.groupby(level=0, sort=False).last()
+        n = g.size()
+        last = last.reindex(n.index)
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "ewma": [round(acc, 6)],
+                "user_id": n.index.to_numpy(),
+                "n_events": n.to_numpy(),
+                # Python round(), matching the per-group fold's
+                # rounding exactly (numpy's .round(6) is not
+                # correctly rounded and can differ in the last ulp)
+                "ewma": [round(float(v), 6) for v in last.to_numpy()],
             }
         )
 
     return (
         _t(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, "user_id bigint, n_events bigint, ewma double")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            fold_partition, "user_id bigint, n_events bigint, ewma double"
+        )
     )
 
 
