@@ -1699,11 +1699,14 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     (range exchange) turns them into cumulative counts, and the
     average rank appears as an exact INTEGER in doubled units —
     r2 = 2*cum - cnt + 1 = 2*avg_rank (Pearson is affine-invariant,
-    so the doubling cancels). Rows join their ranks back by value
-    (one co-keyed shuffle per variable; a small alphabet broadcasts
-    via AQE), then one moment aggregate (products on decimal(38,0))
-    and the shared CCF_EXPR correlation string. Returns one row:
-    (n_rows, rho)."""
+    so the doubling cancels). The corpus collapses to (x, y) CELL
+    COUNTS first (one partial-agg exchange, reused by every
+    consumer); the rank tables join back onto the cell frame, never
+    the rows (a small alphabet broadcasts via AQE), and the moment
+    aggregate weights each cell by its count (products on
+    decimal(38,0)) — the same integer totals the row-grain sum
+    produced, via the shared CCF_EXPR correlation string. Returns
+    one row: (n_rows, rho)."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         prefix_sums,
     )
@@ -1719,25 +1722,37 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col(y_col).cast("long").alias("__y"),
     ).na.drop()
 
+    # r13 (guide §2.3 aggregate-before-shuffle): collapse the corpus
+    # to (x, y) cell counts FIRST. The single partial-agg exchange is
+    # reused (ReusedExchange) by all three consumers below — the
+    # per-variable count frames and the moment aggregate — so the
+    # corpus is scanned once and never joined at row grain; the old
+    # shape re-scanned the input for each rank table and shuffled
+    # every ROW by y for the join-back. Every moment becomes a
+    # cell-count-weighted sum of the identical integers, so the
+    # aggregate totals (and rho) are bit-identical.
+    cxy = t.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__nxy"))
+
     def ranks(col: str, r2_name: str) -> DataFrame:
-        counts = t.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        counts = cxy.groupBy(col).agg(F.sum("__nxy").alias("__cnt"))
         cum = prefix_sums(counts, [F.col(col)], ["__cnt"])
         return cum.select(
             col,
             (2 * F.col("__cnt_cum") - F.col("__cnt") + 1).alias(r2_name),
         )
 
-    j = t.join(ranks("__x", "__rx2"), "__x").join(
+    j = cxy.join(ranks("__x", "__rx2"), "__x").join(
         ranks("__y", "__ry2"), "__y"
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = F.col("__nxy")
     m = j.agg(
-        F.count(F.lit(1)).alias("cnt_i"),
-        F.sum("__rx2").alias("sa_i"),
-        F.sum("__ry2").alias("sb_i"),
-        F.sum(d("__rx2") * F.col("__ry2")).alias("pab_i"),
-        F.sum(d("__rx2") * F.col("__rx2")).alias("qa_i"),
-        F.sum(d("__ry2") * F.col("__ry2")).alias("qb_i"),
+        F.sum("__nxy").alias("cnt_i"),
+        F.sum(w * F.col("__rx2")).alias("sa_i"),
+        F.sum(w * F.col("__ry2")).alias("sb_i"),
+        F.sum(d("__nxy") * F.col("__rx2") * F.col("__ry2")).alias("pab_i"),
+        F.sum(d("__nxy") * F.col("__rx2") * F.col("__rx2")).alias("qa_i"),
+        F.sum(d("__nxy") * F.col("__ry2") * F.col("__ry2")).alias("qb_i"),
     ).selectExpr(
         "CAST(cnt_i AS DOUBLE) AS cnt",
         "CAST(sa_i AS DOUBLE) AS sa",
@@ -3380,72 +3395,63 @@ def pettitt_changepoint(
     argmax tracks the mean (one holiday spike can drag it), Pettitt's
     U_t = sum_{i<=t<j} sign(y_j - y_i) is a Mann-Whitney statistic at
     every split, so the located shift is a MEDIAN shift, immune to
-    outlier magnitude. Distributed shape: the caller collapses to the
-    time alphabet; all pairs come from the gap-explode EQUI-join on
-    the global_rank index (quadratic in the alphabet only — never a
-    theta join); each pair (i, j) contributes its sign to every
-    U_t with i <= t < j, which is a DIFFERENCE ARRAY (+sign at i,
-    -sign at j), so U_t is one prefix sum over the per-index sign
-    totals — exact integers end to end, and the argmax (ties ->
-    smallest t) cannot be moved by float noise. Verdict via the
-    bridge-tail inequality precomputed as a literal (pettitt_sig_expr
-    — no libm in the decision); p_approx via the shared
-    PETTITT_P_EXPR. Degenerate inputs (n < 2) emit NULL
-    statistic/verdict. Returns one row: (n_obs, cp_index, cp_t,
+    outlier magnitude. Distributed shape (r13: the O(n) rank
+    identity, replacing the O(n^2) gap-explode pair join): by
+    antisymmetry sum_{i<=t, j<=t} sign(y_j - y_i) = 0, so
+    U_t = sum_{i<=t} sum_{ALL j} sign(y_j - y_i), and with average
+    ranks r_i (ties), sum_j sign(y_j - y_i) = (n+1) - 2*r_i exactly;
+    hence U_t = t*(n+1) - S2_t where S2_t is the running sum of
+    DOUBLED average ranks (2*r_i is always an integer — the spearman
+    doubling convention). Ranks come from per-distinct-value counts +
+    relational.prefix_sums (2*cum - cnt + 1), the running sum from a
+    second prefix_sums in time order — exact integers end to end, and
+    the argmax (ties -> smallest t) cannot be moved by float noise;
+    every U_t value is bit-identical to the pair formulation it
+    replaced. Verdict via the bridge-tail inequality precomputed as a
+    literal (pettitt_sig_expr — no libm in the decision); p_approx
+    via the shared PETTITT_P_EXPR. Degenerate inputs (n < 2) emit
+    NULL statistic/verdict. Returns one row: (n_obs, cp_index, cp_t,
     u_stat, p_approx, significant)."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
-        global_rank,
+        pin,
         prefix_sums,
     )
 
-    s = global_rank(
+    # pin the collapsed series: the rank branch (per-value counts) and
+    # the time-order branch below both consume it, and without the pin
+    # each would re-run the caller's corpus-sized collapse
+    s = pin(
         series.select(
             F.col(t_col).cast("long").alias("__t0"),
             F.col(y_col).cast("long").alias("__y"),
-        ),
-        [F.col("__t0")],
-        rank_col="__i",
-    )
-    nrow = s.agg(F.count(F.lit(1)).alias("n"))
-    gaps = nrow.select(
-        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("g")
-    ).filter(F.col("g") >= 1)
-    left = s.select(
-        F.col("__i").alias("__ia"),
-        F.col("__t0").alias("__ta"),
-        F.col("__y").alias("ya"),
-    )
-    right = s.select(
-        F.col("__i").alias("__ib"), F.col("__y").alias("yb")
-    )
-    pairs = (
-        left.crossJoin(F.broadcast(gaps))
-        .withColumn("__want", F.col("__ia") + F.col("g"))
-        .join(right, F.col("__want") == F.col("__ib"))
-        .select(
-            "__ia",
-            "__ib",
-            F.when(F.col("yb") > F.col("ya"), 1)
-            .when(F.col("yb") < F.col("ya"), -1)
-            .otherwise(0)
-            .alias("__sgn"),
         )
     )
-    # difference array: +sign opens at i, -sign closes at j; summing
-    # per index then prefix-summing in rank order yields every U_t in
-    # one pass (never an |pairs| x |splits| explosion)
-    diffs = (
-        pairs.select(F.col("__ia").alias("__i"), F.col("__sgn"))
-        .unionAll(
-            pairs.select(
-                F.col("__ib").alias("__i"), (-F.col("__sgn")).alias("__sgn")
-            )
-        )
-        .groupBy("__i")
-        .agg(F.sum("__sgn").alias("__d"))
+    # doubled average ranks of y from per-distinct-value counts: for
+    # value v with cnt copies and cum = #{y <= v},
+    # 2*avg_rank = 2*cum - cnt + 1 (exact integer)
+    counts = s.groupBy("__y").agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = prefix_sums(counts, [F.col("__y")], ["__cnt"])
+    r2 = cum.select(
+        "__y",
+        (2 * F.col("__cnt_cum") - F.col("__cnt") + 1).alias("__r2"),
     )
-    u = prefix_sums(diffs, [F.col("__i")], ["__d"]).crossJoin(
-        F.broadcast(nrow)
+    # running doubled-rank sum S2_t and the time index t in ONE
+    # prefix pass over the time order (the rank table is alphabet-
+    # sized, so the join back is AQE-broadcast for small alphabets)
+    j = s.join(r2, "__y").withColumn("__one", F.lit(1))
+    p = prefix_sums(j, [F.col("__t0")], ["__r2", "__one"])
+    # n from the SAME pinned prefix frame (max running count) — no
+    # second evaluation of the caller's collapse
+    nfr = p.agg(
+        F.coalesce(F.max("__one_cum"), F.lit(0).cast("long")).alias("n")
+    )
+    u = p.crossJoin(F.broadcast(nfr)).select(
+        F.col("__one_cum").alias("__i"),
+        F.col("__t0"),
+        (
+            F.col("__one_cum") * (F.col("n") + 1) - F.col("__r2_cum")
+        ).alias("__u"),
+        F.col("n"),
     )
     # U_t is defined for splits 1..n-1 (U_n = 0 identically)
     best = (
@@ -3453,24 +3459,22 @@ def pettitt_changepoint(
         .agg(
             F.max(
                 F.struct(
-                    F.abs(F.col("__d_cum")).alias("absu"),
+                    F.abs(F.col("__u")).alias("absu"),
                     (-F.col("__i")).alias("negi"),
                     F.col("__i").alias("i"),
-                    F.col("__d_cum").alias("u"),
+                    F.col("__u").alias("u"),
+                    F.col("__t0").alias("t"),
                 )
             ).alias("b")
         )
     )
-    # map the winning rank back to its original time key
-    withb = best.crossJoin(F.broadcast(nrow)).join(
-        F.broadcast(s.select(F.col("__i").alias("__bi"), "__t0")),
-        F.col("b.i") == F.col("__bi"),
-        "left",
-    )
-    one = withb.select(
+    # the winning row carries its own time key — no rank-to-time
+    # join-back (absu, negi) already identify one row, so the extra
+    # struct field cannot change which row wins
+    one = best.crossJoin(F.broadcast(nfr)).select(
         F.col("n"),
         F.col("b.i").alias("i"),
-        F.col("__t0").alias("t"),
+        F.col("b.t").alias("t"),
         F.col("b.u").alias("u"),
         F.col("b.absu").alias("k_abs"),
     )

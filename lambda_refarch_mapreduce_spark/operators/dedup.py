@@ -683,10 +683,14 @@ def _lsh_candidate_verify(
     # whole signature+banding pipeline for each (no exchange reuse
     # across the differently-aliased branches — measured 2.2x slower).
     # Candidates are small by construction (real collisions only), so
-    # MEMORY_AND_DISK is bounded; Spark evicts LRU if not.
-    from pyspark.storagelevel import StorageLevel
+    # MEMORY_AND_DISK (pin()'s level) is bounded; Spark evicts LRU if
+    # not. pin(), not a bare persist(): an enclosing pin_scope() (the
+    # bench loop, the oracle gate, a long-running streaming-corpus
+    # monitor) then releases the cache entry per iteration instead of
+    # accumulating one per invocation (ADVICE r12's leak class).
+    from lambda_refarch_mapreduce_spark.operators.relational import pin
 
-    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = pin(candidates)
 
     # Verify candidates with exact Jaccard — but only over docs that
     # survived LSH. Shingling is the expensive per-doc work; doing it
@@ -1094,8 +1098,8 @@ def paragraph_dedup(
 
     Plan shape at 100 TB: one shuffle of paragraphs keyed by their
     md5 (the keep-first window — paragraph text must ride along
-    because reassembly needs it; the *key* is the 32-byte digest, so
-    sort/exchange comparisons never touch bodies), then one shuffle
+    because reassembly needs it; the *key* is the 16-byte binary
+    digest, so sort/exchange comparisons never touch bodies), then one shuffle
     back on doc id to rebuild. No corpus-wide collect, no pair join.
 
     Returns (id, n_paras, n_kept, text_deduped); fully-deduplicated
@@ -1117,7 +1121,10 @@ def paragraph_dedup(
         )
         .filter(F.trim(F.col("para")) != "")
     )
-    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("id", "pos")
+    # binary 16-byte digest as the window key (unhex(md5) — bijective,
+    # never output): the key is materialized into the paragraph
+    # exchange, so the narrow form saves 16 B/paragraph (guide §2.3)
+    w = Window.partitionBy(F.unhex(F.md5(F.col("para")))).orderBy("id", "pos")
     kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1165,7 +1172,7 @@ def duplicate_span_excise(
     Documents shorter than k tokens are never touched.
 
     Plan shape at 100 TB: ONE corpus-sized shuffle — the keep-first
-    window over (id, pos, 32-byte digest) rows; gram text never rides
+    window over (id, pos, 16-byte binary digest) rows; gram text never rides
     it. Duplicate occurrences reduce to per-doc sorted START-position
     arrays (duplicate-occurrence-sized, i.e. tiny for mostly-unique
     corpora), which join back on doc id — AQE turns that into a
@@ -1183,10 +1190,15 @@ def duplicate_span_excise(
     staged = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
     )
+    # 16-byte binary digest, not the 32-char hex string: the digest is
+    # only a grouping key (never output), unhex(md5) is a bijection of
+    # md5, and the digest column dominates the one corpus-sized
+    # exchange's row width (id, pos, digest) — guide §2.3 narrower
+    # types, the _exact_groups convention
     grams = staged.select(
         "id",
         F.posexplode(word_ngrams(F.col("__toks"), k)).alias("pos", "gram"),
-    ).select("id", "pos", F.md5(F.col("gram")).alias("digest"))
+    ).select("id", "pos", F.unhex(F.md5(F.col("gram"))).alias("digest"))
     w = Window.partitionBy("digest").orderBy("id", "pos")
     # Merge each doc's sorted duplicate-window starts into disjoint
     # covered INTERVALS before anything joins: a fully-duplicated

@@ -1679,12 +1679,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey"
     )
     # per (order, candidate supplier): does another supplier exist on
-    # the order, and does another supplier have an R line?
-    order_stats = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__n_r_supp"),
+    # the order, and does another supplier have an R line? r13 shape:
+    # two-level aggregation — (order, supplier) partials first, then
+    # per-order counts — instead of the double count_distinct, whose
+    # Expand doubled every lineitem row ahead of the exchange (guide
+    # §2.3 aggregate-before-shuffle). Identical counts: suppkey is
+    # non-null by fixture contract, so distinct suppliers == supplier
+    # groups and "distinct suppliers with an R line" == sum of the
+    # per-supplier has-R flags.
+    per_os = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("__isr"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("__isr").alias("__has_r"))
+    )
+    order_stats = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__has_r").alias("__n_r_supp"),
     )
     return (
         r_lines.join(o, r_lines.l_orderkey == o.o_orderkey)
@@ -7663,10 +7677,10 @@ def hw_backtest_daily_events(
 
 @register(
     "pettitt_changepoint_daily_revenue",
-    # the oracle builds the same difference array + cumsum the kernel
-    # distributes (pairs stated as a theta join — semantics; the
-    # kernel's gap-explode equi-join generates the identical pair
-    # set); U_t exact integers end to end, the verdict via the
+    # the oracle states the pair-set semantics directly (theta join +
+    # difference array + cumsum); the kernel serves the identical
+    # exact-integer U_t series through the O(n) rank identity
+    # U_t = t*(n+1) - S2_t (see pettitt_changepoint), verdict via the
     # pettitt_sig_expr literal, p via the shared PETTITT_P_EXPR
     oracle=f"""
         WITH day AS (SELECT date_diff('day', DATE '1970-01-01',
@@ -7716,10 +7730,11 @@ def pettitt_changepoint_daily_revenue(
     holiday spike drags D_i), while Pettitt's U_t is a Mann-Whitney
     statistic at every split, so the located break is a MEDIAN
     shift. Reading both: agreement = a real level shift; CUSUM-only
-    = suspect an outlier, not a regime change. The pair set comes
-    from the gap-explode EQUI-join on the global_rank index and each
-    pair's sign enters a DIFFERENCE ARRAY (+s at i, -s at j), so
-    every U_t is one prefix sum — exact integers end to end, the
+    = suspect an outlier, not a regime change. The kernel never
+    materializes pairs (r13): U_t = t*(n+1) - S2_t, the running sum
+    of doubled average ranks, via two prefix_sums passes (value
+    order for ranks, time order for the cumsum) — exact integers
+    end to end, bit-identical to the pair formulation, the
     argmax unmovable by float noise, and the alpha=.05 verdict is a
     literal-coefficient inequality with no exp/ln evaluated by
     either engine. Returns one row: (n_obs, cp_index, cp_t, u_stat,

@@ -370,9 +370,9 @@ def test_registry_wide_no_cartesian_product(spark):
         # the value alphabet (the anderson_darling entry's shape)
         "jobspec_qq_value_by_type",    # 19-row ventile grid + 1-row
         # totals against the value alphabet (the qq_quality shape)
-        "pettitt_changepoint_daily_revenue",  # |days|-1 gap grid +
-        # 1-row n + 1-row argmax-to-time map (pair join is the
-        # equi-join; the difference array kills the t-explosion)
+        "pettitt_changepoint_daily_revenue",  # 1-row n frame crossed
+        # against the |days| prefix series and the 1-row argmax (the
+        # r13 rank identity — no pair grid at all)
         "kruskal_wallis_value_by_type",  # 1-row tie-numerator term
         # against the 5-row group-moment frame
         "jobspec_kruskal_price_by_priority",  # same shape via the
