@@ -1699,14 +1699,22 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     (range exchange) turns them into cumulative counts, and the
     average rank appears as an exact INTEGER in doubled units —
     r2 = 2*cum - cnt + 1 = 2*avg_rank (Pearson is affine-invariant,
-    so the doubling cancels). The corpus collapses to (x, y) CELL
-    COUNTS first (one partial-agg exchange, reused by every
-    consumer); the rank tables join back onto the cell frame, never
-    the rows (a small alphabet broadcasts via AQE), and the moment
-    aggregate weights each cell by its count (products on
-    decimal(38,0)) — the same integer totals the row-grain sum
-    produced, via the shared CCF_EXPR correlation string. Returns
-    one row: (n_rows, rho)."""
+    so the doubling cancels). Exactly ONE corpus-sized exchange, and
+    it is a map-side-combinable aggregation, never a row-grain join:
+    x ranks come from the x alphabet (per-value counts +
+    prefix_sums; the rank table joins onto the rows as an
+    AQE broadcast when the alphabet is small), then the rows
+    collapse by y carrying one x-side partial (s1 = sum of rx2), and
+    the y ranks are computed IN PLACE on the collapsed frame by a
+    second prefix_sums — no y-rank join-back exists. The moment sums
+    split by marginal: sa/qa need only the x alphabet, sb/qb only
+    the collapsed y frame, and the cross-moment pab is the
+    ry2-weighted sum of s1 — all the identical integers the
+    row-grain formulation produced, via the shared CCF_EXPR
+    correlation string. Pass the higher-cardinality variable as
+    y_col: the y side never needs a rank join, so its cardinality
+    only sizes the collapsed frame. Returns one row: (n_rows,
+    rho)."""
     from lambda_refarch_mapreduce_spark.operators.relational import (
         prefix_sums,
     )
@@ -1722,44 +1730,76 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col(y_col).cast("long").alias("__y"),
     ).na.drop()
 
-    # r13 (guide §2.3 aggregate-before-shuffle): collapse the corpus
-    # to (x, y) cell counts FIRST. The single partial-agg exchange is
-    # reused (ReusedExchange) by all three consumers below — the
-    # per-variable count frames and the moment aggregate — so the
-    # corpus is scanned once and never joined at row grain; the old
-    # shape re-scanned the input for each rank table and shuffled
-    # every ROW by y for the join-back. Every moment becomes a
-    # cell-count-weighted sum of the identical integers, so the
-    # aggregate totals (and rho) are bit-identical.
-    cxy = t.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__nxy"))
-
-    def ranks(col: str, r2_name: str) -> DataFrame:
-        counts = cxy.groupBy(col).agg(F.sum("__nxy").alias("__cnt"))
-        cum = prefix_sums(counts, [F.col(col)], ["__cnt"])
-        return cum.select(
-            col,
-            (2 * F.col("__cnt_cum") - F.col("__cnt") + 1).alias(r2_name),
-        )
-
-    j = cxy.join(ranks("__x", "__rx2"), "__x").join(
-        ranks("__y", "__ry2"), "__y"
-    )
+    # r13 (guide §2.3 aggregate-before-shuffle, second iteration): the
+    # first r13 shape collapsed to (x, y) CELL counts, but a
+    # high-cardinality y (the registered entry's price column is
+    # near-unique) makes the cell frame corpus-sized — measured 2.9x
+    # the shuffle bytes of the row-grain join it replaced. This shape
+    # is cardinality-robust: rank the x side from its alphabet, join
+    # that rank table onto the rows (AQE broadcast for small
+    # alphabets), then collapse ONCE by y carrying the x-side
+    # partials. The y ranks are then computed in place on the
+    # collapsed frame — the y-rank join-back (the old row-grain
+    # shuffle) no longer exists, and the single corpus-sized exchange
+    # left is the map-side-combinable groupBy(y). Partials sum on
+    # decimal(38,0): exact integers, immune to long overflow even
+    # where a hot y-group's sum(rx2) exceeds 2^63 at extreme scale.
+    # The moment sums split by which marginal they need: sa/qa are
+    # functions of the x MARGINAL alone (Σ cnt_x·rx2, Σ cnt_x·rx2²
+    # over the |x| alphabet), sb/qb of the y marginal alone, and only
+    # the cross-moment pab needs the joint — via one LONG partial
+    # s1(y) = Σ_{rows with y} rx2, so the collapsed frame is three
+    # longs wide (y, cnt, s1) through both of its exchanges.
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    w = F.col("__nxy")
-    m = j.agg(
-        F.sum("__nxy").alias("cnt_i"),
-        F.sum(w * F.col("__rx2")).alias("sa_i"),
-        F.sum(w * F.col("__ry2")).alias("sb_i"),
-        F.sum(d("__nxy") * F.col("__rx2") * F.col("__ry2")).alias("pab_i"),
-        F.sum(d("__nxy") * F.col("__rx2") * F.col("__rx2")).alias("qa_i"),
-        F.sum(d("__nxy") * F.col("__ry2") * F.col("__ry2")).alias("qb_i"),
-    ).selectExpr(
-        "CAST(cnt_i AS DOUBLE) AS cnt",
-        "CAST(sa_i AS DOUBLE) AS sa",
-        "CAST(sb_i AS DOUBLE) AS sb",
-        "CAST(pab_i AS DOUBLE) AS pab",
-        "CAST(qa_i AS DOUBLE) AS qa",
-        "CAST(qb_i AS DOUBLE) AS qb",
+
+    xc = t.groupBy("__x").agg(F.count(F.lit(1)).alias("__cnt"))
+    xr = prefix_sums(xc, [F.col("__x")], ["__cnt"]).select(
+        "__x",
+        "__cnt",
+        (2 * F.col("__cnt_cum") - F.col("__cnt") + 1).alias("__rx2"),
+    )
+    mx = xr.agg(
+        F.sum(F.col("__cnt") * F.col("__rx2")).alias("sa_i"),
+        F.sum(d("__cnt") * F.col("__rx2") * F.col("__rx2")).alias("qa_i"),
+    )
+    # ONE exchange for the whole y side: the rows range-partition by
+    # y (the order the rank prefix needs anyway), the aggregate plans
+    # on top of it with no further exchange (RangePartitioning
+    # satisfies the group-by clustering), and prefix_sums consumes
+    # the still-range-partitioned aggregate with pre_ranged=True —
+    # the groupBy hash exchange and the kernel's own range exchange
+    # are both gone. y near-unique costs nothing extra: map-side
+    # combine would not have collapsed anything.
+    per_y = (
+        t.join(xr.select("__x", "__rx2"), "__x")
+        .repartitionByRange(F.col("__y"))
+        .groupBy("__y")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__rx2").alias("__s1"),
+        )
+    )
+    withr = prefix_sums(
+        per_y, [F.col("__y")], ["__cnt"], pre_ranged=True
+    ).withColumn("__ry2", 2 * F.col("__cnt_cum") - F.col("__cnt") + 1)
+    m = (
+        withr.agg(
+            F.sum("__cnt").alias("cnt_i"),
+            F.sum(F.col("__cnt") * F.col("__ry2")).alias("sb_i"),
+            F.sum(d("__s1") * F.col("__ry2")).alias("pab_i"),
+            F.sum(d("__cnt") * F.col("__ry2") * F.col("__ry2")).alias(
+                "qb_i"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "CAST(cnt_i AS DOUBLE) AS cnt",
+            "CAST(sa_i AS DOUBLE) AS sa",
+            "CAST(sb_i AS DOUBLE) AS sb",
+            "CAST(pab_i AS DOUBLE) AS pab",
+            "CAST(qa_i AS DOUBLE) AS qa",
+            "CAST(qb_i AS DOUBLE) AS qb",
+        )
     )
     return m.selectExpr(
         "CAST(cnt AS BIGINT) AS n_rows",

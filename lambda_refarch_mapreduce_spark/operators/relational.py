@@ -389,16 +389,30 @@ def global_rank(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "global_rank",
-    partitions: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Dense global 1..n ranking under a TOTAL order (callers include a
     tie-break key) without a single-partition window: range-partitioned
     sort (sample + balanced exchange), per-partition local row_number,
     then add per-partition offsets — the offsets are one tiny broadcast
     (a row per partition) and the data never leaves its partition
-    again. The distributed zipWithIndex, kept in DataFrame land."""
+    again. The distributed zipWithIndex, kept in DataFrame land.
+
+    ``partitions=None`` (r13 default, guide §2 scale-adaptive
+    partitioning): the range exchange takes the session shuffle
+    parallelism as its CEILING and AQE's partition coalescing sizes
+    the real count from the observed bytes — an alphabet-sized frame
+    (days, types) collapses to one task instead of paying 32
+    near-empty sort/window/offset tasks per kernel call, while a
+    corpus-sized frame keeps advisory-sized parallel partitions. The
+    old behavior (a fixed count) remains available for callers that
+    need a pinned layout."""
     ranked = (
-        df.repartitionByRange(partitions, *order_by)
+        (
+            df.repartitionByRange(*order_by)
+            if partitions is None
+            else df.repartitionByRange(partitions, *order_by)
+        )
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
         # pin ONE materialization (the pack_sequences precedent): the
@@ -449,7 +463,8 @@ def prefix_sums(
     df: DataFrame,
     order_by: list[Column],
     sum_cols: list[str],
-    partitions: int = 32,
+    partitions: int | None = None,
+    pre_ranged: bool = False,
 ) -> DataFrame:
     """Running (inclusive) sums of ``sum_cols`` under a TOTAL order
     (callers include a tie-break key) without a single-partition
@@ -459,9 +474,29 @@ def prefix_sums(
     tiny broadcast row per partition; the data never moves again).
     Each ``c`` in sum_cols gains a ``c_cum`` column. This is the
     distributed prefix-sum every CDF/packing computation needs where
-    `sum() over (order by ...)` would serialize the world."""
+    `sum() over (order by ...)` would serialize the world.
+
+    ``pre_ranged=True`` (r13, guide §2.4 share one exchange): the
+    caller guarantees ``df`` is ALREADY range-partitioned by
+    ``order_by`` (e.g. an aggregation planned on top of its own
+    ``repartitionByRange`` — RangePartitioning satisfies the group-by
+    clustering, so the aggregate preserves it), and the kernel skips
+    its own range exchange. The local sort and the pid-stamp pin stay
+    — the pin covers the caller's exchange through the shared
+    lineage, so the two-branch divergence guard is intact.
+
+    ``partitions=None`` (r13 default): AQE coalescing sizes the range
+    exchange from observed bytes — see global_rank."""
     ranked = (
-        df.repartitionByRange(partitions, *order_by)
+        (
+            df
+            if pre_ranged
+            else (
+                df.repartitionByRange(*order_by)
+                if partitions is None
+                else df.repartitionByRange(partitions, *order_by)
+            )
+        )
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
         # pin ONE materialization — see global_rank: the window branch

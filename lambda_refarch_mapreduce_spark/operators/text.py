@@ -1032,7 +1032,12 @@ def curriculum_order(
         quality_expr(F.col(text_col)).alias("quality"),
     )
     ranked = (
-        base.repartitionByRange(32, F.col("quality").desc(), F.col("id"))
+        # no explicit partition count (r13, guide §2 scale-adaptive):
+        # the session parallelism is the ceiling and AQE coalescing
+        # sizes the range exchange from observed bytes — 32 was a
+        # local-mode constant that would under-parallelize a 100 TB
+        # corpus and over-task a small one
+        base.repartitionByRange(F.col("quality").desc(), F.col("id"))
         .sortWithinPartitions(F.col("quality").desc(), F.col("id"))
         .withColumn("__pid", F.spark_partition_id())
         .withColumn(

@@ -6181,12 +6181,15 @@ def spearman_rank_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct quantities). The distributed construction is the point:
     average ranks come from per-distinct-value counts +
     relational.prefix_sums as exact integers in DOUBLED units
-    (2*avg_rank — Pearson's affine invariance cancels the doubling),
-    rows join ranks back by value (the 50-value quantity alphabet
-    broadcasts via AQE; the price side is one co-keyed shuffle), and
-    the correlation is the shared CCF_EXPR moment string over
-    decimal(38,0) products. Never a single-partition rank window.
-    Returns one row: (n_rows, rho)."""
+    (2*avg_rank — Pearson's affine invariance cancels the doubling).
+    r13 shape: the 50-value quantity alphabet's rank table broadcasts
+    onto the rows via AQE, the rows collapse ONCE by price carrying
+    quantity-rank partials (the only corpus-sized exchange, map-side
+    combinable), and the price ranks are computed in place on the
+    collapsed frame — the near-unique price side never drives a
+    row-grain rank join. Correlation via the shared CCF_EXPR moment
+    string over decimal(38,0) partials. Never a single-partition rank
+    window. Returns one row: (n_rows, rho)."""
     t = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),

@@ -270,6 +270,8 @@ def test_registry_wide_no_cartesian_product(spark):
         "range_bucket_lineitem",       # broadcast range-bucket BNLJ
         "cross_join_region_priority",  # tiny x tiny dense grid
         "scalar_subquery_above_avg",   # single-row subquery broadcast
+        "spearman_rank_corr_lineitem",  # single-row x-marginal moment frame
+        # broadcast onto the single-row y-side aggregate (r13 shape)
         "embedding_neardup_pairs",     # grid theta-join (documented)
         "embedding_neardup_lsh_blocked",
         "similarity_topk",             # broadcast queries, != predicate
