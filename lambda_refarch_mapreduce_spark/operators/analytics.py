@@ -757,6 +757,18 @@ def _frequent_basket_items(
     localCheckpoint+count probe here bought the same plan for ~0.65 s
     of extra jobs per call (and made merely BUILDING the plan execute
     a corpus-sized aggregation, ADVICE r7)."""
+    # r13 measured-and-reverted (guide §1.1 empirical loop): an
+    # explicit repartition(__o) ahead of the distinct — "one exchange
+    # for the whole o-keyed pipeline" — looked right from the static
+    # plan (15 Exchange ops -> 11) but MEASURED WORSE: at bench scale
+    # AQE serves the size-cap semi-join, the apriori semi-join and the
+    # pair self-join as broadcasts, so the exchanges the repartition
+    # was meant to replace never execute, and the added raw-row
+    # exchange (no map-side partial dedup below a repartition) raised
+    # q_basket_pairs shuffle bytes 28,928,302 -> 31,344,115 (+8%) for
+    # a wall-neutral result. The distinct-first shape also degrades
+    # gracefully at 100 TB: past the broadcast threshold AQE falls
+    # back to co-partitioned joins on the aggregate's own exchanges.
     items = df.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
     ).distinct()
