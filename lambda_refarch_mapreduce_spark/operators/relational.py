@@ -394,9 +394,19 @@ def global_rank(
     """Dense global 1..n ranking under a TOTAL order (callers include a
     tie-break key) without a single-partition window: range-partitioned
     sort (sample + balanced exchange), per-partition local row_number,
-    then add per-partition offsets — the offsets are one tiny broadcast
-    (a row per partition) and the data never leaves its partition
-    again. The distributed zipWithIndex, kept in DataFrame land.
+    then add per-partition offsets (one tiny broadcast row per
+    partition). The distributed zipWithIndex, kept in DataFrame land.
+
+    Plan-shape honesty (r13 audit): the local row_number is a
+    Window.partitionBy(__pid), and Catalyst cannot PROVE the pinned
+    range-partitioned frame is clustered by __pid (it is — one pid
+    per partition — but only at runtime), so EnsureRequirements
+    inserts a second, hash(__pid) exchange of the full frame ahead of
+    the window. Balanced by construction (it permutes whole range
+    partitions), trivial on AQE-coalesced alphabet frames, but a real
+    second shuffle on corpus-sized ones — the candidate fix (a
+    mapInArrow sequential pass over the pinned sorted frame) is
+    OPTIMIZATION_r13.md "Not yet optimized" #1.
 
     ``partitions=None`` (r13 default, guide §2 scale-adaptive
     partitioning): the range exchange takes the session shuffle
@@ -471,7 +481,8 @@ def prefix_sums(
     window — global_rank's two-phase shape generalized from ranks to
     arbitrary additive measures: range-partitioned sort, per-partition
     local cumulative sums, then add per-partition offset totals (one
-    tiny broadcast row per partition; the data never moves again).
+    tiny broadcast row per partition). The same second hash(__pid)
+    exchange caveat as global_rank applies — see its docstring.
     Each ``c`` in sum_cols gains a ``c_cum`` column. This is the
     distributed prefix-sum every CDF/packing computation needs where
     `sum() over (order by ...)` would serialize the world.
