@@ -698,6 +698,64 @@ def test_prefix_sums_crosses_partition_boundaries(spark):
     assert got == want and len(got) == 1000
 
 
+def test_prefix_sums_adaptive_and_pre_ranged(spark):
+    """Focused guard for the r13 optimization changes to the two-phase
+    kernels' internals (OPTIMIZATION_r13.md Batch 3):
+
+    - ``partitions=None`` (the new default) must produce values
+      identical to a pinned explicit count (rank/prefix values are
+      partitioning-independent under the total order), and its range
+      exchange must be the AQE-coalescible REPARTITION_BY_COL shape
+      (an explicit count plans REPARTITION_BY_NUM, which AQE must not
+      coalesce) — the scale-adaptive contract.
+    - ``pre_ranged=True`` on a caller-range-partitioned aggregate must
+      match the default path's values while adding ZERO exchanges
+      versus the default path — the caller's range exchange replaces
+      the kernel's one-for-one AND the interposed aggregate plans
+      exchange-free on it (RangePartitioning satisfies the group-by
+      clustering) — the shared-exchange fusion contract.
+    """
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        prefix_sums,
+    )
+
+    rows = spark.range(500).select(
+        (F.col("id") * 13 % 97).alias("v"), F.lit(1).alias("one")
+    )
+    counts = rows.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+
+    adaptive = prefix_sums(counts, [F.col("v")], ["cnt"])
+    pinned = prefix_sums(counts, [F.col("v")], ["cnt"], partitions=8)
+    got_a = {r.v: r.cnt_cum for r in adaptive.collect()}
+    got_p = {r.v: r.cnt_cum for r in pinned.collect()}
+    assert got_a == got_p and len(got_a) == 97
+
+    def _plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    pa, pp = _plan(adaptive), _plan(pinned)
+    assert "REPARTITION_BY_COL" in pa and "REPARTITION_BY_NUM" not in pa
+    assert "REPARTITION_BY_NUM" in pp
+
+    fused = prefix_sums(
+        counts.repartitionByRange(F.col("v")).groupBy("v").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        [F.col("v")],
+        ["cnt"],
+        pre_ranged=True,
+    )
+    got_f = {r.v: r.cnt_cum for r in fused.collect()}
+    assert got_f == got_a
+    pf = _plan(fused)
+    import re
+
+    n_ex = lambda p: len(re.findall(r"\) Exchange", p))  # noqa: E731
+    assert "REPARTITION_BY_COL" in pf
+    assert n_ex(pf) == n_ex(pa), (n_ex(pf), n_ex(pa))
+
+
 def _pid_stamped_kernel_outputs(spark):
     """One output DataFrame per pid-stamped two-phase kernel in the
     package — the sweep denominator. Register any NEW kernel that
