@@ -140,6 +140,34 @@ HEADLINE = {
 }
 
 
+# Scan-floor canary (VERDICT r13 "What's wrong" #5): the r13 driver run
+# recorded an UNTOUCHED 0-shuffle scan key at 15x its historical wall
+# (q1a 0.343 -> 5.126 s on a byte-identical plan) with load1 clean at
+# 1.47 — disk co-tenancy the load1 guard cannot see. The three
+# BASELINE.md twin keys are pure scan/aggregate canaries: when any of
+# them exceeds its committed historical floor x3 the run is tagged
+# scan_warn, so a pollution-dominated run self-identifies the way
+# load_warn runs do. Floors are the CLEAN-run historical record across
+# r12/r13 boxes (driver r12: 0.343/0.343/0.424; this box's clean runs:
+# 0.55-0.82), taken at the high end so a slower-but-quiet box does not
+# false-positive.
+SCAN_FLOOR = {
+    "q1a_scan": 0.75,
+    "q1b_scan_wide": 0.70,
+    "q2a_substr_agg": 0.85,
+}
+SCAN_WARN_FACTOR = 3.0
+
+
+def check_scan_floor(timings: dict[str, float]) -> bool:
+    """True when any baseline scan canary exceeds its committed clean
+    floor x SCAN_WARN_FACTOR — the I/O-co-tenancy fingerprint."""
+    return any(
+        timings.get(k, 0.0) > f * SCAN_WARN_FACTOR
+        for k, f in SCAN_FLOOR.items()
+    )
+
+
 # Load guard (VERDICT r11 "What's wrong" #2): BENCH_NOTES r11 records
 # a real mis-adjudication where a run started at 1-min load 3.6
 # attributed the warmup query's stages to the first key's MeasuredRun
@@ -308,33 +336,33 @@ def main() -> None:
         "first_key_remeasured": first_key_remeasured,
         "sf": sf,
     }
-    # The summary stays O(1) in headline-key count (VERDICT r10 #1):
-    # at 63 keys the full per-key dict was 1814 of the driver's
-    # ~2000-char tail window — one round of key growth from truncating
-    # the durable record again. Per-key walls now live ONLY in the
-    # detail line / BENCH_DETAIL.json; the summary carries the total,
-    # the key count, the 5 slowest walls (the keys a regression
-    # triage looks at first), and the three BASELINE.md twins the
-    # judge compares every round.
-    top5 = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
+    # Summary-line contract fix (r14, VERDICT r13 "What's wrong" #2 /
+    # next-round #2): the r10 "O(1) summary" change moved the per-key
+    # walls out of the FINAL line entirely — but the round driver's
+    # per-query/geomean/scaling comparison parses exactly that line,
+    # so PERF per_query has been empty and bench_ok false since r10.
+    # This was a measurement-CHANNEL bug, not a timing change: the
+    # walls were always measured and recorded in the detail line /
+    # BENCH_DETAIL.json (the old artifacts keep the old numbers). The
+    # per-key dict is now back in the summary, rounded to 2 decimals:
+    # 71 keys serialize to ~1.7 kB, inside the driver's ~2 kB tail
+    # window with headroom (measured against the r14 entry record).
+    # The 5-slowest "top" block the r10 shape carried is dropped as
+    # redundant — every wall it surfaced is in queries[] again.
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "n_keys": len(timings),
-        "top": top5,
-        "baseline": {
-            k: timings[k]
-            for k in ("q1a_scan", "q1b_scan_wide", "q2a_substr_agg")
-            if k in timings
-        },
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "load1": load1,
         "sf": sf,
     }
     if load_warn:
         summary["load_warn"] = True
+    if check_scan_floor(timings):
+        summary["scan_warn"] = True
+        detail["scan_warn"] = True
     if first_key_remeasured:
         summary["first_key_remeasured"] = True
     # full record to a committed-able file (best-effort: a read-only

@@ -1791,8 +1791,15 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.sum("__rx2").alias("__s1"),
         )
     )
+    # local_mode="arrow" (r14): the collapsed y frame is corpus-sized
+    # for near-unique y (this entry's price column), so the kernel's
+    # Window.partitionBy(__pid) local pass would re-shuffle the whole
+    # frame through an EnsureRequirements hash(__pid) exchange; the
+    # arrow sequential scan computes the same cumulative counts with
+    # no second exchange (see relational._arrow_local_scan)
     withr = prefix_sums(
-        per_y, [F.col("__y")], ["__cnt"], pre_ranged=True
+        per_y, [F.col("__y")], ["__cnt"], pre_ranged=True,
+        local_mode="arrow",
     ).withColumn("__ry2", 2 * F.col("__cnt_cum") - F.col("__cnt") + 1)
     m = (
         withr.agg(

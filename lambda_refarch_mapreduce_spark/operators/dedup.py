@@ -642,6 +642,27 @@ def minhash_lsh_pairs(
     is the output itself, the semantic lower bound.
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
+    # r14 NEGATIVE RESULT (VERDICT r13 next-round #4, measured and
+    # reverted — the basket-family precedent): "share the document
+    # scan between the digest exchange and the banding exchange" was
+    # tried in two forms and BOTH measured worse at sf0.1 than this
+    # two-scan shape (isolated MeasuredRun baseline 3,831,614 B / 33
+    # stages):
+    # (a) digest riding the signature aggregate (with_digest) + the
+    #     per-doc signature frame pinned so both branches read one
+    #     materialization: the InMemoryTableScan subtrees defeated
+    #     static ReuseExchange across EVERY downstream branch (12
+    #     ReusedExchange -> 0) — 5,414,937 B (+41%), 49 stages.
+    # (b) same fusion relying on plan-level exchange reuse instead of
+    #     a pin: per-branch column pruning rewrites the shared
+    #     groupBy(id) partial aggregate (the digest branch prunes all
+    #     k minhash columns), so the exchange subplans never
+    #     canonicalize equal and the scan duplicates anyway —
+    #     5,920,222 B (+55%), 37 stages.
+    # The unfused plan's repeated digest/banding subtrees already
+    # collapse via ReusedExchange at execution; the second corpus
+    # scan is the price of keeping that reuse, and it is the cheaper
+    # side of the trade in both measured variants.
     banded_all = minhash_bands(df, id_col, content_col, n, k, bands)
     if not collapse_exact:
         return _lsh_candidate_verify(df, banded_all, id_col, content_col, n, threshold)

@@ -385,11 +385,107 @@ def gap_sessionize(
     )
 
 
+def _arrow_local_scan(
+    pinned: DataFrame,
+    sum_specs: list[tuple[str, str]],
+    rn_col: str | None = None,
+) -> DataFrame:
+    """Sequential per-partition running sums / row numbers over an
+    ALREADY sorted, pid-stamped, pinned frame via one ``mapInArrow``
+    pass — the narrow replacement for ``Window.partitionBy("__pid")``
+    in the two-phase kernels (r14, guide §2.4 / OPTIMIZATION_r13.md
+    "Not yet optimized" #1): Catalyst cannot prove the pinned
+    range-partitioned frame is clustered by the pid stamp (one pid
+    per partition is a runtime fact), so EnsureRequirements feeds the
+    window with an ``Exchange hashpartitioning(__pid)`` carrying the
+    FULL frame — a second corpus-sized shuffle. This pass reads the
+    cached partitions in place (no exchange at all) and accumulates
+    strictly left-to-right, exactly the order the window's
+    unbounded-preceding running frame uses.
+
+    Equivalence contract: integral sums are exact (int64 wraparound
+    matches Java long; floats are REJECTED — see the TypeError below);
+    ``rn_col`` reproduces row_number as int32. ``sum_specs`` columns
+    must be non-NULL (every kernel caller feeds counts/totals from a groupBy
+    — the scan raises rather than silently diverging from the
+    window's null-skipping sum). The caller keeps the pin: both this
+    branch and the offsets branch must read ONE materialization (the
+    r12 divergence guard)."""
+    from pyspark.sql import types as T
+
+    in_fields = list(pinned.schema.fields)
+    by_name = {f.name: f for f in in_fields}
+    kinds: list[str] = []
+    out_fields = list(in_fields)
+    for src, out in sum_specs:
+        dt = by_name[src].dataType
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            kinds.append("i")
+            out_fields.append(T.StructField(out, T.LongType()))
+        else:
+            # INTEGRAL ONLY, deliberately: int64 cumsum+wraparound is
+            # bit-identical to the window's Java-long running sum, but
+            # numpy's float cumsum uses pairwise/blocked accumulation
+            # (MEASURED: last-ulp drift vs the window's strictly
+            # sequential adds on a 600k-row frame), which would break
+            # the value-hash determinism contract. Float callers keep
+            # local_mode="window".
+            raise TypeError(
+                f"arrow local scan supports integral sum columns "
+                f"only; got {src}: {dt} (use local_mode='window')"
+            )
+    if rn_col is not None:
+        out_fields.append(T.StructField(rn_col, T.IntegerType()))
+    out_schema = T.StructType(out_fields)
+    srcs = [s for s, _ in sum_specs]
+    names = [f.name for f in out_fields]
+
+    def scan(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        carry: list = [0 if k == "i" else 0.0 for k in kinds]
+        rn = 0
+        for b in batches:
+            extra = []
+            for i, (src, kind) in enumerate(zip(srcs, kinds)):
+                col = b.column(b.schema.get_field_index(src))
+                if col.null_count:
+                    raise ValueError(
+                        f"NULL in arrow prefix-scan column {src}"
+                    )
+                vals = col.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                cs = np.cumsum(vals) + np.int64(carry[i])
+                if len(cs):
+                    carry[i] = int(cs[-1])
+                extra.append(pa.array(cs, type=pa.int64()))
+            if rn_col is not None:
+                n = b.num_rows
+                extra.append(
+                    pa.array(
+                        np.arange(rn + 1, rn + n + 1, dtype=np.int64)
+                        .astype(np.int32),
+                        type=pa.int32(),
+                    )
+                )
+                rn += n
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + extra, names=names
+            )
+
+    return pinned.mapInArrow(scan, out_schema)
+
+
 def global_rank(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "global_rank",
     partitions: int | None = None,
+    local_mode: str = "window",
 ) -> DataFrame:
     """Dense global 1..n ranking under a TOTAL order (callers include a
     tie-break key) without a single-partition window: range-partitioned
@@ -397,16 +493,20 @@ def global_rank(
     then add per-partition offsets (one tiny broadcast row per
     partition). The distributed zipWithIndex, kept in DataFrame land.
 
-    Plan-shape honesty (r13 audit): the local row_number is a
-    Window.partitionBy(__pid), and Catalyst cannot PROVE the pinned
-    range-partitioned frame is clustered by __pid (it is — one pid
-    per partition — but only at runtime), so EnsureRequirements
-    inserts a second, hash(__pid) exchange of the full frame ahead of
-    the window. Balanced by construction (it permutes whole range
-    partitions), trivial on AQE-coalesced alphabet frames, but a real
-    second shuffle on corpus-sized ones — the candidate fix (a
-    mapInArrow sequential pass over the pinned sorted frame) is
-    OPTIMIZATION_r13.md "Not yet optimized" #1.
+    ``local_mode`` (r14, guide §2.4): with the default ``"window"``
+    the local row_number is a Window.partitionBy(__pid), and Catalyst
+    cannot PROVE the pinned range-partitioned frame is clustered by
+    __pid (it is — one pid per partition — but only at runtime), so
+    EnsureRequirements inserts a second, hash(__pid) exchange of the
+    full frame ahead of the window. Balanced by construction (it
+    permutes whole range partitions) and trivial on AQE-coalesced
+    alphabet frames — but a real second corpus-sized shuffle on big
+    ones. ``local_mode="arrow"`` replaces the window with one
+    mapInArrow sequential pass over the pinned sorted frame
+    (_arrow_local_scan): no second exchange at all, identical ranks.
+    It pays one Python-worker round trip, which MEASURED ~20% slower
+    on tiny alphabet frames (r13 prototype), so it is an explicit
+    OPT-IN at the corpus-scale call sites, never a size probe.
 
     ``partitions=None`` (r13 default, guide §2 scale-adaptive
     partitioning): the range exchange takes the session shuffle
@@ -439,12 +539,23 @@ def global_rank(
         # the caller's enclosing pin_scope() releases it.
     )
     ranked = pin(ranked)
-    local = ranked.withColumn(
-        "__local_rn",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
-    )
+    if local_mode == "arrow":
+        # narrow in-place pass over the pinned sorted partitions — no
+        # hash(__pid) exchange; the offsets branch aggregates the SAME
+        # pinned frame (tiny per-pid partials), so both branches still
+        # read one materialization (the r12 divergence guard)
+        local = _arrow_local_scan(ranked, [], rn_col="__local_rn")
+        offsets_src = ranked
+    else:
+        local = ranked.withColumn(
+            "__local_rn",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_by)
+            ),
+        )
+        offsets_src = local
     offsets = (
-        local.groupBy("__pid")
+        offsets_src.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(
             "__offset",
@@ -475,6 +586,7 @@ def prefix_sums(
     sum_cols: list[str],
     partitions: int | None = None,
     pre_ranged: bool = False,
+    local_mode: str = "window",
 ) -> DataFrame:
     """Running (inclusive) sums of ``sum_cols`` under a TOTAL order
     (callers include a tie-break key) without a single-partition
@@ -482,7 +594,8 @@ def prefix_sums(
     arbitrary additive measures: range-partitioned sort, per-partition
     local cumulative sums, then add per-partition offset totals (one
     tiny broadcast row per partition). The same second hash(__pid)
-    exchange caveat as global_rank applies — see its docstring.
+    exchange caveat — and the same opt-in ``local_mode="arrow"`` fix
+    for corpus-scale callers — as global_rank; see its docstring.
     Each ``c`` in sum_cols gains a ``c_cum`` column. This is the
     distributed prefix-sum every CDF/packing computation needs where
     `sum() over (order by ...)` would serialize the world.
@@ -517,16 +630,26 @@ def prefix_sums(
         # 13,241 rows, corrupting Mann-Whitney/Cliff's u2 by ~0.9%)
     )
     ranked = pin(ranked)
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranked
-    for c in sum_cols:
-        local = local.withColumn(f"__local_{c}", F.sum(c).over(w_local))
+    if local_mode == "arrow":
+        # narrow in-place pass over the pinned sorted partitions — no
+        # hash(__pid) exchange; offsets aggregate the SAME pinned
+        # frame so both branches read one materialization (r12 guard)
+        local = _arrow_local_scan(
+            ranked, [(c, f"__local_{c}") for c in sum_cols]
+        )
+        offsets_src = ranked
+    else:
+        w_local = (
+            Window.partitionBy("__pid")
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = ranked
+        for c in sum_cols:
+            local = local.withColumn(f"__local_{c}", F.sum(c).over(w_local))
+        offsets_src = local
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = local.groupBy("__pid").agg(
+    offsets = offsets_src.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
     )
     for c in sum_cols:

@@ -490,22 +490,31 @@ def pack_sequences(
     1. range-partition by id (so partitions hold contiguous id runs),
     2. per-partition token totals -> cumulative partition offsets
        (tiny: one row per partition, computed on the driver),
-    3. within-partition prefix sum (window partitioned by partition
-       id) + broadcast-joined partition offset.
+    3. within-partition prefix sum (one in-place arrow scan over the
+       pinned sorted partitions — relational._arrow_local_scan, r14;
+       a window partitioned by the pid stamp would re-shuffle the
+       whole corpus) + broadcast-joined partition offset.
 
     Every step is parallel; the only serial state is the per-partition
     totals list (|partitions| rows). Returns (id, n_tokens, bin_id).
     """
-    from lambda_refarch_mapreduce_spark.operators.relational import pin
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        _arrow_local_scan,
+        pin,
+    )
 
     n_tok = F.size(tokenize(F.col(text_col)))
     # pin pid: both branches below must see the identical partitioning
-    # (scope-releasable — see relational.pin_scope)
+    # (scope-releasable — see relational.pin_scope). Sorted within
+    # partitions BEFORE the pin (r14): the arrow scan below reads the
+    # cached row order directly, where the window it replaced carried
+    # its own sort (behind a full-corpus hash(pid) exchange).
     base = pin(
         df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
                               F.col(id_col))
         .select(F.col(id_col), n_tok.alias("n_tokens"),
                 F.spark_partition_id().alias("pid"))
+        .sortWithinPartitions(id_col)
     )
     part_totals = (
         base.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
@@ -521,11 +530,11 @@ def pack_sequences(
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "pid int, poffset bigint",
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("pid").orderBy(id_col)
+    # within-partition running token total via the arrow sequential
+    # scan (r14) — replaces Window.partitionBy("pid") and its hidden
+    # full-corpus hash(pid) exchange; see relational._arrow_local_scan
     return (
-        base.withColumn("cum_in_part", F.sum("n_tokens").over(w))
+        _arrow_local_scan(base, [("n_tokens", "cum_in_part")])
         .join(F.broadcast(off_df), "pid")
         .select(
             F.col(id_col),
@@ -1031,33 +1040,33 @@ def curriculum_order(
         F.col(id_col).alias("id"),
         quality_expr(F.col(text_col)).alias("quality"),
     )
-    ranked = (
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        _arrow_local_scan,
+        pin,
+    )
+
+    pinned = pin(
         # no explicit partition count (r13, guide §2 scale-adaptive):
         # the session parallelism is the ceiling and AQE coalescing
         # sizes the range exchange from observed bytes — 32 was a
         # local-mode constant that would under-parallelize a 100 TB
-        # corpus and over-task a small one
-        base.repartitionByRange(F.col("quality").desc(), F.col("id"))
-        .sortWithinPartitions(F.col("quality").desc(), F.col("id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__local_rn",
-            F.row_number().over(
-                Window.partitionBy("__pid").orderBy(
-                    F.col("quality").desc(), F.col("id")
-                )
-            ),
-        )
+        # corpus and over-task a small one.
         # pin ONE materialization (the pack_sequences/global_rank
         # pattern): the offsets branch and the join branch must see
         # the identical nondeterministic pid stamp and range bounds
         # (scope-releasable — see relational.pin_scope)
+        base.repartitionByRange(F.col("quality").desc(), F.col("id"))
+        .sortWithinPartitions(F.col("quality").desc(), F.col("id"))
+        .withColumn("__pid", F.spark_partition_id())
     )
-    from lambda_refarch_mapreduce_spark.operators.relational import pin
-
-    ranked = pin(ranked)
+    # local row_number via the arrow sequential scan (r14): the
+    # Window.partitionBy(__pid) this replaces forced a full-corpus
+    # hash(__pid) exchange (Catalyst cannot prove the pinned frame is
+    # clustered by the pid stamp) — the scan ranks the cached sorted
+    # partitions in place; see relational._arrow_local_scan
+    ranked = _arrow_local_scan(pinned, [], rn_col="__local_rn")
     offsets = (
-        ranked.groupBy("__pid")
+        pinned.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(
             "__offset",

@@ -1861,9 +1861,23 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank,
     )
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # project to the two needed columns BEFORE the kernel (r14, guide
+    # §2.3): the kernel pins and range-exchanges its whole input, and
+    # the opaque arrow pass below ships every pinned column through
+    # the Python worker — the other seven orders columns were pure
+    # shuffle/cache/boundary weight. local_mode="arrow" (r14): orders
+    # is the corpus here, so the kernel's window local pass would
+    # re-shuffle all of it through the hash(__pid) exchange; the arrow
+    # sequential scan ranks in place (relational._arrow_local_scan).
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
     return global_rank(
-        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        local_mode="arrow",
     ).select("o_orderkey", "global_rank")
 
 
@@ -1897,7 +1911,10 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranked = global_rank(o, [F.col("o_totalprice"), F.col("o_orderkey")])
+    # local_mode="arrow" (r14): corpus-scale frame — see global_sort_rank
+    ranked = global_rank(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], local_mode="arrow"
+    )
     n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(n))

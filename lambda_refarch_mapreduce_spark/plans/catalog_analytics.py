@@ -3342,7 +3342,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("f_rnk", [F.col("freq").desc(), F.col("o_custkey")]),
         ("m_rnk", [F.col("monet_cents").desc(), F.col("o_custkey")]),
     ):
-        ranked = global_rank(ranked, keys, rank_col=score)
+        # local_mode="arrow" (r14): the per-customer frame is
+        # corpus-scale, and each of the three chained ranks would
+        # otherwise pay its own full-frame hash(__pid) exchange
+        ranked = global_rank(ranked, keys, rank_col=score, local_mode="arrow")
     n = per_cust.agg(F.count(F.lit(1)).alias("__n"))
     score = lambda c: F.expr(  # noqa: E731
         f"cast((({c} - 1) * {RFM_BINS}) div __n + 1 as int)"
@@ -3398,7 +3401,9 @@ def weighted_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.col("l_quantity").cast("long")).alias("w")
     )
-    cum = prefix_sums(g, [F.col("v")], ["w"])
+    # local_mode="arrow" (r14): prices are near-unique, so the
+    # per-value frame is corpus-scale — no second hash(__pid) exchange
+    cum = prefix_sums(g, [F.col("v")], ["w"], local_mode="arrow")
     tot = g.agg(F.sum("w").alias("tw"))
     pcts = spark.createDataFrame(
         [(p,) for p in WEIGHTED_PCTS], "pct int"
@@ -3649,8 +3654,13 @@ def pareto_revenue_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    ranked = global_rank(g, [F.col("cents").desc(), F.col("p")], rank_col="rnk")
-    cum = prefix_sums(ranked, [F.col("rnk")], ["cents"])
+    # local_mode="arrow" (r14): the per-part frame is corpus-scale;
+    # both two-phase kernels rank/scan it in place
+    ranked = global_rank(
+        g, [F.col("cents").desc(), F.col("p")], rank_col="rnk",
+        local_mode="arrow",
+    )
+    cum = prefix_sums(ranked, [F.col("rnk")], ["cents"], local_mode="arrow")
     tot = g.agg(
         F.sum("cents").alias("total"), F.count(F.lit(1)).alias("__n")
     )
@@ -3708,8 +3718,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
+    # local_mode="arrow" (r14): per-customer frame is corpus-scale
     ranked = global_rank(
-        g, [F.col("cents"), F.col("o_custkey")], rank_col="i"
+        g, [F.col("cents"), F.col("o_custkey")], rank_col="i",
+        local_mode="arrow",
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -4849,7 +4861,9 @@ def percentile_sketch_rank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vc = o.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vc.agg(F.sum("cnt").alias("n"))
-    cum = prefix_sums(vc, [F.col("v")], ["cnt"])
+    # local_mode="arrow" (r14): cents prices are near-unique, so the
+    # value-count frame is corpus-scale — see relational._arrow_local_scan
+    cum = prefix_sums(vc, [F.col("v")], ["cnt"], local_mode="arrow")
     ps = spark.createDataFrame(
         [(p,) for p in PCTL_BPS], "p_bp long"
     )

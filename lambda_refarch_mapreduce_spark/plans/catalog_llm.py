@@ -4428,10 +4428,12 @@ def nb_filter_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.coalesce(F.col("score_int"), F.lit(0)).alias("score_int"),
     )
+    # local_mode="arrow" (r14): one row per document — corpus-scale
     ranked = global_rank(
         scored,
         [F.col("score_int").desc(), F.col("doc_id")],
         rank_col="rnk",
+        local_mode="arrow",
     )
     base = scored.agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("tot_pos"),

@@ -110,6 +110,15 @@ def cluster_conf(
         200_000,
     )
     return {
+        # zstd shuffle/spill compression (guide §2.3): markedly better
+        # ratio than the lz4 default for a bit more CPU — at 100 TB the
+        # shuffle is network/disk-bound, so trading CPU for bytes is
+        # the right side of the bargain. CLUSTER OVERLAY ONLY: the
+        # local[32] bench shuffles <= 30 MB per key, where the delta
+        # is measurement noise and flipping the codec would only
+        # de-comparabilize the cross-round bench series (r14, VERDICT
+        # r13 next-round #8).
+        "spark.io.compression.codec": "zstd",
         "spark.sql.shuffle.partitions": str(shuffle_parts),
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",

@@ -756,6 +756,80 @@ def test_prefix_sums_adaptive_and_pre_ranged(spark):
     assert n_ex(pf) == n_ex(pa), (n_ex(pf), n_ex(pa))
 
 
+def test_arrow_local_mode_matches_window(spark):
+    """Focused guard for the r14 optimization (VERDICT r13 next-round
+    #1): ``local_mode="arrow"`` replaces the two-phase kernels' local
+    Window.partitionBy(__pid) pass — and the full-frame hash(__pid)
+    exchange EnsureRequirements fed it with — by one mapInArrow
+    sequential scan over the pinned sorted partitions. Contract:
+
+    - values identical to the window path (int64 cumsum+wraparound ==
+      Java long running sum; row numbers identical);
+    - the corpus branch has NO exchange: MapInArrow consumes the
+      InMemoryTableScan of the pin DIRECTLY (the structural assertion
+      below), so the only remaining hash(__pid) exchange is the
+      offsets partial-agg merge carrying one row per partition;
+    - float sum columns are REJECTED (numpy's pairwise float cumsum
+      is not bit-identical to the window's sequential adds)."""
+    import re
+
+    import pytest
+
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        global_rank,
+        pin_scope,
+        prefix_sums,
+    )
+
+    rows = spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+        (F.col("id") % 97).alias("a"),
+        F.col("id"),
+    )
+
+    def _plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    adjacent = re.compile(r"MapInArrow \(\d+\)\n[\s:]*\+- InMemoryTableScan")
+
+    with pin_scope():
+        w = prefix_sums(rows, [F.col("k"), F.col("id")], ["a"])
+        got_w = {r.id: r.a_cum for r in w.collect()}
+    with pin_scope():
+        a = prefix_sums(
+            rows, [F.col("k"), F.col("id")], ["a"], local_mode="arrow"
+        )
+        pa = _plan(a)
+        got_a = {r.id: r.a_cum for r in a.collect()}
+    assert got_w == got_a and len(got_a) == 20_000
+    assert "MapInArrow" in pa and adjacent.search(pa), pa
+
+    with pin_scope():
+        gw = global_rank(rows, [F.col("k"), F.col("id")], rank_col="rnk")
+        got_gw = {r.id: r.rnk for r in gw.collect()}
+    with pin_scope():
+        ga = global_rank(
+            rows, [F.col("k"), F.col("id")], rank_col="rnk",
+            local_mode="arrow",
+        )
+        pg = _plan(ga)
+        got_ga = {r.id: r.rnk for r in ga.collect()}
+    assert got_gw == got_ga and sorted(got_ga.values()) == list(
+        range(1, 20_001)
+    )
+    assert "MapInArrow" in pg and adjacent.search(pg), pg
+    assert dict(ga.dtypes)["rnk"] == dict(gw.dtypes)["rnk"]
+
+    floats = rows.withColumn("x", F.col("a") * 0.5)
+    with pytest.raises(TypeError, match="integral"):
+        prefix_sums(
+            floats, [F.col("k"), F.col("id")], ["x"], local_mode="arrow"
+        )
+    spark.catalog.clearCache()
+
+
 def _pid_stamped_kernel_outputs(spark):
     """One output DataFrame per pid-stamped two-phase kernel in the
     package — the sweep denominator. Register any NEW kernel that

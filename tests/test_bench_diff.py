@@ -139,3 +139,42 @@ def test_compact_summary_and_git_rev_loader(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert "0 range-jitter, 0 plan/data changes" in r2.stdout
+
+
+def test_bench_summary_line_contract():
+    """r14 (VERDICT r13 #2): the FINAL summary line must carry the
+    per-key walls (the driver's per-query/geomean/scaling comparison
+    parses exactly that line — it was empty from r10-r13) AND stay
+    inside the driver's ~2 kB durable stdout-tail window; plus the
+    scan-floor canary must cover exactly the three BASELINE.md twins
+    and fire on the r13 pollution fingerprint."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(TOOL)))
+    import bench
+
+    assert set(bench.SCAN_FLOOR) == {
+        "q1a_scan", "q1b_scan_wide", "q2a_substr_agg"
+    }
+    assert set(bench.SCAN_FLOOR) <= set(bench.HEADLINE)
+
+    # clean run (r14 entry record shape) does not fire; the r13 driver
+    # incident (q1a 5.126 s on a byte-identical plan) does
+    clean = {k: f for k, f in bench.SCAN_FLOOR.items()}
+    assert not bench.check_scan_floor(clean)
+    assert bench.check_scan_floor({**clean, "q1a_scan": 5.126})
+
+    # the summary line with every headline key at a worst-plausible
+    # 3-digit wall must fit the tail window with headroom
+    timings = {k: 99.99 for k in bench.HEADLINE}
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_keys": len(timings),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "load1": 9.99,
+        "sf": "0.1",
+        "load_warn": True,
+        "scan_warn": True,
+        "first_key_remeasured": True,
+    }
+    assert len(json.dumps(summary)) < 1950, len(json.dumps(summary))

@@ -161,6 +161,14 @@ def test_cluster_conf_sizing():
     # small data (0.01TB -> 41 partitions by size): floor at 2*cores wins
     c2 = cluster_conf(total_cores=64, dataset_tb=0.01)
     assert int(c2["spark.sql.shuffle.partitions"]) == 128
+    # r14: zstd shuffle codec is a CLUSTER overlay; the local session
+    # defaults must stay on the stock codec so the cross-round bench
+    # series remains comparable (the driver benches local[32] and
+    # local[8] against prior rounds)
+    from lambda_refarch_mapreduce_spark.session import _BASE_CONF
+
+    assert c["spark.io.compression.codec"] == "zstd"
+    assert "spark.io.compression.codec" not in _BASE_CONF
 
 
 def test_bm25_topk_is_take_ordered_and_query_pruned(spark):
