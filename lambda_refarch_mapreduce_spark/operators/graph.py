@@ -66,49 +66,65 @@ def pagerank(
     uniformly — the standard power-iteration formulation (Page et al.
     1999) with uniform teleport.
 
-    Plan shape per round: one equi-join of (node, rank) against the edge
-    list on ``src`` + one groupBy ``dst`` — both shuffles keyed on node
-    id, so a cluster reuses the same hash partitioning round to round.
-    The dangling-mass term is a single-row aggregate broadcast back; the
-    driver holds only the loop counter, never data rows. Lineage is cut
-    each round: localCheckpoint by default; pass
+    Plan shape per round (r14 profile-driven rework, guide §3.3/§7.3):
+    one equi-join of (node, outdeg, rank) against the edge list on
+    ``src`` + one groupBy ``dst`` — both shuffles keyed on node id, so
+    a cluster reuses the same hash partitioning round to round. The
+    out-degree is computed ONCE and CARRIED on the rank frame, so the
+    old per-round rank⋈outdeg inner join and the dangling anti-join
+    collapse to two filters on a resident column (the dangling-mass
+    term stays a single-row aggregate broadcast back); the driver
+    holds only the loop counter, never data rows. Lineage is cut each
+    round with an EAGER checkpoint: the r14 phase-split profile showed
+    the lazy form left every round's plan un-truncated during
+    CONSTRUCTION, so each loop iteration re-analyzed the whole
+    accumulated lineage on the driver — at sf0.1 plan analysis was
+    ~70% of the key's wall (loop construction 5.3 s vs 0.7 s
+    execution); eager per-round materialization (vocabulary-sized,
+    trivial jobs) plus the carried out-degree measured 3.48 -> 2.51 s
+    warm with bit-identical ranks. localCheckpoint by default; pass
     ``reliable_checkpoint=True`` (plus ``setCheckpointDir``) on a real
     cluster under dynamic allocation so rounds survive executor loss —
     the same contract as dedup.connected_components.
 
     Returns (node, rank) for every node appearing as src or dst."""
-    # Materialize the edge list ONCE: it is referenced twice per round
-    # (contribution join + dangling anti-join), and without this the
-    # final lazy plan would re-derive it — i.e. re-scan the corpus the
-    # edges came from — O(n_iter) times. The edge set is node²-bounded
-    # (vocabulary-sized for the corpus word graph), so the checkpoint
-    # holds the small side, never corpus text.
+    # Materialize the edge list ONCE: it is referenced once per round,
+    # and without this the final lazy plan would re-derive it — i.e.
+    # re-scan the corpus the edges came from — O(n_iter) times. The
+    # edge set is node²-bounded (vocabulary-sized for the corpus word
+    # graph), so the checkpoint holds the small side, never corpus
+    # text.
     edges = _ckpt(edges, reliable_checkpoint)
-    nodes = _ckpt(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct(),
+    # node list WITH out-degree in one pass (0 = dangling): the union
+    # guarantees sink-only nodes appear; sum of src markers == the old
+    # groupBy(src).count() for every node that has out-edges
+    node_deg = _ckpt(
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("__s"))
+        .unionByName(
+            edges.select(F.col("dst").alias("node"), F.lit(0).alias("__s"))
+        )
+        .groupBy("node")
+        .agg(F.sum("__s").alias("outdeg")),
         reliable_checkpoint,
     )
-    n_total = nodes.count()  # bounded: vocabulary size, not corpus size
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    n_total = node_deg.count()  # bounded: vocabulary size, not corpus
+    ranks = node_deg.withColumn("rank", F.lit(1.0 / n_total))
     for _ in range(n_iter):
         contrib = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "inner")
-            .join(edges, "src")
+            ranks.filter(F.col("outdeg") > 0)
+            .join(edges, ranks.node == edges.src)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            node_deg.join(contrib, node_deg.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling))  # single-row mass term
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit((1.0 - damping) / n_total)
                     + F.lit(damping)
@@ -119,8 +135,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = _ckpt(ranks, reliable_checkpoint, eager=False)
-    return ranks
+        # EAGER: truncate the analyzed plan each round (see docstring)
+        ranks = _ckpt(ranks, reliable_checkpoint, eager=True)
+    return ranks.select("node", "rank")
 
 
 def triangle_stats(
@@ -223,8 +240,9 @@ def label_propagation(
     struct MIN — no window, so the round is map-side-combinable).
     Both shuffles key on node id, reused round to round; the driver
     holds only the loop counter. Lineage is cut per round exactly as
-    pagerank does (localCheckpoint; ``reliable_checkpoint=True`` on a
-    real cluster).
+    pagerank does (EAGER localCheckpoint since r14 — plan truncation
+    at construction time; ``reliable_checkpoint=True`` on a real
+    cluster).
 
     Returns (node, community)."""
     und = (
@@ -256,5 +274,8 @@ def label_propagation(
                 F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lab"))
             )["lab"].alias("label")
         )
-        labels = _ckpt(labels, reliable_checkpoint, eager=False)
+        # EAGER (r14): same per-round plan-truncation rationale as
+        # pagerank — the lazy form re-analyzed the whole accumulated
+        # lineage on every loop iteration during construction
+        labels = _ckpt(labels, reliable_checkpoint, eager=True)
     return labels.select("node", F.col("label").alias("community"))

@@ -20,3 +20,9 @@ def test_query_matches_oracle(spark, duck, name):
         assert sdf.count() >= 0  # rows-only check
     else:
         assert_matches_oracle(sdf, duck, qd.oracle)
+
+# r14 fast-tier: this module IS the oracle gate replica — the round
+# gates run the same comparison via tools/check_oracle.py (sf0.01 full
+# + GATE_SF01 at sf0.1), so the default (driver-window) pytest run
+# skips it; `-m ""` restores it for the round-close full record.
+pytestmark = pytest.mark.slow

@@ -73,6 +73,33 @@ def test_simhash_stable_under_token_reorder(spark):
     assert a == b
 
 
+def test_simhash_arrow_kernel_matches_codegen(spark):
+    """Focused guard for the r14 kernel change (VERDICT r13 next-round
+    #6): the arrow popcount kernel must produce BIT-IDENTICAL
+    fingerprints to the codegen form — including the edges the
+    codegen semantics define: NULL text packs 0 (NULL comparisons
+    fall through every when/otherwise), empty/short text packs all
+    ``bits`` ones (0 >= 0 majority on every bit), and docs shorter
+    than one token behave like empty."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "   "), (100004, "one")],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edges)
+    a = {
+        r.id: r.simhash
+        for r in dedup.simhash(both, "doc_id", "text", kernel="codegen").collect()
+    }
+    b = {
+        r.id: r.simhash
+        for r in dedup.simhash(both, "doc_id", "text", kernel="arrow").collect()
+    }
+    assert a == b and len(a) == docs.count() + 4
+    assert b[100001] == 0  # NULL text
+    assert b[100002] == (1 << 60) - 1  # empty: all bits majority at n=0
+
+
 def test_contamination_overlap_planted_leak(spark):
     """A training doc that contains a benchmark doc verbatim must be
     flagged; docs sharing nothing with the benchmark must score 0."""

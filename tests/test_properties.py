@@ -474,3 +474,10 @@ def test_kendall_tau_b_matches_reference_property(spark, pairs):
     else:
         want = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
         assert abs(got.tau_b - want) < 1e-6
+
+
+# r14 fast-tier: hypothesis property sweeps are one JVM round-trip per
+# example — minutes per test. Round close runs them via `-m ""`.
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
