@@ -1803,7 +1803,12 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     ).withColumn("__ry2", 2 * F.col("__cnt_cum") - F.col("__cnt") + 1)
     m = (
         withr.agg(
-            F.sum("__cnt").alias("cnt_i"),
+            # coalesce (ADVICE r13): sum() over an empty/all-null input
+            # is NULL, but the pre-r13 row-grain shape counted rows —
+            # keep the n_rows=0-on-empty contract
+            F.coalesce(F.sum("__cnt"), F.lit(0).cast("long")).alias(
+                "cnt_i"
+            ),
             F.sum(F.col("__cnt") * F.col("__ry2")).alias("sb_i"),
             F.sum(d("__s1") * F.col("__ry2")).alias("pab_i"),
             F.sum(d("__cnt") * F.col("__ry2") * F.col("__ry2")).alias(

@@ -1693,6 +1693,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             (F.col("l_returnflag") == "R").cast("int").alias("__isr"),
         )
+        # defensive (ADVICE r13): count_distinct ignored NULL suppkeys
+        # while groupBy would count a NULL group — a no-op filter under
+        # the fixture's non-null contract that makes the equivalence
+        # unconditional instead of contract-dependent
+        .filter(F.col("l_suppkey").isNotNull())
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("__isr").alias("__has_r"))
     )
