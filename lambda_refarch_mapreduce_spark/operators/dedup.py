@@ -501,7 +501,15 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, bkey) LSH band rows: the k-minhash signature split
     into ``bands`` groups, each hashed to one band key. Docs agreeing
-    on any band key are near-dup candidates."""
+    on any band key are near-dup candidates.
+
+    ``bkey`` is the 16-byte binary md5 (``unhex``), not the 32-char
+    hex string (r14, guide §2.3 narrower types — the r13
+    paragraph/span-digest precedent): the key is only ever compared
+    for equality (candidate self-join, index join), never output, and
+    hex→binary is a bijection, so the candidate set is unchanged while
+    every banding exchange and persisted band index carries half the
+    key bytes — at 100 TB the band table is corpus×bands-sized."""
     if k % bands != 0:
         raise ValueError("k must be divisible by bands")
     rows_per_band = k // bands
@@ -512,7 +520,9 @@ def minhash_bands(
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bkey"),
+                F.unhex(
+                    F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+                ).alias("bkey"),
             )
         )
     return sig.select(
@@ -533,7 +543,11 @@ def build_dedup_index(
     once and appended after each batch is filtered — new data is
     deduped against the index without ever rescanning corpus text.
     """
-    digests = docs.select(F.md5(F.col(content_col)).alias("digest")).distinct()
+    # 16-byte binary digests (not 32-char hex): equality-only key,
+    # half the bytes in the digest exchange and the persisted index
+    digests = docs.select(
+        F.unhex(F.md5(F.col(content_col))).alias("digest")
+    ).distinct()
     band_rows = (
         minhash_bands(docs, id_col, content_col, n, k, bands)
         .select("band", "bkey")
@@ -569,7 +583,8 @@ def dedup_against_index(
     Returns (id, is_exact_dup, is_near_dup, keep).
     """
     batch_dig = batch.select(
-        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("digest")
+        F.col(id_col).alias("id"),
+        F.unhex(F.md5(F.col(content_col))).alias("digest"),
     )
     exact_ids = (
         digest_index.join(F.broadcast(batch_dig), "digest")
@@ -726,7 +741,17 @@ def _lsh_candidate_verify(
         cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
     )
     # sizes ride the posting rows (see shingles with_count) — no
-    # sizes-table join back onto the pair aggregation
+    # sizes-table join back onto the pair aggregation.
+    # r14 NEGATIVE RESULT (same-process interleaved A/B, sf0.1): the
+    # postings feed BOTH intersection-join sides (sa by id_a, sb by
+    # (id_b, shingle)), which partition differently, so the candidate-
+    # doc scan + shingling runs twice — but pin()ning the postings so
+    # they shingle once measured NO WIN (pinned best 6.12 s vs 5.58 s
+    # unpinned; bytes −2.7%): the cache write + InMemoryTableScan
+    # conversion costs more than the second shingling of the
+    # collision-bounded candidate set. The prefilter already bounds
+    # the duplicated work; left unpinned (the minhash-fusion / basket
+    # precedent).
     sh = shingles(cand_docs, id_col, content_col, n, with_count=True)
     sa = sh.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     sb = sh.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")

@@ -203,13 +203,13 @@ def ingest_dedup_stream(
         # exact verdicts of the original run before overwriting it
         ckey = F.broadcast(commits.select(F.col("batch_id").alias("_batch_id")))
         digests = (
-            _read_or_empty(spark, digest_path, "digest string, _batch_id bigint")
+            _read_or_empty(spark, digest_path, "digest binary, _batch_id bigint")
             .join(ckey, "_batch_id", "left_semi")
             .select("digest")
         )
         band_idx = (
             _read_or_empty(
-                spark, band_path, "band int, bkey string, _batch_id bigint"
+                spark, band_path, "band int, bkey binary, _batch_id bigint"
             )
             .join(ckey, "_batch_id", "left_semi")
             .select("band", "bkey")
