@@ -1245,11 +1245,26 @@ def paragraph_dedup(
     are distinct parameters because a regex can't be used as a rejoin
     string without corrupting the rebuilt text.
 
-    Plan shape at 100 TB: one shuffle of paragraphs keyed by their
-    md5 (the keep-first window — paragraph text must ride along
-    because reassembly needs it; the *key* is the 16-byte binary
-    digest, so sort/exchange comparisons never touch bodies), then one shuffle
-    back on doc id to rebuild. No corpus-wide collect, no pair join.
+    Plan shape at 100 TB (r14, guide §8 "decide with small rows, move
+    big rows once" — the duplicate_span_excise posture): paragraph
+    BODIES never shuffle at all. The keep-first decision needs only
+    (id, pos, 16-byte binary digest) — that narrow frame rides the one
+    digest-keyed window exchange; the DROPPED occurrences (rn > 1, the
+    duplicate mass, tiny for mostly-unique corpora) collapse to one
+    sorted position array per affected doc and join back on doc id —
+    AQE broadcasts that side whenever the dup set fits (it is EMPTY on
+    a dup-free corpus) — and each document is rebuilt row-locally by
+    re-splitting its own text and filtering out the dropped positions.
+    The pre-r14 shape shuffled paragraph text twice (digest window +
+    per-doc rebuild groupBy, each corpus-sized); this shape shuffles
+    ~28 B/paragraph once plus the duplicate mass, at the price of one
+    extra row-local split pass over the corpus (second scan — the
+    measured-cheaper side of the same trade recorded on
+    minhash_lsh_pairs). The rn>1 filter forgoes the old rn=1 form's
+    map-side WindowGroupLimit pruning, but that pruning only ever
+    removed WITHIN-MAP-PARTITION repeat paragraphs — negligible on
+    mostly-unique corpora, while the text-width savings apply to every
+    row.
 
     Returns (id, n_paras, n_kept, text_deduped); fully-deduplicated
     documents stay in the output with empty text.
@@ -1260,6 +1275,11 @@ def paragraph_dedup(
 
     if split_pattern is None:
         split_pattern = _re.escape(sep)
+    # decision pass: narrow (id, pos, digest) rows only — no bodies.
+    # Only this branch gets the local-mode parallelism guard (the md5
+    # hashing is the per-row-expensive part); the rebuild branch below
+    # is a light row-local split+filter and must NOT pay a round-robin
+    # text exchange for it.
     paras = (
         ensure_parallelism(df)
         .select(
@@ -1269,33 +1289,52 @@ def paragraph_dedup(
             ),
         )
         .filter(F.trim(F.col("para")) != "")
+        .select("id", "pos", F.unhex(F.md5(F.col("para"))).alias("__dg"))
     )
-    # binary 16-byte digest as the window key (unhex(md5) — bijective,
-    # never output): the key is materialized into the paragraph
-    # exchange, so the narrow form saves 16 B/paragraph (guide §2.3)
-    w = Window.partitionBy(F.unhex(F.md5(F.col("para")))).orderBy("id", "pos")
-    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("text_deduped"),
+    w = Window.partitionBy("__dg").orderBy("id", "pos")
+    dropped = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__drop"))
     )
-    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_paras", F.lit(0).cast("bigint")).alias("n_paras"),
-            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    # placement pass: re-split each doc locally, filter out dropped
+    # positions (posexplode and the HOF index lambda are both 0-based),
+    # rejoin — the text never leaves its scan partition. Dropped
+    # positions are all non-blank by construction, so
+    # n_paras = n_kept + n_dropped exactly.
+    rebuilt = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                F.split(F.col(text_col), split_pattern),
+                F.array().cast("array<string>"),
+            ).alias("__parr"),
         )
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "__parr",
+            F.coalesce("__drop", F.array().cast("array<int>")).alias(
+                "__drop"
+            ),
+        )
+    )
+    kept_arr = F.filter(
+        F.col("__parr"),
+        lambda p, i: (F.trim(p) != "")
+        & ~F.exists(F.col("__drop"), lambda d: d == i),
+    )
+    staged = rebuilt.select(
+        "id",
+        kept_arr.alias("__keep"),
+        F.size("__drop").alias("__nd"),
+    )
+    return staged.select(
+        F.col("id").alias(id_col),
+        (F.size("__keep") + F.col("__nd")).cast("bigint").alias("n_paras"),
+        F.size("__keep").cast("bigint").alias("n_kept"),
+        F.array_join("__keep", sep).alias("text_deduped"),
     )
 
 

@@ -171,18 +171,36 @@ def asof_join(
         on_right = on_left
 
     lcols = [c for c in left.columns]
+    # r14 (guide §2.3, shuffle fewer bytes): the union exchange used to
+    # carry the left key AND time columns TWICE — once as __k/__t and
+    # once inside lcols — plus a 4-byte int tag. __k is always an
+    # uncast copy of on_left, so the duplicate key never rides; the
+    # duplicate time column rides only when the timestamp cast is NOT a
+    # no-op (a non-timestamp left_time must be returned in its original
+    # type); the tag is a 1-byte boolean. Both are restored by name in
+    # the final projection, so the output is unchanged.
+    from pyspark.sql.types import TimestampType
+
+    time_restorable = isinstance(
+        left.schema[left_time].dataType, TimestampType
+    )
+    carried = [
+        c
+        for c in lcols
+        if c != on_left and not (time_restorable and c == left_time)
+    ]
     l_tagged = left.select(
         F.col(on_left).alias("__k"),
         F.col(left_time).cast("timestamp").alias("__t"),
-        F.lit(1).alias("__is_left"),
-        *[F.col(c) for c in lcols],
+        F.lit(True).alias("__is_left"),
+        *[F.col(c) for c in carried],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
     )
     r_tagged = right.select(
         F.col(on_right).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.lit(False).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carried],
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -216,8 +234,15 @@ def asof_join(
             ],
         )
 
-    return filled.filter(F.col("__is_left") == 1).select(
-        *[F.col(c) for c in lcols],
+    def _restore(c: str) -> Column:
+        if c == on_left:
+            return F.col("__k").alias(c)
+        if time_restorable and c == left_time:
+            return F.col("__t").alias(c)
+        return F.col(c)
+
+    return filled.filter(F.col("__is_left")).select(
+        *[_restore(c) for c in lcols],
         *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in right_values],
     )
 

@@ -182,13 +182,34 @@ def test_bm25_topk_is_take_ordered_and_query_pruned(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_paragraph_dedup_prunes_before_shuffle(spark):
-    """Corpus paragraph dedup: the keep-first rn=1 must compile to
-    partial+final WindowGroupLimit so losers are dropped map-side
-    before the digest-keyed exchange."""
+def test_paragraph_dedup_shuffles_no_text(spark):
+    """Corpus paragraph dedup (r14 §8 shape): paragraph BODIES never
+    ride a hash exchange — the keep-first decision shuffles only
+    (id, pos, digest), the dropped-position frame joins back on doc
+    id, and documents rebuild row-locally from their own text."""
     df = catalog.REGISTRY["dedup_paragraphs_corpus"].spark(spark, SF_CORRECT)
-    plan = _plan(df)
-    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    plan = _formatted(df)
+    # the digest-keyed window exchange must carry only the narrow
+    # decision columns, never the paragraph body column; same for the
+    # dropped-position aggregate's id exchange. The only exchange
+    # allowed to carry text is the local-mode round-robin parallelism
+    # guard (RoundRobinPartitioning), which no-ops at scale.
+    blocks = plan.split("\n\n")
+    dg_blocks = [
+        b
+        for b in blocks
+        if b.lstrip().startswith("(")
+        and "Exchange" in b
+        and "hashpartitioning(__dg" in b
+    ]
+    assert dg_blocks, "digest-keyed exchange missing from the plan"
+    for b in blocks:
+        if (
+            b.lstrip().startswith("(")
+            and "Exchange" in b
+            and "hashpartitioning" in b
+        ):
+            assert "para#" not in b, f"text rides a hash exchange:\n{b}"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
