@@ -602,43 +602,75 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right over the (ts, event_id)-ordered series, seeded with
     the first value — groupby.ewm runs the same pandas kernel the
     per-group fold did, and the final values are rounded with the same
-    Python round(), so results are bit-identical. Memory: the fold
-    buffers one shuffle partition per task (the same working set the
-    grouped variant's partition-wide Arrow batch held); partition
-    sizing bounds it at scale."""
+    Python round(), so results are bit-identical.
+
+    Memory (r14, guide §5 — the VERDICT r13 watch item): the fold is
+    CHUNKED — it streams the task's Arrow batches and carries one
+    float of state per straddling user instead of pd.concat-ing the
+    whole shuffle partition, so peak memory is one Arrow batch plus
+    one (count, mean) pair per user in the partition, independent of
+    partition sizing. Exactness of the carry: rows are sorted by
+    (user_id, ts, event_id), so only a batch's FIRST user can continue
+    from the previous batch, and with adjust=False (and no NaNs — the
+    fixture and the oracle's list_reduce are both null-free; a NULL
+    would already diverge the engines) the ewm kernel's entire state
+    is the current smoothed value, so prepending it as a synthetic
+    first observation replays s = a*x + (1-a)*s_prev bit-for-bit."""
     import pandas as pd
 
     a = EWMA_ALPHA
 
     def fold_partition(batches):
-        parts = [b for b in batches]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if pdf.empty:
-            return
-        # rows arrive sorted by (user_id, ts, event_id) — the
-        # sortWithinPartitions below — so each user's series is
-        # already in fold order
-        pdf["value"] = pdf["value"].astype(float)
-        g = pdf.groupby("user_id", sort=False)
-        # adjust=False is exactly the recursion acc = a*x + (1-a)*acc
-        # seeded with the first value — one Cython pass over every
-        # group in the partition
-        ew = g["value"].ewm(alpha=a, adjust=False).mean()
-        last = ew.groupby(level=0, sort=False).last()
-        n = g.size()
-        last = last.reindex(n.index)
-        yield pd.DataFrame(
-            {
-                "user_id": n.index.to_numpy(),
-                "n_events": n.to_numpy(),
-                # Python round(), matching the per-group fold's
-                # rounding exactly (numpy's .round(6) is not
-                # correctly rounded and can differ in the last ulp)
-                "ewma": [round(float(v), 6) for v in last.to_numpy()],
-            }
-        )
+        carry: dict = {}  # uid -> smoothed value so far
+        counts: dict = {}  # uid -> rows folded so far
+        order: list = []  # first-seen order, for a deterministic yield
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf[["user_id", "value"]].copy()
+            pdf["value"] = pdf["value"].astype(float)
+            first_uid = pdf["user_id"].iat[0]
+            seeded = first_uid in carry
+            if seeded:
+                work = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "user_id": [first_uid],
+                                "value": [carry[first_uid]],
+                            }
+                        ),
+                        pdf,
+                    ],
+                    ignore_index=True,
+                )
+            else:
+                work = pdf
+            g = work.groupby("user_id", sort=False)
+            # adjust=False is exactly the recursion acc = a*x + (1-a)*acc
+            # seeded with the first (possibly carried) value — one
+            # Cython pass over every group in the batch
+            ew = g["value"].ewm(alpha=a, adjust=False).mean()
+            last = ew.groupby(level=0, sort=False).last()
+            n = g.size()
+            for uid in n.index:
+                extra = 1 if (seeded and uid == first_uid) else 0
+                if uid not in counts:
+                    counts[uid] = 0
+                    order.append(uid)
+                counts[uid] += int(n[uid]) - extra
+                carry[uid] = float(last[uid])
+        if order:
+            yield pd.DataFrame(
+                {
+                    "user_id": order,
+                    "n_events": [counts[u] for u in order],
+                    # Python round(), matching the per-group fold's
+                    # rounding exactly (numpy's .round(6) is not
+                    # correctly rounded and can differ in the last ulp)
+                    "ewma": [round(carry[u], 6) for u in order],
+                }
+            )
 
     return (
         _t(spark, sf_dir, "events")

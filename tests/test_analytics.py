@@ -5462,3 +5462,43 @@ def test_ljung_box_property_matches_bruteforce(spark, ys):
         assert got.significant == (z > 1.645)
     else:
         assert got.q_stat is None and got.significant is None
+
+
+def test_ewma_chunked_fold_matches_plain_fold(spark):
+    """r14 §5: the ewma mapInPandas fold streams Arrow batches with a
+    carried per-user state instead of buffering the whole shuffle
+    partition. Force tiny batches so user series straddle batch
+    boundaries, and pin the result against the plain left fold the
+    oracle computes (acc = a*x + (1-a)*acc over the (ts, event_id)
+    order, rounded with Python round)."""
+    from collections import defaultdict
+
+    from lambda_refarch_mapreduce_spark.plans.catalog import REGISTRY
+    from lambda_refarch_mapreduce_spark.plans.catalog_analytics import (
+        EWMA_ALPHA,
+    )
+    from lambda_refarch_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = REGISTRY["ewma_user_value"].spark(spark, sf)
+        got = {r.user_id: (r.n_events, r.ewma) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series[r.user_id].append(float(r.value))
+    want = {}
+    for uid, vals in series.items():
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+        want[uid] = (len(vals), round(acc, 6))
+    assert got == want
