@@ -38,6 +38,21 @@ def duck():
     con.close()
 
 
+def formatted_plan(df) -> str:
+    """The formatted physical plan via the PUBLIC explain API (ADVICE
+    r13: the private ``_jvm.PythonSQLUtils.explainString``/``_jdf``
+    hooks shift across PySpark versions/connect mode; capturing
+    ``df.explain(mode="formatted")``'s stdout is the one supported
+    spelling, centralized here so a version bump needs one fix)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
 def _canon_cell(v):
     if v is None:
         return "∅"

@@ -730,10 +730,7 @@ def test_prefix_sums_adaptive_and_pre_ranged(spark):
     got_p = {r.v: r.cnt_cum for r in pinned.collect()}
     assert got_a == got_p and len(got_a) == 97
 
-    def _plan(df):
-        return df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+    from tests.conftest import formatted_plan as _plan
     pa, pp = _plan(adaptive), _plan(pinned)
     assert "REPARTITION_BY_COL" in pa and "REPARTITION_BY_NUM" not in pa
     assert "REPARTITION_BY_NUM" in pp
@@ -787,10 +784,7 @@ def test_arrow_local_mode_matches_window(spark):
         F.col("id"),
     )
 
-    def _plan(df):
-        return df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+    from tests.conftest import formatted_plan as _plan
 
     adjacent = re.compile(r"MapInArrow \(\d+\)\n[\s:]*\+- InMemoryTableScan")
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.plans import catalog, catalog_analytics, catalog_llm  # noqa: F401
 from lambda_refarch_mapreduce_spark.sources.readers import load_table
-from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE, formatted_plan
 
 
 def _plan(df) -> str:
@@ -21,9 +21,7 @@ def _plan(df) -> str:
 
 
 def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(df)
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
