@@ -769,6 +769,26 @@ def _frequent_basket_items(
     # a wall-neutral result. The distinct-first shape also degrades
     # gracefully at 100 TB: past the broadcast threshold AQE falls
     # back to co-partitioned joins on the aggregate's own exchanges.
+    #
+    # r14 measured-and-reverted #2: the sized branch's scan filters
+    # only isnotnull(basket) while every other branch also infers
+    # isnotnull(item) (the semi-join key), so the two distinct-exchange
+    # subtrees never canonicalize equal and the corpus (o, p) map side
+    # executes twice (per-stage profile: 6.24 MB + 6.16 MB of the
+    # 29.4 MB total). pin()ning the shared distinct output to collapse
+    # them measured WORSE on interleaved sf0.1 trials — the
+    # InMemoryTableScan defeats ReusedExchange/AQE-broadcast downstream
+    # (the r14 minhash-fusion mechanism): q_basket_pairs bytes
+    # 28,928,302 -> 44,633,689 (+54%), stages 9 -> 25; q_item_cosine
+    # 29,371,856 -> 60,593,010 (+106%), stages 10 -> 37; walls
+    # flat-to-worse; values identical. A collect_set(o -> items)
+    # single-exchange rewrite was rejected WITHOUT measuring: it
+    # materializes a mega-basket's full item set in one agg buffer,
+    # forfeiting exactly the linear-memory cap filter this operator
+    # exists to provide at 100 TB. The duplicated map side is the
+    # cheaper side of every trade measured so far; the null-item rows
+    # (65 at sf0.1) are load-bearing for the cap count, so the filter
+    # sets cannot be unified without changing the declared semantics.
     items = df.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
     ).distinct()

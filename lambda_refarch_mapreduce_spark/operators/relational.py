@@ -114,6 +114,47 @@ def pin_scope():
                 pass  # session already stopped — nothing to release
 
 
+def barrier_filter(df: DataFrame, cond: Column) -> DataFrame:
+    """Row filter that STAYS ABOVE the projection that computed its
+    inputs — the anti-re-evaluation twin of the HOF staging rule.
+
+    Why it exists (measured on text.c4_line_clean, guide §1.1/§7):
+    predicate pushdown through a Project is pure alias substitution,
+    so it is ALWAYS legal — Catalyst pushes even a filter on a cheap
+    computed boolean all the way to the scan, re-deriving every
+    staged alias it references. For an operator whose columns are
+    expensive higher-order-function chains (tokenize/transform/
+    filter lambdas run interpreted, outside codegen), the pushed
+    predicate re-evaluates the WHOLE chain per input row and the
+    projections above evaluate it again for survivors: c4_line_clean
+    measured 1.30 s with the pushed filter vs 0.33 s with the filter
+    held in place (sf0.1, 1.5 MB of text — a 4x pathology, worse the
+    lower the filter's selectivity). Blocking the push requires a
+    NONDETERMINISTIC field in the projection the filter sits on
+    (PushPredicateThroughNonJoin only crosses Projects whose fields
+    are all deterministic) that the condition REFERENCES (else column
+    pruning deletes the field and re-opens the door). The stamp is
+    spark_partition_id — the same marker the two-phase kernels use —
+    folded into the condition as `CASE WHEN pid >= 0 THEN cond ELSE
+    false END`, which is (a) always `cond` semantically, (b) a single
+    non-splittable conjunct, and (c) free: one int per row, dropped
+    immediately above.
+
+    Use it ONLY where the condition's inputs are expensive computed
+    columns of `df` itself; a filter on scan columns SHOULD push down
+    (that is what PushedFilters/partition pruning live on). The stamp
+    blocks exchange reuse like every nondeterministic expression, so
+    keep it out of subtrees that must canonicalize equal (see the pin
+    rationale above).
+    """
+    stamp = "__no_pushdown"
+    staged = df.select("*", F.spark_partition_id().alias(stamp))
+    kept = staged.filter(
+        F.when(F.col(stamp) >= 0, cond).otherwise(F.lit(False))
+    )
+    return kept.drop(stamp)
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: list[str],

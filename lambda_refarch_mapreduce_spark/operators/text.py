@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lambda_refarch_mapreduce_spark.functions.scalar import tokenize, word_ngrams
+from lambda_refarch_mapreduce_spark.operators.relational import barrier_filter
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit language
 # heuristic. Deliberately small and hard-coded: the operator contract is
@@ -208,16 +209,20 @@ def c4_line_clean(
         F.filter(F.col("__lines"), _line_ok).alias("__kept"),
         doc_ok.alias("__doc_ok"),
     )
-    return (
-        filtered.select(
-            F.col(id_col),
-            F.col("n_lines"),
-            F.size("__kept").alias("n_lines_kept"),
-            F.array_join(F.col("__kept"), sep).alias("text_clean"),
-            F.col("__doc_ok"),
-        )
-        .filter(F.col("__doc_ok") & (F.col("n_lines_kept") >= min_kept_lines))
-        .drop("__doc_ok")
+    # barrier_filter, not .filter: the survivors predicate references
+    # the staged HOF columns, and pushdown would re-derive the whole
+    # tokenize/filter/join chain into an interpreted mega-expression
+    # at the scan — measured 1.30 s -> 0.33 s on the c4 bench entry
+    # (sf0.1) with identical rows. See barrier_filter's docstring.
+    kept_docs = barrier_filter(
+        filtered,
+        F.col("__doc_ok") & (F.size("__kept") >= min_kept_lines),
+    )
+    return kept_docs.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.size("__kept").alias("n_lines_kept"),
+        F.array_join(F.col("__kept"), sep).alias("text_clean"),
     )
 
 
@@ -248,11 +253,16 @@ def quality_quantile_filter(
     thr = scored.agg(
         F.round(F.expr(f"{pct}(quality, {q})"), 6).alias("q_threshold")
     )
-    return (
-        scored.join(F.broadcast(thr))
-        .filter(F.col("quality") >= F.col("q_threshold"))
-        .select(F.col(id_col), F.col("quality"), F.col("q_threshold"))
+    # barrier_filter: a plain .filter's condition is substituted into
+    # the join, re-deriving the quality expression chain a second time
+    # per row (the output projection derives it again for survivors).
+    # Holding the filter above the join evaluates quality once —
+    # measured 0.74 s -> 0.57 s at sf0.1, identical rows.
+    gated = barrier_filter(
+        scored.join(F.broadcast(thr)),
+        F.col("quality") >= F.col("q_threshold"),
     )
+    return gated.select(F.col(id_col), F.col("quality"), F.col("q_threshold"))
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1011,6 +1011,49 @@ def test_c4_line_clean_rules(spark):
     assert out[0].n_lines == 2 and out[0].n_lines_kept == 2
 
 
+def test_barrier_filter_blocks_pushdown(spark):
+    """barrier_filter keeps the survivors predicate ABOVE the staged
+    projection (values identical to a plain .filter; the optimized
+    plan's Filter tests attributes, not a re-derived expression
+    chain) — the c4_line_clean 4x re-evaluation fix."""
+    import pyspark.sql.functions as F
+
+    from lambda_refarch_mapreduce_spark.operators.relational import (
+        barrier_filter,
+    )
+    from tests.conftest import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, "a b c " * (i % 5)) for i in range(20)], "id int, text string"
+    )
+    staged = df.select(
+        "id",
+        F.filter(
+            F.split("text", r"\s+"), lambda t: t != F.lit("")
+        ).alias("__toks"),
+    )
+    cond = F.size("__toks") >= 6
+    plain = staged.filter(cond).select("id", F.size("__toks").alias("n"))
+    guarded = barrier_filter(staged, cond).select(
+        "id", F.size("__toks").alias("n")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, guarded.collect())
+    )
+    # the plain filter is pushed below the projection: its Condition
+    # re-derives the split/filter chain from the scan column. The
+    # guarded one references only computed attributes.
+    plan = formatted_plan(guarded)
+    cond_lines = [
+        ln for ln in plan.splitlines() if "Condition :" in ln
+    ]
+    assert cond_lines, plan
+    assert any("__no_pushdown" in ln for ln in cond_lines), plan
+    assert all("split(" not in ln for ln in cond_lines), plan
+    # output schema carries no trace of the stamp
+    assert "__no_pushdown" not in guarded.columns
+
+
 def test_paragraph_dedup_keep_first(spark):
     from lambda_refarch_mapreduce_spark.operators.dedup import paragraph_dedup
 
