@@ -109,9 +109,38 @@ def l2_norm_sql(a: str) -> str:
     return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
 
 
-def cosine_sql(a: str, b: str) -> str:
-    """SQL-text twin of :func:`cosine_similarity`."""
-    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+def cosine_sql(
+    a: str, b: str, norm_a: str | None = None, norm_b: str | None = None
+) -> str:
+    """SQL-text twin of :func:`cosine_similarity`.
+
+    ``norm_a``/``norm_b`` are pre-staged SQL texts (a column name, or
+    a folded double literal) holding the corresponding
+    ``l2_norm_sql`` value: Catalyst does no CSE into higher-order-
+    function lambdas AND does not constant-fold ``aggregate`` over
+    literal arrays (verified on the physical plan), so a caller
+    ranking one vector against N candidate literals otherwise re-folds
+    BOTH norms N times per row. The division tree is unchanged —
+    ``dot / (norm_a * norm_b)`` with the identical fold producing each
+    staged norm — so results are bit-identical."""
+    na = norm_a if norm_a is not None else l2_norm_sql(a)
+    nb = norm_b if norm_b is not None else l2_norm_sql(b)
+    return f"({dot_sql(a, b)} / ({na} * {nb}))"
+
+
+def l2_norm_py(vec) -> float:
+    """Python twin of the ``l2_norm_sql`` fold, for pre-folding a
+    LITERAL vector's norm at plan-construction time: the identical
+    strict left fold (acc + v*v over IEEE doubles, then a correctly-
+    rounded sqrt), so the result is bit-identical to evaluating the
+    SQL fold over the same literal array."""
+    import math
+
+    acc = 0.0
+    for v in vec:
+        v = float(v)
+        acc = acc + v * v
+    return math.sqrt(acc)
 
 
 def l2sq_sql(a: str, b: str) -> str:

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lambda_refarch_mapreduce_spark.functions.scalar import cosine_similarity
+from lambda_refarch_mapreduce_spark.functions.scalar import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 from lambda_refarch_mapreduce_spark.partitioning import ensure_parallelism
 
 
@@ -40,21 +44,29 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank); self-matches
     excluded; ties broken by neighbor id for determinism.
     """
+    # per-side staged norms: the cross join otherwise re-folds the
+    # corpus row's norm once per QUERY and the query's once per corpus
+    # row (no CSE into the pair expression); dot / (nq * nc) is the
+    # identical division tree, so every cosine is bit-identical
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
+        ).select("query_id", "qv", l2_norm(F.col("qv")).alias("__nq"))
     )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("__nc"))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -96,16 +108,19 @@ def cosine_pairs(
     :func:`lsh_blocked_pairs`, where banded blocking does prune.
     """
     if block_col:
+        # staged per-side norms: a row's norm would otherwise re-fold
+        # once per pair it lands in; dot / (na * nb) is the identical
+        # division tree (bit-identical cosines)
         a = df.select(
             F.col(id_col).alias("id_a"),
             _as_double(F.col(vec_col)).alias("va"),
             F.col(block_col).alias("blk_a"),
-        )
+        ).select("id_a", "va", "blk_a", l2_norm(F.col("va")).alias("__na"))
         b = df.select(
             F.col(id_col).alias("id_b"),
             _as_double(F.col(vec_col)).alias("vb"),
             F.col(block_col).alias("blk_b"),
-        )
+        ).select("id_b", "vb", "blk_b", l2_norm(F.col("vb")).alias("__nb"))
         joined = a.join(
             b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
         )
@@ -113,9 +128,11 @@ def cosine_pairs(
             joined.select(
                 "id_a",
                 "id_b",
-                F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
-                    "cosine"
-                ),
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
         )
@@ -125,7 +142,7 @@ def cosine_pairs(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("chunk"),
-    )
+    ).select("id", "v", "chunk", l2_norm(F.col("v")).alias("__n"))
     # Tiny relation of the B(B+1)/2 unordered chunk pairs; broadcast by
     # construction. Each unordered row pair (x, y) lands under exactly
     # one key: (min(chunk_x, chunk_y), max(chunk_x, chunk_y)).
@@ -134,10 +151,16 @@ def cosine_pairs(
     )
     left = base.join(
         F.broadcast(pair_rel), base["chunk"] == pair_rel["ca"]
-    ).select(F.col("id").alias("id_a"), F.col("v").alias("va"), "ca", "cb")
+    ).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"), "ca", "cb",
+    )
     right = base.join(
         F.broadcast(pair_rel), base["chunk"] == pair_rel["cb"]
-    ).select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "ca", "cb")
+    ).select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"), "ca", "cb",
+    )
     cand = left.join(right, ["ca", "cb"]).filter(
         # diagonal cells see both orientations — keep one; off-diagonal
         # cells see exactly one orientation — keep it and canonicalize.
@@ -147,7 +170,11 @@ def cosine_pairs(
         cand.select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -252,16 +279,18 @@ def lsh_topk(
         raise ValueError(
             f"multi_probe ({multi_probe}) cannot exceed n_planes ({n_planes})"
         )
+    # staged per-side norms (see brute_force_topk): folded once per
+    # row here instead of once per candidate pair below
     cb = lsh_bucket(ensure_parallelism(corpus), vec_col, n_planes, seed).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.col("bucket"),
-    )
+    ).select("neighbor_id", "cv", "bucket", l2_norm(F.col("cv")).alias("__nc"))
     qb = lsh_bucket(queries, vec_col, n_planes, seed).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
         F.col("bucket"),
-    )
+    ).select("query_id", "qv", "bucket", l2_norm(F.col("qv")).alias("__nq"))
     if multi_probe >= 1:
         probes = [F.col("bucket")] + [
             _flip_bits(F.col("bucket"), idxs)
@@ -269,7 +298,8 @@ def lsh_topk(
             for idxs in combinations(range(n_planes), j)
         ]
         qb = qb.select(
-            "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+            "query_id", "qv", "__nq",
+            F.explode(F.array(*probes)).alias("bucket"),
         )
     qb = F.broadcast(qb)
     # No dedup needed: each corpus row has exactly one bucket and the
@@ -281,7 +311,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -327,11 +361,15 @@ def ivf_centroids(
         # (measured: the compile dominated training time at 16×64)
         means = (
             corpus.crossJoin(_centroids_frame(corpus, cents))
+            # stage the cast vector and its norm fold ONCE per row
+            # (HOF staging rule) before the per-centroid ranking
+            .select(vexpr.alias("v"), F.col("__cents"))
+            .select("v", "__cents", l2_norm(F.col("v")).alias("__nv"))
             .select(
-                _assign_lists_col(vexpr, F.col("__cents"), 1)[0].alias(
-                    "list_id"
-                ),
-                vexpr.alias("v"),
+                _assign_lists_col(
+                    F.col("v"), F.col("__cents"), 1, vec_norm=F.col("__nv")
+                )[0].alias("list_id"),
+                F.col("v"),
             )
             .groupBy("list_id")
             .agg(*[F.avg(F.col("v")[d]).alias(f"d{d}") for d in range(dim)])
@@ -348,6 +386,7 @@ def _assign_lists(
     vec_sql: str,
     centroids: list[tuple[int, list[float]]],
     n_lists: int,
+    norm_sql: str | None = None,
 ) -> Column:
     """Ranked array of (centroid_id) by cosine to the staged vector
     column named by ``vec_sql`` — element 0 is the nearest centroid.
@@ -371,10 +410,20 @@ def _assign_lists(
     from lambda_refarch_mapreduce_spark.functions.scalar import (
         array_sql,
         cosine_sql,
+        double_sql,
+        l2_norm_py,
     )
 
+    # norm_sql names the caller's staged row-vector norm column (the
+    # cosine_sql staged-norm contract): without it the vector's norm
+    # fold re-runs once per centroid literal per row. The centroid
+    # norms are pre-folded HERE at construction time (l2_norm_py is
+    # the bit-identical Python twin of the SQL fold; Catalyst does NOT
+    # constant-fold aggregate() over literal arrays), rendered as
+    # round-tripping double literals.
     structs = ", ".join(
-        f"named_struct('cos', {cosine_sql(vec_sql, array_sql(vec))}, "
+        f"named_struct('cos', "
+        f"{cosine_sql(vec_sql, array_sql(vec), norm_a=norm_sql, norm_b=double_sql(l2_norm_py(vec)))}, "
         f"'cid', {int(cid)})"
         for cid, vec in centroids
     )
@@ -398,24 +447,45 @@ def _centroids_frame(corpus: DataFrame, cents: list[tuple[int, list[float]]]):
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cid int, vec array<double>",
     )
+    # 'nrm' rides the struct: the centroid's l2 norm folded ONCE here
+    # (identical fold, identical doubles) instead of once per corpus
+    # row per centroid inside the assignment lambda — Catalyst does no
+    # CSE into HOF lambdas, so without it the n_centroids norm folds
+    # re-ran for every assigned row. array_sort still orders by the
+    # leading cid, so downstream index arithmetic is unchanged.
+    cdf = cdf.select("cid", "vec", l2_norm(F.col("vec")).alias("nrm"))
     return F.broadcast(
         cdf.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("__cents")
+            F.array_sort(
+                F.collect_list(F.struct("cid", "vec", "nrm"))
+            ).alias("__cents")
         )
     )
 
 
 def _assign_lists_col(
-    vec_expr: Column, cents_col: Column, n_lists: int
+    vec_expr: Column,
+    cents_col: Column,
+    n_lists: int,
+    vec_norm: Column | None = None,
 ) -> Column:
     """Column-driven twin of _assign_lists: rank centroids held in an
-    array<struct<cid,vec>> COLUMN (broadcast-joined, not plan
+    array<struct<cid,vec,nrm>> COLUMN (broadcast-joined, not plan
     literals) by cosine to ``vec_expr``. Same ordering semantics —
-    element 0 is the nearest centroid."""
+    element 0 is the nearest centroid.
+
+    The cosine is ``dot / (vec_norm * c.nrm)`` — the identical
+    division tree cosine_similarity builds, with both norm folds
+    hoisted OUT of the per-centroid lambda (no CSE into HOF lambdas):
+    the centroid norm rides the broadcast struct and the caller
+    stages the row vector's norm once per row via ``vec_norm``
+    (falls back to an in-lambda fold when not staged). Bit-identical
+    values; n_centroids× fewer folds per row."""
+    nv = vec_norm if vec_norm is not None else l2_norm(vec_expr)
     scored = F.transform(
         cents_col,
         lambda c: F.struct(
-            cosine_similarity(vec_expr, c["vec"]).alias("cos"),
+            (dot(vec_expr, c["vec"]) / (nv * c["nrm"])).alias("cos"),
             c["cid"].alias("cid"),
         ),
     )
@@ -467,45 +537,83 @@ def ivf_topk(
     cv = _as_double(F.col(vec_col))
     if centroid_strategy == "broadcast":
         cents_row = _centroids_frame(corpus, cents)
+        # stage the cast vector, then its norm fold, ONCE per row (HOF
+        # staging rule — the lambda would otherwise re-fold it per
+        # centroid) before the per-centroid ranking
         c = (
             ensure_parallelism(corpus)
             .crossJoin(cents_row)
             .select(
                 F.col(id_col).alias("neighbor_id"),
                 cv.alias("cv"),
-                _assign_lists_col(cv, F.col("__cents"), 1)[0].alias("list_id"),
+                F.col("__cents"),
+            )
+            .select(
+                "neighbor_id", "cv", "__cents",
+                l2_norm(F.col("cv")).alias("__nv"),
+            )
+            .select(
+                "neighbor_id",
+                "cv",
+                F.col("__nv").alias("__nc"),
+                _assign_lists_col(
+                    F.col("cv"), F.col("__cents"), 1,
+                    vec_norm=F.col("__nv"),
+                )[0].alias("list_id"),
             )
         )
         q = F.broadcast(
-            queries.crossJoin(cents_row).select(
+            queries.crossJoin(cents_row)
+            .select(
                 F.col(id_col).alias("query_id"),
                 cv.alias("qv"),
+                F.col("__cents"),
+            )
+            .select(
+                "query_id", "qv", "__cents",
+                l2_norm(F.col("qv")).alias("__nv"),
+            )
+            .select(
+                "query_id",
+                "qv",
+                F.col("__nv").alias("__nq"),
                 F.explode(
-                    _assign_lists_col(cv, F.col("__cents"), n_probe)
+                    _assign_lists_col(
+                        F.col("qv"), F.col("__cents"), n_probe,
+                        vec_norm=F.col("__nv"),
+                    )
                 ).alias("list_id"),
             )
         )
     elif centroid_strategy == "literal":
         # stage the double-cast vector as a named column, then rank
         # against it by name — _assign_lists is one parsed SQL
-        # expression (construction-cost fix; identical values)
+        # expression (construction-cost fix; identical values); the
+        # staged __nv column hoists the row norm fold out of the
+        # per-centroid literals
         c = (
             ensure_parallelism(corpus)
             .select(F.col(id_col).alias("neighbor_id"), cv.alias("cv"))
+            .select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("__nv"))
             .select(
                 "neighbor_id",
                 "cv",
-                _assign_lists("`cv`", cents, 1)[0].alias("list_id"),
+                F.col("__nv").alias("__nc"),
+                _assign_lists("`cv`", cents, 1, norm_sql="`__nv`")[0].alias(
+                    "list_id"
+                ),
             )
         )
         q = F.broadcast(
             queries.select(F.col(id_col).alias("query_id"), cv.alias("qv"))
+            .select("query_id", "qv", l2_norm(F.col("qv")).alias("__nv"))
             .select(
                 "query_id",
                 "qv",
-                F.explode(_assign_lists("`qv`", cents, n_probe)).alias(
-                    "list_id"
-                ),
+                F.col("__nv").alias("__nq"),
+                F.explode(
+                    _assign_lists("`qv`", cents, n_probe, norm_sql="`__nv`")
+                ).alias("list_id"),
             )
         )
     else:
@@ -515,13 +623,20 @@ def ivf_topk(
         )
     # Each corpus row belongs to exactly one list and a query's probe
     # lists are distinct, so pairs are already unique — no dedup shuffle.
+    # the carried __nq/__nc norms keep the verify cosine the IDENTICAL
+    # division tree (dot / (norm_q * norm_c), same folds) while folding
+    # each row's norm once instead of once per candidate pair
     scored = (
         c.join(q, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__nq") * F.col("__nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -621,13 +736,35 @@ def lsh_blocked_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several bands
     )
+    # staged per-side norms: each id joins into many candidate pairs,
+    # so the per-pair cosine otherwise re-folds both norms per pair;
+    # dot / (na * nb) is the identical division tree (bit-identical)
+    withn = base.select("id", "v", l2_norm(F.col("v")).alias("__n"))
     return (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        cand.join(
+            withn.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            withn.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -702,14 +839,21 @@ def semdedup(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, refine_iters)
     cv = _as_double(F.col(vec_col))
+    # the staged __nv hoists the row norm fold out of the per-centroid
+    # assignment AND out of the per-PAIR cosine below (the pair join
+    # would otherwise re-fold both sides' norms once per compared
+    # pair); dot / (nv_a * nv_b) is the identical division tree, so
+    # every cosine is bit-identical
     assigned = (
         ensure_parallelism(corpus)
         .select(F.col(id_col).alias("id"), cv.alias("v"))
+        .select("id", "v", l2_norm(F.col("v")).alias("__nv"))
         .select(
             "id",
             "v",
+            "__nv",
             (
-                _assign_lists("`v`", cents, 1)[0]
+                _assign_lists("`v`", cents, 1, norm_sql="`__nv`")[0]
                 if cents
                 else F.lit(0)
             ).alias("cluster_id"),
@@ -724,7 +868,9 @@ def semdedup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(
-            cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.__nv") * F.col("b.__nv"))
+            >= F.lit(threshold)
         )
         .select(F.col("b.id").alias("id"))
         .distinct()
@@ -1220,11 +1366,15 @@ def ivfadc_encode(
     # the literal assign is one parsed SQL expression (construction-
     # cost fix; identical values), and the cast no longer re-runs per
     # consuming expression
-    corpus_side = corpus_side.withColumn("__dv", vexpr)
+    corpus_side = corpus_side.withColumn("__dv", vexpr).withColumn(
+        "__nv", l2_norm(F.col("__dv"))
+    )
     if bcast:
-        assign = _assign_lists_col(F.col("__dv"), F.col("__cents"), 1)
+        assign = _assign_lists_col(
+            F.col("__dv"), F.col("__cents"), 1, vec_norm=F.col("__nv")
+        )
     else:
-        assign = _assign_lists("`__dv`", centroids, 1)
+        assign = _assign_lists("`__dv`", centroids, 1, norm_sql="`__nv`")
     staged = corpus_side.select(
         F.col(id_col).alias("neighbor_id"),
         *([F.col("__books")] if bcast else []),
@@ -1288,11 +1438,15 @@ def ivfadc_search(
             _centroids_frame(queries, centroids)
         ).crossJoin(_codebooks_frame(queries, codebooks))
     # stage the double-cast vector once (see ivfadc_encode)
-    query_side = query_side.withColumn("__dv", vexpr)
+    query_side = query_side.withColumn("__dv", vexpr).withColumn(
+        "__nv", l2_norm(F.col("__dv"))
+    )
     if bcast:
-        probe = _assign_lists_col(F.col("__dv"), F.col("__cents"), n_probe)
+        probe = _assign_lists_col(
+            F.col("__dv"), F.col("__cents"), n_probe, vec_norm=F.col("__nv")
+        )
     else:
-        probe = _assign_lists("`__dv`", centroids, n_probe)
+        probe = _assign_lists("`__dv`", centroids, n_probe, norm_sql="`__nv`")
     # ADC tables precomputed per query BEFORE the probe explode (they
     # do not depend on list_id), so each table is built once per query,
     # not once per probe — see _adc_tables for the bit-identity note
